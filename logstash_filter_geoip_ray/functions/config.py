@@ -1,0 +1,100 @@
+"""Pipeline-build-time configuration mirroring the reference's config surface
+1:1 (``/root/reference/lib/logstash/filters/geoip.rb:39-94`` and
+``docs/index.asciidoc:258-395``) with the same defaults and validation
+errors. Pure functions — resolved once on the driver; only the frozen result
+ships to Ray actors.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import FrozenSet, Optional, Sequence, Tuple
+
+from .fields import DatabaseType, Field, resolve_desired_fields
+
+
+class ConfigurationError(ValueError):
+    """Build-time configuration error (LogStash::ConfigurationError analog)."""
+
+
+#: ECS allowed top-level targets — geoip.rb:98-105
+ECS_TARGET_FIELDS = ("client", "destination", "host", "observer", "server", "source")
+
+DEFAULT_TAG_ON_FAILURE = ("_geoip_lookup_failure",)
+EXPIRED_DATABASE_TAG = "_geoip_expired_database"
+
+
+def _normalize_top_level(ref: str) -> str:
+    """``[host]`` → ``host`` (geoip.rb:134)."""
+    if ref.startswith("[") and ref.endswith("]") and "][" not in ref[1:-1]:
+        inner = ref[1:-1]
+        if "[" not in inner and "]" not in inner:
+            return inner
+    return ref
+
+
+def derive_ecs_target(source: str) -> str:
+    """ECS auto-derivation: ``source`` ending in ``[ip]`` → its parent
+    (``[client][ip]`` → ``client``); else ConfigurationError
+    (geoip.rb:139-145; specs geoip_ecs_spec.rb:194-279)."""
+    if source.endswith("[ip]") and len(source) > 4:
+        return source[:-4]
+    raise ConfigurationError(
+        "GeoIP Filter in ECS-Compatiblity mode requires a `target` when `source`"
+        " is not an `ip` sub-field, eg. [client][ip]"
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class GeoIPConfig:
+    """Frozen, validated configuration — the Ray-side analog of the reference's
+    immutable ``GeoIPFilter`` constructor state (GeoIPFilter.java:69-96).
+
+    ``database`` is a *path*; the MMDB is opened per actor in ``__init__``,
+    never serialized through the driver.
+    """
+
+    source: str
+    database: str
+    target: Optional[str] = None
+    fields: Optional[Tuple[str, ...]] = None
+    cache_size: int = 1000
+    tag_on_failure: Tuple[str, ...] = DEFAULT_TAG_ON_FAILURE
+    ecs_compatibility: str = "disabled"  # disabled | v1 | v8
+
+    def __post_init__(self):
+        if self.ecs_compatibility not in ("disabled", "v1", "v8"):
+            raise ConfigurationError(
+                "Unknown ECS version " + str(self.ecs_compatibility)
+            )
+        if self.cache_size <= 0:
+            raise ConfigurationError("`cache_size` must be a positive number")
+        if not self.source:
+            raise ConfigurationError("`source` is required")
+
+    @property
+    def ecs(self) -> bool:
+        return self.ecs_compatibility != "disabled"
+
+    def resolved_target(self) -> str:
+        """Default target per ECS mode: ``geoip`` when disabled, ECS
+        auto-derivation otherwise (setup_target_field, geoip.rb:129-137).
+        The normalized top-level name is returned (``[host]`` → ``host``)."""
+        if self.target:
+            return _normalize_top_level(self.target)
+        if not self.ecs:
+            return "geoip"
+        return _normalize_top_level(derive_ecs_target(self.source))
+
+    def ecs_target_warning(self) -> Optional[str]:
+        """Warning text when the ECS target is non-standard (geoip.rb:135-136);
+        None when no warning applies."""
+        if not self.ecs:
+            return None
+        target = self.resolved_target()
+        if target in ECS_TARGET_FIELDS:
+            return None
+        return "ECS expect `target` value `%s` in %s" % (target, list(ECS_TARGET_FIELDS))
+
+    def desired_fields(self, db_type: DatabaseType) -> FrozenSet[Field]:
+        return resolve_desired_fields(db_type, self.fields, self.ecs)

@@ -1,0 +1,60 @@
+"""IP parsing/canonicalization matching the reference's use of
+``java.net.InetAddress`` (``GeoIPFilter.java:172,296``).
+
+Java semantics we reproduce:
+
+- ``InetAddress.getByName(ip)`` on a malformed literal raises
+  ``UnknownHostException`` → the reference treats the lookup as attempted-
+  but-failed (empty-map target + failure tag). We map any
+  ``ipaddress.ip_address`` ValueError to the same outcome.
+- ``getHostAddress()`` echoes IPv4 dotted-quad, and IPv6 in *expanded-zero*
+  form — each group in unpadded lowercase hex, **no ``::`` compression**:
+  ``2607:f0d0:1002:51::4`` → ``2607:f0d0:1002:51:0:0:0:4``
+  (asserted at ``spec/filters/geoip_ecs_spec.rb:158``). Python's
+  ``str(IPv6Address)`` compresses, so we format groups explicitly.
+- IPv4-mapped IPv6 literals (``::ffff:1.2.3.4``) come back from Java as an
+  ``Inet4Address`` → dotted quad; we mirror via ``IPv6Address.ipv4_mapped``.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+from typing import Optional, Tuple, Union
+
+IPAddress = Union[ipaddress.IPv4Address, ipaddress.IPv6Address]
+
+
+def parse_ip(text: str) -> Optional[IPAddress]:
+    """Parse an IP literal; None on malformed input (Java UnknownHostException).
+
+    Like ``InetAddress.getByName``, an IPv4-mapped IPv6 literal degrades to
+    its IPv4 address.
+    """
+    try:
+        addr = ipaddress.ip_address(text)
+    except ValueError:
+        return None
+    if addr.version == 6:
+        mapped = addr.ipv4_mapped
+        if mapped is not None:
+            return mapped
+    return addr
+
+
+def host_address(addr: IPAddress) -> str:
+    """Java ``InetAddress.getHostAddress()`` canonical echo form."""
+    if addr.version == 4:
+        return str(addr)
+    groups = []
+    packed = addr.packed
+    for i in range(0, 16, 2):
+        groups.append(format((packed[i] << 8) | packed[i + 1], "x"))
+    return ":".join(groups)
+
+
+def parse_and_canonicalize(text: str) -> Tuple[Optional[IPAddress], Optional[str]]:
+    """(parsed address, canonical echo string) — (None, None) if malformed."""
+    addr = parse_ip(text)
+    if addr is None:
+        return None, None
+    return addr, host_address(addr)

@@ -1,0 +1,795 @@
+"""GeoIP enrichment — the Ray-Data-native re-creation of the reference's
+core engine (``/root/reference/src/main/java/org/logstash/filters/geoip/GeoIPFilter.java``).
+
+Architecture (SURVEY.md §1.5, §2.A): the reference enriches one event at a
+time through a JRuby→Java boundary; here the same *semantics* are computed
+vectorized over Arrow batches:
+
+- ``GeoIPLookup`` is the pure-compute core — an mmap'd pure-Python MMDB
+  reader + an LRU memo over raw source strings. It reproduces, per unique
+  source value, the exact outcome of ``GeoIPFilter.handleEvent``:
+  extraction guards (E1/E2), IP parse (E3), per-DB-type projection with
+  null-omission (E5–E11), the City lat/lon early abort (E5), composite
+  ``location``/``region_iso_code`` (E12/E13), strict model-type validation
+  reproducing Java's DeserializationException on the fixtures' corrupt
+  custom fields (E22), and the Java ``getHostAddress`` echo form.
+- ``GeoIPEnricher`` is the Ray stage: a callable class used as
+  ``ds.map_batches(GeoIPEnricher(cfg), batch_format="pyarrow",
+  concurrency=N)``. Each actor opens the MMDB once in ``__init__``; each
+  batch is dictionary-encoded so every *distinct* source string is looked up
+  once and results are expanded back with ``pc.take`` — the batched
+  algorithmic win the per-event reference cannot express.
+
+Output encoding (three-state contract, SURVEY.md §1.5 / FIXTURES.md §4):
+
+- source missing/empty/whitespace → target struct NULL        + failure tags
+- attempted but failed lookup     → target struct valid, all-null children
+                                    (the reference's "empty map")
+                                  + failure tags
+- success                         → populated struct, no tags
+"""
+
+from __future__ import annotations
+
+import ipaddress
+from functools import lru_cache
+from typing import Any, Dict, FrozenSet, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.config import GeoIPConfig
+from ..functions.fields import (
+    DatabaseType,
+    Field,
+    database_from_type_string,
+)
+from ..functions.iputil import host_address, parse_ip
+from ..state.mmdb import U16, UBIG, InvalidDatabaseError, MMDBReader
+
+# ---------------------------------------------------------------------------
+# Strict response-model validation (E22).
+#
+# The reference's maxmind-db decoder binds MMDB values to typed model
+# constructor parameters: a declared parameter whose stored type mismatches
+# raises DeserializationException (caught and reported as a failed lookup,
+# GeoIPFilter.java:53-59, 238-242); *unknown* keys are skipped (which is why
+# the Domain fixture with a stray `is_in_european_union` still succeeds,
+# GeoIPFilterTest.java:284-290). We mirror the declared parameter sets of the
+# geoip2 4.4.0 model classes.
+# ---------------------------------------------------------------------------
+
+_STR, _LONG, _INT, _DOUBLE, _BOOL, _NAMES = "str", "long", "int", "double", "bool", "names"
+
+_COUNTRY_M = {
+    "confidence": _INT,
+    "geoname_id": _LONG,
+    "is_in_european_union": _BOOL,
+    "iso_code": _STR,
+    "names": _NAMES,
+}
+_CONTINENT_M = {"code": _STR, "geoname_id": _LONG, "names": _NAMES}
+_CITY_M = {"confidence": _INT, "geoname_id": _LONG, "names": _NAMES}
+_LOCATION_M = {
+    "accuracy_radius": _INT,
+    "average_income": _INT,
+    "latitude": _DOUBLE,
+    "longitude": _DOUBLE,
+    "metro_code": _INT,
+    "population_density": _INT,
+    "time_zone": _STR,
+}
+_POSTAL_M = {"code": _STR, "confidence": _INT}
+_SUBDIVISION_M = {"confidence": _INT, "geoname_id": _LONG, "iso_code": _STR, "names": _NAMES}
+_REPRESENTED_COUNTRY_M = dict(_COUNTRY_M, type=_STR)
+_TRAITS_M = {
+    "autonomous_system_number": _LONG,
+    "autonomous_system_organization": _STR,
+    "connection_type": _STR,
+    "domain": _STR,
+    "ip_address": _STR,
+    "is_anonymous": _BOOL,
+    "is_anonymous_proxy": _BOOL,
+    "is_anonymous_vpn": _BOOL,
+    "is_anycast": _BOOL,
+    "is_hosting_provider": _BOOL,
+    "is_legitimate_proxy": _BOOL,
+    "is_public_proxy": _BOOL,
+    "is_residential_proxy": _BOOL,
+    "is_satellite_provider": _BOOL,
+    "is_tor_exit_node": _BOOL,
+    "isp": _STR,
+    "mobile_country_code": _STR,
+    "mobile_network_code": _STR,
+    "organization": _STR,
+    "static_ip_score": _DOUBLE,
+    "user_count": _INT,
+    "user_type": _STR,
+}
+_MAXMIND_M = {"queries_remaining": _INT}
+
+_CITYLIKE_RESPONSE = {
+    "city": _CITY_M,
+    "continent": _CONTINENT_M,
+    "country": _COUNTRY_M,
+    "location": _LOCATION_M,
+    "maxmind": _MAXMIND_M,
+    "postal": _POSTAL_M,
+    "registered_country": _COUNTRY_M,
+    "represented_country": _REPRESENTED_COUNTRY_M,
+    "subdivisions": [_SUBDIVISION_M],
+    "traits": _TRAITS_M,
+}
+_COUNTRY_RESPONSE = {
+    "continent": _CONTINENT_M,
+    "country": _COUNTRY_M,
+    "maxmind": _MAXMIND_M,
+    "registered_country": _COUNTRY_M,
+    "represented_country": _REPRESENTED_COUNTRY_M,
+    "traits": _TRAITS_M,
+}
+_ASN_RESPONSE = {"autonomous_system_number": _LONG, "autonomous_system_organization": _STR}
+_ISP_RESPONSE = dict(
+    _ASN_RESPONSE,
+    isp=_STR,
+    organization=_STR,
+    mobile_country_code=_STR,
+    mobile_network_code=_STR,
+)
+_DOMAIN_RESPONSE = {"domain": _STR}
+_ANONYMOUS_RESPONSE = {
+    "is_anonymous": _BOOL,
+    "is_anonymous_vpn": _BOOL,
+    "is_hosting_provider": _BOOL,
+    "is_public_proxy": _BOOL,
+    "is_residential_proxy": _BOOL,
+    "is_tor_exit_node": _BOOL,
+}
+
+_RESPONSE_MODELS = {
+    DatabaseType.CITY: _CITYLIKE_RESPONSE,
+    DatabaseType.COUNTRY: _COUNTRY_RESPONSE,
+    DatabaseType.ASN: _ASN_RESPONSE,
+    DatabaseType.ISP: _ISP_RESPONSE,
+    DatabaseType.DOMAIN: _DOMAIN_RESPONSE,
+    DatabaseType.ENTERPRISE: _CITYLIKE_RESPONSE,
+    DatabaseType.ANONYMOUS_IP: _ANONYMOUS_RESPONSE,
+}
+
+
+class InvalidCustomFieldError(ValueError):
+    """Python analog of GeoIp2InvalidCustomFieldException (GeoIPFilter.java:55-59)."""
+
+
+def _check_scalar(value: Any, expected: str) -> bool:
+    if expected == _STR:
+        return isinstance(value, str)
+    if expected == _BOOL:
+        return isinstance(value, bool)
+    if expected == _LONG:
+        # Java Long accepts uint32-decoded Long only; uint16→Integer and
+        # uint64→BigInteger both mismatch.
+        return isinstance(value, int) and not isinstance(value, (bool, U16, UBIG))
+    if expected == _INT:
+        # Java Integer ← uint16 (and int32); be lenient on plain ints.
+        return isinstance(value, int) and not isinstance(value, (bool, UBIG))
+    if expected == _DOUBLE:
+        return isinstance(value, float)
+    return True
+
+
+def _validate_model(record: Any, model: Any) -> None:
+    """Recursively check declared keys; unknown keys are skipped."""
+    if isinstance(model, dict):
+        if model is _NAMES:  # pragma: no cover - _NAMES is a str sentinel
+            return
+        if not isinstance(record, dict):
+            raise InvalidCustomFieldError(
+                "The database contains invalid custom field, which caused deserialization to fail."
+            )
+        for key, sub in model.items():
+            if key not in record:
+                continue
+            value = record[key]
+            if isinstance(sub, (dict, list)):
+                _validate_model(value, sub)
+            elif sub == _NAMES:
+                if not isinstance(value, dict) or any(
+                    not isinstance(v, str) for v in value.values()
+                ):
+                    raise InvalidCustomFieldError(
+                        "The database contains invalid custom field, which caused deserialization to fail."
+                    )
+            else:
+                if not _check_scalar(value, sub):
+                    raise InvalidCustomFieldError(
+                        "The database contains invalid custom field, which caused deserialization to fail."
+                    )
+    elif isinstance(model, list):
+        if not isinstance(record, list):
+            raise InvalidCustomFieldError(
+                "The database contains invalid custom field, which caused deserialization to fail."
+            )
+        for item in record:
+            _validate_model(item, model[0])
+
+
+# ---------------------------------------------------------------------------
+# Per-DB projections (E5-E11). Each returns {Field: value} with null-valued
+# fields omitted (except DOMAIN, which is put without a null guard,
+# GeoIPFilter.java:486-489). Values use English names only (names.en), like
+# every reference test vector.
+# ---------------------------------------------------------------------------
+
+#: which fields each projection's switch statement handles (a desired field
+#: with no case in the reference's switch is silently ignored)
+PROJECTION_FIELDS: Dict[DatabaseType, FrozenSet[Field]] = {
+    DatabaseType.CITY: frozenset(
+        {
+            Field.CITY_NAME,
+            Field.CONTINENT_CODE,
+            Field.CONTINENT_NAME,
+            Field.COUNTRY_NAME,
+            Field.COUNTRY_CODE2,
+            Field.COUNTRY_CODE3,
+            Field.IP,
+            Field.POSTAL_CODE,
+            Field.DMA_CODE,
+            Field.REGION_NAME,
+            Field.REGION_CODE,
+            Field.REGION_ISO_CODE,
+            Field.TIMEZONE,
+            Field.LOCATION,
+            Field.LATITUDE,
+            Field.LONGITUDE,
+        }
+    ),
+    DatabaseType.COUNTRY: frozenset(
+        {Field.IP, Field.COUNTRY_CODE2, Field.COUNTRY_NAME, Field.CONTINENT_NAME}
+    ),
+    DatabaseType.ISP: frozenset(
+        {
+            Field.IP,
+            Field.AUTONOMOUS_SYSTEM_NUMBER,
+            Field.AUTONOMOUS_SYSTEM_ORGANIZATION,
+            Field.ISP,
+            Field.ORGANIZATION,
+        }
+    ),
+    DatabaseType.ASN: frozenset(
+        {
+            Field.IP,
+            Field.AUTONOMOUS_SYSTEM_NUMBER,
+            Field.AUTONOMOUS_SYSTEM_ORGANIZATION,
+            Field.NETWORK,
+        }
+    ),
+    DatabaseType.DOMAIN: frozenset({Field.DOMAIN}),
+    DatabaseType.ENTERPRISE: frozenset(
+        {
+            Field.IP,
+            Field.COUNTRY_CODE2,
+            Field.COUNTRY_NAME,
+            Field.CONTINENT_NAME,
+            Field.REGION_ISO_CODE,
+            Field.REGION_NAME,
+            Field.CITY_NAME,
+            Field.TIMEZONE,
+            Field.LOCATION,
+            Field.AUTONOMOUS_SYSTEM_NUMBER,
+            Field.AUTONOMOUS_SYSTEM_ORGANIZATION,
+            Field.NETWORK,
+            Field.HOSTING_PROVIDER,
+            Field.TOR_EXIT_NODE,
+            Field.ANONYMOUS_VPN,
+            Field.ANONYMOUS,
+            Field.PUBLIC_PROXY,
+            Field.RESIDENTIAL_PROXY,
+        }
+    ),
+    DatabaseType.ANONYMOUS_IP: frozenset(
+        {
+            Field.IP,
+            Field.HOSTING_PROVIDER,
+            Field.TOR_EXIT_NODE,
+            Field.ANONYMOUS_VPN,
+            Field.ANONYMOUS,
+            Field.PUBLIC_PROXY,
+            Field.RESIDENTIAL_PROXY,
+        }
+    ),
+    DatabaseType.UNKNOWN: frozenset(),
+}
+
+_TRAIT_KEYS = {
+    Field.HOSTING_PROVIDER: "is_hosting_provider",
+    Field.TOR_EXIT_NODE: "is_tor_exit_node",
+    Field.ANONYMOUS_VPN: "is_anonymous_vpn",
+    Field.ANONYMOUS: "is_anonymous",
+    Field.PUBLIC_PROXY: "is_public_proxy",
+    Field.RESIDENTIAL_PROXY: "is_residential_proxy",
+}
+
+
+def _en_name(sub: Optional[dict]) -> Optional[str]:
+    if not sub:
+        return None
+    names = sub.get("names")
+    if not names:
+        return None
+    return names.get("en")
+
+
+def _network_string(addr, prefix_len: int, ip_version_6_tree: bool) -> str:
+    """Java ``Network.toString()``: network address in getHostAddress form +
+    '/' + prefix length (relative to IPv4 when an IPv4 address traversed an
+    IPv6 tree, GeoIPFilter.java:465-468)."""
+    if addr.version == 4 and ip_version_6_tree:
+        prefix_len -= 96
+    net = ipaddress.ip_network((addr, prefix_len), strict=False)
+    return "%s/%d" % (host_address(net.network_address), net.prefixlen)
+
+
+def _put_if(geo: dict, field: Field, value) -> None:
+    if value is not None:
+        geo[field] = value
+
+
+class GeoIPLookup:
+    """The per-actor stateful lookup core: MMDB mmap + LRU memo.
+
+    Mirrors one ``GeoIPFilter`` instance (reader+cache state,
+    GeoIPFilter.java:62-67,87). ``lookup(raw)`` takes the raw source string
+    (already guarded non-null/non-blank by the batch layer) and returns
+    ``(ok, values)``: ok=False → attempted-but-failed ("empty map"), values
+    None; ok=True → dict {Field: value} for the configured desired fields.
+    """
+
+    def __init__(self, config: GeoIPConfig):
+        self.config = config
+        try:
+            self.reader = MMDBReader(config.database)
+        except InvalidDatabaseError:
+            raise ValueError("The database provided is invalid or corrupted.") from None
+        except FileNotFoundError:
+            raise ValueError("The database provided was not found in the path") from None
+        self.db_type = database_from_type_string(self.reader.database_type)
+        self.desired = config.desired_fields(self.db_type)
+        self.effective = self.desired & PROJECTION_FIELDS[self.db_type]
+        self._model = _RESPONSE_MODELS.get(self.db_type)
+        self._tree_is_v6 = self.reader.ip_version == 6
+        # LRU over raw source strings — semantically transparent memoization
+        # (the reference's CHMCache analog, geoip.rb:77-91). Bounded, unlike
+        # CHMCache, because a 10^12-turn stream must not grow actor heaps.
+        self.lookup = lru_cache(maxsize=max(1, config.cache_size))(self._lookup_uncached)
+
+    # -- core ---------------------------------------------------------------
+
+    def _lookup_uncached(self, raw: str) -> Tuple[bool, Optional[Dict[Field, Any]]]:
+        addr = parse_ip(raw)
+        if addr is None:
+            return False, None  # UnknownHostException path (E3)
+        try:
+            record, prefix_len = self.reader.get(addr)
+        except ValueError:
+            return False, None
+        if record is None:
+            return False, None  # AddressNotFoundException path (E4)
+        if self._model is not None:
+            try:
+                _validate_model(record, self._model)
+            except InvalidCustomFieldError:
+                return False, None  # E22: degrade to per-row failure
+        values = self._project(addr, record, prefix_len)
+        if not values:
+            return False, None  # includes the City lat/lon early abort (E5)
+        return True, values
+
+    def _project(self, addr, rec: dict, prefix_len: int) -> Dict[Field, Any]:
+        db = self.db_type
+        eff = self.effective
+        geo: Dict[Field, Any] = {}
+        if db is DatabaseType.CITY:
+            loc = rec.get("location") or {}
+            lat, lon = loc.get("latitude"), loc.get("longitude")
+            # early abort: a found record without coordinates is a *failure*
+            # (GeoIPFilter.java:251-255)
+            if lat is None and lon is None:
+                return geo
+            country = rec.get("country") or {}
+            subdivisions = rec.get("subdivisions") or []
+            subdivision = subdivisions[-1] if subdivisions else {}
+            if Field.CITY_NAME in eff:
+                _put_if(geo, Field.CITY_NAME, _en_name(rec.get("city")))
+            if Field.CONTINENT_CODE in eff:
+                _put_if(geo, Field.CONTINENT_CODE, (rec.get("continent") or {}).get("code"))
+            if Field.CONTINENT_NAME in eff:
+                _put_if(geo, Field.CONTINENT_NAME, _en_name(rec.get("continent")))
+            if Field.COUNTRY_NAME in eff:
+                _put_if(geo, Field.COUNTRY_NAME, _en_name(country))
+            if Field.COUNTRY_CODE2 in eff:
+                _put_if(geo, Field.COUNTRY_CODE2, country.get("iso_code"))
+            if Field.COUNTRY_CODE3 in eff:
+                _put_if(geo, Field.COUNTRY_CODE3, country.get("iso_code"))
+            if Field.IP in eff:
+                geo[Field.IP] = host_address(addr)
+            if Field.POSTAL_CODE in eff:
+                _put_if(geo, Field.POSTAL_CODE, (rec.get("postal") or {}).get("code"))
+            if Field.DMA_CODE in eff:
+                _put_if(geo, Field.DMA_CODE, loc.get("metro_code"))
+            if Field.REGION_NAME in eff:
+                _put_if(geo, Field.REGION_NAME, _en_name(subdivision))
+            if Field.REGION_CODE in eff:
+                _put_if(geo, Field.REGION_CODE, subdivision.get("iso_code"))
+            if Field.REGION_ISO_CODE in eff:
+                cc, rc = country.get("iso_code"), subdivision.get("iso_code")
+                if cc is not None and rc is not None:
+                    geo[Field.REGION_ISO_CODE] = "%s-%s" % (cc, rc)
+            if Field.TIMEZONE in eff:
+                _put_if(geo, Field.TIMEZONE, loc.get("time_zone"))
+            if Field.LOCATION in eff and lat is not None and lon is not None:
+                geo[Field.LOCATION] = {"lat": float(lat), "lon": float(lon)}
+            if Field.LATITUDE in eff:
+                _put_if(geo, Field.LATITUDE, None if lat is None else float(lat))
+            if Field.LONGITUDE in eff:
+                _put_if(geo, Field.LONGITUDE, None if lon is None else float(lon))
+            return geo
+
+        if db is DatabaseType.COUNTRY:
+            country = rec.get("country") or {}
+            if Field.IP in eff:
+                geo[Field.IP] = host_address(addr)
+            if Field.COUNTRY_CODE2 in eff:
+                _put_if(geo, Field.COUNTRY_CODE2, country.get("iso_code"))
+            if Field.COUNTRY_NAME in eff:
+                _put_if(geo, Field.COUNTRY_NAME, _en_name(country))
+            if Field.CONTINENT_NAME in eff:
+                _put_if(geo, Field.CONTINENT_NAME, _en_name(rec.get("continent")))
+            return geo
+
+        if db is DatabaseType.ISP:
+            if Field.IP in eff:
+                geo[Field.IP] = host_address(addr)
+            if Field.AUTONOMOUS_SYSTEM_NUMBER in eff:
+                asn = rec.get("autonomous_system_number")
+                if asn is not None:
+                    geo[Field.AUTONOMOUS_SYSTEM_NUMBER] = int(asn)
+            if Field.AUTONOMOUS_SYSTEM_ORGANIZATION in eff:
+                _put_if(
+                    geo,
+                    Field.AUTONOMOUS_SYSTEM_ORGANIZATION,
+                    rec.get("autonomous_system_organization"),
+                )
+            if Field.ISP in eff:
+                _put_if(geo, Field.ISP, rec.get("isp"))
+            if Field.ORGANIZATION in eff:
+                _put_if(geo, Field.ORGANIZATION, rec.get("organization"))
+            return geo
+
+        if db is DatabaseType.ASN:
+            if Field.IP in eff:
+                geo[Field.IP] = host_address(addr)
+            if Field.AUTONOMOUS_SYSTEM_NUMBER in eff:
+                asn = rec.get("autonomous_system_number")
+                if asn is not None:
+                    geo[Field.AUTONOMOUS_SYSTEM_NUMBER] = int(asn)
+            if Field.AUTONOMOUS_SYSTEM_ORGANIZATION in eff:
+                _put_if(
+                    geo,
+                    Field.AUTONOMOUS_SYSTEM_ORGANIZATION,
+                    rec.get("autonomous_system_organization"),
+                )
+            if Field.NETWORK in eff:
+                geo[Field.NETWORK] = _network_string(addr, prefix_len, self._tree_is_v6)
+            return geo
+
+        if db is DatabaseType.DOMAIN:
+            if Field.DOMAIN in eff:
+                # put WITHOUT a null guard: key present even when null
+                # (GeoIPFilter.java:486-489) → a found record is a success
+                geo[Field.DOMAIN] = rec.get("domain")
+            return geo
+
+        if db is DatabaseType.ENTERPRISE:
+            country = rec.get("country") or {}
+            loc = rec.get("location") or {}
+            subdivisions = rec.get("subdivisions") or []
+            subdivision = subdivisions[-1] if subdivisions else {}
+            traits = rec.get("traits") or {}
+            if Field.IP in eff:
+                geo[Field.IP] = host_address(addr)
+            if Field.COUNTRY_CODE2 in eff:
+                _put_if(geo, Field.COUNTRY_CODE2, country.get("iso_code"))
+            if Field.COUNTRY_NAME in eff:
+                _put_if(geo, Field.COUNTRY_NAME, _en_name(country))
+            if Field.CONTINENT_NAME in eff:
+                _put_if(geo, Field.CONTINENT_NAME, _en_name(rec.get("continent")))
+            if Field.REGION_ISO_CODE in eff:
+                cc, rc = country.get("iso_code"), subdivision.get("iso_code")
+                if cc is not None and rc is not None:
+                    geo[Field.REGION_ISO_CODE] = "%s-%s" % (cc, rc)
+            if Field.REGION_NAME in eff:
+                _put_if(geo, Field.REGION_NAME, _en_name(subdivision))
+            if Field.CITY_NAME in eff:
+                _put_if(geo, Field.CITY_NAME, _en_name(rec.get("city")))
+            if Field.TIMEZONE in eff:
+                _put_if(geo, Field.TIMEZONE, loc.get("time_zone"))
+            if Field.LOCATION in eff:
+                lat, lon = loc.get("latitude"), loc.get("longitude")
+                if lat is not None and lon is not None:
+                    geo[Field.LOCATION] = {"lat": float(lat), "lon": float(lon)}
+            if Field.AUTONOMOUS_SYSTEM_NUMBER in eff:
+                asn = traits.get("autonomous_system_number")
+                if asn is not None:
+                    geo[Field.AUTONOMOUS_SYSTEM_NUMBER] = int(asn)
+            if Field.AUTONOMOUS_SYSTEM_ORGANIZATION in eff:
+                _put_if(
+                    geo,
+                    Field.AUTONOMOUS_SYSTEM_ORGANIZATION,
+                    traits.get("autonomous_system_organization"),
+                )
+            if Field.NETWORK in eff:
+                geo[Field.NETWORK] = _network_string(addr, prefix_len, self._tree_is_v6)
+            for trait_field, key in _TRAIT_KEYS.items():
+                if trait_field in eff:
+                    geo[trait_field] = bool(traits.get(key, False))
+            return geo
+
+        if db is DatabaseType.ANONYMOUS_IP:
+            if Field.IP in eff:
+                geo[Field.IP] = host_address(addr)
+            for trait_field, key in _TRAIT_KEYS.items():
+                if trait_field in eff:
+                    geo[trait_field] = bool(rec.get(key, False))
+            return geo
+
+        return geo
+
+    def close(self) -> None:
+        self.reader.close()
+
+
+# ---------------------------------------------------------------------------
+# Arrow output schema + batch assembly
+# ---------------------------------------------------------------------------
+
+_LEAF_TYPES = {
+    Field.AUTONOMOUS_SYSTEM_NUMBER: pa.int64(),
+    Field.DMA_CODE: pa.int64(),
+    Field.LATITUDE: pa.float64(),
+    Field.LONGITUDE: pa.float64(),
+    Field.HOSTING_PROVIDER: pa.bool_(),
+    Field.TOR_EXIT_NODE: pa.bool_(),
+    Field.ANONYMOUS_VPN: pa.bool_(),
+    Field.ANONYMOUS: pa.bool_(),
+    Field.PUBLIC_PROXY: pa.bool_(),
+    Field.RESIDENTIAL_PROXY: pa.bool_(),
+}
+_LOCATION_TYPE = pa.struct([("lat", pa.float64()), ("lon", pa.float64())])
+
+
+def _leaf_type(field: Field) -> pa.DataType:
+    if field is Field.LOCATION:
+        return _LOCATION_TYPE
+    return _LEAF_TYPES.get(field, pa.string())
+
+
+def output_leaves(effective: FrozenSet[Field], ecs: bool) -> List[Tuple[Tuple[str, ...], Field]]:
+    """Ordered (path, field) leaves of the target struct.
+
+    Legacy: flat legacy names. ECS: nested dot-paths (geo./as./mmdb./
+    ip_traits.), COUNTRY_CODE3 skipped (empty path, Field.java:35), LOCATION
+    expanded into geo.location.lat/lon so it merges with LATITUDE/LONGITUDE
+    the way Logstash bracket-path writes do.
+    """
+    leaves: List[Tuple[Tuple[str, ...], Field]] = []
+    for field in Field:
+        if field not in effective:
+            continue
+        path = field.field_path(ecs)
+        if not path:
+            continue  # skipped-in-ECS (COUNTRY_CODE3)
+        if ecs and field is Field.LOCATION:
+            leaves.append((("geo", "location", "lat"), field))
+            leaves.append((("geo", "location", "lon"), field))
+            continue
+        leaves.append((path, field))
+    # merge duplicate paths (ECS LOCATION vs LATITUDE/LONGITUDE): keep the
+    # most specific contributor last so later writes win like Event.setField
+    return leaves
+
+
+def _leaf_value(field: Field, path: Tuple[str, ...], values: Dict[Field, Any]):
+    if field is Field.LOCATION and path and path[-1] in ("lat", "lon"):
+        loc = values.get(Field.LOCATION)
+        if loc is None:
+            return None
+        return loc[path[-1]]
+    return values.get(field)
+
+
+class _TreeNode:
+    __slots__ = ("children", "leaf")
+
+    def __init__(self):
+        self.children: "dict[str, _TreeNode]" = {}
+        self.leaf = None  # (field, pa.Array) when this node is a leaf
+
+
+def _build_struct_array(
+    node: _TreeNode, n: int, valid: np.ndarray
+) -> Tuple[pa.Array, np.ndarray]:
+    """Bottom-up struct assembly. Returns (array, presence-mask) where
+    presence = this subtree contributes a non-null value for the row (used so
+    intermediate structs are null when no descendant was set — matching the
+    absent-subtree semantics of the event model)."""
+    names, arrays, presences = [], [], []
+    for name, child in node.children.items():
+        if child.leaf is not None:
+            arr = child.leaf
+            presence = np.asarray(pc.is_valid(arr))
+        else:
+            arr, presence = _build_struct_array(child, n, valid)
+        names.append(name)
+        arrays.append(arr)
+        presences.append(presence)
+    present = np.logical_or.reduce(presences) if presences else np.zeros(n, dtype=bool)
+    mask = pa.array(~(present & valid))
+    return pa.StructArray.from_arrays(arrays, names=names, mask=mask), present
+
+
+def build_target_column(
+    leaves: List[Tuple[Tuple[str, ...], pa.Array]],
+    n: int,
+    attempted: np.ndarray,
+    succeeded: np.ndarray,
+) -> pa.Array:
+    """Assemble the target struct column with three-state validity:
+    not attempted → null struct; attempted-but-failed → valid struct with
+    all-null children; success → populated struct."""
+    root = _TreeNode()
+    for path, arr in leaves:
+        node = root
+        for frag in path:
+            node = node.children.setdefault(frag, _TreeNode())
+        node.leaf = arr
+    names, arrays = [], []
+    for name, child in root.children.items():
+        if child.leaf is not None:
+            arrays.append(child.leaf)
+        else:
+            arr, _present = _build_struct_array(child, n, succeeded)
+            arrays.append(arr)
+        names.append(name)
+    if not names:
+        # degenerate: no output fields configured — still honor validity
+        return pa.array([{} if a else None for a in attempted], type=pa.struct([]))
+    mask = pa.array(~attempted)
+    return pa.StructArray.from_arrays(arrays, names=names, mask=mask)
+
+
+class GeoIPEnricher:
+    """Ray Data actor-pool stage: ``ds.map_batches(GeoIPEnricher(config),
+    batch_format="pyarrow", concurrency=N, batch_size=B)``.
+
+    Ray constructs the callable per actor via ``fn_constructor_args`` — or,
+    when an *instance* is passed, pickles the config-carrying instance and
+    opens the MMDB lazily on first batch so the mmap never crosses the
+    network. Per batch: dictionary-encode the source column, look up each
+    distinct value once through the LRU, expand with ``pc.take``.
+    """
+
+    def __init__(self, config: GeoIPConfig, source_column: Optional[str] = None,
+                 tags_column: str = "tags"):
+        self.config = config
+        self.source_column = source_column or config.source
+        self.tags_column = tags_column
+        self.target_column = config.resolved_target()
+        self._lookup: Optional[GeoIPLookup] = None
+        self._leaves = None
+
+    # MMDB state must not be pickled (mmap); recreate lazily per process.
+    def __getstate__(self):
+        return {
+            "config": self.config,
+            "source_column": self.source_column,
+            "tags_column": self.tags_column,
+            "target_column": self.target_column,
+        }
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._lookup = None
+        self._leaves = None
+
+    def _ensure_open(self):
+        if self._lookup is None:
+            self._lookup = GeoIPLookup(self.config)
+            self._leaves = output_leaves(self._lookup.effective, self.config.ecs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self._ensure_open()
+        n = batch.num_rows
+        src_col = batch[self.source_column]
+        if pa.types.is_list(src_col.type) or pa.types.is_large_list(src_col.type):
+            src_col = pc.list_element(src_col, 0)  # E1: list → first element
+        src = src_col.combine_chunks() if isinstance(src_col, pa.ChunkedArray) else src_col
+
+        trimmed = pc.utf8_trim_whitespace(src)
+        attempted_arr = pc.fill_null(pc.not_equal(trimmed, pa.scalar("")), False)
+        attempted = np.asarray(attempted_arr)
+
+        enc = src.dictionary_encode()
+        dictionary = enc.dictionary.to_pylist()
+        indices = enc.indices
+        # null indices (missing source) → point at slot 0 but masked by
+        # `attempted`; fill to keep take() happy
+        indices = pc.fill_null(indices, 0) if len(dictionary) else indices
+
+        lookup = self._lookup.lookup
+        uniq_ok: List[bool] = []
+        uniq_values: List[Optional[Dict[Field, Any]]] = []
+        for raw in dictionary:
+            if raw is None or not raw.strip():
+                uniq_ok.append(False)
+                uniq_values.append(None)
+                continue
+            ok, values = lookup(raw)
+            uniq_ok.append(ok)
+            uniq_values.append(values if ok else None)
+
+        if dictionary:
+            ok_unique = pa.array(uniq_ok, type=pa.bool_())
+            succeeded = np.asarray(pc.take(ok_unique, indices)) & attempted
+        else:
+            succeeded = np.zeros(n, dtype=bool)
+
+        leaf_arrays: List[Tuple[Tuple[str, ...], pa.Array]] = []
+        seen_paths = {}
+        for path, field in self._leaves:
+            t = _leaf_type(field) if not (path and path[-1] in ("lat", "lon") and field is Field.LOCATION) else pa.float64()
+            uniq_vals = [
+                _leaf_value(field, path, v) if v is not None else None for v in uniq_values
+            ]
+            arr_unique = pa.array(uniq_vals, type=t)
+            arr = pc.take(arr_unique, indices) if dictionary else pa.nulls(n, type=t)
+            # null-out rows that did not succeed (take may have copied slot-0)
+            arr = pc.if_else(pa.array(succeeded), arr, pa.nulls(n, type=t))
+            if path in seen_paths:
+                # ECS merge (geo.location.lat written by LOCATION then
+                # LATITUDE): later contributor wins where non-null
+                prev = seen_paths[path]
+                merged = pc.if_else(pc.is_valid(arr), arr, prev[1])
+                leaf_arrays[prev[0]] = (path, merged)
+                seen_paths[path] = (prev[0], merged)
+                continue
+            seen_paths[path] = (len(leaf_arrays), arr)
+            leaf_arrays.append((path, arr))
+
+        target = build_target_column(leaf_arrays, n, attempted, succeeded)
+
+        # tags (E17): append configured failure tags where the lookup did not
+        # succeed (including never-attempted rows — geoip.rb:117-127)
+        failure = ~succeeded
+        tag_list = list(self.config.tag_on_failure)
+        tags_type = pa.list_(pa.string())
+        if self.tags_column in batch.column_names:
+            existing = batch[self.tags_column]
+            existing = existing.combine_chunks() if isinstance(existing, pa.ChunkedArray) else existing
+            py_tags = existing.to_pylist()
+            new_tags = [
+                ((t or []) + tag_list) if f else t for t, f in zip(py_tags, failure)
+            ]
+            tags_arr = pa.array(new_tags, type=tags_type)
+            batch = batch.drop_columns([self.tags_column])
+        else:
+            tags_arr = pa.array(
+                [tag_list if f else None for f in failure], type=tags_type
+            )
+
+        if self.target_column in batch.column_names:
+            batch = batch.drop_columns([self.target_column])
+        batch = batch.append_column(self.target_column, target)
+        batch = batch.append_column(self.tags_column, tags_arr)
+        return batch

@@ -1,0 +1,300 @@
+"""Enrichment-core conformance: the reference's JUnit golden vectors
+(GeoIPFilterTest.java) and RSpec failure matrix (geoip_offline_spec.rb),
+parameterized over ECS on/off, run through the batch enricher."""
+
+import pyarrow as pa
+import pytest
+
+from logstash_filter_geoip_ray.functions.config import GeoIPConfig
+from logstash_filter_geoip_ray.stages.enrich import GeoIPEnricher, GeoIPLookup
+
+FAILURE_TAG = ["_geoip_lookup_failure"]
+
+
+def enrich_one(db_path, ip, ecs=False, fields=None, source_values=None, target=None):
+    cfg = GeoIPConfig(
+        source="message",
+        database=db_path,
+        fields=tuple(fields) if fields else None,
+        ecs_compatibility="v1" if ecs else "disabled",
+        target=target or ("tgt" if ecs else None),
+    )
+    enricher = GeoIPEnricher(cfg)
+    values = source_values if source_values is not None else [ip]
+    table = pa.table({"message": values})
+    out = enricher(table)
+    row = out.to_pylist()[0]
+    return row[cfg.resolved_target()], row["tags"]
+
+
+def geo_get(target, field_legacy, path_ecs, ecs):
+    """Read a value via legacy flat name or ECS path."""
+    if not ecs:
+        return target.get(field_legacy) if target else None
+    node = target
+    for frag in path_ecs.split("."):
+        if node is None:
+            return None
+        node = node.get(frag)
+    return node
+
+
+@pytest.mark.parametrize("ecs", [False, True])
+class TestCityVectors:
+    """GeoIPFilterTest.java:55-105 — 216.160.83.58 full city record."""
+
+    def test_milton(self, db_paths, ecs):
+        target, tags = enrich_one(db_paths["city"], "216.160.83.58", ecs=ecs)
+        assert tags is None
+        assert geo_get(target, "city_name", "geo.city_name", ecs) == "Milton"
+        assert geo_get(target, "continent_code", "geo.continent_code", ecs) == "NA"
+        assert geo_get(target, "country_name", "geo.country_name", ecs) == "United States"
+        assert geo_get(target, "country_code2", "geo.country_iso_code", ecs) == "US"
+        assert geo_get(target, "postal_code", "geo.postal_code", ecs) == "98354"
+        assert geo_get(target, "dma_code", "mmdb.dma_code", ecs) == 819
+        assert geo_get(target, "region_name", "geo.region_name", ecs) == "Washington"
+        assert geo_get(target, "timezone", "geo.timezone", ecs) == "America/Los_Angeles"
+        assert geo_get(target, "latitude", "geo.location.lat", ecs) == 47.2513
+        assert geo_get(target, "longitude", "geo.location.lon", ecs) == -122.3149
+        assert geo_get(target, "ip", "ip", ecs) == "216.160.83.58"
+        if ecs:
+            assert target["geo"]["location"] == {"lat": 47.2513, "lon": -122.3149}
+            # region_iso_code only in ECS default set
+            assert target["geo"]["region_iso_code"] == "US-WA"
+            # country_code3 must be absent entirely in ECS mode
+            assert "country_code3" not in target and "country_code3" not in target["geo"]
+        else:
+            assert target["location"] == {"lat": 47.2513, "lon": -122.3149}
+            # legacy default set swaps REGION_ISO_CODE → REGION_CODE
+            assert target["region_code"] == "WA"
+            assert "region_iso_code" not in target
+            assert target["country_code3"] == "US"
+
+    def test_custom_fields_subset(self, db_paths, ecs):
+        target, tags = enrich_one(
+            db_paths["city"], "216.160.83.58", ecs=ecs, fields=["country_name", "continent_code"]
+        )
+        assert tags is None
+        assert geo_get(target, "country_name", "geo.country_name", ecs) == "United States"
+        assert geo_get(target, "continent_code", "geo.continent_code", ecs) == "NA"
+        flat = target if not ecs else target.get("geo", {})
+        assert "city_name" not in flat
+
+
+@pytest.mark.parametrize("ecs", [False, True])
+def test_country_ipv6(db_paths, ecs):
+    """GeoIPFilterTest.java:107-117 — 2a02:d5c0:: → Spain, expanded echo."""
+    target, tags = enrich_one(db_paths["country"], "2a02:d5c0:0:0:0:0:0:0", ecs=ecs)
+    assert tags is None
+    assert geo_get(target, "country_code2", "geo.country_iso_code", ecs) == "ES"
+    assert geo_get(target, "country_name", "geo.country_name", ecs) == "Spain"
+    assert geo_get(target, "continent_name", "geo.continent_name", ecs) == "Europe"
+    assert geo_get(target, "ip", "ip", ecs) == "2a02:d5c0:0:0:0:0:0:0"
+
+
+@pytest.mark.parametrize("ecs", [False, True])
+def test_ipv6_compressed_input_expanded_echo(db_paths, ecs):
+    """geoip_ecs_spec.rb:158 echo form: '::'-compressed input → expanded-zero."""
+    target, tags = enrich_one(db_paths["country"], "2a02:d5c0::", ecs=ecs)
+    assert tags is None
+    assert geo_get(target, "ip", "ip", ecs) == "2a02:d5c0:0:0:0:0:0:0"
+
+
+@pytest.mark.parametrize("ecs", [False, True])
+def test_isp(db_paths, ecs):
+    """GeoIPFilterTest.java:128-151 — 1.128.0.1 Telstra."""
+    target, tags = enrich_one(db_paths["isp"], "1.128.0.1", ecs=ecs)
+    assert tags is None
+    assert geo_get(target, "asn", "as.number", ecs) == 1221
+    assert geo_get(target, "as_org", "as.organization.name", ecs) == "Telstra Pty Ltd"
+    assert geo_get(target, "isp", "mmdb.isp", ecs) == "Telstra Internet"
+    assert geo_get(target, "organization", "mmdb.organization", ecs) == "Telstra Internet"
+    assert geo_get(target, "ip", "ip", ecs) == "1.128.0.1"
+
+
+@pytest.mark.parametrize("ecs", [False, True])
+def test_asn_with_network(db_paths, ecs):
+    """GeoIPFilterTest.java:153-165 — 12.81.92.1 AS7018, network CIDR."""
+    target, tags = enrich_one(
+        db_paths["asn"], "12.81.92.1", ecs=ecs, fields=["autonomous_system_number", "autonomous_system_organization", "network", "ip"]
+    )
+    assert tags is None
+    assert geo_get(target, "asn", "as.number", ecs) == 7018
+    assert geo_get(target, "as_org", "as.organization.name", ecs) == "AT&T Services"
+    assert geo_get(target, "network", "ip_traits.network", ecs) == "12.81.92.0/22"
+
+
+@pytest.mark.parametrize("ecs", [False, True])
+def test_domain(db_paths, ecs):
+    """GeoIPFilterTest.java:167-176 — 1.2.0.1 → maxmind.com."""
+    target, tags = enrich_one(db_paths["domain"], "1.2.0.1", ecs=ecs)
+    assert tags is None
+    assert geo_get(target, "domain", "domain", ecs) == "maxmind.com"
+
+
+@pytest.mark.parametrize("ecs", [False, True])
+def test_enterprise(db_paths, ecs):
+    """GeoIPFilterTest.java:200-226 — 74.209.24.1 enterprise default fields."""
+    target, tags = enrich_one(db_paths["enterprise"], "74.209.24.1", ecs=ecs)
+    assert tags is None
+    assert geo_get(target, "country_code2", "geo.country_iso_code", ecs) == "US"
+    assert geo_get(target, "country_name", "geo.country_name", ecs) == "United States"
+    assert geo_get(target, "continent_name", "geo.continent_name", ecs) == "North America"
+    assert geo_get(target, "region_iso_code", "geo.region_iso_code", ecs) == "US-NY"
+    assert geo_get(target, "region_name", "geo.region_name", ecs) == "New York"
+    assert geo_get(target, "city_name", "geo.city_name", ecs) == "Chatham"
+    assert geo_get(target, "ip", "ip", ecs) == "74.209.24.1"
+    loc = geo_get(target, "location", "geo.location", ecs)
+    assert loc == {"lat": 42.3478, "lon": -73.5549}
+
+
+@pytest.mark.parametrize("ecs", [False, True])
+def test_enterprise_traits_and_network(db_paths, ecs):
+    target, tags = enrich_one(
+        db_paths["enterprise"],
+        "74.209.24.1",
+        ecs=ecs,
+        fields=["autonomous_system_number", "autonomous_system_organization", "network", "hosting_provider", "tor_exit_node",
+                "anonymous_vpn", "anonymous", "public_proxy", "residential_proxy"],
+    )
+    assert tags is None
+    assert geo_get(target, "asn", "as.number", ecs) == 14671
+    assert geo_get(target, "as_org", "as.organization.name", ecs) == "FairPoint Communications"
+    assert geo_get(target, "network", "ip_traits.network", ecs) == "74.209.16.0/20"
+    for trait in ("hosting_provider", "tor_exit_node", "anonymous_vpn",
+                  "anonymous", "public_proxy", "residential_proxy"):
+        assert geo_get(target, trait, "ip_traits." + trait, ecs) is False
+
+
+@pytest.mark.parametrize("ecs", [False, True])
+def test_anonymous_ip_all_true(db_paths, ecs):
+    """GeoIPFilterTest.java:241-254 — 81.2.69.1 all six traits true."""
+    target, tags = enrich_one(db_paths["anonymous"], "81.2.69.1", ecs=ecs)
+    assert tags is None
+    for trait in ("hosting_provider", "tor_exit_node", "anonymous_vpn",
+                  "anonymous", "public_proxy", "residential_proxy"):
+        assert geo_get(target, trait, "ip_traits." + trait, ecs) is True
+
+
+def test_country_default_fields_present(db_paths):
+    """GeoIPFilterTest.java:256-274: every COUNTRY default field set."""
+    target, tags = enrich_one(db_paths["country"], "216.160.83.58", ecs=True)
+    assert tags is None
+    assert target["ip"] == "216.160.83.58"
+    assert target["geo"]["country_iso_code"] == "US"
+    assert target["geo"]["country_name"] == "United States"
+    assert target["geo"]["continent_name"] == "North America"
+
+
+@pytest.mark.parametrize(
+    "db_key", ["country", "anonymous", "enterprise", "isp", "asn"]
+)
+def test_corrupt_custom_fields_fail_gracefully(db_paths, db_key):
+    """GeoIPFilterTest.java:276-283 — 216.160.83.60 must fail, not crash."""
+    target, tags = enrich_one(db_paths[db_key], "216.160.83.60", ecs=True)
+    assert tags == FAILURE_TAG
+    # attempted-but-failed → valid-but-empty target struct
+    assert target is not None
+
+
+def test_corrupt_custom_fields_domain_succeeds(db_paths):
+    """GeoIPFilterTest.java:284-290 — Domain DB ignores the stray field."""
+    target, tags = enrich_one(db_paths["domain"], "216.160.83.60", ecs=True)
+    assert tags is None
+    assert target["domain"] == "fantasyland.com"
+
+
+def test_list_source_first_ip(db_paths):
+    """GeoIPFilterTest.java:292-302 — list-valued source uses first element."""
+    cfg = GeoIPConfig(source="message", database=db_paths["country"], ecs_compatibility="v1", target="tgt")
+    out = GeoIPEnricher(cfg)(
+        pa.table({"message": pa.array([["216.160.83.58", "127.0.0.1"]], type=pa.list_(pa.string()))})
+    )
+    row = out.to_pylist()[0]
+    assert row["tags"] is None
+    assert row["tgt"]["ip"] == "216.160.83.58"
+
+
+class TestFailureMatrix:
+    """geoip_offline_spec.rb:11-85 — the three-state target/tags contract."""
+
+    @pytest.mark.parametrize("bad", ["", "      "])
+    def test_blank_source_target_unset(self, db_paths, bad):
+        target, tags = enrich_one(db_paths["city"], bad)
+        assert target is None
+        assert tags == FAILURE_TAG
+
+    def test_null_source_target_unset(self, db_paths):
+        cfg = GeoIPConfig(source="message", database=db_paths["city"])
+        out = GeoIPEnricher(cfg)(pa.table({"message": pa.array([None], type=pa.string())}))
+        row = out.to_pylist()[0]
+        assert row["geoip"] is None
+        assert row["tags"] == FAILURE_TAG
+
+    @pytest.mark.parametrize("bad", ["-", "N/A", "123.45.67.89,61.160.232.222"])
+    def test_malformed_ip_empty_target(self, db_paths, bad):
+        target, tags = enrich_one(db_paths["city"], bad)
+        assert target is not None  # attempted → empty map, not unset
+        assert all(v is None for v in target.values())
+        assert tags == FAILURE_TAG
+
+    @pytest.mark.parametrize("ip", ["0.0.0.0", "::1"])
+    def test_not_found_empty_target(self, db_paths, ip):
+        target, tags = enrich_one(db_paths["city"], ip)
+        assert target is not None
+        assert all(v is None for v in target.values())
+        assert tags == FAILURE_TAG
+
+    def test_city_without_coordinates_is_failure(self, db_paths):
+        """geoip_offline_spec.rb:44-49 + GeoIPFilter.java:251-255 early abort."""
+        target, tags = enrich_one(db_paths["city"], "127.0.0.1")
+        assert target is not None
+        assert all(v is None for v in target.values())
+        assert tags == FAILURE_TAG
+
+    def test_existing_tags_are_appended(self, db_paths):
+        cfg = GeoIPConfig(source="message", database=db_paths["city"])
+        table = pa.table(
+            {
+                "message": ["N/A", "216.160.83.58"],
+                "tags": pa.array([["pre"], None], type=pa.list_(pa.string())),
+            }
+        )
+        rows = GeoIPEnricher(cfg)(table).to_pylist()
+        assert rows[0]["tags"] == ["pre", "_geoip_lookup_failure"]
+        assert rows[1]["tags"] is None
+
+    def test_custom_tag_on_failure(self, db_paths):
+        cfg = GeoIPConfig(
+            source="message", database=db_paths["city"], tag_on_failure=("t1", "t2")
+        )
+        rows = GeoIPEnricher(cfg)(pa.table({"message": ["N/A"]})).to_pylist()
+        assert rows[0]["tags"] == ["t1", "t2"]
+
+
+def test_corrupt_database_build_error(tmp_path):
+    """geoip_offline_spec.rb:103-119 error message parity."""
+    bad = tmp_path / "bad.mmdb"
+    bad.write_bytes(b"junk" * 50)
+    cfg = GeoIPConfig(source="message", database=str(bad))
+    with pytest.raises(ValueError, match="The database provided is invalid or corrupted."):
+        GeoIPLookup(cfg)
+
+
+def test_lookup_cache_transparent(db_paths):
+    cfg = GeoIPConfig(source="message", database=db_paths["city"], cache_size=2)
+    lk = GeoIPLookup(cfg)
+    a1 = lk.lookup("216.160.83.58")
+    for ip in ("81.2.69.142", "89.160.20.112", "216.160.83.58"):
+        lk.lookup(ip)
+    a2 = lk.lookup("216.160.83.58")
+    assert a1 == a2
+
+
+def test_batch_schema_stable_across_batches(db_paths):
+    cfg = GeoIPConfig(source="message", database=db_paths["city"])
+    e = GeoIPEnricher(cfg)
+    s1 = e(pa.table({"message": ["216.160.83.58"]})).schema
+    s2 = e(pa.table({"message": ["N/A"]})).schema
+    s3 = e(pa.table({"message": pa.array([None], type=pa.string())})).schema
+    assert s1 == s2 == s3

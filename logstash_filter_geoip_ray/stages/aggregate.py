@@ -1,0 +1,116 @@
+"""Aggregation stages (P5, P7): per-sink counts and per-country turn
+histograms, with a partial-aggregation (combiner) strategy that keeps the
+all-to-all shuffle tiny, plus a salted two-stage variant for skewed keys.
+
+The reference has no aggregation of its own — these are the Logstash-pipeline-
+level operators the north_rule requires natively (SURVEY.md §2.B).
+
+Scale design: a naive ``ds.groupby(k).count()`` shuffles every row. Instead
+each ``map_batches`` task counts its own batch (one output row per distinct
+key per batch — with ~200 countries × 5 tools the partials are microscopic),
+and only the partials go through the wide ``groupby().sum()``. At 10^12 rows
+the shuffle volume is proportional to #batches × #distinct-keys, not rows.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import pyarrow as pa
+
+
+def _partial_counts(key_cols: Sequence[str], count_alias: str):
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(list(key_cols)).aggregate([([], "count_all")]).rename_columns(
+            list(key_cols) + [count_alias]
+        )
+
+    return partial
+
+
+def grouped_counts(
+    ds,
+    key_cols: Sequence[str],
+    count_alias: str = "n",
+    batch_size: int = 65536,
+):
+    """count(*) per key: per-batch partial counts → tiny shuffle → sum.
+
+    Returns a Dataset with columns ``key_cols + [count_alias]``.
+    """
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        _partial_counts(key_cols, count_alias),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return partials.groupby(list(key_cols)).aggregate(
+        Sum(count_alias, alias_name=count_alias)
+    )
+
+
+def add_salt_column(ds, key_col: str, buckets: int, salt_col: str = "_salt"):
+    """P7 skew mitigation: spread a hot key over ``buckets`` sub-keys by
+    hashing a second column (or row position). First-stage aggregates run per
+    (key, salt); the second stage sums over salt — no single reducer sees a
+    whole hot key."""
+    import pyarrow.compute as pc
+
+    def salt(batch: pa.Table) -> pa.Table:
+        # cheap deterministic spread: row-index modulo buckets
+        n = batch.num_rows
+        salt_arr = pa.array([i % buckets for i in range(n)], type=pa.int32())
+        if salt_col in batch.column_names:
+            batch = batch.drop_columns([salt_col])
+        return batch.append_column(salt_col, salt_arr)
+
+    return ds.map_batches(salt, batch_format="pyarrow")
+
+
+def salted_grouped_counts(
+    ds,
+    key_cols: Sequence[str],
+    count_alias: str = "n",
+    buckets: int = 8,
+    batch_size: int = 65536,
+):
+    """Two-stage salted count for hot keys: partials keyed by
+    (keys..., salt) shuffle into ``buckets`` reducers per key, then a second
+    (small) groupby over the keys sums the salted partials."""
+    from ray.data.aggregate import Sum
+
+    salted = add_salt_column(ds, key_cols[0], buckets)
+    stage1 = salted.map_batches(
+        _partial_counts(list(key_cols) + ["_salt"], count_alias),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    per_salt = stage1.groupby(list(key_cols) + ["_salt"]).aggregate(
+        Sum(count_alias, alias_name=count_alias)
+    )
+    return per_salt.groupby(list(key_cols)).aggregate(
+        Sum(count_alias, alias_name=count_alias)
+    )
+
+
+def turn_histogram(
+    ds,
+    country_col: str = "country",
+    turn_col: str = "turn_idx",
+    bucket_width: int = 4,
+    count_alias: str = "n",
+):
+    """Per-country histogram of turn_idx buckets (north_star): floor-divide
+    turn_idx into buckets inside map_batches, then the partial-count path."""
+    import pyarrow.compute as pc
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.floor(pc.divide(pc.cast(batch[turn_col], pa.float64()), float(bucket_width))),
+            pa.int32(),
+        )
+        return batch.select([country_col]).append_column("turn_bucket", bucket)
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    return grouped_counts(bucketed, [country_col, "turn_bucket"], count_alias)

@@ -1,0 +1,49 @@
+"""Vectorized grok/regex field extraction from transcript ``text`` (P2).
+
+Plays the role logstash-filter-grok plays upstream of the geoip filter:
+produce the ``source`` field the enricher reads (the reference just declares
+``source`` required and lets grok fill it, geoip.rb:48-50). Stateless
+``map_batches`` task over zero-copy Arrow string columns using
+``pyarrow.compute.extract_regex`` (RE2) — no Python row loop.
+
+First match wins, mirroring the E1 first-of-list rule
+(GeoIPFilter.java:156-158).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: grok-ish capture of the token following a known field marker. Matches the
+#: DuckDB oracle regex verbatim (see pipelines/geoip_pipeline.py oracle SQL):
+#: RE2 syntax in both engines.
+DEFAULT_PATTERN = r'(?:request from|client=)\s*(?P<ip>[^\s"]+)'
+
+
+def make_extract_ips(
+    text_column: str = "text",
+    output_column: str = "source_ip",
+    pattern: str = DEFAULT_PATTERN,
+):
+    """Returns a stateless batch fn: adds ``output_column`` (string, null when
+    no match) extracted from ``text_column``."""
+
+    def extract_ips(batch: pa.Table) -> pa.Table:
+        text = batch[text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        matches = pc.extract_regex(text, pattern)  # struct<ip: string>, null on no-match
+        token = pc.struct_field(matches, "ip")
+        if output_column in batch.column_names:
+            batch = batch.drop_columns([output_column])
+        return batch.append_column(output_column, token)
+
+    return extract_ips
+
+
+def extract_ips(batch: pa.Table) -> pa.Table:
+    """Default-configured extraction (text → source_ip)."""
+    return make_extract_ips()(batch)

@@ -307,6 +307,36 @@ class MMDBReader:
             return value, depth0 + depth
         raise InvalidDatabaseError("tree walk ended inside the tree")
 
+    def networks(self, ipv4_only: bool = True):
+        """Yield ``(ipaddress.ip_network, record)`` for every data-bearing
+        leaf, by depth-first tree walk. Used by the synthetic-transcript
+        generator to draw a deterministic IP pool from the fixture DBs;
+        not a hot path."""
+        start = self._ipv4_start if (ipv4_only and self.ip_version == 6) else 0
+        base_depth = 96 if (ipv4_only and self.ip_version == 6) else 0
+        total_bits = 32 if ipv4_only else (128 if self.ip_version == 6 else 32)
+        stack = [(start, 0, 0)]  # (node, depth-from-start, prefix bits)
+        while stack:
+            node, depth, prefix = stack.pop()
+            if node >= self.node_count:
+                if node == self.node_count:
+                    continue
+                data_offset = node - self.node_count - DATA_SECTION_SEPARATOR_SIZE
+                record = self._decoder._cache.get(data_offset)
+                if record is None:
+                    record, _ = self._decoder.decode(data_offset)
+                if ipv4_only:
+                    addr = ipaddress.IPv4Address(prefix << (32 - depth))
+                else:
+                    addr = ipaddress.ip_address(prefix << (total_bits - depth))
+                yield ipaddress.ip_network((addr, depth)), record
+                continue
+            if depth >= total_bits:
+                continue
+            # visit left (bit 0) after right so pops run in ascending order
+            stack.append((self._read_record(node, 1), depth + 1, (prefix << 1) | 1))
+            stack.append((self._read_record(node, 0), depth + 1, prefix << 1))
+
     # -- lifecycle ----------------------------------------------------------
 
     def close(self) -> None:

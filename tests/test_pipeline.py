@@ -27,7 +27,7 @@ def test_transcript_generation_deterministic():
     import pyarrow.parquet as pq
 
     p = transcripts_path(SF)
-    t = pq.read_table(p)
+    t = pq.read_table(p)  # directory of part files
     assert t.column_names == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     assert t.num_rows == 6000
     # regeneration must be byte-stable: spot-check a few cells

@@ -78,12 +78,16 @@ def _q_parse_tokens(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
+    from logstash_filter_geoip_ray.pipelines.data_ops import DATA_QUERIES
+
+    out = {
         "sink_counts": _q_sink_counts,
         "turn_histogram": _q_turn_histogram,
         "routed_rows": _q_routed_rows,
         "parse_tokens": _q_parse_tokens,
     }
+    out.update(DATA_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -118,9 +122,13 @@ FROM read_parquet('{t}/*.parquet')
 WHERE nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') IS NOT NULL
 GROUP BY 1 ORDER BY 1
 """
-    return {
+    from logstash_filter_geoip_ray.pipelines.data_ops import DATA_ORACLES
+
+    out = {
         "sink_counts": oracle_sink_counts_sql(sf),
         "turn_histogram": oracle_turn_histogram_sql(sf),
         "routed_rows": routed,
         "parse_tokens": parse_tokens,
     }
+    out.update(DATA_ORACLES)
+    return out

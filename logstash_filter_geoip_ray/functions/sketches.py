@@ -1,0 +1,116 @@
+"""Deterministic hashing sketches for near-duplicate detection: word-shingle
+MinHash signatures (with LSH banding) and 64-bit SimHash.
+
+All hashing is keyed blake2b — stable across processes and machines (Python's
+builtin ``hash`` is salted per process and must never reach a shuffle key).
+Vector math is numpy; the per-doc shingle walk is Python but runs inside
+``map_batches`` tasks, so it parallelizes across blocks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MAXH = (1 << 32) - 1
+
+
+def stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def word_shingles(text: str, k: int = 3) -> Set[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+class MinHasher:
+    """k-permutation MinHash over word shingles.
+
+    Signatures are uint64 arrays of length ``num_perm``; banding splits them
+    into ``bands`` groups of ``num_perm // bands`` rows and hashes each group
+    to a bucket key — the LSH shuffle key for candidate generation.
+    """
+
+    def __init__(self, num_perm: int = 128, bands: int = 32, shingle_k: int = 3, seed: int = 7):
+        assert num_perm % bands == 0
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+        rng = np.random.default_rng(seed)
+        self._a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self._b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    def signature(self, text: Optional[str]) -> Optional[np.ndarray]:
+        if text is None:
+            return None
+        shingles = word_shingles(text, self.shingle_k)
+        if not shingles:
+            return None
+        h = np.fromiter(
+            (stable_hash64(s) & _MAXH for s in shingles), dtype=np.uint64, count=len(shingles)
+        )
+        # (num_perm, n_shingles) permuted values; min over shingles
+        vals = (self._a[:, None] * h[None, :] + self._b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def band_keys(self, signature: np.ndarray) -> List[str]:
+        keys = []
+        for band in range(self.bands):
+            seg = signature[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+            digest = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()
+            keys.append("%02d:%s" % (band, digest))
+        return keys
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def exact_jaccard(text_a: str, text_b: str, k: int = 3) -> Tuple[int, int]:
+    """(intersection, union) sizes of word-k-shingle sets — returned as ints
+    so equality checks against an oracle involve no floats."""
+    sa, sb = word_shingles(text_a, k), word_shingles(text_b, k)
+    inter = len(sa & sb)
+    union = len(sa | sb)
+    return inter, union
+
+
+def token_set_jaccard(text_a: str, text_b: str) -> Tuple[int, int]:
+    """(intersection, union) of distinct lowercase token sets (the unigram
+    variant the DuckDB oracle can express with string_split + unnest)."""
+    sa = {w.lower() for w in text_a.split()}
+    sb = {w.lower() for w in text_b.split()}
+    return len(sa & sb), len(sa | sb)
+
+
+def simhash64(text: Optional[str]) -> Optional[int]:
+    """Classic 64-bit SimHash over whitespace tokens (term-frequency
+    weighted)."""
+    if text is None:
+        return None
+    toks = text.split()
+    if not toks:
+        return None
+    acc = np.zeros(64, dtype=np.int64)
+    from collections import Counter
+
+    for tok, cnt in Counter(toks).items():
+        h = stable_hash64(tok)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), cnt, -cnt)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -1,0 +1,221 @@
+"""Training-data pipeline operators wired as driver queries over the
+testdata tables (``documents``, ``embeddings``, ``events``), each with a
+DuckDB oracle where SQL can express it (rows-only checks otherwise:
+MinHash/SimHash/LSH are hash-seeded algorithms SQL cannot reproduce).
+
+Every query reads via ``ray.data.read_parquet`` with column pruning and
+streams through the stage implementations in ``stages/``."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict
+
+ANN_QUERY_IDS = [0, 7, 42, 99, 123, 250, 333, 499]
+ANN_K = 10
+EMB_DUP_TAU = 0.4
+JACCARD_TAU = 0.5
+WINDOW_SEC = 3600
+SESSION_GAP_SEC = 1800
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _emb(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=columns)
+
+
+def _events(sf_dir: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+# -- queries ----------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    from ..stages.dedup import exact_dedup_keepers
+
+    return exact_dedup_keepers(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_doc_stats(sf_dir: str):
+    from ..stages.textops import doc_stats
+
+    return doc_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_doc_analysis(sf_dir: str):
+    from ..stages.textops import doc_analysis
+
+    return doc_analysis(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_lang_stats(sf_dir: str):
+    from ..stages.textops import lang_stats
+
+    return lang_stats(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
+def q_jaccard_pairs(sf_dir: str):
+    from ..stages.dedup import jaccard_pairs_by_block
+
+    return jaccard_pairs_by_block(_docs(sf_dir), min_ratio=JACCARD_TAU)
+
+
+def q_dedup_minhash(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), min_jaccard=0.3)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from ..stages.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_dedup_embedding(sf_dir: str):
+    from ..stages.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_emb(sf_dir), min_cosine=EMB_DUP_TAU)
+
+
+def q_ann_topk(sf_dir: str):
+    from ..stages.similarity import brute_force_topk
+
+    return brute_force_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_ann_lsh(sf_dir: str):
+    from ..stages.similarity import lsh_topk
+
+    return lsh_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_tumbling_windows(sf_dir: str):
+    from ..stages.windows import tumbling_window_counts
+
+    return tumbling_window_counts(_events(sf_dir, ["ts", "event_type", "value"]), WINDOW_SEC)
+
+
+def q_sessions(sf_dir: str):
+    from ..stages.windows import sessionize
+
+    return sessionize(_events(sf_dir, ["ts", "user_id"]), SESSION_GAP_SEC)
+
+
+DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
+    "dedup_exact": q_dedup_exact,
+    "doc_stats": q_doc_stats,
+    "doc_analysis": q_doc_analysis,
+    "lang_stats": q_lang_stats,
+    "jaccard_pairs": q_jaccard_pairs,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "tumbling_windows": q_tumbling_windows,
+    "sessions": q_sessions,
+}
+
+_TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
+_TOKEN_COUNT = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
+
+DATA_ORACLES: Dict[str, str] = {
+    "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1",
+    "doc_stats": f"""
+SELECT doc_id,
+       CAST({_TOKEN_COUNT} AS BIGINT) AS token_count,
+       md5(text) AS fingerprint
+FROM documents ORDER BY doc_id
+""",
+    "lang_stats": f"""
+SELECT lang,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum({_TOKEN_COUNT}) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    "jaccard_pairs": f"""
+WITH sets AS (
+  SELECT DISTINCT doc_id, source, lower(unnest({_TOKENS})) AS w
+  FROM documents WHERE trim(text) <> ''
+), counts AS (
+  SELECT doc_id, count(*) AS c FROM sets GROUP BY 1
+), inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
+  FROM sets s1 JOIN sets s2
+    ON s1.source = s2.source AND s1.w = s2.w AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(ca.c + cb.c - inter AS BIGINT) AS union_
+FROM inter
+JOIN counts ca ON ca.doc_id = a
+JOIN counts cb ON cb.doc_id = b
+WHERE inter >= {JACCARD_TAU} * (ca.c + cb.c - inter)
+ORDER BY a, b
+""",
+    "dedup_embedding": f"""
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_DUP_TAU}
+ORDER BY 1, 2
+""",
+    "ann_topk": f"""
+WITH q AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+), sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM sims
+) WHERE rn <= {ANN_K}
+ORDER BY query_id, rank
+""",
+    "tumbling_windows": f"""
+SELECT event_type,
+       epoch_us(ts) // {WINDOW_SEC * 1_000_000} AS window_id,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "sessions": f"""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SEC * 1_000_000}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), sz AS (
+  SELECT user_id, sid, count(*) AS c FROM s GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(c) AS BIGINT) AS max_session_events
+FROM sz GROUP BY 1 ORDER BY 1
+""",
+    # dedup_minhash / dedup_simhash / ann_lsh / doc_analysis: seeded-hash
+    # algorithms & heuristics SQL cannot reproduce → rows-only driver check.
+}

@@ -1,0 +1,194 @@
+"""Similarity search over an embedding column (``list<float>``):
+brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+approximate variant as the scale path.
+
+Brute force shape: queries are a small matrix broadcast once (``ray.put``);
+each batch computes one numpy matmul against it and emits per-batch top-k
+*partials*; a final tiny ``groupby(query).map_groups`` merges partials into
+the global top-k. Shuffle volume = batches × queries × k, never rows."""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.sketches import stable_hash64
+
+
+def _normalized(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def _collect_queries(ds, query_ids: Sequence[int], id_col: str, vec_col: str):
+    import pyarrow.compute as pc
+
+    qset = list(query_ids)
+    tbl = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b[id_col], value_set=pa.array(qset))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    tbl = tbl.set_index(id_col).loc[qset]  # preserve caller order
+    mat = np.stack(tbl[vec_col].to_numpy()).astype(np.float64)
+    return np.asarray(qset), _normalized(mat)
+
+
+def brute_force_topk(
+    ds,
+    query_ids: Sequence[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Exact cosine top-k per query (self excluded): rows
+    (query_id, neighbor_id, rank) with rank 1..k ordered by similarity desc,
+    id asc on ties. Integer-only output → exact oracle comparison."""
+    import ray
+
+    qids, qmat = _collect_queries(ds, query_ids, id_col, vec_col)
+    ref = ray.put((qids, qmat))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ref_ids, ref_mat = ray.get(ref)
+        bids = np.asarray(batch[id_col])
+        bmat = _normalized(
+            np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
+        )
+        sims = ref_mat @ bmat.T  # (Q, B)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(ref_ids)):
+            row = sims[qi]
+            mask = bids != ref_ids[qi]
+            cand_ids, cand_sims = bids[mask], row[mask]
+            if len(cand_ids) > k:
+                idx = np.argpartition(-cand_sims, k)[:k]
+                cand_ids, cand_sims = cand_ids[idx], cand_sims[idx]
+            out_q.extend([int(ref_ids[qi])] * len(cand_ids))
+            out_n.extend(int(x) for x in cand_ids)
+            out_s.extend(float(s) for s in cand_sims)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
+        top = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        top = top.reset_index(drop=True)
+        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        return top[["query_id", "neighbor_id", "rank"]]
+
+    return (
+        partials.groupby("query_id")
+        .map_groups(merge_topk, batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )
+
+
+# -- LSH-bucketed ANN (scale path) -----------------------------------------
+
+
+class RandomHyperplaneLSH:
+    """Sign-random-projection signatures for cosine LSH."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+
+    def keys(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self.planes.T) > 0
+        weights = 1 << np.arange(bits.shape[1], dtype=np.int64)
+        return (bits @ weights).astype(np.int64)
+
+
+def lsh_topk(
+    ds,
+    query_ids: Sequence[int],
+    k: int = 10,
+    n_planes: int = 10,
+    multiprobe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Approximate cosine top-k: only rows whose LSH bucket is within
+    ``multiprobe_bits`` Hamming distance of a query's bucket are scored.
+    Same output schema as brute_force_topk; recall measured in tests.
+
+    Scale shape: the bucket filter runs inside map_batches (vectorized sign
+    projections), so the full matrix is never shuffled or broadcast — only
+    the candidate subset flows into the top-k partials."""
+    import ray
+
+    qids, qmat = _collect_queries(ds, query_ids, id_col, vec_col)
+    dim = qmat.shape[1]
+    lsh = RandomHyperplaneLSH(dim, n_planes)
+    qkeys = lsh.keys(qmat)
+    # multiprobe: accept buckets within hamming distance
+    accept: set = set()
+    for qk in qkeys:
+        accept.add(int(qk))
+        if multiprobe_bits >= 1:
+            for b in range(n_planes):
+                accept.add(int(qk) ^ (1 << b))
+    ref = ray.put((qids, qmat, lsh.planes, frozenset(accept)))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ref_ids, ref_mat, planes, acc = ray.get(ref)
+        bids = np.asarray(batch[id_col])
+        bmat = _normalized(
+            np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
+        )
+        bits = (bmat @ planes.T) > 0
+        weights = 1 << np.arange(bits.shape[1], dtype=np.int64)
+        keys = (bits @ weights).astype(np.int64)
+        mask = np.array([int(key) in acc for key in keys])
+        if not mask.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        bids, bmat = bids[mask], bmat[mask]
+        sims = ref_mat @ bmat.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(ref_ids)):
+            row = sims[qi]
+            m2 = bids != ref_ids[qi]
+            cand_ids, cand_sims = bids[m2], row[m2]
+            if len(cand_ids) > k:
+                idx = np.argpartition(-cand_sims, k)[:k]
+                cand_ids, cand_sims = cand_ids[idx], cand_sims[idx]
+            out_q.extend([int(ref_ids[qi])] * len(cand_ids))
+            out_n.extend(int(x) for x in cand_ids)
+            out_s.extend(float(s) for s in cand_sims)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "sim": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
+        top = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        top = top.reset_index(drop=True)
+        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        return top[["query_id", "neighbor_id", "rank"]]
+
+    return (
+        partials.groupby("query_id")
+        .map_groups(merge_topk, batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )

@@ -1,0 +1,90 @@
+"""Stream-shaped operators over the ``events`` table (ts-ordered log):
+tumbling-window aggregates and gap-based sessionization.
+
+Ray Data has no event-time window primitive; windows are expressed as
+bucketed groupbys (tumbling) and per-key sorted ``map_groups`` (sessions) —
+the partitioning assumption is that one key's events fit one group task,
+which holds when keys are users/conversations. Value sums are carried as
+integer milli-units so oracle comparisons are exact (no float-summation
+order sensitivity)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling_window_counts(
+    ds,
+    width_sec: int = 3600,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+):
+    """Per (key, window) event count + sum(value) in integer millis.
+    Window = floor(epoch_seconds / width). Partial-aggregated per batch."""
+    from ray.data.aggregate import Sum
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        # integer µs arithmetic end-to-end — matches the oracle's
+        # epoch_us(ts) // (width*1e6) with no float rounding in either engine
+        epoch_us = batch[ts_col].cast(pa.int64())
+        window = pc.divide(epoch_us, pa.scalar(width_sec * 1_000_000, type=pa.int64()))
+        value_milli = pc.cast(pc.floor(pc.multiply(batch["value"], 1000.0)), pa.int64())
+        work = pa.table(
+            {
+                key_col: batch[key_col],
+                "window_id": window,
+                "value_milli": value_milli,
+            }
+        )
+        agg = work.group_by([key_col, "window_id"]).aggregate(
+            [("value_milli", "sum"), ([], "count_all")]
+        )
+        return agg.rename_columns([key_col, "window_id", "value_milli", "n"])
+
+    partials = ds.map_batches(per_batch, batch_format="pyarrow")
+    return (
+        partials.groupby([key_col, "window_id"])
+        .aggregate(Sum("value_milli", alias_name="value_milli"), Sum("n", alias_name="n"))
+        .sort([key_col, "window_id"])
+    )
+
+
+def sessionize(
+    ds,
+    gap_sec: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+):
+    """Gap-based sessions per key: a new session starts when the gap from the
+    previous event exceeds ``gap_sec``. Output: (user_id, n_events,
+    n_sessions, max_session_events) — ints only.
+
+    Partitioning assumption: all events of one key meet in one
+    ``map_groups`` task (holds for per-user/per-conversation logs)."""
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(ts_col)
+        ts = g[ts_col].astype("int64").to_numpy()  # µs, matches epoch_us(ts)
+        new_session = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new_session[1:] = np.diff(ts) > gap_sec * 1_000_000
+        session_ids = np.cumsum(new_session)
+        sizes = pd.Series(session_ids).value_counts()
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "n_events": [len(ts)],
+                "n_sessions": [int(session_ids[-1])],
+                "max_session_events": [int(sizes.max())],
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col])
+        .groupby(key_col)
+        .map_groups(per_user, batch_format="pandas")
+        .sort(key_col)
+    )

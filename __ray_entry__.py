@@ -58,6 +58,25 @@ def _q_routed_rows(sf_dir: str):
     return ds.select_columns(["conv_id", "turn_idx", "text", "tool", "country"])
 
 
+def _q_sink_counts_ecs(sf_dir: str):
+    """Same pipeline in ECS v1 mode (nested client.geo.* output schema):
+    counts must equal the legacy-mode sink counts."""
+    from logstash_filter_geoip_ray.functions.config import GeoIPConfig
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        build_enriched,
+        sink_counts,
+    )
+    from logstash_filter_geoip_ray.sources.transcripts import DEFAULT_CITY_DB
+
+    cfg = GeoIPConfig(
+        source="source_ip",
+        database=DEFAULT_CITY_DB,
+        ecs_compatibility="v1",
+        target="client",
+    )
+    return sink_counts(build_enriched(sf_dir, config=cfg))
+
+
 def _q_parse_tokens(sf_dir: str):
     """P2 alone: distinct extracted tokens with frequencies."""
     from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
@@ -82,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out = {
         "sink_counts": _q_sink_counts,
+        "sink_counts_ecs": _q_sink_counts_ecs,
         "turn_histogram": _q_turn_histogram,
         "routed_rows": _q_routed_rows,
         "parse_tokens": _q_parse_tokens,
@@ -126,6 +146,7 @@ GROUP BY 1 ORDER BY 1
 
     out = {
         "sink_counts": oracle_sink_counts_sql(sf),
+        "sink_counts_ecs": oracle_sink_counts_sql(sf),
         "turn_histogram": oracle_turn_histogram_sql(sf),
         "routed_rows": routed,
         "parse_tokens": parse_tokens,

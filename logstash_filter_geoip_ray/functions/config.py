@@ -23,6 +23,10 @@ ECS_TARGET_FIELDS = ("client", "destination", "host", "observer", "server", "sou
 DEFAULT_TAG_ON_FAILURE = ("_geoip_lookup_failure",)
 EXPIRED_DATABASE_TAG = "_geoip_expired_database"
 
+#: vendored default databases by `default_database_type` (geoip.rb:39-46's
+#: bundled GeoLite2 City/ASN, stood in for by the MaxMind public test DBs)
+DEFAULT_DATABASE_TYPES = ("City", "ASN")
+
 
 def _normalize_top_level(ref: str) -> str:
     """``[host]`` → ``host`` (geoip.rb:134)."""
@@ -55,12 +59,13 @@ class GeoIPConfig:
     """
 
     source: str
-    database: str
+    database: Optional[str] = None
     target: Optional[str] = None
     fields: Optional[Tuple[str, ...]] = None
     cache_size: int = 1000
     tag_on_failure: Tuple[str, ...] = DEFAULT_TAG_ON_FAILURE
     ecs_compatibility: str = "disabled"  # disabled | v1 | v8
+    default_database_type: str = "City"  # City | ASN (geoip.rb:45-46)
 
     def __post_init__(self):
         if self.ecs_compatibility not in ("disabled", "v1", "v8"):
@@ -71,6 +76,27 @@ class GeoIPConfig:
             raise ConfigurationError("`cache_size` must be a positive number")
         if not self.source:
             raise ConfigurationError("`source` is required")
+        if self.default_database_type not in DEFAULT_DATABASE_TYPES:
+            # same contract as the Ruby config validator for this option
+            raise ConfigurationError(
+                'invalid default_database_type "%s"; valid values are %s'
+                % (self.default_database_type, list(DEFAULT_DATABASE_TYPES))
+            )
+
+    def resolved_database(self) -> str:
+        """Explicit `database` path, else the vendored default for
+        `default_database_type` (select_database_path, geoip.rb:187-199)."""
+        if self.database:
+            return self.database
+        import pathlib
+
+        vendored = pathlib.Path(__file__).resolve().parents[2] / "tests" / "data" / "maxmind"
+        name = (
+            "GeoLite2-City-Test.mmdb"
+            if self.default_database_type == "City"
+            else "GeoLite2-ASN-Test.mmdb"
+        )
+        return str(vendored / name)
 
     @property
     def ecs(self) -> bool:

@@ -35,14 +35,18 @@ def default_config(database: str = DEFAULT_CITY_DB) -> GeoIPConfig:
     return GeoIPConfig(source="source_ip", database=database)
 
 
-def add_routing_keys(target_column: str = "geoip", country_col: str = "country"):
-    """Routing key = geoip.country_code2 ∥ '_miss' (FIXTURES.md §5)."""
+def add_routing_keys(
+    target_column: str = "geoip", country_col: str = "country", ecs: bool = False
+):
+    """Routing key = country code ∥ '_miss' (FIXTURES.md §5): read from the
+    flat legacy child or the nested ECS path geo.country_iso_code."""
+    path = ["geo", "country_iso_code"] if ecs else ["country_code2"]
 
     def fn(batch: pa.Table) -> pa.Table:
         target = batch[target_column]
         if isinstance(target, pa.ChunkedArray):
             target = target.combine_chunks()
-        country = pc.struct_field(target, "country_code2")
+        country = pc.struct_field(target, path)
         country = pc.fill_null(country, MISS_KEY)
         if country_col in batch.column_names:
             batch = batch.drop_columns([country_col])
@@ -103,7 +107,9 @@ def build_enriched(
     else:
         raise ValueError("enrich_mode must be 'tasks' or 'actors'")
     ds = ds.map_batches(
-        add_routing_keys(config.resolved_target()), batch_format="pyarrow", batch_size=batch_size
+        add_routing_keys(config.resolved_target(), ecs=config.ecs),
+        batch_format="pyarrow",
+        batch_size=batch_size,
     )
     return ds
 

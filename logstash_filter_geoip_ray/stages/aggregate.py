@@ -50,6 +50,34 @@ def grouped_counts(
     )
 
 
+def stable_key_hash(values: pa.Array, num_buckets: int) -> pa.Array:
+    """Deterministic per-row bucket id from a key column — stable across
+    processes/machines (pandas' SipHash with its fixed key; never Python's
+    salted ``hash``). Vectorized."""
+    import pandas as pd
+
+    s = values.to_pandas()
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+    return pa.array((h % num_buckets).astype("int32"))
+
+
+def bucket_by_key(ds, key_col: str, num_buckets: int, bucket_col: str = "_bucket"):
+    """P7 explicit partitioning on a key (e.g. conv_id): adds a stable hash
+    bucket column so downstream groupbys / per-bucket tasks co-locate one
+    key's rows without a full sort. The same bucket id on every stage that
+    reuses the key avoids repeated shuffles."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if bucket_col in batch.column_names:
+            batch = batch.drop_columns([bucket_col])
+        return batch.append_column(bucket_col, stable_key_hash(col, num_buckets))
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow")
+
+
 def add_salt_column(ds, key_col: str, buckets: int, salt_col: str = "_salt"):
     """P7 skew mitigation: spread a hot key over ``buckets`` sub-keys by
     hashing a second column (or row position). First-stage aggregates run per

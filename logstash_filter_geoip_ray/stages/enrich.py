@@ -349,7 +349,7 @@ class GeoIPLookup:
     def __init__(self, config: GeoIPConfig):
         self.config = config
         try:
-            self.reader = MMDBReader(config.database)
+            self.reader = MMDBReader(config.resolved_database())
         except InvalidDatabaseError:
             raise ValueError("The database provided is invalid or corrupted.") from None
         except FileNotFoundError:
@@ -681,11 +681,15 @@ class GeoIPEnricher:
     """
 
     def __init__(self, config: GeoIPConfig, source_column: Optional[str] = None,
-                 tags_column: str = "tags"):
+                 tags_column: str = "tags", db_expired: bool = False):
         self.config = config
         self.source_column = source_column or config.source
         self.tags_column = tags_column
         self.target_column = config.resolved_target()
+        #: E18 (geoip.rb:113-115,169-171): when the database is expired /
+        #: unavailable, the lookup is skipped entirely, the target stays
+        #: untouched, and every event is tagged `_geoip_expired_database`
+        self.db_expired = db_expired
         self._lookup: Optional[GeoIPLookup] = None
         self._leaves = None
 
@@ -696,6 +700,7 @@ class GeoIPEnricher:
             "source_column": self.source_column,
             "tags_column": self.tags_column,
             "target_column": self.target_column,
+            "db_expired": self.db_expired,
         }
 
     def __setstate__(self, state):
@@ -708,7 +713,22 @@ class GeoIPEnricher:
             self._lookup = GeoIPLookup(self.config)
             self._leaves = output_leaves(self._lookup.effective, self.config.ecs)
 
+    def _tag_all(self, batch: pa.Table, tag: str) -> pa.Table:
+        tags_type = pa.list_(pa.string())
+        if self.tags_column in batch.column_names:
+            existing = batch[self.tags_column]
+            existing = existing.combine_chunks() if isinstance(existing, pa.ChunkedArray) else existing
+            new_tags = [(t or []) + [tag] for t in existing.to_pylist()]
+            batch = batch.drop_columns([self.tags_column])
+        else:
+            new_tags = [[tag]] * batch.num_rows
+        return batch.append_column(self.tags_column, pa.array(new_tags, type=tags_type))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.db_expired:
+            from ..functions.config import EXPIRED_DATABASE_TAG
+
+            return self._tag_all(batch, EXPIRED_DATABASE_TAG)
         self._ensure_open()
         n = batch.num_rows
         src_col = batch[self.source_column]

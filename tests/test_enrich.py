@@ -298,3 +298,26 @@ def test_batch_schema_stable_across_batches(db_paths):
     s2 = e(pa.table({"message": ["N/A"]})).schema
     s3 = e(pa.table({"message": pa.array([None], type=pa.string())})).schema
     assert s1 == s2 == s3
+
+
+def test_expired_database_tag(db_paths):
+    """E18 (geoip_offline_spec.rb:87-101): expired DB → lookup skipped, target
+    untouched, `_geoip_expired_database` appended."""
+    cfg = GeoIPConfig(source="message", database=db_paths["city"])
+    table = pa.table({"message": ["216.160.83.58"], "tags": pa.array([["pre"]], type=pa.list_(pa.string()))})
+    out = GeoIPEnricher(cfg, db_expired=True)(table)
+    row = out.to_pylist()[0]
+    assert "geoip" not in out.column_names  # target never created
+    assert row["tags"] == ["pre", "_geoip_expired_database"]
+
+
+def test_default_database_type(db_paths):
+    """E24/config: no `database` → vendored default per default_database_type."""
+    out = GeoIPEnricher(GeoIPConfig(source="message"))(pa.table({"message": ["216.160.83.58"]}))
+    assert out.to_pylist()[0]["geoip"]["city_name"] == "Milton"
+    out = GeoIPEnricher(GeoIPConfig(source="message", default_database_type="ASN"))(
+        pa.table({"message": ["12.81.92.1"]})
+    )
+    assert out.to_pylist()[0]["geoip"]["asn"] == 7018
+    with pytest.raises(Exception, match="default_database_type"):
+        GeoIPConfig(source="message", default_database_type="Nope")

@@ -100,6 +100,53 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
 
 
+def q_top_users(sf_dir: str):
+    """sort + top-k: 20 most active users (count desc, user_id asc)."""
+    from ..stages.aggregate import grouped_counts
+
+    ds = _events(sf_dir, ["user_id"])
+    counts = grouped_counts(ds, ["user_id"], "n")
+    # two-key ordering for deterministic ties: Ray sort supports multi-key
+    return counts.sort(["n", "user_id"], descending=[True, False]).limit(20)
+
+
+def q_distinct_event_types(sf_dir: str):
+    """set op: distinct values of a column (shuffle-dedup)."""
+    import pyarrow as pa
+
+    ds = _events(sf_dir, ["event_type"])
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type"]).aggregate([])
+
+    # per-batch distinct → tiny global distinct (no full-row shuffle)
+    partial = ds.map_batches(batch_distinct, batch_format="pyarrow")
+    return partial.groupby("event_type").count().select_columns(["event_type"]).sort("event_type")
+
+
+def q_sample_events(sf_dir: str):
+    """deterministic systematic sample: a range predicate pushed down to the
+    parquet read (row-group pruning) + a vectorized modulo filter in the
+    first map stage. Arrow dataset expressions support comparisons (pushdown)
+    but not modulo, so the modulo runs as the first batch op."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+        filter=(pads.field("event_id") >= 100),
+    )
+
+    def mod_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.subtract(batch["event_id"], pc.multiply(pc.divide(batch["event_id"], 97), 97)), 0)
+        return batch.filter(keep)
+
+    return ds.map_batches(mod_filter, batch_format="pyarrow").sort("event_id")
+
+
 def q_tumbling_windows(sf_dir: str):
     from ..stages.windows import tumbling_window_counts
 
@@ -123,6 +170,9 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "top_users": q_top_users,
+    "distinct_event_types": q_distinct_event_types,
+    "sample_events": q_sample_events,
     "tumbling_windows": q_tumbling_windows,
     "sessions": q_sessions,
 }
@@ -187,6 +237,16 @@ SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
   FROM sims
 ) WHERE rn <= {ANN_K}
 ORDER BY query_id, rank
+""",
+    "top_users": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY user_id
+ORDER BY n DESC, user_id LIMIT 20
+""",
+    "distinct_event_types": "SELECT DISTINCT event_type FROM events ORDER BY 1",
+    "sample_events": """
+SELECT event_id, user_id, event_type FROM events
+WHERE event_id >= 100 AND event_id % 97 = 0 ORDER BY event_id
 """,
     "tumbling_windows": f"""
 SELECT event_type,

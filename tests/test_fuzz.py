@@ -1,0 +1,83 @@
+"""Property/fuzz tests: hostile bytes and hostile strings must never crash
+the engine — only clean errors (build time) or tagged failures (row level)."""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from logstash_filter_geoip_ray.functions.config import GeoIPConfig
+from logstash_filter_geoip_ray.functions.iputil import host_address, parse_ip
+from logstash_filter_geoip_ray.state.mmdb import (
+    METADATA_MARKER,
+    InvalidDatabaseError,
+    MMDBReader,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_mmdb_random_bytes_never_crash(tmp_path_factory, data):
+    path = tmp_path_factory.mktemp("fuzz") / "f.mmdb"
+    path.write_bytes(data)
+    try:
+        MMDBReader(str(path)).close()
+    except (InvalidDatabaseError, FileNotFoundError):
+        pass  # the only acceptable outcomes
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=0, max_size=512))
+def test_mmdb_marker_plus_garbage_never_crash(tmp_path_factory, garbage):
+    path = tmp_path_factory.mktemp("fuzz") / "g.mmdb"
+    path.write_bytes(garbage + METADATA_MARKER + garbage)
+    try:
+        with MMDBReader(str(path)) as r:
+            r.get("1.2.3.4")
+    except (InvalidDatabaseError, ValueError, KeyError, IndexError):
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=64))
+def test_lookup_any_string_never_raises(geo_lookup, s):
+    ok, values = geo_lookup.lookup(s) if s.strip() else (False, None)
+    assert isinstance(ok, bool)
+    if not ok:
+        assert values is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=64))
+def test_parse_ip_total(s):
+    addr = parse_ip(s)
+    if addr is not None:
+        assert host_address(addr)  # canonical echo always renders
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=32)), min_size=1, max_size=50))
+def test_enricher_batch_any_strings(geo_enricher, values):
+    batch = pa.table({"message": pa.array(values, type=pa.string())})
+    out = geo_enricher(batch)
+    assert out.num_rows == len(values)
+    assert "geoip" in out.column_names and "tags" in out.column_names
+
+
+# session-scoped fixtures (built once; hypothesis calls the test many times)
+import pytest
+
+
+@pytest.fixture(scope="module")
+def geo_lookup(db_paths):
+    from logstash_filter_geoip_ray.stages.enrich import GeoIPLookup
+
+    lk = GeoIPLookup(GeoIPConfig(source="x", database=db_paths["city"]))
+    yield lk
+    lk.close()
+
+
+@pytest.fixture(scope="module")
+def geo_enricher(db_paths):
+    from logstash_filter_geoip_ray.stages.enrich import GeoIPEnricher
+
+    return GeoIPEnricher(GeoIPConfig(source="message", database=db_paths["city"]))

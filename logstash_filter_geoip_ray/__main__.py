@@ -24,6 +24,22 @@ def _ray_init(num_cpus=None):
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # see bench.py: reservation strangles short map-heavy pipelines locally
+    ctx.op_resource_reservation_enabled = False
+    try:
+        # raise the streaming in-flight cap (default throttles this workload
+        # ~15% on this node); internal API, so guarded
+        from ray.data._internal.execution.interfaces import ExecutionResources
+
+        ctx.execution_options.resource_limits = ExecutionResources.for_limits(
+            object_store_memory=24e9
+        )
+    except Exception:
+        pass
     return ray
 
 

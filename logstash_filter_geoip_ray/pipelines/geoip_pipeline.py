@@ -84,9 +84,18 @@ def build_enriched(
     config = config or default_config()
     path = transcripts_path(sf_dir, rows)
     nfiles = len(glob.glob(os.path.join(path, "*.parquet")))
-    # one block per input shard: no SplitBlocks fragmentation; at fleet scale
-    # file count >> cpus so this matches the natural layout
-    read_kwargs = {"override_num_blocks": nfiles} if nfiles else {}
+    # block count: at least one per shard wave, at most ~4 blocks per cpu —
+    # per-task driver dispatch is ~1-2 ms, so thousands of tiny blocks put a
+    # multi-second serial floor under the whole pipeline; a read task then
+    # covers several shard files, which is exactly how a fleet-scale read
+    # amortizes small files
+    ncpu = 8
+    import ray
+
+    if ray.is_initialized():
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nblocks = min(nfiles, max(4 * ncpu, 64)) if nfiles else None
+    read_kwargs = {"override_num_blocks": nblocks} if nblocks else {}
     ds = ray.data.read_parquet(path, columns=columns, **read_kwargs)
     ds = ds.map_batches(make_extract_ips(), batch_format="pyarrow", batch_size=batch_size)
     if enrich_mode == "tasks":
@@ -115,16 +124,18 @@ def build_enriched(
 
 
 def sink_counts(enriched_ds, count_alias: str = "n"):
-    """Per-sink (country, tool) counts, sorted — matches ORACLE_SINK_COUNTS."""
-    return grouped_counts(enriched_ds, ["country", "tool"], count_alias).sort(
-        ["country", "tool"]
+    """Per-sink (country, tool) counts, sorted — matches ORACLE_SINK_COUNTS.
+    Sorting happens inside the final tree-combine task (the result is a few
+    hundred rows; a Ray Sort operator would be pure fixed overhead)."""
+    return grouped_counts(
+        enriched_ds, ["country", "tool"], count_alias, sort_result=True
     )
 
 
 def country_turn_histogram(enriched_ds, bucket_width: int = 4, count_alias: str = "n"):
     return turn_histogram(
-        enriched_ds, "country", "turn_idx", bucket_width, count_alias
-    ).sort(["country", "turn_bucket"])
+        enriched_ds, "country", "turn_idx", bucket_width, count_alias, sort_result=True
+    )
 
 
 def write_routed(enriched_ds, out_dir: str):

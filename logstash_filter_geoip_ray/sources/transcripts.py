@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-GENERATOR_VERSION = "v2"
+GENERATOR_VERSION = "v3"
 ROWS_PER_SF = 6_000_000  # sf0.001 → 6k, sf0.01 → 60k, sf0.1 → 600k
 TURNS_PER_CONV = 16
 ROWS_PER_SHARD = 65_536  # one parquet part-file per shard → read parallelism
@@ -88,20 +88,12 @@ def _ip_pool(city_db: str) -> List[str]:
     return out
 
 
-def generate_transcripts(
-    out_dir: str,
-    rows: int,
-    city_db: str = DEFAULT_CITY_DB,
-    seed: int = SEED,
-) -> Tuple[str, str]:
-    """Write transcripts.parquet + ip_geo.parquet into out_dir; returns paths."""
-    rng = np.random.default_rng(seed)
-    pool = _ip_pool(city_db)
-
-    # Zipf-ish weights over the hit pool (hot-IP locality)
-    ranks = np.arange(1, len(pool) + 1, dtype=np.float64)
-    hit_weights = 1.0 / ranks
-    hit_weights /= hit_weights.sum()
+def _generate_shard(
+    shard_idx: int, rows: int, row0: int, pool: List[str], hit_weights, seed: int
+) -> pa.Table:
+    """One shard's rows, deterministic per (seed, shard_idx) — shards can be
+    generated independently/chunked without holding the whole table in RAM."""
+    rng = np.random.default_rng((seed, shard_idx))
 
     # token classes per row: 70% hit-pool, 8% miss, 6% malformed, 16% no IP
     klass = rng.choice(4, size=rows, p=[0.70, 0.08, 0.06, 0.16])
@@ -117,11 +109,14 @@ def generate_transcripts(
     paths = rng.choice(np.array(["/api/v1/run", "/healthz", "/login", "/search"], dtype=object), size=rows)
     codes = rng.choice(np.array(["200", "404", "500", "302"], dtype=object), size=rows)
 
-    # vectorized text assembly (object-array string concat) — no row loop
+    # vectorized text assembly (object-array string concat) — no row loop;
+    # periodic decorations come from tiled lookup tables, not per-row format
     text = np.empty(rows, dtype=object)
     has_tok = np.array([t is not None for t in tokens])
-    lat_str = np.char.add(np.char.add("latency=", (3 + (np.arange(rows) % 211)).astype(str)), "ms").astype(object)
-    ua_str = np.char.add("ua=agent/1.", (np.arange(rows) % 7).astype(str)).astype(object)
+    lat_cycle = np.array(["latency=%dms" % (3 + i) for i in range(211)], dtype=object)
+    lat_str = np.tile(lat_cycle, rows // 211 + 1)[:rows]
+    ua_cycle = np.array(["ua=agent/1.%d" % i for i in range(7)], dtype=object)
+    ua_str = np.tile(ua_cycle, rows // 7 + 1)[:rows]
     m = ~has_tok
     text[m] = "assistant considered the plan and wrote notes about " + paths[m]
     m = has_tok & (template == 0)
@@ -131,15 +126,21 @@ def generate_transcripts(
     m = has_tok & (template == 2)
     text[m] = "session opened; request from " + tokens[m] + " " + ua_str[m]
 
-    conv_idx = np.arange(rows) // TURNS_PER_CONV
-    conv_id = np.char.add("conv-", np.char.zfill(conv_idx.astype(str), 8)).astype(object)
-    turn_idx = (np.arange(rows) % TURNS_PER_CONV).astype(np.int32)
+    global_idx = row0 + np.arange(rows)
+    conv_idx = global_idx // TURNS_PER_CONV
+    # consecutive conv ids → format each unique id once, then repeat
+    c0, c1 = int(conv_idx[0]), int(conv_idx[-1])
+    uniq_convs = np.array(["conv-%08d" % c for c in range(c0, c1 + 1)], dtype=object)
+    conv_id = np.repeat(uniq_convs, TURNS_PER_CONV)[
+        int(global_idx[0] - c0 * TURNS_PER_CONV) :
+    ][:rows]
+    turn_idx = (global_idx % TURNS_PER_CONV).astype(np.int32)
     role = np.array(ROLES, dtype=object)[rng.choice(len(ROLES), size=rows)]
     tool = np.array(TOOLS, dtype=object)[rng.choice(len(TOOLS), size=rows)]
     base_ts = np.int64(1_700_000_000_000_000)  # fixed epoch µs — deterministic
-    ts = base_ts + np.arange(rows, dtype=np.int64) * 1_000_000 + rng.integers(0, 1000, size=rows)
+    ts = base_ts + global_idx.astype(np.int64) * 1_000_000 + rng.integers(0, 1000, size=rows)
 
-    table = pa.table(
+    return pa.table(
         {
             "conv_id": pa.array(conv_id, type=pa.string()),
             "turn_idx": pa.array(turn_idx, type=pa.int32()),
@@ -149,22 +150,60 @@ def generate_transcripts(
             "ts": pa.array(ts, type=pa.timestamp("us")),
         }
     )
-    # sharded layout: one part-file per ROWS_PER_SHARD rows — this is the
-    # 100 TB-shaped layout (per-shard resume, parallel reads), not an
-    # optimization hack for the benchmark
+
+
+def generate_transcripts(
+    out_dir: str,
+    rows: int,
+    city_db: str = DEFAULT_CITY_DB,
+    seed: int = SEED,
+) -> Tuple[str, str]:
+    """Write transcripts/part-*.parquet + ip_geo.parquet into out_dir.
+
+    Sharded layout: one part-file per ROWS_PER_SHARD rows — the
+    100 TB-shaped layout (per-shard resume, parallel reads). Each shard is
+    generated independently with a per-shard RNG stream so arbitrarily large
+    inputs stream to disk without holding the table in memory."""
+    pool = _ip_pool(city_db)
+
+    # Zipf-ish weights over the hit pool (hot-IP locality)
+    ranks = np.arange(1, len(pool) + 1, dtype=np.float64)
+    hit_weights = 1.0 / ranks
+    hit_weights /= hit_weights.sum()
+
     tdir = os.path.join(out_dir, "transcripts")
     os.makedirs(tdir, exist_ok=True)
+    jobs = []
     shard = 0
     for off in range(0, rows, ROWS_PER_SHARD):
-        part = table.slice(off, ROWS_PER_SHARD)
-        dest = os.path.join(tdir, "part-%05d.parquet" % shard)
-        pq.write_table(part, dest + ".tmp", row_group_size=ROW_GROUP_SIZE)
-        os.replace(dest + ".tmp", dest)
+        jobs.append((shard, min(ROWS_PER_SHARD, rows - off), off))
         shard += 1
+
+    if len(jobs) <= 8:
+        for job in jobs:
+            _write_shard(job, tdir, pool, hit_weights, seed)
+    else:
+        # generation is embarrassingly parallel (per-shard RNG streams)
+        import concurrent.futures as cf
+        import functools
+
+        worker = functools.partial(
+            _write_shard, tdir=tdir, pool=pool, hit_weights=hit_weights, seed=seed
+        )
+        with cf.ProcessPoolExecutor(max_workers=8) as ex:
+            list(ex.map(worker, jobs, chunksize=8))
 
     ip_geo = os.path.join(out_dir, "ip_geo.parquet")
     _write_ip_geo(ip_geo, pool, city_db)
     return tdir, ip_geo
+
+
+def _write_shard(job, tdir, pool, hit_weights, seed):
+    shard, n, off = job
+    part = _generate_shard(shard, n, off, pool, hit_weights, seed)
+    dest = os.path.join(tdir, "part-%05d.parquet" % shard)
+    pq.write_table(part, dest + ".tmp", row_group_size=ROW_GROUP_SIZE)
+    os.replace(dest + ".tmp", dest)
 
 
 def _write_ip_geo(path: str, pool: List[str], city_db: str) -> None:

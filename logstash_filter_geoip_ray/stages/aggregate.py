@@ -28,26 +28,66 @@ def _partial_counts(key_cols: Sequence[str], count_alias: str):
     return partial
 
 
+def _combine_sums(key_cols: Sequence[str], sum_cols: Sequence[str], sort: bool):
+    def combine(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(list(key_cols)).aggregate([(c, "sum") for c in sum_cols])
+        agg = agg.rename_columns(list(key_cols) + list(sum_cols))
+        if sort:
+            agg = agg.sort_by([(k, "ascending") for k in key_cols])
+        return agg
+
+    return combine
+
+
+def tree_sum(ds, key_cols: Sequence[str], sum_cols: Sequence[str],
+             tree_width: int = 32, sort_result: bool = True):
+    """Sum ``sum_cols`` per key via a repartition tree instead of Ray's
+    native hash-aggregate: coalesce partial blocks → combine per task →
+    single final combine (+ sort inside that task).
+
+    Why: with combiner-style partials the surviving data is #blocks × #keys
+    rows — for hundreds of keys that is a few thousand rows even at 10^12
+    input rows per 10^5 blocks per stage wave, and Ray's all-to-all
+    Aggregate/Sort operators cost ~2s of fixed setup that dwarfs the work.
+    Block coalescing (repartition without shuffle) moves only these tiny
+    partials. For *high-cardinality* keys use the native
+    ``groupby().aggregate()`` instead (see salted_grouped_counts).
+    """
+    c = _combine_sums(key_cols, sum_cols, sort=False)
+    # first tier: map_batches with a large batch_size BUNDLES many tiny
+    # partial blocks into one task input (a repartition here would pay
+    # per-block coalesce overhead — measured ~2s for 640 micro-blocks).
+    # num_cpus=0.9 intentionally differs from upstream so Ray does NOT fuse
+    # this op into the big map chain (fusion would push the huge batch_size
+    # onto the whole chain and serialize it into a handful of giant tasks).
+    combined = ds.map_batches(
+        c, batch_format="pyarrow", batch_size=1 << 20, num_cpus=0.9
+    )
+    final = combined.repartition(1).map_batches(
+        _combine_sums(key_cols, sum_cols, sort=sort_result),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return final
+
+
 def grouped_counts(
     ds,
     key_cols: Sequence[str],
     count_alias: str = "n",
     batch_size: int = 65536,
+    sort_result: bool = False,
 ):
-    """count(*) per key: per-batch partial counts → tiny shuffle → sum.
+    """count(*) per key: per-batch partial counts → tree combine.
 
     Returns a Dataset with columns ``key_cols + [count_alias]``.
     """
-    from ray.data.aggregate import Sum
-
     partials = ds.map_batches(
         _partial_counts(key_cols, count_alias),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    return partials.groupby(list(key_cols)).aggregate(
-        Sum(count_alias, alias_name=count_alias)
-    )
+    return tree_sum(partials, key_cols, [count_alias], sort_result=sort_result)
 
 
 def stable_key_hash(values: pa.Array, num_buckets: int) -> pa.Array:
@@ -128,6 +168,7 @@ def turn_histogram(
     turn_col: str = "turn_idx",
     bucket_width: int = 4,
     count_alias: str = "n",
+    sort_result: bool = False,
 ):
     """Per-country histogram of turn_idx buckets (north_star): floor-divide
     turn_idx into buckets inside map_batches, then the partial-count path."""
@@ -141,4 +182,6 @@ def turn_histogram(
         return batch.select([country_col]).append_column("turn_bucket", bucket)
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
-    return grouped_counts(bucketed, [country_col, "turn_bucket"], count_alias)
+    return grouped_counts(
+        bucketed, [country_col, "turn_bucket"], count_alias, sort_result=sort_result
+    )

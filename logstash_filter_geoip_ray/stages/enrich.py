@@ -762,8 +762,15 @@ class GeoIPEnricher:
         if dictionary:
             ok_unique = pa.array(uniq_ok, type=pa.bool_())
             succeeded = np.asarray(pc.take(ok_unique, indices)) & attempted
+            # one masked index array instead of one if_else per leaf: rows
+            # that did not succeed take a NULL index, so every leaf take()
+            # yields null there for free
+            masked_indices = pc.if_else(
+                pa.array(succeeded), indices, pa.scalar(None, type=indices.type)
+            )
         else:
             succeeded = np.zeros(n, dtype=bool)
+            masked_indices = None
 
         leaf_arrays: List[Tuple[Tuple[str, ...], pa.Array]] = []
         seen_paths = {}
@@ -773,9 +780,9 @@ class GeoIPEnricher:
                 _leaf_value(field, path, v) if v is not None else None for v in uniq_values
             ]
             arr_unique = pa.array(uniq_vals, type=t)
-            arr = pc.take(arr_unique, indices) if dictionary else pa.nulls(n, type=t)
-            # null-out rows that did not succeed (take may have copied slot-0)
-            arr = pc.if_else(pa.array(succeeded), arr, pa.nulls(n, type=t))
+            arr = (
+                pc.take(arr_unique, masked_indices) if dictionary else pa.nulls(n, type=t)
+            )
             if path in seen_paths:
                 # ECS merge (geo.location.lat written by LOCATION then
                 # LATITUDE): later contributor wins where non-null
@@ -804,9 +811,17 @@ class GeoIPEnricher:
             tags_arr = pa.array(new_tags, type=tags_type)
             batch = batch.drop_columns([self.tags_column])
         else:
-            tags_arr = pa.array(
-                [tag_list if f else None for f in failure], type=tags_type
-            )
+            # vectorized ListArray build: offsets advance by len(tag_list) on
+            # failure rows; success rows are null entries (no Python lists)
+            k = len(tag_list)
+            counts = failure.astype(np.int32) * k
+            offsets_np = np.zeros(n + 1, dtype=np.int32)
+            np.cumsum(counts, out=offsets_np[1:])
+            n_fail = int(failure.sum())
+            values = pa.array(tag_list * n_fail, type=pa.string())
+            offsets = pa.array(offsets_np, type=pa.int32())
+            mask = pa.array(~failure)  # mask True → null entry (success rows)
+            tags_arr = pa.ListArray.from_arrays(offsets, values, mask=mask)
 
         if self.target_column in batch.column_names:
             batch = batch.drop_columns([self.target_column])

@@ -70,6 +70,12 @@ def q_jaccard_pairs(sf_dir: str):
     return jaccard_pairs_by_block(_docs(sf_dir), min_ratio=JACCARD_TAU)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_pairs_by_block
+
+    return ngram_jaccard_pairs_by_block(_docs(sf_dir))
+
+
 def q_dedup_minhash(sf_dir: str):
     from ..stages.dedup import minhash_lsh_pairs
 
@@ -165,6 +171,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "doc_analysis": q_doc_analysis,
     "lang_stats": q_lang_stats,
     "jaccard_pairs": q_jaccard_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -214,6 +221,31 @@ FROM inter
 JOIN counts ca ON ca.doc_id = a
 JOIN counts cb ON cb.doc_id = b
 WHERE inter >= {JACCARD_TAU} * (ca.c + cb.c - inter)
+ORDER BY a, b
+""",
+    "ngram_jaccard": f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_TOKENS} AS t FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT doc_id, lang,
+         unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+  FROM toks
+), sets AS (
+  SELECT DISTINCT doc_id, lang, g FROM grams
+), counts AS (
+  SELECT doc_id, count(*) AS c FROM sets GROUP BY 1
+), inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
+  FROM sets s1 JOIN sets s2
+    ON s1.lang = s2.lang AND s1.g = s2.g AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, CAST(inter AS BIGINT) AS inter,
+       CAST(ca.c + cb.c - inter AS BIGINT) AS union_
+FROM inter JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
+WHERE inter * 50 >= (ca.c + cb.c - inter) * 1
 ORDER BY a, b
 """,
     "dedup_embedding": f"""

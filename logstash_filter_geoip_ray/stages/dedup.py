@@ -203,6 +203,48 @@ def jaccard_pairs_by_block(
     )
 
 
+def ngram_jaccard_pairs_by_block(
+    ds,
+    block_col: str = "lang",
+    shingle_k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Word-k-gram shingle-set Jaccard for every doc pair sharing
+    ``block_col``: rows (a, b, inter, union_) with
+    ``inter * threshold_den >= union * threshold_num`` (pure integer
+    threshold, so the DuckDB oracle comparison has no float boundary),
+    a < b. The shingle sets match the MinHash stage's ``word_shingles``."""
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.sketches import word_shingles
+
+        rows = group.sort_values(id_col)
+        items = [
+            (i, word_shingles(t, shingle_k))
+            for i, t in zip(rows[id_col], rows[text_col])
+            if t is not None and t.strip()
+        ]
+        out = []
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                (ida, sa), (idb, sb) = items[i], items[j]
+                inter = len(sa & sb)
+                union = len(sa | sb)
+                if union and inter * threshold_den >= union * threshold_num:
+                    out.append((ida, idb, inter, union))
+        return pd.DataFrame(out, columns=["a", "b", "inter", "union_"])
+
+    return (
+        ds.select_columns([block_col, id_col, text_col])
+        .groupby(block_col)
+        .map_groups(pairs, batch_format="pandas")
+        .sort(["a", "b"])
+    )
+
+
 # -- embedding cosine near-dup ---------------------------------------------
 
 

@@ -34,8 +34,9 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_exact", "doc_stats", "lang_stats", "jaccard_pairs", "dedup_embedding",
-     "ann_topk", "tumbling_windows", "sessions"],
+    ["dedup_exact", "doc_stats", "lang_stats", "jaccard_pairs", "ngram_jaccard",
+     "dedup_embedding", "ann_topk", "tumbling_windows", "sessions",
+     "top_users", "distinct_event_types", "sample_events"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()

@@ -113,3 +113,15 @@ def test_salted_counts_match_plain(ray_session):
     )
     merged = plain.merge(salted, on=["country", "tool"], suffixes=("_p", "_s"))
     assert (merged["n_p"] == merged["n_s"]).all()
+
+
+def test_actor_mode_matches_task_mode(ray_session):
+    """enrich_mode='actors' (classic actor pool) must produce identical sink
+    counts to the default task mode."""
+    tasks = sink_counts(build_enriched(SF, enrich_mode="tasks")).to_pandas()
+    actors = sink_counts(
+        build_enriched(SF, enrich_mode="actors", concurrency=2)
+    ).to_pandas()
+    merged = tasks.merge(actors, on=["country", "tool"], suffixes=("_t", "_a"))
+    assert len(merged) == len(tasks) == len(actors)
+    assert (merged["n_t"] == merged["n_a"]).all()

@@ -125,3 +125,17 @@ def test_actor_mode_matches_task_mode(ray_session):
     merged = tasks.merge(actors, on=["country", "tool"], suffixes=("_t", "_a"))
     assert len(merged) == len(tasks) == len(actors)
     assert (merged["n_t"] == merged["n_a"]).all()
+
+
+def test_clustered_routed_write(ray_session, tmp_path):
+    """cluster=True range-partitions by sink → ~one file per sink."""
+    import glob
+    import pyarrow.parquet as pq
+
+    out_dir = str(tmp_path / "routed_clustered")
+    write_routed(build_enriched(SF), out_dir, cluster=True)
+    files = glob.glob(out_dir + "/**/*.parquet", recursive=True)
+    part_dirs = glob.glob(out_dir + "/country=*/tool=*")
+    assert len(files) <= len(part_dirs) + 8  # ~one file per sink
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == 6000

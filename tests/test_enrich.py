@@ -321,3 +321,13 @@ def test_default_database_type(db_paths):
     assert out.to_pylist()[0]["geoip"]["asn"] == 7018
     with pytest.raises(Exception, match="default_database_type"):
         GeoIPConfig(source="message", default_database_type="Nope")
+
+
+def test_empty_batch(db_paths):
+    """Zero-row batches flow through with the stable output schema."""
+    cfg = GeoIPConfig(source="message", database=db_paths["city"])
+    e = GeoIPEnricher(cfg)
+    empty = pa.table({"message": pa.array([], type=pa.string())})
+    out = e(empty)
+    assert out.num_rows == 0
+    assert out.schema == e(pa.table({"message": ["216.160.83.58"]})).schema

@@ -824,10 +824,62 @@ class GeoIPEnricher:
             tags_arr = pa.ListArray.from_arrays(offsets, values, mask=mask)
 
         if self.target_column in batch.column_names:
+            # E16 merge-not-replace (applyGeoData, GeoIPFilter.java:209-234;
+            # CHANGELOG 4.0.4): pre-existing target content survives — fields
+            # we don't emit are carried, our fields overwrite only on success,
+            # and an existing non-null target is never nulled out
+            existing_target = batch[self.target_column]
+            if isinstance(existing_target, pa.ChunkedArray):
+                existing_target = existing_target.combine_chunks()
+            target = _merge_targets(existing_target, target, np.asarray(succeeded))
             batch = batch.drop_columns([self.target_column])
         batch = batch.append_column(self.target_column, target)
         batch = batch.append_column(self.tags_column, tags_arr)
         return batch
+
+
+def _merge_targets(existing: pa.Array, computed: pa.Array, succeeded) -> pa.Array:
+    """Merge a pre-existing target struct with the computed one (E16):
+
+    - per struct field: fields present only in one side are carried; fields
+      in both take the computed value on success rows, the existing value
+      otherwise (the reference writes per-field only when the lookup
+      produced data);
+    - row validity: valid where either side is valid (the reference never
+      un-sets an existing target).
+    Non-struct existing targets (unexpected type) are replaced.
+    """
+    if not pa.types.is_struct(existing.type):
+        return computed
+    n = len(computed)
+    succ = pa.array(succeeded)
+    existing_valid = np.asarray(pc.is_valid(existing))
+    computed_valid = np.asarray(pc.is_valid(computed))
+    names: List[str] = []
+    arrays: List[pa.Array] = []
+    computed_names = {f.name for f in computed.type}
+    for field in existing.type:
+        old = pc.struct_field(existing, field.name)
+        if field.name in computed_names:
+            new = pc.struct_field(computed, field.name)
+            if pa.types.is_struct(field.type) and new.type == field.type:
+                arrays.append(_merge_targets(old, new, succeeded))
+            elif new.type == field.type:
+                arrays.append(pc.if_else(succ, new, old))
+            else:
+                # type conflict: computed schema wins on success rows; keep
+                # null otherwise (cannot mix Arrow types in one column)
+                arrays.append(pc.if_else(succ, new, pa.nulls(n, type=new.type)))
+        else:
+            arrays.append(old)
+        names.append(field.name)
+    for field in computed.type:
+        if field.name in {f.name for f in existing.type}:
+            continue
+        names.append(field.name)
+        arrays.append(pc.struct_field(computed, field.name))
+    mask = pa.array(~(existing_valid | computed_valid))
+    return pa.StructArray.from_arrays(arrays, names=names, mask=mask)
 
 
 #: per-worker-process enricher singletons, keyed by config — see

@@ -331,3 +331,32 @@ def test_empty_batch(db_paths):
     out = e(empty)
     assert out.num_rows == 0
     assert out.schema == e(pa.table({"message": ["216.160.83.58"]})).schema
+
+
+def test_target_merge_not_replace(db_paths):
+    """E16 / CHANGELOG 4.0.4: enrichment merges under a pre-existing target
+    without clobbering its other content; failed/unattempted rows keep the
+    existing target untouched."""
+    cfg = GeoIPConfig(source="message", database=db_paths["city"])
+    pre = pa.struct([("custom_note", pa.string()), ("city_name", pa.string())])
+    batch = pa.table(
+        {
+            "message": ["216.160.83.58", "N/A", None],
+            "geoip": pa.array(
+                [
+                    {"custom_note": "keep1", "city_name": "Old1"},
+                    {"custom_note": "keep2", "city_name": "Old2"},
+                    {"custom_note": "keep3", "city_name": "Old3"},
+                ],
+                type=pre,
+            ),
+        }
+    )
+    rows = GeoIPEnricher(cfg)(batch).to_pylist()
+    ok, failed, unattempted = rows
+    assert ok["geoip"]["custom_note"] == "keep1"       # carried
+    assert ok["geoip"]["city_name"] == "Milton"        # overwritten on success
+    assert ok["geoip"]["country_code2"] == "US"        # added
+    assert failed["geoip"]["city_name"] == "Old2"      # untouched on failure
+    assert failed["geoip"]["custom_note"] == "keep2"
+    assert unattempted["geoip"]["city_name"] == "Old3"  # target never unset

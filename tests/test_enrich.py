@@ -360,3 +360,33 @@ def test_target_merge_not_replace(db_paths):
     assert failed["geoip"]["city_name"] == "Old2"      # untouched on failure
     assert failed["geoip"]["custom_note"] == "keep2"
     assert unattempted["geoip"]["city_name"] == "Old3"  # target never unset
+
+
+@pytest.mark.parametrize("key", ["city_lite", "country_lite"])
+def test_geolite2_variants(db_paths, key):
+    """GeoLite2-City/Country test DBs flow through the same detection and
+    projection paths as the GeoIP2 variants."""
+    target, tags = enrich_one(db_paths[key], "89.160.20.128")
+    if key == "city_lite":
+        assert target["country_code2"] == "SE"
+        assert target["city_name"] == "Linköping"
+        assert tags is None
+    else:
+        assert target["country_code2"] == "SE"
+        assert target["country_name"] == "Sweden"
+        assert tags is None
+
+
+def test_ecs_v8_alias(db_paths):
+    """ecs_compatibility v8 behaves as v1 (GeoIPFilter.java:77-79)."""
+    t_v8, tags = enrich_one(db_paths["city"], "216.160.83.58", ecs=False,
+                            source_values=None, target=None)
+    cfg8 = GeoIPConfig(source="message", database=db_paths["city"],
+                       ecs_compatibility="v8", target="tgt")
+    cfg1 = GeoIPConfig(source="message", database=db_paths["city"],
+                       ecs_compatibility="v1", target="tgt")
+    t = pa.table({"message": ["216.160.83.58"]})
+    r8 = GeoIPEnricher(cfg8)(t).to_pylist()[0]
+    r1 = GeoIPEnricher(cfg1)(t).to_pylist()[0]
+    assert r8 == r1
+    assert r8["tgt"]["geo"]["region_iso_code"] == "US-WA"

@@ -55,7 +55,9 @@ def _q_routed_rows(sf_dir: str):
     from logstash_filter_geoip_ray.pipelines.geoip_pipeline import build_enriched
 
     ds = build_enriched(sf_dir)
-    return ds.select_columns(["conv_id", "turn_idx", "text", "tool", "country"])
+    return ds.select_columns(["conv_id", "turn_idx", "text", "tool", "country"]).sort(
+        ["conv_id", "turn_idx"]
+    )
 
 
 def _q_sink_counts_ecs(sf_dir: str):

@@ -14,6 +14,11 @@ Java semantics we reproduce:
   ``str(IPv6Address)`` compresses, so we format groups explicitly.
 - IPv4-mapped IPv6 literals (``::ffff:1.2.3.4``) come back from Java as an
   ``Inet4Address`` → dotted quad; we mirror via ``IPv6Address.ipv4_mapped``.
+
+Known divergence: ``InetAddress.getByName`` also resolves *hostnames* via
+DNS; this engine (offline by design, and DNS in a hot batch path is a
+scale hazard) treats any non-literal as a failed lookup instead. Pre-resolve
+hostnames upstream if that behavior is needed.
 """
 
 from __future__ import annotations

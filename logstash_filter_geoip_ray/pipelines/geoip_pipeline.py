@@ -150,19 +150,10 @@ def write_routed(enriched_ds, out_dir: str, cluster: bool = False):
     each task holds whole sinks → ~one file per sink (measured: 2880 files →
     45, +30% wall at 4.2M rows). At fleet scale prefer hash-bucketing by
     sink with a bounded salt over a global sort."""
-    enriched_ds = enriched_ds.map_batches(
-        _flatten_for_sink, batch_format="pyarrow"
-    )
     if cluster:
         enriched_ds = enriched_ds.sort(["country", "tool"])
     enriched_ds.write_parquet(out_dir, partition_cols=["country", "tool"])
     return out_dir
-
-
-def _flatten_for_sink(batch: pa.Table) -> pa.Table:
-    """Parquet partitioning needs flat routing columns; keep payload columns +
-    flattened geo fields commonly consumed downstream."""
-    return batch
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,6 @@ Scale shapes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-import hashlib
 from typing import List, Optional
 
 import numpy as np
@@ -46,14 +45,12 @@ def exact_dedup_keepers(ds, text_col: str = "text", id_col: str = "doc_id"):
     from ray.data.aggregate import Min
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = pa.array(
-            [
-                hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
-                for t in batch[text_col].to_pylist()
-            ],
-            type=pa.string(),
-        )
-        return batch.select([id_col]).append_column("_h", h)
+        from ..functions.textstats import md5_fingerprints
+
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return batch.select([id_col]).append_column("_h", md5_fingerprints(text))
 
     def partial_min(batch: pa.Table) -> pa.Table:
         return (
@@ -97,7 +94,9 @@ class MinHashBandStage:
         return pa.table(
             {
                 "band_key": pa.array(keys, type=pa.string()),
-                self.id_col: pa.array(ids),
+                # explicit type: an all-skipped block must not emit a
+                # null-typed id column that breaks schema unification
+                self.id_col: pa.array(ids, type=batch[self.id_col].type),
                 self.text_col: pa.array(texts, type=pa.string()),
             }
         )

@@ -733,7 +733,14 @@ class GeoIPEnricher:
         n = batch.num_rows
         src_col = batch[self.source_column]
         if pa.types.is_list(src_col.type) or pa.types.is_large_list(src_col.type):
-            src_col = pc.list_element(src_col, 0)  # E1: list → first element
+            # E1: list → first element. Guard empty lists (the reference
+            # throws IndexOutOfBounds per event; at batch scale a crash would
+            # take thousands of healthy rows with it, so we degrade an empty
+            # list to a missing source → tagged failure). List-typed sources
+            # are a rare path; a row loop is acceptable here.
+            src_col = pa.array(
+                [x[0] if x else None for x in src_col.to_pylist()], type=pa.string()
+            )
         src = src_col.combine_chunks() if isinstance(src_col, pa.ChunkedArray) else src_col
 
         trimmed = pc.utf8_trim_whitespace(src)
@@ -865,7 +872,13 @@ def _merge_targets(existing: pa.Array, computed: pa.Array, succeeded) -> pa.Arra
             if pa.types.is_struct(field.type) and new.type == field.type:
                 arrays.append(_merge_targets(old, new, succeeded))
             elif new.type == field.type:
-                arrays.append(pc.if_else(succ, new, old))
+                # overwrite only where the lookup actually produced a value:
+                # the reference writes per-field only for keys present in
+                # geoData, so an omitted (null) field must not clobber the
+                # pre-existing value. (Known divergence: the reference's
+                # DOMAIN projection can put an explicit null that *does*
+                # overwrite — indistinguishable from omitted in Arrow.)
+                arrays.append(pc.if_else(pc.and_(succ, pc.is_valid(new)), new, old))
             else:
                 # type conflict: computed schema wins on success rows; keep
                 # null otherwise (cannot mix Arrow types in one column)

@@ -65,8 +65,11 @@ def brute_force_topk(
             mask = bids != ref_ids[qi]
             cand_ids, cand_sims = bids[mask], row[mask]
             if len(cand_ids) > k:
-                idx = np.argpartition(-cand_sims, k)[:k]
-                cand_ids, cand_sims = cand_ids[idx], cand_sims[idx]
+                # tie-aware selection: order by (sim desc, id asc) exactly as
+                # the final merge and the SQL oracle do, so a boundary tie is
+                # never dropped in the partial stage
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                cand_ids, cand_sims = cand_ids[order], cand_sims[order]
             out_q.extend([int(ref_ids[qi])] * len(cand_ids))
             out_n.extend(int(x) for x in cand_ids)
             out_s.extend(float(s) for s in cand_sims)
@@ -166,8 +169,8 @@ def lsh_topk(
             m2 = bids != ref_ids[qi]
             cand_ids, cand_sims = bids[m2], row[m2]
             if len(cand_ids) > k:
-                idx = np.argpartition(-cand_sims, k)[:k]
-                cand_ids, cand_sims = cand_ids[idx], cand_sims[idx]
+                order = np.lexsort((cand_ids, -cand_sims))[:k]
+                cand_ids, cand_sims = cand_ids[order], cand_sims[order]
             out_q.extend([int(ref_ids[qi])] * len(cand_ids))
             out_n.extend(int(x) for x in cand_ids)
             out_s.extend(float(s) for s in cand_sims)

@@ -99,7 +99,7 @@ class _ShardWriter:
         work = pq.read_table(input_path)
         work = make_extract_ips()(work)
         work = WorkerCachedEnricher(self.config)(work)
-        work = add_routing_keys(self.config.resolved_target())(work)
+        work = add_routing_keys(self.config.resolved_target(), ecs=self.config.ecs)(work)
 
         out_file = output_path(self.out_dir, input_path)
         os.makedirs(os.path.dirname(out_file), exist_ok=True)

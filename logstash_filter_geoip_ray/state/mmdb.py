@@ -327,8 +327,10 @@ class MMDBReader:
                     record, _ = self._decoder.decode(data_offset)
                 if ipv4_only:
                     addr = ipaddress.IPv4Address(prefix << (32 - depth))
+                elif self.ip_version == 6:
+                    addr = ipaddress.IPv6Address(prefix << (total_bits - depth))
                 else:
-                    addr = ipaddress.ip_address(prefix << (total_bits - depth))
+                    addr = ipaddress.IPv4Address(prefix << (total_bits - depth))
                 yield ipaddress.ip_network((addr, depth)), record
                 continue
             if depth >= total_bits:

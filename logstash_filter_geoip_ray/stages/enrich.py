@@ -869,7 +869,10 @@ def _merge_targets(existing: pa.Array, computed: pa.Array, succeeded) -> pa.Arra
         old = pc.struct_field(existing, field.name)
         if field.name in computed_names:
             new = pc.struct_field(computed, field.name)
-            if pa.types.is_struct(field.type) and new.type == field.type:
+            if pa.types.is_struct(field.type) and pa.types.is_struct(new.type):
+                # recurse even when the child schemas differ — the merge
+                # unions their fields (e.g. a pre-existing geo.note beside
+                # the computed geo.city_name)
                 arrays.append(_merge_targets(old, new, succeeded))
             elif new.type == field.type:
                 # overwrite only where the lookup actually produced a value:

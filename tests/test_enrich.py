@@ -390,3 +390,28 @@ def test_ecs_v8_alias(db_paths):
     r1 = GeoIPEnricher(cfg1)(t).to_pylist()[0]
     assert r8 == r1
     assert r8["tgt"]["geo"]["region_iso_code"] == "US-WA"
+
+
+def test_target_merge_nested_ecs(db_paths):
+    """E16 merge recurses into nested ECS structs: pre-existing geo children
+    survive, computed children overwrite only when produced."""
+    cfg = GeoIPConfig(source="message", database=db_paths["city"],
+                      ecs_compatibility="v1", target="client")
+    pre = pa.struct([("geo", pa.struct([("note", pa.string())])), ("extra", pa.string())])
+    batch = pa.table(
+        {
+            "message": ["216.160.83.58", "N/A"],
+            "client": pa.array(
+                [{"geo": {"note": "gkeep"}, "extra": "e1"},
+                 {"geo": {"note": "gkeep2"}, "extra": "e2"}],
+                type=pre,
+            ),
+        }
+    )
+    rows = GeoIPEnricher(cfg)(batch).to_pylist()
+    ok, failed = rows
+    assert ok["client"]["extra"] == "e1"
+    assert ok["client"]["geo"]["note"] == "gkeep"          # nested carried
+    assert ok["client"]["geo"]["city_name"] == "Milton"    # nested added
+    assert failed["client"]["extra"] == "e2"
+    assert failed["client"]["geo"]["note"] == "gkeep2"     # untouched on failure

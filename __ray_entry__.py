@@ -79,6 +79,13 @@ def _q_sink_counts_ecs(sf_dir: str):
     return sink_counts(build_enriched(sf_dir, config=cfg))
 
 
+def _q_asn_counts_salted(sf_dir: str):
+    """ASN-database pipeline with salted two-stage aggregation (hot ASNs)."""
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import asn_salted_counts
+
+    return asn_salted_counts(sf_dir)
+
+
 def _q_parse_tokens(sf_dir: str):
     """P2 alone: distinct extracted tokens with frequencies."""
     from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
@@ -104,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out = {
         "sink_counts": _q_sink_counts,
         "sink_counts_ecs": _q_sink_counts_ecs,
+        "asn_counts_salted": _q_asn_counts_salted,
         "turn_histogram": _q_turn_histogram,
         "routed_rows": _q_routed_rows,
         "parse_tokens": _q_parse_tokens,
@@ -115,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
         MISS_KEY,
+        oracle_asn_counts_sql,
         oracle_sink_counts_sql,
         oracle_turn_histogram_sql,
     )
@@ -149,6 +158,7 @@ GROUP BY 1 ORDER BY 1
     out = {
         "sink_counts": oracle_sink_counts_sql(sf),
         "sink_counts_ecs": oracle_sink_counts_sql(sf),
+        "asn_counts_salted": oracle_asn_counts_sql(sf),
         "turn_histogram": oracle_turn_histogram_sql(sf),
         "routed_rows": routed,
         "parse_tokens": parse_tokens,

@@ -63,6 +63,7 @@ def build_enriched(
     concurrency=None,
     batch_size: Optional[int] = None,
     columns: Optional[list] = None,
+    add_routing: bool = True,
 ):
     """Dataset of transcripts + geoip struct + tags + country routing key.
 
@@ -115,11 +116,14 @@ def build_enriched(
         )
     else:
         raise ValueError("enrich_mode must be 'tasks' or 'actors'")
-    ds = ds.map_batches(
-        add_routing_keys(config.resolved_target(), ecs=config.ecs),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
+    if add_routing:
+        # country routing applies to City-shaped targets; pass
+        # add_routing=False for other database types (e.g. ASN)
+        ds = ds.map_batches(
+            add_routing_keys(config.resolved_target(), ecs=config.ecs),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return ds
 
 
@@ -154,6 +158,47 @@ def write_routed(enriched_ds, out_dir: str, cluster: bool = False):
         enriched_ds = enriched_ds.sort(["country", "tool"])
     enriched_ds.write_parquet(out_dir, partition_cols=["country", "tool"])
     return out_dir
+
+
+def asn_salted_counts(sf_dir: str, rows: Optional[int] = None, buckets: int = 8):
+    """Second-database pipeline + skew path (north_rule "salted keys for hot
+    ASNs"): enrich against the vendored ASN DB, route on the ASN, and count
+    per ASN through the two-stage *salted* aggregation — no single reducer
+    ever sees a whole hot ASN."""
+    import pyarrow as pa  # noqa: F401  (types used below)
+
+    from ..sources.transcripts import DEFAULT_ASN_DB
+    from ..stages.aggregate import salted_grouped_counts
+
+    cfg = GeoIPConfig(source="source_ip", database=DEFAULT_ASN_DB)
+    ds = build_enriched(sf_dir, config=cfg, rows=rows, add_routing=False)
+
+    def add_asn_key(batch):
+        target = batch[cfg.resolved_target()]
+        if isinstance(target, pa.ChunkedArray):
+            target = target.combine_chunks()
+        asn = pc.struct_field(target, ["asn"])
+        key = pc.fill_null(pc.cast(asn, pa.string()), MISS_KEY)
+        return batch.select(["conv_id"]).append_column("asn_key", key)
+
+    keyed = ds.map_batches(add_asn_key, batch_format="pyarrow")
+    return salted_grouped_counts(keyed, ["asn_key"], "n", buckets=buckets).sort(
+        "asn_key"
+    )
+
+
+def oracle_asn_counts_sql(sf_dir: str, rows: Optional[int] = None) -> str:
+    t = transcripts_path(sf_dir, rows)
+    g = ip_geo_path(sf_dir, rows)
+    return f"""
+WITH parsed AS (
+  SELECT nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS tok
+  FROM read_parquet('{t}/*.parquet')
+)
+SELECT coalesce(CAST(g.asn AS VARCHAR), '{MISS_KEY}') AS asn_key, count(*) AS n
+FROM parsed p LEFT JOIN read_parquet('{g}') g ON p.tok = g.ip
+GROUP BY 1 ORDER BY 1
+"""
 
 
 # ---------------------------------------------------------------------------

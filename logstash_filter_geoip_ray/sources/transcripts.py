@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-GENERATOR_VERSION = "v3"
+GENERATOR_VERSION = "v4"
 ROWS_PER_SF = 6_000_000  # sf0.001 → 6k, sf0.01 → 60k, sf0.1 → 600k
 TURNS_PER_CONV = 16
 ROWS_PER_SHARD = 65_536  # one parquet part-file per shard → read parallelism
@@ -45,6 +45,7 @@ ROW_GROUP_SIZE = 16_384  # row groups small enough for block splitting
 
 _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 DEFAULT_CITY_DB = str(_REPO_ROOT / "tests" / "data" / "maxmind" / "GeoIP2-City-Test.mmdb")
+DEFAULT_ASN_DB = str(_REPO_ROOT / "tests" / "data" / "maxmind" / "GeoLite2-ASN-Test.mmdb")
 
 ROLES = ("user", "assistant", "system", "tool")
 TOOLS = ("bash", "browser", "search", "editor", "none")
@@ -65,8 +66,11 @@ def sf_from_dir(sf_dir: str) -> float:
     return 0.01
 
 
-def _ip_pool(city_db: str) -> List[str]:
-    """Deterministic token pool from the City test DB's IPv4 networks."""
+def _ip_pool(city_db: str, asn_db: str = DEFAULT_ASN_DB) -> List[str]:
+    """Deterministic token pool: the City test DB's IPv4 networks (records
+    the City projection can emit) plus the ASN test DB's networks — the
+    latter give city-miss/ASN-hit rows and a small set of hot ASNs for the
+    salted-aggregation path."""
     from ..state.mmdb import MMDBReader
 
     pool: List[str] = []
@@ -77,6 +81,12 @@ def _ip_pool(city_db: str) -> List[str]:
             if loc.get("latitude") is None and loc.get("longitude") is None:
                 continue
             for i in range(min(4, net.num_addresses)):
+                pool.append(str(net[i]))
+    with MMDBReader(asn_db) as reader:
+        for net, rec in reader.networks(ipv4_only=True):
+            if rec.get("autonomous_system_number") is None:
+                continue
+            for i in range(min(2, net.num_addresses)):
                 pool.append(str(net[i]))
     # dedupe, stable order
     seen = set()
@@ -206,26 +216,37 @@ def _write_shard(job, tdir, pool, hit_weights, seed):
     os.replace(dest + ".tmp", dest)
 
 
-def _write_ip_geo(path: str, pool: List[str], city_db: str) -> None:
-    """Golden token→geo side table for the oracle (see module docstring)."""
+def _write_ip_geo(path: str, pool: List[str], city_db: str,
+                  asn_db: str = DEFAULT_ASN_DB) -> None:
+    """Golden token→geo/asn side table for the oracle (see module docstring):
+    city columns from the City DB, asn columns from the ASN DB."""
     from ..functions.config import GeoIPConfig
     from ..functions.fields import Field
     from ..stages.enrich import GeoIPLookup
 
     lookup = GeoIPLookup(GeoIPConfig(source="x", database=city_db))
+    asn_lookup = GeoIPLookup(
+        GeoIPConfig(source="x", database=asn_db,
+                    fields=("IP", "AUTONOMOUS_SYSTEM_NUMBER",
+                            "AUTONOMOUS_SYSTEM_ORGANIZATION", "NETWORK"))
+    )
     all_tokens = list(pool) + list(MISS_TOKENS) + list(MALFORMED_TOKENS)
     rows = []
     for tok in all_tokens:
         ok, values = lookup.lookup(tok)
+        aok, avalues = asn_lookup.lookup(tok)
         rows.append(
             {
                 "ip": tok,
                 "country_code2": values.get(Field.COUNTRY_CODE2) if ok else None,
                 "city_name": values.get(Field.CITY_NAME) if ok else None,
                 "timezone": values.get(Field.TIMEZONE) if ok else None,
+                "asn": avalues.get(Field.AUTONOMOUS_SYSTEM_NUMBER) if aok else None,
+                "as_org": avalues.get(Field.AUTONOMOUS_SYSTEM_ORGANIZATION) if aok else None,
             }
         )
     lookup.close()
+    asn_lookup.close()
     tmp = path + ".tmp"
     pq.write_table(
         pa.table(
@@ -234,6 +255,8 @@ def _write_ip_geo(path: str, pool: List[str], city_db: str) -> None:
                 "country_code2": pa.array([r["country_code2"] for r in rows], type=pa.string()),
                 "city_name": pa.array([r["city_name"] for r in rows], type=pa.string()),
                 "timezone": pa.array([r["timezone"] for r in rows], type=pa.string()),
+                "asn": pa.array([r["asn"] for r in rows], type=pa.int64()),
+                "as_org": pa.array([r["as_org"] for r in rows], type=pa.string()),
             }
         ),
         tmp,

@@ -114,3 +114,72 @@ def simhash64(text: Optional[str]) -> Optional[int]:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+# -- HyperLogLog ------------------------------------------------------------
+
+
+class HLL:
+    """HyperLogLog cardinality sketch (2^p registers, numpy-vectorized).
+
+    Mergeable by register-max — the shape the aggregation guide calls for:
+    one sketch per batch inside ``map_batches``, a tiny merge stage after.
+    Serialization = the raw register bytes."""
+
+    def __init__(self, p: int = 14, registers: Optional[np.ndarray] = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, hashes: np.ndarray) -> "HLL":
+        """Fold pre-hashed uint64 values into the sketch (vectorized)."""
+        h = hashes.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of the remaining bits + 1
+        lz = np.zeros(len(h), dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        rest_work = rest.copy()
+        found = np.zeros(len(h), dtype=bool)
+        for bit in range(64 - self.p + 1):
+            now = (~found) & ((rest_work & mask) != 0)
+            lz[now] = bit + 1
+            found |= now
+            rest_work = rest_work << np.uint64(1)
+            if found.all():
+                break
+        np.maximum.at(self.registers, idx, lz)
+        return self
+
+    def add_strings(self, values) -> "HLL":
+        hashes = np.fromiter(
+            (stable_hash64(v) for v in values if v is not None),
+            dtype=np.uint64,
+        )
+        if len(hashes):
+            self.add_hashes(hashes)
+        return self
+
+    def merge(self, other: "HLL") -> "HLL":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        if est <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                return m * np.log(m / zeros)  # linear counting small range
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, p: int = 14) -> "HLL":
+        return cls(p, np.frombuffer(data, dtype=np.uint8).copy())

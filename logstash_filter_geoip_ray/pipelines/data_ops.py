@@ -76,6 +76,26 @@ def q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs_by_block(_docs(sf_dir))
 
 
+def q_dup_clusters(sf_dir: str):
+    """Connected components over the verified token-set Jaccard pairs:
+    (doc_id, cluster_id=min id in component)."""
+    from ..stages.dedup import dup_clusters, jaccard_pairs_by_block
+
+    pairs = jaccard_pairs_by_block(_docs(sf_dir), min_ratio=JACCARD_TAU)
+    return dup_clusters(pairs)
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """Mergeable-sketch aggregation: HLL approx COUNT(DISTINCT user_id) per
+    event_type. Approximate by design → rows-only driver check; the ±error
+    bound vs the exact count is asserted in tests."""
+    from ..stages.aggregate import approx_distinct
+
+    return approx_distinct(
+        _events(sf_dir, ["event_type", "user_id"]), "event_type", "user_id"
+    )
+
+
 def q_dedup_minhash(sf_dir: str):
     from ..stages.dedup import minhash_lsh_pairs
 
@@ -172,6 +192,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "lang_stats": q_lang_stats,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard": q_ngram_jaccard,
+    "dup_clusters": q_dup_clusters,
+    "approx_distinct_users": q_approx_distinct_users,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -247,6 +269,32 @@ SELECT a, b, CAST(inter AS BIGINT) AS inter,
 FROM inter JOIN counts ca ON ca.doc_id = a JOIN counts cb ON cb.doc_id = b
 WHERE inter * 50 >= (ca.c + cb.c - inter) * 1
 ORDER BY a, b
+""",
+    "dup_clusters": f"""
+WITH RECURSIVE sets AS (
+  SELECT DISTINCT doc_id, source, lower(unnest({_TOKENS})) AS w
+  FROM documents WHERE trim(text) <> ''
+), counts AS (
+  SELECT doc_id, count(*) AS c FROM sets GROUP BY 1
+), inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
+  FROM sets s1 JOIN sets s2
+    ON s1.source = s2.source AND s1.w = s2.w AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a, b FROM inter
+  JOIN counts ca ON ca.doc_id = a
+  JOIN counts cb ON cb.doc_id = b
+  WHERE inter >= {JACCARD_TAU} * (ca.c + cb.c - inter)
+), e AS (
+  SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+), walk(node, reach) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+  UNION
+  SELECT w.node, e.d FROM walk w JOIN e ON e.s = w.reach
+)
+SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
+FROM walk GROUP BY 1 ORDER BY 1
 """,
     "dedup_embedding": f"""
 SELECT a.vec_id AS a, b.vec_id AS b

@@ -162,6 +162,54 @@ def salted_grouped_counts(
     )
 
 
+def approx_distinct(
+    ds,
+    key_col: str,
+    value_col: str,
+    p: int = 14,
+    alias: str = "approx_distinct",
+):
+    """Approximate COUNT(DISTINCT value) per key via mergeable HyperLogLog
+    sketches: one sketch per (batch, key) inside ``map_batches`` (shuffle
+    volume = #batches × #keys × 2^p bytes, never rows), merged per key in a
+    tiny ``map_groups``. Standard error ≈ 1.04/√2^p (~0.8% at p=14)."""
+    import pandas as pd
+
+    from ..functions.sketches import HLL, stable_hash64
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        keys_out, sketches = [], []
+        tbl = batch.select([key_col, value_col])
+        df = tbl.to_pandas()
+        for key, group in df.groupby(key_col, sort=False):
+            h = HLL(p).add_strings(str(v) for v in group[value_col] if v is not None)
+            keys_out.append(key)
+            sketches.append(h.to_bytes())
+        return pa.table(
+            {
+                key_col: pa.array(keys_out, type=batch[key_col].type),
+                "_sketch": pa.array(sketches, type=pa.binary()),
+            }
+        )
+
+    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.sketches import HLL as _HLL
+
+        merged = _HLL.from_bytes(group["_sketch"].iloc[0], p)
+        for raw in group["_sketch"].iloc[1:]:
+            merged.merge(_HLL.from_bytes(raw, p))
+        return pd.DataFrame(
+            {key_col: [group[key_col].iloc[0]], alias: [int(round(merged.estimate()))]}
+        )
+
+    sketches = ds.map_batches(sketch_batch, batch_format="pyarrow")
+    return (
+        sketches.groupby(key_col)
+        .map_groups(merge_group, batch_format="pandas")
+        .sort(key_col)
+    )
+
+
 def turn_histogram(
     ds,
     country_col: str = "country",

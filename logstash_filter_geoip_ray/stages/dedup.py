@@ -244,6 +244,53 @@ def ngram_jaccard_pairs_by_block(
     )
 
 
+# -- duplicate clusters (connected components over verified pairs) ---------
+
+
+def dup_clusters(pairs_ds, a_col: str = "a", b_col: str = "b"):
+    """Connected components over verified near-duplicate pairs: rows
+    (doc_id, cluster_id) where cluster_id = min doc id in the component,
+    for every doc appearing in at least one pair.
+
+    The pair set is the *verified* near-dup output — orders of magnitude
+    smaller than the corpus by construction — so union-find runs on the
+    driver (the sanctioned shape for provably-small candidate sets); the
+    expensive part (pair generation) stays distributed. For pathological
+    pair volumes switch to iterated min-label propagation with groupby
+    rounds."""
+    edges = pairs_ds.select_columns([a_col, b_col]).to_pandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges[a_col], edges[b_col]):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by smaller id so the root IS the cluster id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    import ray.data
+
+    nodes = sorted(parent)
+    table = pa.table(
+        {
+            "doc_id": pa.array(nodes, type=pa.int64()),
+            "cluster_id": pa.array([find(n) for n in nodes], type=pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(table)
+
+
 # -- embedding cosine near-dup ---------------------------------------------
 
 

@@ -207,3 +207,34 @@ class TestMultimodal:
         # 1024/64 = 16 frames, every 4th → 4 rows per media
         assert out.num_rows == 12
         assert out["frame_idx"].to_pylist()[:4] == [0, 4, 8, 12]
+
+
+def test_dup_clusters_matches_recursive_oracle(ray_session, oracle_con):
+    df = DATA_QUERIES["dup_clusters"](SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    odf = oracle_con.sql(DATA_ORACLES["dup_clusters"]).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(df.astype(str), odf[df.columns].astype(str))
+    # every cluster id is its own member and the minimum of its members
+    grp = df.groupby("cluster_id")["doc_id"].min()
+    assert (grp.index == grp.values).all()
+
+
+def test_hll_accuracy_and_merge():
+    from logstash_filter_geoip_ray.functions.sketches import HLL
+
+    h = HLL(p=14).add_strings(str(i) for i in range(100_000))
+    est = h.estimate()
+    assert abs(est - 100_000) / 100_000 < 0.02
+    # mergeability: two halves merged == estimate over the union
+    h1 = HLL(p=14).add_strings(str(i) for i in range(50_000))
+    h2 = HLL(p=14).add_strings(str(i) for i in range(25_000, 100_000))
+    merged = HLL.from_bytes(h1.to_bytes()).merge(HLL.from_bytes(h2.to_bytes()))
+    assert abs(merged.estimate() - est) / est < 1e-9  # identical registers
+
+
+def test_approx_distinct_users_close_to_exact(ray_session, oracle_con):
+    ad = DATA_QUERIES["approx_distinct_users"](SF).to_pandas()
+    ex = oracle_con.sql(
+        "SELECT event_type, count(DISTINCT user_id) AS x FROM events GROUP BY 1"
+    ).df()
+    m = ad.merge(ex, on="event_type")
+    assert ((m["approx_distinct"] - m["x"]).abs() / m["x"]).max() < 0.03

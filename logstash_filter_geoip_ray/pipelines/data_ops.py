@@ -85,6 +85,21 @@ def q_dup_clusters(sf_dir: str):
     return dup_clusters(pairs)
 
 
+def q_dedup_filtered_docs(sf_dir: str):
+    """End-to-end near-dup dedup: pairs → clusters → broadcast anti-join
+    filter; returns the surviving doc ids."""
+    from ..stages.dedup import dup_clusters, filter_non_keepers, jaccard_pairs_by_block
+
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+    pairs = jaccard_pairs_by_block(docs, min_ratio=JACCARD_TAU)
+    clusters = dup_clusters(pairs)
+    return (
+        filter_non_keepers(_docs(sf_dir, ["doc_id"]), clusters)
+        .select_columns(["doc_id"])
+        .sort("doc_id")
+    )
+
+
 def q_approx_distinct_users(sf_dir: str):
     """Mergeable-sketch aggregation: HLL approx COUNT(DISTINCT user_id) per
     event_type. Approximate by design → rows-only driver check; the ±error
@@ -193,6 +208,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
+    "dedup_filtered_docs": q_dedup_filtered_docs,
     "approx_distinct_users": q_approx_distinct_users,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -295,6 +311,35 @@ WITH RECURSIVE sets AS (
 )
 SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
 FROM walk GROUP BY 1 ORDER BY 1
+""",
+    "dedup_filtered_docs": f"""
+WITH RECURSIVE sets AS (
+  SELECT DISTINCT doc_id, source, lower(unnest({_TOKENS})) AS w
+  FROM documents WHERE trim(text) <> ''
+), counts AS (
+  SELECT doc_id, count(*) AS c FROM sets GROUP BY 1
+), inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
+  FROM sets s1 JOIN sets s2
+    ON s1.source = s2.source AND s1.w = s2.w AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a, b FROM inter
+  JOIN counts ca ON ca.doc_id = a
+  JOIN counts cb ON cb.doc_id = b
+  WHERE inter >= {JACCARD_TAU} * (ca.c + cb.c - inter)
+), e AS (
+  SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+), walk(node, reach) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+  UNION
+  SELECT w.node, e.d FROM walk w JOIN e ON e.s = w.reach
+), clusters AS (
+  SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY 1
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id
 """,
     "dedup_embedding": f"""
 SELECT a.vec_id AS a, b.vec_id AS b

@@ -291,6 +291,27 @@ def dup_clusters(pairs_ds, a_col: str = "a", b_col: str = "b"):
     return ray.data.from_arrow(table)
 
 
+def filter_non_keepers(ds, clusters_ds, id_col: str = "doc_id"):
+    """Broadcast anti-join: drop every doc that belongs to a near-dup
+    cluster but is not its representative (min id). The drop-set is tiny
+    (≤ #near-dups), so it ships once via ``ray.put`` and each batch filters
+    vectorized — no shuffle join (the guide's semi/anti-join shape)."""
+    import ray
+
+    clusters = clusters_ds.to_pandas()
+    drop = set(
+        int(d) for d, c in zip(clusters["doc_id"], clusters["cluster_id"]) if d != c
+    )
+    drop_ref = ray.put(frozenset(drop))
+
+    def anti_join(batch: pa.Table) -> pa.Table:
+        drop_set = ray.get(drop_ref)
+        keep = pa.array([int(v) not in drop_set for v in batch[id_col].to_pylist()])
+        return batch.filter(keep)
+
+    return ds.map_batches(anti_join, batch_format="pyarrow")
+
+
 # -- embedding cosine near-dup ---------------------------------------------
 
 

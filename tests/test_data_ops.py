@@ -238,3 +238,16 @@ def test_approx_distinct_users_close_to_exact(ray_session, oracle_con):
     ).df()
     m = ad.merge(ex, on="event_type")
     assert ((m["approx_distinct"] - m["x"]).abs() / m["x"]).max() < 0.03
+
+
+def test_dedup_filtered_docs_matches_oracle(ray_session, oracle_con):
+    df = DATA_QUERIES["dedup_filtered_docs"](SF).to_pandas().reset_index(drop=True)
+    odf = oracle_con.sql(DATA_ORACLES["dedup_filtered_docs"]).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(df.astype(str), odf.astype(str))
+    # survivors include every cluster representative and no non-representative
+    clusters = DATA_QUERIES["dup_clusters"](SF).to_pandas()
+    reps = set(clusters["cluster_id"])
+    non_reps = set(clusters[clusters.doc_id != clusters.cluster_id]["doc_id"])
+    kept = set(df["doc_id"])
+    assert reps <= kept
+    assert not (non_reps & kept)

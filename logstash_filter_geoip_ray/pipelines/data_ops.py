@@ -194,6 +194,16 @@ def q_tumbling_windows(sf_dir: str):
     return tumbling_window_counts(_events(sf_dir, ["ts", "event_type", "value"]), WINDOW_SEC)
 
 
+def q_asof_last_signup(sf_dir: str):
+    """As-of join: each event joined with the user's most recent signup at
+    or before it (per-key ordered carry-forward)."""
+    from ..stages.windows import asof_last_event
+
+    return asof_last_event(
+        _events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    )
+
+
 def q_sessions(sf_dir: str):
     from ..stages.windows import sessionize
 
@@ -219,6 +229,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "distinct_event_types": q_distinct_event_types,
     "sample_events": q_sample_events,
     "tumbling_windows": q_tumbling_windows,
+    "asof_last_signup": q_asof_last_signup,
     "sessions": q_sessions,
 }
 
@@ -379,6 +390,13 @@ SELECT event_type,
        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "asof_last_signup": """
+SELECT event_id,
+       CAST(coalesce(max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING), -1) AS BIGINT) AS last_marker_us
+FROM events ORDER BY event_id
 """,
     "sessions": f"""
 WITH o AS (

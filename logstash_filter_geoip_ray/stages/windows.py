@@ -52,6 +52,43 @@ def tumbling_window_counts(
     )
 
 
+def asof_last_event(
+    ds,
+    marker_type: str = "signup",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    alias: str = "last_marker_us",
+):
+    """As-of join within an event stream: for every event, the µs timestamp
+    of the same key's most recent ``marker_type`` event at-or-before it
+    (self-inclusive). The classic per-key ordered carry-forward — sort each
+    key's group by (ts, id) and cummax the marker timestamps.
+
+    Partitioning assumption: one key's events fit one ``map_groups`` task
+    (same as sessionize). Deterministic tie order (ts, id) matches the SQL
+    window oracle exactly."""
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([ts_col, id_col])
+        ts_us = g[ts_col].astype("int64").to_numpy()
+        is_marker = (g[type_col] == marker_type).to_numpy()
+        vals = np.where(is_marker, ts_us, np.int64(np.iinfo(np.int64).min))
+        carried = np.maximum.accumulate(vals)
+        # no-marker-yet → -1 (avoids a nullable-int column whose pandas/
+        # DuckDB dtype conversions diverge in the driver comparison)
+        carried = np.where(carried == np.iinfo(np.int64).min, np.int64(-1), carried)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(), alias: carried})
+
+    return (
+        ds.select_columns([key_col, ts_col, type_col, id_col])
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+        .sort(id_col)
+    )
+
+
 def sessionize(
     ds,
     gap_sec: int = 1800,

@@ -251,3 +251,15 @@ def test_dedup_filtered_docs_matches_oracle(ray_session, oracle_con):
     kept = set(df["doc_id"])
     assert reps <= kept
     assert not (non_reps & kept)
+
+
+def test_asof_last_signup_matches_oracle(ray_session, oracle_con):
+    df = DATA_QUERIES["asof_last_signup"](SF).to_pandas().reset_index(drop=True)
+    odf = oracle_con.sql(DATA_ORACLES["asof_last_signup"]).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(df.astype(str), odf[df.columns].astype(str))
+    # self-inclusive: signup rows carry their own timestamp
+    ev = oracle_con.sql(
+        "SELECT event_id, epoch_us(ts) t FROM events WHERE event_type='signup'"
+    ).df()
+    merged = ev.merge(df, on="event_id")
+    assert (merged["t"] == merged["last_marker_us"]).all()

@@ -291,6 +291,75 @@ def dup_clusters(pairs_ds, a_col: str = "a", b_col: str = "b"):
     return ray.data.from_arrow(table)
 
 
+def label_propagation_clusters(pairs_ds, a_col: str = "a", b_col: str = "b",
+                               max_rounds: int = 50):
+    """Distributed connected components by iterated min-label propagation —
+    the scale path for pair sets too large for driver union-find. Entirely
+    shuffle-based: no broadcast of the label table, no driver-side state
+    beyond one scalar per round.
+
+    One round: co-locate each node's current label with its half-edges
+    (``groupby(node).map_groups``), send the label to every neighbor, then
+    ``groupby(node).min`` adopts the smallest proposal. Labels only ever
+    decrease, so ``sum(label)`` is strictly decreasing until convergence —
+    the stopping test is a single scalar aggregate, not a dataset diff.
+    Converges in O(component diameter) rounds.
+
+    Returns rows (doc_id, cluster_id = min id in component)."""
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch[a_col].combine_chunks() if isinstance(batch[a_col], pa.ChunkedArray) else batch[a_col]
+        b = batch[b_col].combine_chunks() if isinstance(batch[b_col], pa.ChunkedArray) else batch[b_col]
+        node = pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())])
+        neigh = pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())])
+        return pa.table({"node": node, "neigh": neigh})
+
+    half_edges = pairs_ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    # initial labels: own id (distinct nodes from the half-edge list)
+    labels = (
+        half_edges.groupby("node")
+        .aggregate(Min("node", alias_name="label"))
+        .materialize()
+    )
+
+    def propagate(group: pd.DataFrame) -> pd.DataFrame:
+        # rows: this node's half-edges (neigh >= 0) + its label row (neigh = -1)
+        label = int(group.loc[group["neigh"] < 0, "label"].min())
+        neighbors = group.loc[group["neigh"] >= 0, "neigh"].astype("int64")
+        out_nodes = list(neighbors) + [int(group["node"].iloc[0])]
+        return pd.DataFrame({"node": out_nodes, "label": [label] * len(out_nodes)})
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        tagged_labels = labels.map_batches(
+            lambda b: b.append_column("neigh", pa.array([-1] * b.num_rows, type=pa.int64())),
+            batch_format="pyarrow",
+        )
+        tagged_edges = half_edges.map_batches(
+            lambda b: b.append_column("label", pa.array([2**62] * b.num_rows, type=pa.int64())),
+            batch_format="pyarrow",
+        )
+        proposals = (
+            tagged_edges.union(tagged_labels)
+            .groupby("node")
+            .map_groups(propagate, batch_format="pandas")
+        )
+        labels = (
+            proposals.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
+        )
+        total = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if total == prev_sum:
+            break
+        prev_sum = total
+
+    return labels.map_batches(
+        lambda b: b.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow"
+    ).sort("doc_id")
+
+
 def filter_non_keepers(ds, clusters_ds, id_col: str = "doc_id"):
     """Broadcast anti-join: drop every doc that belongs to a near-dup
     cluster but is not its representative (min id). The drop-set is tiny

@@ -67,3 +67,20 @@ def test_config_change_invalidates(ray_session, tmp_path):
     other = GeoIPConfig(source="source_ip", database=DEFAULT_CITY_DB, cache_size=77)
     s = run_checkpointed(input_dir, out_dir, config=other)
     assert s["shards_processed"] == 4  # different config hash → full rerun
+
+
+def test_corrupted_manifest_triggers_rerun(ray_session, tmp_path):
+    """A truncated/corrupt manifest is treated as pending, not a crash."""
+    from logstash_filter_geoip_ray.state.checkpoint import manifest_path
+
+    input_dir = transcripts_path(SF, rows=ROWS)
+    out_dir = str(tmp_path / "ckpt3")
+    run_checkpointed(input_dir, out_dir)
+    import glob as _glob
+
+    first = sorted(_glob.glob(os.path.join(input_dir, "*.parquet")))[0]
+    with open(manifest_path(out_dir, first), "w") as f:
+        f.write('{"status": "done", "truncat')  # invalid JSON
+    s = run_checkpointed(input_dir, out_dir)
+    assert s["shards_processed"] == 1 and s["shards_skipped"] == 3
+    assert load_manifest(out_dir, first)["status"] == "done"

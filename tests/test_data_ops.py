@@ -263,3 +263,42 @@ def test_asof_last_signup_matches_oracle(ray_session, oracle_con):
     ).df()
     merged = ev.merge(df, on="event_id")
     assert (merged["t"] == merged["last_marker_us"]).all()
+
+
+def test_label_propagation_equals_union_find(ray_session):
+    """The distributed min-label-propagation components must equal the
+    driver union-find on a random graph (long chains included)."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.dedup import (
+        dup_clusters,
+        label_propagation_clusters,
+    )
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 200, 150)
+    b = rng.integers(0, 200, 150)
+    m = a != b
+    pairs = pa.table(
+        {
+            "a": pa.array(np.minimum(a[m], b[m]), type=pa.int64()),
+            "b": pa.array(np.maximum(a[m], b[m]), type=pa.int64()),
+        }
+    )
+    uf = dup_clusters(ray.data.from_arrow(pairs)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    lp = (
+        label_propagation_clusters(ray.data.from_arrow(pairs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(uf, lp)
+    # a pure 12-node chain needs diameter rounds — stresses convergence
+    chain = pa.table(
+        {
+            "a": pa.array(list(range(100, 111)), type=pa.int64()),
+            "b": pa.array(list(range(101, 112)), type=pa.int64()),
+        }
+    )
+    out = label_propagation_clusters(ray.data.from_arrow(chain)).to_pandas()
+    assert (out["cluster_id"] == 100).all() and len(out) == 12

@@ -116,6 +116,79 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+# -- KLL-style quantile sketch ---------------------------------------------
+
+
+class QuantileSketch:
+    """Mergeable quantile sketch: levelled compactors (KLL-style).
+
+    Level i holds items each representing 2^i originals; a full level is
+    sorted and every other item (deterministic even offset — reproducible
+    across runs) promoted to level i+1. Rank error is O(1/k) with the
+    default k=256 (≈1–2% on the quantiles we query). Serialization is a
+    plain dict of level arrays; merge = concatenate levels then re-compact.
+    """
+
+    def __init__(self, k: int = 256, levels: Optional[List[np.ndarray]] = None):
+        self.k = k
+        self.levels: List[np.ndarray] = levels if levels is not None else [
+            np.empty(0, dtype=np.float64)
+        ]
+
+    def _compact(self) -> None:
+        for i in range(len(self.levels)):
+            if len(self.levels[i]) <= self.k:
+                continue
+            level = np.sort(self.levels[i])
+            promoted = level[::2]  # deterministic: keep even ranks
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            self.levels[i] = np.empty(0, dtype=np.float64)
+
+    def add(self, values: np.ndarray) -> "QuantileSketch":
+        vals = np.asarray(values, dtype=np.float64)
+        vals = vals[~np.isnan(vals)]
+        self.levels[0] = np.concatenate([self.levels[0], vals])
+        self._compact()
+        return self
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        for i, lvl in enumerate(other.levels):
+            while i >= len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+            self.levels[i] = np.concatenate([self.levels[i], lvl])
+        self._compact()
+        return self
+
+    def quantile(self, q: float) -> float:
+        items, weights = [], []
+        for i, lvl in enumerate(self.levels):
+            items.append(lvl)
+            weights.append(np.full(len(lvl), 1 << i, dtype=np.int64))
+        allv = np.concatenate(items)
+        allw = np.concatenate(weights)
+        if len(allv) == 0:
+            return float("nan")
+        order = np.argsort(allv)
+        allv, allw = allv[order], allw[order]
+        cum = np.cumsum(allw)
+        target = q * cum[-1]
+        idx = int(np.searchsorted(cum, target, side="left"))
+        return float(allv[min(idx, len(allv) - 1)])
+
+    def to_payload(self) -> bytes:
+        import pickle
+
+        return pickle.dumps([lvl for lvl in self.levels])
+
+    @classmethod
+    def from_payload(cls, data: bytes, k: int = 256) -> "QuantileSketch":
+        import pickle
+
+        return cls(k, [np.asarray(lvl, dtype=np.float64) for lvl in pickle.loads(data)])
+
+
 # -- HyperLogLog ------------------------------------------------------------
 
 

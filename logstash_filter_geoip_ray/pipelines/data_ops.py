@@ -204,6 +204,14 @@ def q_asof_last_signup(sf_dir: str):
     )
 
 
+def q_value_quantiles(sf_dir: str):
+    """Mergeable quantile sketches: approx p50/p90/p99 of value per
+    event_type (rows-only driver check; tolerance asserted in tests)."""
+    from ..stages.aggregate import approx_quantiles
+
+    return approx_quantiles(_events(sf_dir, ["event_type", "value"]), "event_type", "value")
+
+
 def q_sessions(sf_dir: str):
     from ..stages.windows import sessionize
 
@@ -230,6 +238,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "sample_events": q_sample_events,
     "tumbling_windows": q_tumbling_windows,
     "asof_last_signup": q_asof_last_signup,
+    "value_quantiles": q_value_quantiles,
     "sessions": q_sessions,
 }
 

@@ -210,6 +210,54 @@ def approx_distinct(
     )
 
 
+def approx_quantiles(
+    ds,
+    key_col: str,
+    value_col: str,
+    quantiles=(0.5, 0.9, 0.99),
+    k: int = 256,
+):
+    """Approximate per-key quantiles via mergeable KLL-style sketches: one
+    sketch per (batch, key) → per-key merge in map_groups. Shuffle carries
+    sketches only. Output: one row per key with qXX float columns (rows-only
+    driver check; tolerance asserted in tests)."""
+    import pandas as pd
+
+    from ..functions.sketches import QuantileSketch
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, value_col]).to_pandas()
+        keys_out, payloads = [], []
+        for key, group in df.groupby(key_col, sort=False):
+            s = QuantileSketch(k).add(group[value_col].to_numpy(dtype=float))
+            keys_out.append(key)
+            payloads.append(s.to_payload())
+        return pa.table(
+            {
+                key_col: pa.array(keys_out, type=batch[key_col].type),
+                "_sk": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.sketches import QuantileSketch as _QS
+
+        merged = _QS.from_payload(group["_sk"].iloc[0], k)
+        for raw in group["_sk"].iloc[1:]:
+            merged.merge(_QS.from_payload(raw, k))
+        row = {key_col: [group[key_col].iloc[0]]}
+        for q in quantiles:
+            row["q%02d" % int(q * 100)] = [merged.quantile(q)]
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(sketch_batch, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge_group, batch_format="pandas")
+        .sort(key_col)
+    )
+
+
 def turn_histogram(
     ds,
     country_col: str = "country",

@@ -302,3 +302,38 @@ def test_label_propagation_equals_union_find(ray_session):
     )
     out = label_propagation_clusters(ray.data.from_arrow(chain)).to_pandas()
     assert (out["cluster_id"] == 100).all() and len(out) == 12
+
+
+def test_quantile_sketch_accuracy_and_merge():
+    from logstash_filter_geoip_ray.functions.sketches import QuantileSketch
+
+    rng = np.random.default_rng(9)
+    data = rng.normal(100, 15, 200_000)
+    s = QuantileSketch().add(data)
+    for q in (0.5, 0.9, 0.99):
+        exact = np.quantile(data, q)
+        # rank-error bound: compare by rank displacement, not value
+        approx = s.quantile(q)
+        rank = (data <= approx).mean()
+        assert abs(rank - q) < 0.02
+    # merge of halves ≈ whole
+    s1 = QuantileSketch().add(data[:100_000])
+    s2 = QuantileSketch().add(data[100_000:])
+    merged = s1.merge(s2)
+    rank = (data <= merged.quantile(0.5)).mean()
+    assert abs(rank - 0.5) < 0.02
+
+
+def test_value_quantiles_close_to_exact(ray_session, oracle_con):
+    vq = DATA_QUERIES["value_quantiles"](SF).to_pandas()
+    ex = oracle_con.sql(
+        """SELECT event_type, quantile_cont(value, 0.5) q50x,
+                  quantile_cont(value, 0.9) q90x, quantile_cont(value, 0.99) q99x
+           FROM events GROUP BY 1"""
+    ).df()
+    m = vq.merge(ex, on="event_type")
+    spread = oracle_con.sql(
+        "SELECT max(value) - min(value) AS s FROM events"
+    ).df()["s"][0]
+    for a, b in (("q50", "q50x"), ("q90", "q90x"), ("q99", "q99x")):
+        assert ((m[a] - m[b]).abs() / spread).max() < 0.05

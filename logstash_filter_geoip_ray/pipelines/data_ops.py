@@ -141,6 +141,54 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
 
 
+def q_customers_per_region(sf_dir: str):
+    """Broadcast dimension join: customer ⨝ nation ⨝ region (both dims tiny,
+    shipped once) → customer counts per region name."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts
+    from ..stages.joins import broadcast_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    dim = (
+        nation.to_pandas()
+        .merge(region.to_pandas(), left_on="n_regionkey", right_on="r_regionkey")
+    )[["n_nationkey", "r_name"]]
+    import pyarrow as pa
+
+    customers = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    joined = broadcast_join(
+        customers, pa.Table.from_pandas(dim), "c_nationkey", "n_nationkey"
+    )
+    return grouped_counts(joined, ["r_name"], "n", sort_result=True)
+
+
+def q_orders_per_nation(sf_dir: str):
+    """Partitioned hash join of two large-ish sides (orders ⨝ customer on
+    custkey, bucket-co-partitioned) then a broadcast nation join → order
+    counts per nation name."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts
+    from ..stages.joins import broadcast_join, hash_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    customers = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    joined = hash_join(orders, customers, "o_custkey", "c_custkey", num_buckets=16)
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"])
+    with_nation = broadcast_join(joined, nation, "c_nationkey", "n_nationkey")
+    return grouped_counts(with_nation, ["n_name"], "n", sort_result=True)
+
+
 def q_top_users(sf_dir: str):
     """sort + top-k: 20 most active users (count desc, user_id asc)."""
     from ..stages.aggregate import grouped_counts
@@ -233,6 +281,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "customers_per_region": q_customers_per_region,
+    "orders_per_nation": q_orders_per_nation,
     "top_users": q_top_users,
     "distinct_event_types": q_distinct_event_types,
     "sample_events": q_sample_events,
@@ -382,6 +432,18 @@ SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
   FROM sims
 ) WHERE rn <= {ANN_K}
 ORDER BY query_id, rank
+""",
+    "customers_per_region": """
+SELECT r.r_name, CAST(count(*) AS BIGINT) AS n
+FROM customer c JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+JOIN region r ON nt.n_regionkey = r.r_regionkey
+GROUP BY 1 ORDER BY 1
+""",
+    "orders_per_nation": """
+SELECT nt.n_name, CAST(count(*) AS BIGINT) AS n
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+GROUP BY 1 ORDER BY 1
 """,
     "top_users": """
 SELECT user_id, CAST(count(*) AS BIGINT) AS n

@@ -1,0 +1,84 @@
+"""Join operators: broadcast dimension join (small side shipped once via
+``ray.put``) and the portable partitioned hash join for two large sides
+(co-partition both on a stable key hash, merge matching buckets pairwise in
+``map_groups``).
+
+The reference's only join is the MMDB lookup (itself a broadcast-style
+lookup); these generalize the pattern for relational inputs. Partitioning
+assumption of ``hash_join``: one bucket's rows from both sides fit a task —
+pick ``num_buckets`` so rows/buckets is bounded, and salt hot keys upstream
+if a single key dominates a bucket."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import pandas as pd
+import pyarrow as pa
+
+from .aggregate import stable_key_hash
+
+
+def broadcast_join(
+    ds,
+    dim_table: pa.Table,
+    left_key: str,
+    right_key: str,
+    how: str = "left",
+):
+    """Join a Dataset against a small in-memory dimension table: the dim
+    table ships once (``ray.put``); each batch does a vectorized pandas
+    merge. No shuffle."""
+    import ray
+
+    dim_ref = ray.put(dim_table.to_pandas())
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        dim = ray.get(dim_ref)
+        left = batch.to_pandas()
+        out = left.merge(dim, how=how, left_on=left_key, right_on=right_key)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    num_buckets: int = 32,
+    how: str = "inner",
+):
+    """Partitioned hash join of two Datasets: both sides gain a stable hash
+    bucket on their key, buckets are co-located with one ``groupby`` over the
+    union, and each bucket merges its two sides in pandas. The only
+    all-to-all moves exactly the joined columns once."""
+
+    def tag(side: str, key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            col = batch[key]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out = batch.append_column("_bucket", stable_key_hash(col, num_buckets))
+            return out.append_column(
+                "_side", pa.array([side] * batch.num_rows, type=pa.string())
+            )
+
+        return fn
+
+    # capture each side's column list up front so a bucket holding only one
+    # side still merges with the correct (empty) other-side frame
+    left_cols = [n for n in left_ds.schema().names]
+    right_cols = [n for n in right_ds.schema().names]
+
+    left_tagged = left_ds.map_batches(tag("l", left_key), batch_format="pyarrow")
+    right_tagged = right_ds.map_batches(tag("r", right_key), batch_format="pyarrow")
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lrows = group.loc[group["_side"] == "l", left_cols]
+        rrows = group.loc[group["_side"] == "r", right_cols]
+        return lrows.merge(rrows, how=how, left_on=left_key, right_on=right_key)
+
+    unioned = left_tagged.union(right_tagged)
+    return unioned.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -337,3 +337,37 @@ def test_value_quantiles_close_to_exact(ray_session, oracle_con):
     ).df()["s"][0]
     for a, b in (("q50", "q50x"), ("q90", "q90x"), ("q99", "q99x")):
         assert ((m[a] - m[b]).abs() / spread).max() < 0.05
+
+
+@pytest.fixture(scope="module")
+def tpch_con():
+    con = duckdb.connect()
+    for t in ("customer", "nation", "region", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", ["customers_per_region", "orders_per_nation"])
+def test_join_queries_match_oracle(ray_session, tpch_con, name):
+    df = DATA_QUERIES[name](SF).to_pandas().reset_index(drop=True)
+    odf = tpch_con.sql(DATA_ORACLES[name]).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(df.astype(str), odf[list(df.columns)].astype(str))
+
+
+def test_hash_join_inner_semantics(ray_session):
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.joins import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 3], type=pa.int64()), "lv": ["a", "b", "c", "d"]})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k2": pa.array([3, 3, 4], type=pa.int64()), "rv": ["x", "y", "z"]})
+    )
+    out = hash_join(left, right, "k", "k2", num_buckets=4).to_pandas()
+    # inner join: key 3 has 2x2 matches, keys 1/2/4 drop
+    assert len(out) == 4
+    assert set(out["lv"]) == {"c", "d"} and set(out["rv"]) == {"x", "y"}

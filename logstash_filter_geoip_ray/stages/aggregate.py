@@ -96,6 +96,11 @@ def stable_key_hash(values: pa.Array, num_buckets: int) -> pa.Array:
     salted ``hash``). Vectorized."""
     import pandas as pd
 
+    # normalize integer widths first: hash_pandas_object hashes int32(-1)
+    # and int64(-1) differently, which would bucket matching keys of
+    # different declared widths into different partitions
+    if pa.types.is_integer(values.type):
+        values = values.cast(pa.int64())
     s = values.to_pandas()
     h = pd.util.hash_pandas_object(s, index=False).to_numpy()
     return pa.array((h % num_buckets).astype("int32"))
@@ -118,12 +123,11 @@ def bucket_by_key(ds, key_col: str, num_buckets: int, bucket_col: str = "_bucket
     return ds.map_batches(add_bucket, batch_format="pyarrow")
 
 
-def add_salt_column(ds, key_col: str, buckets: int, salt_col: str = "_salt"):
-    """P7 skew mitigation: spread a hot key over ``buckets`` sub-keys by
-    hashing a second column (or row position). First-stage aggregates run per
-    (key, salt); the second stage sums over salt — no single reducer sees a
-    whole hot key."""
-    import pyarrow.compute as pc
+def add_salt_column(ds, buckets: int, salt_col: str = "_salt"):
+    """P7 skew mitigation: spread every key over ``buckets`` sub-keys by row
+    position (round-robin — the most even spread for a hot key). First-stage
+    aggregates run per (key, salt); the second stage sums over salt — no
+    single reducer sees a whole hot key."""
 
     def salt(batch: pa.Table) -> pa.Table:
         # cheap deterministic spread: row-index modulo buckets
@@ -148,7 +152,7 @@ def salted_grouped_counts(
     (small) groupby over the keys sums the salted partials."""
     from ray.data.aggregate import Sum
 
-    salted = add_salt_column(ds, key_cols[0], buckets)
+    salted = add_salt_column(ds, buckets)
     stage1 = salted.map_batches(
         _partial_counts(list(key_cols) + ["_salt"], count_alias),
         batch_format="pyarrow",
@@ -181,8 +185,12 @@ def approx_distinct(
         keys_out, sketches = [], []
         tbl = batch.select([key_col, value_col])
         df = tbl.to_pandas()
+        import pandas as pd
+
         for key, group in df.groupby(key_col, sort=False):
-            h = HLL(p).add_strings(str(v) for v in group[value_col] if v is not None)
+            h = HLL(p).add_strings(
+                str(v) for v in group[value_col] if pd.notna(v)
+            )
             keys_out.append(key)
             sketches.append(h.to_bytes())
         return pa.table(
@@ -247,7 +255,7 @@ def approx_quantiles(
             merged.merge(_QS.from_payload(raw, k))
         row = {key_col: [group[key_col].iloc[0]]}
         for q in quantiles:
-            row["q%02d" % int(q * 100)] = [merged.quantile(q)]
+            row["q%02d" % int(round(q * 100))] = [merged.quantile(q)]
         return pd.DataFrame(row)
 
     return (

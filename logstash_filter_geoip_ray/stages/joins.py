@@ -55,29 +55,48 @@ def hash_join(
     union, and each bucket merges its two sides in pandas. The only
     all-to-all moves exactly the joined columns once."""
 
+    # build one combined, explicitly-typed schema for BOTH tagged sides: a
+    # plain union of disjoint schemas null-fills missing columns and silently
+    # promotes int64 to float64 (lossy above 2^53) — typed nulls prevent that
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_fields = list(zip(left_schema.names, left_schema.types))
+    right_fields = [
+        (n, t) for n, t in zip(right_schema.names, right_schema.types)
+        if n not in set(left_schema.names)
+    ]
+    all_fields = left_fields + right_fields
+    left_cols = [n for n, _ in left_fields]
+    right_cols = list(right_schema.names)
+
     def tag(side: str, key: str):
         def fn(batch: pa.Table) -> pa.Table:
             col = batch[key]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            out = batch.append_column("_bucket", stable_key_hash(col, num_buckets))
-            return out.append_column(
-                "_side", pa.array([side] * batch.num_rows, type=pa.string())
-            )
+            n = batch.num_rows
+            arrays, names = [], []
+            for name, typ in all_fields:
+                names.append(name)
+                if name in batch.column_names:
+                    c = batch[name]
+                    arrays.append(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+                else:
+                    arrays.append(pa.nulls(n, type=typ))
+            out = pa.Table.from_arrays(arrays, names=names)
+            out = out.append_column("_bucket", stable_key_hash(col, num_buckets))
+            return out.append_column("_side", pa.array([side] * n, type=pa.string()))
 
         return fn
-
-    # capture each side's column list up front so a bucket holding only one
-    # side still merges with the correct (empty) other-side frame
-    left_cols = [n for n in left_ds.schema().names]
-    right_cols = [n for n in right_ds.schema().names]
 
     left_tagged = left_ds.map_batches(tag("l", left_key), batch_format="pyarrow")
     right_tagged = right_ds.map_batches(tag("r", right_key), batch_format="pyarrow")
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lrows = group.loc[group["_side"] == "l", left_cols]
-        rrows = group.loc[group["_side"] == "r", right_cols]
+        # reindex so a bucket holding only one side still produces the other
+        # side's columns (empty, correctly named)
+        lrows = group[group["_side"] == "l"].reindex(columns=left_cols)
+        rrows = group[group["_side"] == "r"].reindex(columns=right_cols)
         return lrows.merge(rrows, how=how, left_on=left_key, right_on=right_key)
 
     unioned = left_tagged.union(right_tagged)

@@ -21,6 +21,7 @@ def tumbling_window_counts(
     width_sec: int = 3600,
     ts_col: str = "ts",
     key_col: str = "event_type",
+    value_col: str = "value",
 ):
     """Per (key, window) event count + sum(value) in integer millis.
     Window = floor(epoch_seconds / width). Partial-aggregated per batch."""
@@ -29,9 +30,9 @@ def tumbling_window_counts(
     def per_batch(batch: pa.Table) -> pa.Table:
         # integer µs arithmetic end-to-end — matches the oracle's
         # epoch_us(ts) // (width*1e6) with no float rounding in either engine
-        epoch_us = batch[ts_col].cast(pa.int64())
+        epoch_us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
         window = pc.divide(epoch_us, pa.scalar(width_sec * 1_000_000, type=pa.int64()))
-        value_milli = pc.cast(pc.floor(pc.multiply(batch["value"], 1000.0)), pa.int64())
+        value_milli = pc.cast(pc.floor(pc.multiply(batch[value_col], 1000.0)), pa.int64())
         work = pa.table(
             {
                 key_col: batch[key_col],
@@ -72,7 +73,9 @@ def asof_last_event(
 
     def per_key(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values([ts_col, id_col])
-        ts_us = g[ts_col].astype("int64").to_numpy()
+        # normalize to µs explicitly — the int64 view of a datetime64 column
+        # follows the SOURCE unit (ns-written parquet would be 1000x off)
+        ts_us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
         is_marker = (g[type_col] == marker_type).to_numpy()
         vals = np.where(is_marker, ts_us, np.int64(np.iinfo(np.int64).min))
         carried = np.maximum.accumulate(vals)
@@ -104,7 +107,7 @@ def sessionize(
 
     def per_user(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(ts_col)
-        ts = g[ts_col].astype("int64").to_numpy()  # µs, matches epoch_us(ts)
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
         new_session = np.ones(len(ts), dtype=bool)
         if len(ts) > 1:
             new_session[1:] = np.diff(ts) > gap_sec * 1_000_000

@@ -92,12 +92,20 @@ def hash_join(
     left_tagged = left_ds.map_batches(tag("l", left_key), batch_format="pyarrow")
     right_tagged = right_ds.map_batches(tag("r", right_key), batch_format="pyarrow")
 
-    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        # reindex so a bucket holding only one side still produces the other
-        # side's columns (empty, correctly named)
-        lrows = group[group["_side"] == "l"].reindex(columns=left_cols)
-        rrows = group[group["_side"] == "r"].reindex(columns=right_cols)
-        return lrows.merge(rrows, how=how, left_on=left_key, right_on=right_key)
+    def merge_bucket(tbl: pa.Table) -> pa.Table:
+        # split sides while still in Arrow and drop each side's null-filled
+        # foreign columns BEFORE the pandas conversion — converting an int64
+        # column that contains nulls would degrade it to float64 (lossy above
+        # 2^53 and dtype-breaking); each side's own columns carry no
+        # union-introduced nulls, so dtypes survive. Works for one-sided
+        # buckets too (an empty typed side merges cleanly).
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(tbl["_side"], "l")
+        lrows = tbl.filter(lmask).select(left_cols).to_pandas()
+        rrows = tbl.filter(pc.invert(lmask)).select(right_cols).to_pandas()
+        out = lrows.merge(rrows, how=how, left_on=left_key, right_on=right_key)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     unioned = left_tagged.union(right_tagged)
-    return unioned.groupby("_bucket").map_groups(merge_bucket, batch_format="pandas")
+    return unioned.groupby("_bucket").map_groups(merge_bucket, batch_format="pyarrow")

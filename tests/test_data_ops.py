@@ -371,3 +371,35 @@ def test_hash_join_inner_semantics(ray_session):
     # inner join: key 3 has 2x2 matches, keys 1/2/4 drop
     assert len(out) == 4
     assert set(out["lv"]) == {"c", "d"} and set(out["rv"]) == {"x", "y"}
+
+
+@pytest.mark.parametrize("lw,rw", [("int64", "int64"), ("int32", "int64"), ("int64", "int32")])
+def test_hash_join_mixed_widths_and_negatives(ray_session, lw, rw):
+    """Regression: width-sensitive key hashing and one-sided buckets."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(7)
+    lkeys = rng.integers(-50, 50, 300)
+    rkeys = rng.integers(-50, 200, 80)  # mostly disjoint → one-sided buckets
+    left = pa.table({"k": pa.array(lkeys, type=getattr(pa, lw)()), "lv": list(range(300))})
+    right = pa.table({"k2": pa.array(rkeys, type=getattr(pa, rw)()), "rv": list(range(80))})
+    out = (
+        hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right), "k", "k2", num_buckets=64)
+        .to_pandas()
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    expected = (
+        left.to_pandas()
+        .merge(right.to_pandas(), left_on="k", right_on="k2")
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(expected)
+    pd.testing.assert_frame_equal(
+        out[["k", "lv", "rv"]].astype("int64"), expected[["k", "lv", "rv"]].astype("int64")
+    )
+    # no float64 leakage on int keys
+    assert str(out["k"].dtype).startswith("int")

@@ -54,6 +54,8 @@ def cmd_enrich(args) -> int:
         ecs_compatibility=args.ecs,
         target=args.target,
     )
+    config.resolved_target()  # fail config errors here, not inside N tasks
+    config.resolved_database()
     summary = run_checkpointed(args.input, args.output, config=config)
     print(json.dumps(summary))
     ray.shutdown()
@@ -69,10 +71,12 @@ def cmd_pipeline(args) -> int:
     )
 
     ray = _ray_init(args.num_cpus)
-    counts = sink_counts(build_enriched(args.sf_dir)).to_pandas()
-    hist = country_turn_histogram(build_enriched(args.sf_dir)).to_pandas()
+    # build once; materialize so the three consumers share one execution
+    enriched = build_enriched(args.sf_dir).materialize()
+    counts = sink_counts(enriched).to_pandas()
+    hist = country_turn_histogram(enriched).to_pandas()
     if args.routed_out:
-        write_routed(build_enriched(args.sf_dir), args.routed_out)
+        write_routed(enriched, args.routed_out)
     print(
         json.dumps(
             {

@@ -44,9 +44,13 @@ def _enforce_schema(ds):
 
 
 def read_transcripts_parquet(paths, columns: Optional[Sequence[str]] = None, **kwargs):
+    """Parquet transcript source, schema-enforced like the JSON/CSV readers
+    (foreign writers may use ns timestamps or int64 turn_idx). Column-pruned
+    reads skip enforcement (partial schema)."""
     import ray.data
 
-    return ray.data.read_parquet(paths, columns=list(columns) if columns else None, **kwargs)
+    ds = ray.data.read_parquet(paths, columns=list(columns) if columns else None, **kwargs)
+    return ds if columns else _enforce_schema(ds)
 
 
 def read_transcripts_json(paths, **kwargs):

@@ -32,6 +32,7 @@ Output encoding (three-state contract, SURVEY.md §1.5 / FIXTURES.md §4):
 from __future__ import annotations
 
 import ipaddress
+import struct
 from functools import lru_cache
 from typing import Any, Dict, FrozenSet, List, Optional, Tuple
 
@@ -372,7 +373,10 @@ class GeoIPLookup:
             return False, None  # UnknownHostException path (E3)
         try:
             record, prefix_len = self.reader.get(addr)
-        except ValueError:
+        except (ValueError, IndexError, KeyError, struct.error):
+            # includes InvalidDatabaseError plus raw decode failures on a
+            # truncated/corrupt data section — degrade to a per-row failure
+            # like the reference's per-event catch, never kill the batch
             return False, None
         if record is None:
             return False, None  # AddressNotFoundException path (E4)

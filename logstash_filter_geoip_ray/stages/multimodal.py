@@ -79,13 +79,14 @@ class DecodeImageStage:
         return feats * scale
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        out = batch.drop_columns(["payload"])  # drop bytes before any shuffle
+        feat_type = pa.list_(pa.float32(), self.FEATURE_DIM)
+        if batch.num_rows == 0:
+            return out.append_column("features", pa.array([], type=feat_type))
         payloads = batch["payload"].to_pylist()
         metas = batch["meta"].to_pylist()
         feats = np.stack([self._decode_features(p, m) for p, m in zip(payloads, metas)])
-        out = batch.drop_columns(["payload"])  # drop bytes before any shuffle
-        return out.append_column(
-            "features", pa.array(list(feats), type=pa.list_(pa.float32(), self.FEATURE_DIM))
-        )
+        return out.append_column("features", pa.array(list(feats), type=feat_type))
 
 
 class FrameSampleStage:

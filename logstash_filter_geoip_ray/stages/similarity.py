@@ -15,13 +15,72 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.sketches import stable_hash64
+_PARTIAL_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("neighbor_id", pa.int64()), ("sim", pa.float64())]
+)
+
+
+def _empty_partial() -> pa.Table:
+    return _PARTIAL_SCHEMA.empty_table()
 
 
 def _normalized(mat: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     return mat / norms[:, None]
+
+
+def _batch_matrix(batch: pa.Table, id_col: str, vec_col: str):
+    """(ids, normalized matrix) from a batch; (None, None) for empty
+    batches — ``np.stack`` on an empty list raises."""
+    if batch.num_rows == 0:
+        return None, None
+    bids = np.asarray(batch[id_col])
+    bmat = _normalized(
+        np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
+    )
+    return bids, bmat
+
+
+def _select_topk(ref_ids, sims, bids, k) -> pa.Table:
+    """Per-query partial top-k with the same tie order (sim desc, id asc) the
+    final merge and the SQL oracle use — boundary ties never drop here."""
+    out_q, out_n, out_s = [], [], []
+    for qi in range(len(ref_ids)):
+        row = sims[qi]
+        mask = bids != ref_ids[qi]
+        cand_ids, cand_sims = bids[mask], row[mask]
+        if len(cand_ids) > k:
+            order = np.lexsort((cand_ids, -cand_sims))[:k]
+            cand_ids, cand_sims = cand_ids[order], cand_sims[order]
+        out_q.extend([int(ref_ids[qi])] * len(cand_ids))
+        out_n.extend(int(x) for x in cand_ids)
+        out_s.extend(float(s) for s in cand_sims)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor_id": pa.array(out_n, type=pa.int64()),
+            "sim": pa.array(out_s, type=pa.float64()),
+        }
+    )
+
+
+def _merge_topk_fn(k: int):
+    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
+        top = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        top = top.reset_index(drop=True)
+        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        return top[["query_id", "neighbor_id", "rank"]]
+
+    return merge_topk
+
+
+def _finalize(partials, k: int):
+    return (
+        partials.groupby("query_id")
+        .map_groups(_merge_topk_fn(k), batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )
 
 
 def _collect_queries(ds, query_ids: Sequence[int], id_col: str, vec_col: str):
@@ -54,46 +113,13 @@ def brute_force_topk(
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         ref_ids, ref_mat = ray.get(ref)
-        bids = np.asarray(batch[id_col])
-        bmat = _normalized(
-            np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
-        )
-        sims = ref_mat @ bmat.T  # (Q, B)
-        out_q, out_n, out_s = [], [], []
-        for qi in range(len(ref_ids)):
-            row = sims[qi]
-            mask = bids != ref_ids[qi]
-            cand_ids, cand_sims = bids[mask], row[mask]
-            if len(cand_ids) > k:
-                # tie-aware selection: order by (sim desc, id asc) exactly as
-                # the final merge and the SQL oracle do, so a boundary tie is
-                # never dropped in the partial stage
-                order = np.lexsort((cand_ids, -cand_sims))[:k]
-                cand_ids, cand_sims = cand_ids[order], cand_sims[order]
-            out_q.extend([int(ref_ids[qi])] * len(cand_ids))
-            out_n.extend(int(x) for x in cand_ids)
-            out_s.extend(float(s) for s in cand_sims)
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "neighbor_id": pa.array(out_n, type=pa.int64()),
-                "sim": pa.array(out_s, type=pa.float64()),
-            }
-        )
+        bids, bmat = _batch_matrix(batch, id_col, vec_col)
+        if bids is None:
+            return _empty_partial()
+        return _select_topk(ref_ids, ref_mat @ bmat.T, bids, k)
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
-
-    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
-        top = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        top = top.reset_index(drop=True)
-        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
-        return top[["query_id", "neighbor_id", "rank"]]
-
-    return (
-        partials.groupby("query_id")
-        .map_groups(merge_topk, batch_format="pandas")
-        .sort(["query_id", "rank"])
-    )
+    return _finalize(partials, k)
 
 
 # -- LSH-bucketed ANN (scale path) -----------------------------------------
@@ -110,6 +136,23 @@ class RandomHyperplaneLSH:
         bits = (mat @ self.planes.T) > 0
         weights = 1 << np.arange(bits.shape[1], dtype=np.int64)
         return (bits @ weights).astype(np.int64)
+
+
+def _multiprobe_buckets(qkeys, n_planes: int, multiprobe_bits: int) -> frozenset:
+    """Every bucket within Hamming distance ``multiprobe_bits`` of a query
+    bucket (all bit-flip combinations, not just single bits)."""
+    import itertools
+
+    accept: set = set()
+    for qk in qkeys:
+        accept.add(int(qk))
+        for d in range(1, multiprobe_bits + 1):
+            for bits in itertools.combinations(range(n_planes), d):
+                flipped = int(qk)
+                for b in bits:
+                    flipped ^= 1 << b
+                accept.add(flipped)
+    return frozenset(accept)
 
 
 def lsh_topk(
@@ -133,65 +176,22 @@ def lsh_topk(
     qids, qmat = _collect_queries(ds, query_ids, id_col, vec_col)
     dim = qmat.shape[1]
     lsh = RandomHyperplaneLSH(dim, n_planes)
-    qkeys = lsh.keys(qmat)
-    # multiprobe: accept buckets within hamming distance
-    accept: set = set()
-    for qk in qkeys:
-        accept.add(int(qk))
-        if multiprobe_bits >= 1:
-            for b in range(n_planes):
-                accept.add(int(qk) ^ (1 << b))
-    ref = ray.put((qids, qmat, lsh.planes, frozenset(accept)))
+    accept = _multiprobe_buckets(lsh.keys(qmat), n_planes, multiprobe_bits)
+    ref = ray.put((qids, qmat, lsh.planes, accept))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         ref_ids, ref_mat, planes, acc = ray.get(ref)
-        bids = np.asarray(batch[id_col])
-        bmat = _normalized(
-            np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
-        )
+        bids, bmat = _batch_matrix(batch, id_col, vec_col)
+        if bids is None:
+            return _empty_partial()
         bits = (bmat @ planes.T) > 0
         weights = 1 << np.arange(bits.shape[1], dtype=np.int64)
         keys = (bits @ weights).astype(np.int64)
         mask = np.array([int(key) in acc for key in keys])
         if not mask.any():
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "neighbor_id": pa.array([], type=pa.int64()),
-                    "sim": pa.array([], type=pa.float64()),
-                }
-            )
+            return _empty_partial()
         bids, bmat = bids[mask], bmat[mask]
-        sims = ref_mat @ bmat.T
-        out_q, out_n, out_s = [], [], []
-        for qi in range(len(ref_ids)):
-            row = sims[qi]
-            m2 = bids != ref_ids[qi]
-            cand_ids, cand_sims = bids[m2], row[m2]
-            if len(cand_ids) > k:
-                order = np.lexsort((cand_ids, -cand_sims))[:k]
-                cand_ids, cand_sims = cand_ids[order], cand_sims[order]
-            out_q.extend([int(ref_ids[qi])] * len(cand_ids))
-            out_n.extend(int(x) for x in cand_ids)
-            out_s.extend(float(s) for s in cand_sims)
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "neighbor_id": pa.array(out_n, type=pa.int64()),
-                "sim": pa.array(out_s, type=pa.float64()),
-            }
-        )
+        return _select_topk(ref_ids, ref_mat @ bmat.T, bids, k)
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
-
-    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
-        top = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        top = top.reset_index(drop=True)
-        top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
-        return top[["query_id", "neighbor_id", "rank"]]
-
-    return (
-        partials.groupby("query_id")
-        .map_groups(merge_topk, batch_format="pandas")
-        .sort(["query_id", "rank"])
-    )
+    return _finalize(partials, k)

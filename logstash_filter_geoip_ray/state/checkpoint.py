@@ -97,9 +97,18 @@ class _ShardWriter:
         assert len(paths) == 1, "expected one shard path per batch, got %s" % paths
         input_path = paths[0]
         work = pq.read_table(input_path)
-        work = make_extract_ips()(work)
+        # extract only when the configured source column is absent (generic
+        # shards may already carry the source field; honors --source-column)
+        if self.config.source not in work.column_names:
+            work = make_extract_ips(output_column=self.config.source)(work)
         work = WorkerCachedEnricher(self.config)(work)
-        work = add_routing_keys(self.config.resolved_target(), ecs=self.config.ecs)(work)
+        # country routing applies only to City-shaped targets; other DB
+        # types (ASN/ISP/...) have no country child — skip instead of raising
+        target_type = work.schema.field(self.config.resolved_target()).type
+        child_names = {f.name for f in target_type}
+        routed = ("geo" in child_names) if self.config.ecs else ("country_code2" in child_names)
+        if routed:
+            work = add_routing_keys(self.config.resolved_target(), ecs=self.config.ecs)(work)
 
         out_file = output_path(self.out_dir, input_path)
         os.makedirs(os.path.dirname(out_file), exist_ok=True)

@@ -325,6 +325,7 @@ class MMDBReader:
                 record = self._decoder._cache.get(data_offset)
                 if record is None:
                     record, _ = self._decoder.decode(data_offset)
+                    self._decoder._cache[data_offset] = record
                 if ipv4_only:
                     addr = ipaddress.IPv4Address(prefix << (32 - depth))
                 elif self.ip_version == 6:

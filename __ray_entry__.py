@@ -159,6 +159,7 @@ GROUP BY 1 ORDER BY 1
         "sink_counts": oracle_sink_counts_sql(sf),
         "sink_counts_ecs": oracle_sink_counts_sql(sf),
         "asn_counts_salted": oracle_asn_counts_sql(sf),
+        "sink_counts_custom_db": oracle_sink_counts_sql(sf),
         "turn_histogram": oracle_turn_histogram_sql(sf),
         "routed_rows": routed,
         "parse_tokens": parse_tokens,

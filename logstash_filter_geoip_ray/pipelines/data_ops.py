@@ -111,6 +111,62 @@ def q_approx_distinct_users(sf_dir: str):
     )
 
 
+def q_sink_counts_custom_db(sf_dir: str):
+    """The flagship sink counts computed through the CUSTOM lookup path:
+    compile the golden token→country side table into an engine-built MMDB,
+    enrich with CustomMMDBEnricher instead of the GeoIP projection, count
+    per (country, tool). Must equal the sink_counts oracle — one oracle,
+    two independent enrichment engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..functions.iputil import parse_ip
+    from ..sources.transcripts import ip_geo_path, transcripts_path
+    from ..stages.aggregate import grouped_counts
+    from ..stages.custom_lookup import CustomMMDBEnricher
+    from ..stages.parse import make_extract_ips
+    from ..state.mmdb_writer import build_mmdb
+
+    side = pq.read_table(ip_geo_path(sf_dir)).to_pylist()
+    entries = []
+    for row in side:
+        addr = parse_ip(row["ip"])
+        if addr is None or row["country_code2"] is None:
+            continue
+        entries.append(
+            ("%s/%d" % (addr, 32 if addr.version == 4 else 128),
+             {"country": row["country_code2"]})
+        )
+    import hashlib
+    import os as _os
+
+    db_path = "/tmp/custom_sink_db_%s.mmdb" % hashlib.md5(
+        repr(sorted(entries)).encode()
+    ).hexdigest()[:12]
+    if not _os.path.exists(db_path):
+        build_mmdb(entries, db_path + ".tmp", database_type="Custom-Country")
+        _os.replace(db_path + ".tmp", db_path)
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["text", "tool"])
+    ds = ds.map_batches(make_extract_ips(), batch_format="pyarrow")
+    ds = ds.map_batches(
+        CustomMMDBEnricher(db_path, {"country": pa.string()}),
+        batch_format="pyarrow",
+    )
+
+    def route(batch: pa.Table) -> pa.Table:
+        target = batch["lookup"]
+        if isinstance(target, pa.ChunkedArray):
+            target = target.combine_chunks()
+        country = pc.fill_null(pc.struct_field(target, ["country"]), "_miss")
+        return batch.select(["tool"]).append_column("country", country)
+
+    ds = ds.map_batches(route, batch_format="pyarrow")
+    return grouped_counts(ds, ["country", "tool"], "n", sort_result=True)
+
+
 def q_dedup_minhash(sf_dir: str):
     from ..stages.dedup import minhash_lsh_pairs
 
@@ -275,6 +331,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
     "dedup_filtered_docs": q_dedup_filtered_docs,
+    "sink_counts_custom_db": q_sink_counts_custom_db,
     "approx_distinct_users": q_approx_distinct_users,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,

@@ -70,7 +70,9 @@ class CustomMMDBEnricher:
             src = src.combine_chunks()
         enc = src.dictionary_encode()
         dictionary = enc.dictionary.to_pylist()
-        indices = pc.fill_null(enc.indices, 0) if len(dictionary) else enc.indices
+        # Null source rows keep a null index: pc.take propagates null indices
+        # to null outputs, so they can never alias dictionary slot 0's record.
+        indices = enc.indices
         records = [lookup(v) if v is not None else None for v in dictionary]
 
         child_arrays = []

@@ -356,6 +356,15 @@ class GeoIPLookup:
         except FileNotFoundError:
             raise ValueError("The database provided was not found in the path") from None
         self.db_type = database_from_type_string(self.reader.database_type)
+        #: Reference parity (GeoIPFilter.java:194-196): an unrecognized
+        #: database_type throws IllegalStateException("Unsupported database
+        #: type ...") per event. Failing at construction preserves the
+        #: fail-loudly intent without the reference's per-event throw —
+        #: a mis-typed DB must not silently tag-fail 100% of rows.
+        if self.db_type is DatabaseType.UNKNOWN:
+            raise ValueError(
+                "Unsupported database type %s" % self.reader.database_type
+            )
         self.desired = config.desired_fields(self.db_type)
         self.effective = self.desired & PROJECTION_FIELDS[self.db_type]
         self._model = _RESPONSE_MODELS.get(self.db_type)
@@ -745,6 +754,18 @@ class GeoIPEnricher:
             src_col = pa.array(
                 [x[0] if x else None for x in src_col.to_pylist()], type=pa.string()
             )
+        elif pa.types.is_null(src_col.type):
+            # an all-null column carries no type info; every row is the
+            # reference's `input == null` skip path
+            src_col = pa.nulls(n, type=pa.string())
+        elif not (
+            pa.types.is_string(src_col.type) or pa.types.is_large_string(src_col.type)
+        ):
+            #: E1 type parity (GeoIPFilter.java:159-162): a non-String,
+            #: non-List source raises IllegalArgumentException. Raising the
+            #: reference's message here fails the task with a clear schema
+            #: error instead of an opaque Arrow kernel crash.
+            raise TypeError("Expected input field value to be String or List type")
         src = src_col.combine_chunks() if isinstance(src_col, pa.ChunkedArray) else src_col
 
         trimmed = pc.utf8_trim_whitespace(src)

@@ -60,6 +60,16 @@ def hash_join(
     # promotes int64 to float64 (lossy above 2^53) — typed nulls prevent that
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
+    # a right-side column sharing a left-side name would be silently shadowed
+    # in the unified schema; only the shared-name join key itself is allowed
+    collisions = set(right_schema.names) & set(left_schema.names)
+    if right_key == left_key:
+        collisions.discard(right_key)
+    if collisions:
+        raise ValueError(
+            "hash_join: right-side column(s) %s collide with left-side names; "
+            "rename them before joining" % sorted(collisions)
+        )
     left_fields = list(zip(left_schema.names, left_schema.types))
     right_fields = [
         (n, t) for n, t in zip(right_schema.names, right_schema.types)

@@ -43,6 +43,29 @@ def _shard_stem(input_path: str) -> str:
     return os.path.splitext(os.path.basename(input_path))[0]
 
 
+def count_ok_rows(table: pa.Table, target: str) -> int:
+    """Successful enrichments = rows whose target struct is valid AND has at
+    least one non-null top-level child (the enricher's three-state contract:
+    null struct = not attempted, valid-all-null = attempted-but-failed).
+    Deliberately NOT derived from the tags column — input shards may carry
+    pre-existing tags, which would make tag-based counting undercount."""
+    import pyarrow.compute as pc
+
+    if target not in table.column_names:
+        return 0
+    col = table[target]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ok = pc.is_valid(col)
+    if col.type.num_fields:
+        any_child = None
+        for i in range(col.type.num_fields):
+            child_valid = pc.is_valid(col.field(i))
+            any_child = child_valid if any_child is None else pc.or_(any_child, child_valid)
+        ok = pc.and_(ok, any_child)
+    return int(pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
+
+
 def manifest_path(out_dir: str, input_path: str) -> str:
     return os.path.join(out_dir, "_manifests", _shard_stem(input_path) + ".json")
 
@@ -115,9 +138,7 @@ class _ShardWriter:
         pq.write_table(work, out_file + ".tmp")
         os.replace(out_file + ".tmp", out_file)
 
-        import pyarrow.compute as pc
-
-        ok_rows = int(pc.sum(pc.is_null(work["tags"]).cast(pa.int64())).as_py() or 0)
+        ok_rows = count_ok_rows(work, self.config.resolved_target())
         manifest = {
             "status": "done",
             "input_path": input_path,

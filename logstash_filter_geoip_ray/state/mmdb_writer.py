@@ -15,8 +15,9 @@ Implementation notes:
 - the data section deduplicates identical records (offset reuse — the
   format's pointer mechanism is not needed for correctness, so values are
   emitted inline once per distinct record);
-- supported value types: str, bool, int (uint32/uint64 by magnitude;
-  negative → int32), float (double), dict, list.
+- supported value types: str, bool, int (uint16/32/64/128 by magnitude;
+  negative → int32, so the encodable range is [-2^31, 2^128) — out-of-range
+  ints raise TypeError at build time), float (double), dict, list.
 """
 
 from __future__ import annotations
@@ -40,6 +41,11 @@ def _encode_value(value) -> bytes:
     if isinstance(value, float):
         return _ctrl(3, 8) + struct.pack(">d", value)
     if isinstance(value, int):
+        if value < -(1 << 31) or value >= (1 << 128):
+            # int32 is the only signed type; uint128 caps the unsigned range
+            raise TypeError(
+                "MMDB integer out of encodable range [-2^31, 2^128): %r" % value
+            )
         if value < 0:
             return bytes([(0 << 5) | 4, 8 - 7]) + struct.pack(">i", value)
         if value < (1 << 16):
@@ -49,7 +55,9 @@ def _encode_value(value) -> bytes:
             payload = value.to_bytes((value.bit_length() + 7) // 8, "big")
             return _ctrl(6, len(payload)) + payload
         payload = value.to_bytes((value.bit_length() + 7) // 8, "big")
-        return bytes([(0 << 5) | len(payload), 9 - 7]) + payload
+        if value < (1 << 64):
+            return bytes([(0 << 5) | len(payload), 9 - 7]) + payload
+        return bytes([(0 << 5) | len(payload), 10 - 7]) + payload
     if isinstance(value, dict):
         out = _ctrl(7, len(value))
         for k, v in value.items():

@@ -57,6 +57,29 @@ def test_checkpointed_run_and_resume(ray_session, tmp_path):
     assert "geoip" in sample.column_names and "country" in sample.column_names
 
 
+def test_count_ok_rows_ignores_preexisting_tags():
+    """ok_rows is derived from target-struct validity, so rows that succeed
+    while already carrying a tags value are still counted."""
+    import pyarrow as pa
+
+    from logstash_filter_geoip_ray.state.checkpoint import count_ok_rows
+
+    target = pa.array(
+        [
+            {"city_name": "Milton", "asn": None},  # success
+            {"city_name": None, "asn": None},  # attempted-but-failed
+            None,  # not attempted
+            {"city_name": None, "asn": 1221},  # success (partial fields)
+        ],
+        type=pa.struct([("city_name", pa.string()), ("asn", pa.int64())]),
+    )
+    tags = pa.array([["kept"], ["_geoip_lookup_failure"], None, ["kept"]],
+                    type=pa.list_(pa.string()))
+    tbl = pa.table({"geoip": target, "tags": tags})
+    assert count_ok_rows(tbl, "geoip") == 2
+    assert count_ok_rows(tbl, "missing_col") == 0
+
+
 def test_config_change_invalidates(ray_session, tmp_path):
     from logstash_filter_geoip_ray.functions.config import GeoIPConfig
     from logstash_filter_geoip_ray.sources.transcripts import DEFAULT_CITY_DB

@@ -373,6 +373,23 @@ def test_hash_join_inner_semantics(ray_session):
     assert set(out["lv"]) == {"c", "d"} and set(out["rv"]) == {"x", "y"}
 
 
+def test_hash_join_rejects_name_collision(ray_session):
+    """Right-side non-key columns sharing a left name must fail loudly, not
+    silently carry only the left values."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.joins import hash_join
+
+    left = ray.data.from_arrow(pa.table({"k": [1, 2], "v": ["a", "b"]}))
+    right = ray.data.from_arrow(pa.table({"k2": [1, 2], "v": ["x", "y"]}))
+    with pytest.raises(ValueError, match="collide"):
+        hash_join(left, right, "k", "k2", num_buckets=4)
+    # a shared-name join key alone is fine
+    same_key = ray.data.from_arrow(pa.table({"k": [1], "rv": ["x"]}))
+    out = hash_join(left, same_key, "k", "k", num_buckets=4).to_pandas()
+    assert len(out) == 1 and out["rv"][0] == "x"
+
+
 @pytest.mark.parametrize("lw,rw", [("int64", "int64"), ("int32", "int64"), ("int64", "int32")])
 def test_hash_join_mixed_widths_and_negatives(ray_session, lw, rw):
     """Regression: width-sensitive key hashing and one-sided buckets."""

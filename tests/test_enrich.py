@@ -281,6 +281,31 @@ def test_corrupt_database_build_error(tmp_path):
         GeoIPLookup(cfg)
 
 
+def test_non_string_source_type_error(db_paths):
+    """GeoIPFilter.java:159-162 parity: numeric source field raises with the
+    reference's message instead of an opaque Arrow kernel error."""
+    cfg = GeoIPConfig(source="message", database=db_paths["city"])
+    with pytest.raises(TypeError, match="Expected input field value to be String or List type"):
+        GeoIPEnricher(cfg)(pa.table({"message": pa.array([123, 456], type=pa.int64())}))
+    # all-null (type-less) column is the `input == null` skip path (tagged
+    # failure, target unset), not an error
+    out = GeoIPEnricher(cfg)(pa.table({"message": pa.nulls(2)})).to_pylist()
+    assert out[0]["geoip"] is None and out[0]["tags"] == ["_geoip_lookup_failure"]
+
+
+def test_unknown_database_type_build_error(tmp_path):
+    """GeoIPFilter.java:194-196 parity: an unrecognized database_type must
+    fail loudly (at construction here, vs per-event in the reference), never
+    silently tag-fail every row."""
+    from logstash_filter_geoip_ray.state.mmdb_writer import build_mmdb
+
+    db = str(tmp_path / "odd.mmdb")
+    build_mmdb([("10.0.0.0/8", {"x": 1})], db, database_type="Frobnicator-DB")
+    cfg = GeoIPConfig(source="message", database=db)
+    with pytest.raises(ValueError, match="Unsupported database type Frobnicator-DB"):
+        GeoIPLookup(cfg)
+
+
 def test_lookup_cache_transparent(db_paths):
     cfg = GeoIPConfig(source="message", database=db_paths["city"], cache_size=2)
     lk = GeoIPLookup(cfg)

@@ -57,6 +57,34 @@ def test_large_value_types(tmp_path):
         assert rec["u64"] == 1 << 40 and rec["nested"] == {"a": 1}
 
 
+def test_integer_encoding_edges(tmp_path):
+    path = str(tmp_path / "i.mmdb")
+    build_mmdb(
+        [
+            (
+                "6.0.0.0/8",
+                {
+                    "min32": -(1 << 31),
+                    "u64max": (1 << 64) - 1,
+                    "u128": 1 << 100,
+                    "u128max": (1 << 128) - 1,
+                },
+            )
+        ],
+        path,
+    )
+    with MMDBReader(path) as r:
+        rec, _ = r.get("6.1.2.3")
+        assert rec["min32"] == -(1 << 31)
+        assert rec["u64max"] == (1 << 64) - 1
+        assert rec["u128"] == 1 << 100
+        assert rec["u128max"] == (1 << 128) - 1
+    with pytest.raises(TypeError, match="encodable range"):
+        build_mmdb([("7.0.0.0/8", {"x": -(1 << 31) - 1})], str(tmp_path / "b1.mmdb"))
+    with pytest.raises(TypeError, match="encodable range"):
+        build_mmdb([("7.0.0.0/8", {"x": 1 << 128})], str(tmp_path / "b2.mmdb"))
+
+
 def test_custom_lookup_stage(ray_session, tmp_path):
     import ray.data
 
@@ -81,3 +109,20 @@ def test_custom_lookup_stage(ray_session, tmp_path):
     assert rows["10.9.9.9"] == {"org": "internal", "risk": 1}
     assert rows["203.0.113.50"] == {"org": "testnet", "risk": 8}
     assert rows["8.8.8.8"] is None and rows["bogus"] is None
+    assert rows[None] is None  # null source must never alias a dict slot
+
+
+def test_custom_lookup_null_source_no_slot0_alias(tmp_path):
+    """Regression: a null source row in a batch whose first distinct value
+    HITS the DB must come back null, not with dictionary slot 0's record."""
+    from logstash_filter_geoip_ray.stages.custom_lookup import CustomMMDBEnricher
+
+    side = pa.table({"network": ["10.0.0.0/8"], "org": ["internal"]})
+    db = build_mmdb_from_table(side, str(tmp_path / "side.mmdb"))
+    enricher = CustomMMDBEnricher(db, {"org": pa.string()})
+    # slot 0 = "10.1.1.1" (a hit); second row is null
+    batch = pa.table({"source_ip": pa.array(["10.1.1.1", None, "10.1.1.1"])})
+    out = enricher(batch)
+    col = out["lookup"].combine_chunks()
+    assert col.is_valid().to_pylist() == [True, False, True]
+    assert col[0].as_py() == {"org": "internal"}

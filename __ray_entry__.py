@@ -28,7 +28,9 @@ def entry() -> Any:
         sink_counts,
     )
 
-    return sink_counts(build_enriched("/root/testdata/sf0.001"))
+    return sink_counts(
+        build_enriched("/root/testdata/sf0.001", columns=["text", "tool"], drop_text=True)
+    )
 
 
 def _q_sink_counts(sf_dir: str):
@@ -37,7 +39,9 @@ def _q_sink_counts(sf_dir: str):
         sink_counts,
     )
 
-    return sink_counts(build_enriched(sf_dir))
+    # aggregate-only consumer: prune the read to the two needed columns and
+    # drop text at extraction — the widest column never leaves stage one
+    return sink_counts(build_enriched(sf_dir, columns=["text", "tool"], drop_text=True))
 
 
 def _q_turn_histogram(sf_dir: str):
@@ -46,7 +50,9 @@ def _q_turn_histogram(sf_dir: str):
         country_turn_histogram,
     )
 
-    return country_turn_histogram(build_enriched(sf_dir))
+    return country_turn_histogram(
+        build_enriched(sf_dir, columns=["text", "turn_idx"], drop_text=True)
+    )
 
 
 def _q_routed_rows(sf_dir: str):
@@ -54,7 +60,7 @@ def _q_routed_rows(sf_dir: str):
     (conv_id, turn_idx) carried through — per-turn text equality check."""
     from logstash_filter_geoip_ray.pipelines.geoip_pipeline import build_enriched
 
-    ds = build_enriched(sf_dir)
+    ds = build_enriched(sf_dir, columns=["conv_id", "turn_idx", "text", "tool"])
     return ds.select_columns(["conv_id", "turn_idx", "text", "tool", "country"]).sort(
         ["conv_id", "turn_idx"]
     )
@@ -76,7 +82,9 @@ def _q_sink_counts_ecs(sf_dir: str):
         ecs_compatibility="v1",
         target="client",
     )
-    return sink_counts(build_enriched(sf_dir, config=cfg))
+    return sink_counts(
+        build_enriched(sf_dir, config=cfg, columns=["text", "tool"], drop_text=True)
+    )
 
 
 def _q_asn_counts_salted(sf_dir: str):

@@ -64,8 +64,15 @@ def build_enriched(
     batch_size: Optional[int] = None,
     columns: Optional[list] = None,
     add_routing: bool = True,
+    drop_text: bool = False,
 ):
     """Dataset of transcripts + geoip struct + tags + country routing key.
+
+    ``columns`` prunes the Parquet read to exactly the needed input columns
+    (aggregate-only consumers: pass ``["text", "tool"]`` etc. — at fleet
+    scale an unpruned read roughly doubles scanned bytes for the headline
+    aggregates). ``drop_text=True`` additionally drops ``text`` right after
+    token extraction so the widest column never leaves the first map stage.
 
     - ``enrich_mode="tasks"`` (default): stateless tasks with a per-worker-
       process enricher singleton (WorkerCachedEnricher) — fastest; read-only
@@ -98,7 +105,11 @@ def build_enriched(
     nblocks = min(nfiles, max(4 * ncpu, 64)) if nfiles else None
     read_kwargs = {"override_num_blocks": nblocks} if nblocks else {}
     ds = ray.data.read_parquet(path, columns=columns, **read_kwargs)
-    ds = ds.map_batches(make_extract_ips(), batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(
+        make_extract_ips(drop_text=drop_text),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
     if enrich_mode == "tasks":
         ds = ds.map_batches(
             WorkerCachedEnricher(config), batch_format="pyarrow", batch_size=batch_size
@@ -171,7 +182,10 @@ def asn_salted_counts(sf_dir: str, rows: Optional[int] = None, buckets: int = 8)
     from ..stages.aggregate import salted_grouped_counts
 
     cfg = GeoIPConfig(source="source_ip", database=DEFAULT_ASN_DB)
-    ds = build_enriched(sf_dir, config=cfg, rows=rows, add_routing=False)
+    ds = build_enriched(
+        sf_dir, config=cfg, rows=rows, add_routing=False,
+        columns=["text"], drop_text=True,
+    )
 
     def add_asn_key(batch):
         target = batch[cfg.resolved_target()]
@@ -179,7 +193,7 @@ def asn_salted_counts(sf_dir: str, rows: Optional[int] = None, buckets: int = 8)
             target = target.combine_chunks()
         asn = pc.struct_field(target, ["asn"])
         key = pc.fill_null(pc.cast(asn, pa.string()), MISS_KEY)
-        return batch.select(["conv_id"]).append_column("asn_key", key)
+        return pa.table({"asn_key": key})
 
     keyed = ds.map_batches(add_asn_key, batch_format="pyarrow")
     return salted_grouped_counts(keyed, ["asn_key"], "n", buckets=buckets).sort(

@@ -27,9 +27,14 @@ def make_extract_ips(
     text_column: str = "text",
     output_column: str = "source_ip",
     pattern: str = DEFAULT_PATTERN,
+    drop_text: bool = False,
 ):
     """Returns a stateless batch fn: adds ``output_column`` (string, null when
-    no match) extracted from ``text_column``."""
+    no match) extracted from ``text_column``.
+
+    ``drop_text=True`` drops the (large) text column as soon as the token is
+    extracted — aggregate-only consumers should set it so the widest column
+    never travels past this stage."""
 
     def extract_ips(batch: pa.Table) -> pa.Table:
         text = batch[text_column]
@@ -37,6 +42,8 @@ def make_extract_ips(
             text = text.combine_chunks()
         matches = pc.extract_regex(text, pattern)  # struct<ip: string>, null on no-match
         token = pc.struct_field(matches, "ip")
+        if drop_text:
+            batch = batch.drop_columns([text_column])
         if output_column in batch.column_names:
             batch = batch.drop_columns([output_column])
         return batch.append_column(output_column, token)

@@ -130,6 +130,19 @@ def _run_bench() -> dict:
     queries["routed_write"] = round(time.perf_counter() - t0, 3)
     subprocess.run(["rm", "-rf", out_dir], check=False)
 
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        write_routed_bucketed,
+    )
+
+    out_dir2 = "/tmp/bench_routed_b_%d" % os.getpid()
+    t0 = time.perf_counter()
+    _, nfiles = write_routed_bucketed(
+        build_enriched(SF_DIR, rows=bench_rows), out_dir2, num_buckets=NUM_CPUS
+    )
+    queries["routed_write_bucketed"] = round(time.perf_counter() - t0, 3)
+    queries["routed_write_bucketed_files"] = nfiles
+    subprocess.run(["rm", "-rf", out_dir2], check=False)
+
     ray.shutdown()
 
     headline = queries["sink_counts"]

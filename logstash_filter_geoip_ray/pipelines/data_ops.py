@@ -100,6 +100,24 @@ def q_dedup_filtered_docs(sf_dir: str):
     )
 
 
+def q_dedup_filtered_docs_minhash(sf_dir: str):
+    """End-to-end near-dup dedup through the SCALE path: MinHash+LSH
+    candidates (band shuffle carries ids only) → exact-Jaccard verify →
+    clusters → anti-join filter. The keeper set must equal the all-pairs
+    exact word-3-gram-Jaccard oracle — planted dups sit at J ≥ 0.9 where
+    32-band/4-row LSH recall is 1 − (1 − 0.9⁴)³² ≈ 1 − 10⁻¹⁵."""
+    from ..stages.dedup import dup_clusters, filter_non_keepers, minhash_lsh_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, min_jaccard=0.5)
+    clusters = dup_clusters(pairs)
+    return (
+        filter_non_keepers(_docs(sf_dir, ["doc_id"]), clusters)
+        .select_columns(["doc_id"])
+        .sort("doc_id")
+    )
+
+
 def q_approx_distinct_users(sf_dir: str):
     """Mergeable-sketch aggregation: HLL approx COUNT(DISTINCT user_id) per
     event_type. Approximate by design → rows-only driver check; the ±error
@@ -180,9 +198,12 @@ def q_dedup_simhash(sf_dir: str):
 
 
 def q_dedup_embedding(sf_dir: str):
+    """Exact all-pairs cosine dedup through the block-grid self-join (the
+    scale default — no driver materialization); the broadcast variant is the
+    in-test cross-check."""
     from ..stages.dedup import embedding_dup_pairs
 
-    return embedding_dup_pairs(_emb(sf_dir), min_cosine=EMB_DUP_TAU)
+    return embedding_dup_pairs(_emb(sf_dir, ["vec_id", "embedding"]), min_cosine=EMB_DUP_TAU)
 
 
 def q_ann_topk(sf_dir: str):
@@ -331,6 +352,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
     "dedup_filtered_docs": q_dedup_filtered_docs,
+    "dedup_filtered_docs_minhash": q_dedup_filtered_docs_minhash,
     "sink_counts_custom_db": q_sink_counts_custom_db,
     "approx_distinct_users": q_approx_distinct_users,
     "dedup_minhash": q_dedup_minhash,
@@ -455,6 +477,44 @@ WITH RECURSIVE sets AS (
   JOIN counts ca ON ca.doc_id = a
   JOIN counts cb ON cb.doc_id = b
   WHERE inter >= {JACCARD_TAU} * (ca.c + cb.c - inter)
+), e AS (
+  SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+), walk(node, reach) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+  UNION
+  SELECT w.node, e.d FROM walk w JOIN e ON e.s = w.reach
+), clusters AS (
+  SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY 1
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+ORDER BY d.doc_id
+""",
+    # exact word-3-gram Jaccard over ALL pairs (no blocking) at threshold 1/2
+    # (integer comparison: 2·inter ≥ union) — the ground truth the MinHash+LSH
+    # scale path must reproduce exactly on this corpus (planted dups J ≥ 0.9)
+    "dedup_filtered_docs_minhash": f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents WHERE trim(text) <> ''
+), grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+  FROM toks
+), sets AS (
+  SELECT DISTINCT doc_id, g FROM grams
+), counts AS (
+  SELECT doc_id, count(*) AS c FROM sets GROUP BY 1
+), inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
+  FROM sets s1 JOIN sets s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a, b FROM inter
+  JOIN counts ca ON ca.doc_id = a
+  JOIN counts cb ON cb.doc_id = b
+  WHERE inter * 2 >= (ca.c + cb.c - inter)
 ), e AS (
   SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
 ), walk(node, reach) AS (

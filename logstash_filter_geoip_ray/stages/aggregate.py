@@ -40,7 +40,7 @@ def _combine_sums(key_cols: Sequence[str], sum_cols: Sequence[str], sort: bool):
 
 
 def tree_sum(ds, key_cols: Sequence[str], sum_cols: Sequence[str],
-             tree_width: int = 32, sort_result: bool = True):
+             sort_result: bool = True):
     """Sum ``sum_cols`` per key via a repartition tree instead of Ray's
     native hash-aggregate: coalesce partial blocks → combine per task →
     single final combine (+ sort inside that task).
@@ -130,9 +130,11 @@ def add_salt_column(ds, buckets: int, salt_col: str = "_salt"):
     single reducer sees a whole hot key."""
 
     def salt(batch: pa.Table) -> pa.Table:
-        # cheap deterministic spread: row-index modulo buckets
+        # cheap deterministic spread: row-index modulo buckets (vectorized)
+        import numpy as np
+
         n = batch.num_rows
-        salt_arr = pa.array([i % buckets for i in range(n)], type=pa.int32())
+        salt_arr = pa.array((np.arange(n) % buckets).astype("int32"))
         if salt_col in batch.column_names:
             batch = batch.drop_columns([salt_col])
         return batch.append_column(salt_col, salt_arr)

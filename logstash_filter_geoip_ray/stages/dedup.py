@@ -67,12 +67,12 @@ def exact_dedup_keepers(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 class MinHashBandStage:
-    """map_batches stage: text → LSH band rows (band_key, id, text).
+    """map_batches stage: text → LSH band rows (band_key, id) ONLY.
 
-    Text is carried with the band row so candidate verification happens right
-    after the groupby without a second join; at larger payloads swap for a
-    join back by id.
-    """
+    The band shuffle is the one all-to-all in the MinHash path; its rows must
+    be minimal — carrying text would ship ~``bands``× the corpus through the
+    object store. Candidate texts are re-attached later by id (broadcast
+    semi-join in :func:`minhash_lsh_pairs`)."""
 
     def __init__(self, num_perm=128, bands=32, shingle_k=3, text_col="text", id_col="doc_id"):
         self.hasher = MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
@@ -80,7 +80,7 @@ class MinHashBandStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, keys, texts = [], [], []
+        ids, keys = [], []
         for doc_id, text in zip(
             batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
         ):
@@ -90,16 +90,50 @@ class MinHashBandStage:
             for key in self.hasher.band_keys(sig):
                 ids.append(doc_id)
                 keys.append(key)
-                texts.append(text)
         return pa.table(
             {
                 "band_key": pa.array(keys, type=pa.string()),
                 # explicit type: an all-skipped block must not emit a
                 # null-typed id column that breaks schema unification
                 self.id_col: pa.array(ids, type=batch[self.id_col].type),
-                self.text_col: pa.array(texts, type=pa.string()),
             }
         )
+
+
+def minhash_candidate_pairs(
+    ds,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Distinct LSH candidate pairs (a, b), a < b — ids only, no payload.
+
+    Shape: (band_key, id) explode → ``groupby(band_key)`` co-locates bucket
+    members → per-bucket id pairs → per-batch distinct → global distinct.
+    Shuffle volume = docs × bands tiny rows + candidate pairs."""
+    from ray.data.aggregate import Count
+
+    stage = MinHashBandStage(num_perm, bands, shingle_k, text_col, id_col)
+    banded = ds.map_batches(stage, batch_format="pyarrow")
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids_ = sorted(set(int(v) for v in group[id_col]))
+        out = [(a, b) for i, a in enumerate(ids_) for b in ids_[i + 1 :]]
+        return pd.DataFrame(out, columns=["a", "b"], dtype="int64")
+
+    cand = banded.groupby("band_key").map_groups(pairs_in_bucket, batch_format="pandas")
+
+    def partial_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["a", "b"]).aggregate([])
+
+    return (
+        cand.map_batches(partial_distinct, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["a", "b"])
+    )
 
 
 def minhash_lsh_pairs(
@@ -111,41 +145,75 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ):
-    """Verified near-duplicate pairs: (a, b, inter, union) with exact
-    word-shingle Jaccard ≥ min_jaccard among LSH candidates. a < b."""
-    stage = MinHashBandStage(num_perm, bands, shingle_k, text_col, id_col)
-    banded = ds.map_batches(stage, batch_format="pyarrow")
+    """Verified near-duplicate pairs: (a, b, inter, union_) with exact
+    word-shingle Jaccard ≥ min_jaccard among LSH candidates. a < b.
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+    Scale shape: the band shuffle moves (band_key, id) only; candidate texts
+    are fetched by a broadcast SEMI-join — the candidate-id set (bounded by
+    near-dups + LSH false positives, orders of magnitude smaller than the
+    corpus by construction) ships once via ``ray.put``, each doc batch keeps
+    matching rows with a vectorized ``pc.is_in``, and the small candidate
+    corpus broadcasts back for the distributed exact-Jaccard verify. The
+    full text column never enters a shuffle. If the candidate set ever
+    outgrows a worker heap, swap the broadcast for two ``hash_join`` passes
+    attaching text_a/text_b."""
+    import ray
+
+    cand = minhash_candidate_pairs(
+        ds, num_perm, bands, shingle_k, text_col, id_col
+    ).materialize()
+
+    # candidate ids: provably-small driver pull (ids only, int64)
+    cand_ids: set = set()
+    for batch in cand.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(batch["a"].to_pylist())
+        cand_ids.update(batch["b"].to_pylist())
+    if not cand_ids:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "inter": pa.array([], type=pa.int64()),
+                    "union_": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    ids_ref = ray.put(pa.array(sorted(cand_ids), type=pa.int64()))
+
+    def semi_join(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        keep = pc.is_in(pc.cast(batch[id_col], pa.int64()), value_set=wanted)
+        return batch.filter(keep).select([id_col, text_col])
+
+    cand_docs = ds.map_batches(semi_join, batch_format="pyarrow").to_pandas()
+    texts_ref = ray.put(
+        dict(zip((int(v) for v in cand_docs[id_col]), cand_docs[text_col]))
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
         out = []
-        items = list(zip(rows[id_col], rows[text_col]))
-        for i in range(len(items)):
-            for j in range(i + 1, len(items)):
-                (ida, ta), (idb, tb) = items[i], items[j]
-                inter, union = exact_jaccard(ta, tb, shingle_k)
-                if union and inter / union >= min_jaccard:
-                    out.append((ida, idb, inter, union))
-        return pd.DataFrame(out, columns=["a", "b", "inter", "union_"])
-
-    pairs = banded.groupby("band_key").map_groups(pairs_in_bucket, batch_format="pandas")
-
-    # a pair can surface from several bands → dedupe on (a, b)
-    def partial_dedupe(batch: pa.Table) -> pa.Table:
-        return (
-            batch.group_by(["a", "b"])
-            .aggregate([("inter", "min"), ("union_", "min")])
-            .rename_columns(["a", "b", "inter", "union_"])
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            ta, tb = texts.get(int(a)), texts.get(int(b))
+            if ta is None or tb is None:
+                continue
+            inter, union = exact_jaccard(ta, tb, shingle_k)
+            if union and inter / union >= min_jaccard:
+                out.append((int(a), int(b), inter, union))
+        arr = list(zip(*out)) if out else ([], [], [], [])
+        return pa.table(
+            {
+                "a": pa.array(arr[0], type=pa.int64()),
+                "b": pa.array(arr[1], type=pa.int64()),
+                "inter": pa.array(arr[2], type=pa.int64()),
+                "union_": pa.array(arr[3], type=pa.int64()),
+            }
         )
 
-    from ray.data.aggregate import Min
-
-    deduped = (
-        pairs.map_batches(partial_dedupe, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Min("inter", alias_name="inter"), Min("union_", alias_name="union_"))
-    )
-    return deduped.sort(["a", "b"])
+    return cand.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
 
 
 # -- SimHash ----------------------------------------------------------------
@@ -368,14 +436,16 @@ def filter_non_keepers(ds, clusters_ds, id_col: str = "doc_id"):
     import ray
 
     clusters = clusters_ds.to_pandas()
-    drop = set(
+    drop = sorted(
         int(d) for d, c in zip(clusters["doc_id"], clusters["cluster_id"]) if d != c
     )
-    drop_ref = ray.put(frozenset(drop))
+    drop_ref = ray.put(pa.array(drop, type=pa.int64()))
 
     def anti_join(batch: pa.Table) -> pa.Table:
-        drop_set = ray.get(drop_ref)
-        keep = pa.array([int(v) not in drop_set for v in batch[id_col].to_pylist()])
+        drop_arr = ray.get(drop_ref)
+        keep = pc.invert(
+            pc.is_in(pc.cast(batch[id_col], pa.int64()), value_set=drop_arr)
+        )
         return batch.filter(keep)
 
     return ds.map_batches(anti_join, batch_format="pyarrow")
@@ -389,13 +459,120 @@ def embedding_dup_pairs(
     min_cosine: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    num_blocks: int = 8,
 ):
-    """All pairs with cosine ≥ min_cosine: the reference matrix is broadcast
-    once via ``ray.put`` and every batch does one float64 matmul against it.
-    Output (a, b) int pairs, a < b.
+    """All pairs with cosine ≥ min_cosine, computed EXACTLY via a block-grid
+    self-join (no driver materialization, no full-matrix broadcast). Output
+    (a, b) int64 pairs, a < b.
 
-    Scale note: broadcast works while the matrix fits a worker heap
-    (~10⁶ × dim); beyond that use LSH bucketing (similarity.lsh_topk)."""
+    Scale shape: every vector lands in bucket ``id % num_blocks``; a row in
+    bucket p is replicated to the grid cells {(i,p): i ≤ p} ∪ {(p,j): j ≥ p}
+    (``num_blocks`` copies), ``groupby(cell)`` co-locates each cell's two
+    buckets, and one numpy matmul per cell scores that block pair. Each
+    unordered pair of vectors meets in exactly one cell → exact results.
+    Shuffle volume = num_blocks × corpus; per-task memory = 2·n/num_blocks
+    vectors — pick ``num_blocks ≈ corpus_bytes / task_budget`` at fleet
+    scale. (LSH bucketing is *not* used here: near-threshold cosines make
+    probabilistic recall < 1, which breaks the exact contract; the LSH scale
+    path for top-k lives in similarity.lsh_topk.)
+
+    ``embedding_dup_pairs_broadcast`` keeps the one-pass broadcast variant as
+    an independent cross-check (tests assert equality)."""
+
+    B = num_blocks
+
+    def to_grid(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], type=pa.string()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    vec_col: pa.array([], type=batch[vec_col].type),
+                }
+            )
+        ids = pc.cast(batch[id_col], pa.int64())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        buckets = np.asarray(ids) % B
+        # replicate: row in bucket p goes to every cell pairing p with
+        # another bucket (B copies, tiny rows + its vector)
+        take_idx, cells = [], []
+        for row, p in enumerate(buckets):
+            p = int(p)
+            for other in range(B):
+                i, j = (other, p) if other <= p else (p, other)
+                take_idx.append(row)
+                cells.append("%02d:%02d" % (i, j))
+        idx = pa.array(take_idx, type=pa.int64())
+        return pa.table(
+            {
+                "cell": pa.array(cells, type=pa.string()),
+                "bucket": pa.array(buckets[take_idx], type=pa.int64()),
+                id_col: pc.take(ids, idx),
+                vec_col: pc.take(
+                    batch[vec_col].combine_chunks()
+                    if isinstance(batch[vec_col], pa.ChunkedArray)
+                    else batch[vec_col],
+                    idx,
+                ),
+            }
+        )
+
+    def cell_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        cell = group["cell"].iloc[0]
+        i, j = (int(x) for x in cell.split(":"))
+        # rows arriving for a cell are deduped per (bucket, id): a vector is
+        # sent once per cell, but defensively drop repeats
+        group = group.drop_duplicates(subset=["bucket", id_col])
+        sides = {}
+        for side in (i, j):
+            rows = group[group["bucket"] == side]
+            if len(rows) == 0:
+                sides[side] = (None, None)
+                continue
+            ids_ = rows[id_col].to_numpy()
+            mat = np.stack(rows[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sides[side] = (ids_, mat / norms[:, None])
+        ids_i, mat_i = sides[i]
+        if ids_i is None:
+            return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+        if i == j:
+            # within-bucket sims matrix holds each unordered pair twice
+            # (and the self diagonal): keep the a < b orientation only
+            sims = mat_i @ mat_i.T
+            ra, rb = np.nonzero(sims >= min_cosine)
+            a, b = ids_i[ra], ids_i[rb]
+            keep = a < b
+            a, b = a[keep], b[keep]
+        else:
+            ids_j, mat_j = sides[j]
+            if ids_j is None:
+                return pd.DataFrame({"a": [], "b": []}, dtype="int64")
+            # cross-bucket: each unordered pair appears exactly once —
+            # ORIENT (swap to min/max), never drop
+            sims = mat_i @ mat_j.T
+            ra, rb = np.nonzero(sims >= min_cosine)
+            x, y = ids_i[ra], ids_j[rb]
+            a, b = np.minimum(x, y), np.maximum(x, y)
+        return pd.DataFrame({"a": a.astype("int64"), "b": b.astype("int64")})
+
+    grid = ds.select_columns([id_col, vec_col]).map_batches(to_grid, batch_format="pyarrow")
+    return grid.groupby("cell").map_groups(cell_pairs, batch_format="pandas").sort(["a", "b"])
+
+
+def embedding_dup_pairs_broadcast(
+    ds,
+    min_cosine: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """One-pass broadcast variant of :func:`embedding_dup_pairs` — the whole
+    normalized matrix ships once via ``ray.put`` and each batch matmuls
+    against it. Valid while the matrix fits a worker heap; kept as the
+    independent cross-check for the grid path."""
     import ray
 
     mat_tbl = ds.select_columns([id_col, vec_col]).to_pandas()

@@ -682,6 +682,60 @@ def build_target_column(
     return pa.StructArray.from_arrays(arrays, names=names, mask=mask)
 
 
+def append_tags(
+    existing: Optional[pa.Array], failure: np.ndarray, tag_list: List[str], n: int
+) -> pa.Array:
+    """Vectorized tags append (E17): rows where ``failure`` get ``tag_list``
+    appended to their existing tags (null existing → just the new tags);
+    other rows pass through untouched (null stays null). Pure offset/take
+    arithmetic — no Python per-row list building.
+
+    ``existing=None`` is the no-pre-existing-tags fast path: offsets advance
+    by ``len(tag_list)`` on failure rows, success rows are null entries."""
+    k = len(tag_list)
+    if existing is None:
+        counts = failure.astype(np.int32) * k
+        offsets_np = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets_np[1:])
+        n_fail = int(failure.sum())
+        values = pa.array(tag_list * n_fail, type=pa.string())
+        return pa.ListArray.from_arrays(
+            pa.array(offsets_np, type=pa.int32()), values, mask=pa.array(~failure)
+        )
+
+    if isinstance(existing, pa.ChunkedArray):
+        existing = existing.combine_chunks()
+    valid = np.asarray(pc.is_valid(existing))
+    lens = np.asarray(pc.fill_null(pc.list_value_length(existing), 0)).astype(np.int64)
+    # absolute offsets stay correct for sliced arrays: .values is the full
+    # child buffer and .offsets index into it
+    starts = np.asarray(existing.offsets).astype(np.int64)[:-1]
+    total_ex = int(lens.sum())
+    cum = np.cumsum(lens) - lens
+    ragged = np.arange(total_ex, dtype=np.int64) - np.repeat(cum, lens)
+    ex_take = np.repeat(starts, lens) + ragged
+
+    out_lens = lens + failure.astype(np.int64) * k
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(out_lens, out=out_off[1:])
+    pos_ex = np.repeat(out_off[:-1], lens) + ragged
+    fail_rows = np.nonzero(failure)[0]
+    pos_tag = np.repeat(out_off[fail_rows] + lens[fail_rows], k) + np.tile(
+        np.arange(k, dtype=np.int64), len(fail_rows)
+    )
+
+    ex_values = existing.values.cast(pa.string())
+    pool = pa.concat_arrays([ex_values, pa.array(tag_list, type=pa.string())])
+    take = np.empty(int(out_off[-1]), dtype=np.int64)
+    take[pos_ex] = ex_take
+    take[pos_tag] = len(ex_values) + np.tile(np.arange(k, dtype=np.int64), len(fail_rows))
+    values = pc.take(pool, pa.array(take))
+    mask = pa.array(~(valid | failure))
+    return pa.ListArray.from_arrays(
+        pa.array(out_off.astype(np.int32)), values, mask=mask
+    )
+
+
 class GeoIPEnricher:
     """Ray Data actor-pool stage: ``ds.map_batches(GeoIPEnricher(config),
     batch_format="pyarrow", concurrency=N, batch_size=B)``.
@@ -727,15 +781,13 @@ class GeoIPEnricher:
             self._leaves = output_leaves(self._lookup.effective, self.config.ecs)
 
     def _tag_all(self, batch: pa.Table, tag: str) -> pa.Table:
-        tags_type = pa.list_(pa.string())
+        n = batch.num_rows
+        existing = None
         if self.tags_column in batch.column_names:
             existing = batch[self.tags_column]
-            existing = existing.combine_chunks() if isinstance(existing, pa.ChunkedArray) else existing
-            new_tags = [(t or []) + [tag] for t in existing.to_pylist()]
             batch = batch.drop_columns([self.tags_column])
-        else:
-            new_tags = [[tag]] * batch.num_rows
-        return batch.append_column(self.tags_column, pa.array(new_tags, type=tags_type))
+        tags_arr = append_tags(existing, np.ones(n, dtype=bool), [tag], n)
+        return batch.append_column(self.tags_column, tags_arr)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.db_expired:
@@ -832,28 +884,11 @@ class GeoIPEnricher:
         # succeed (including never-attempted rows — geoip.rb:117-127)
         failure = ~succeeded
         tag_list = list(self.config.tag_on_failure)
-        tags_type = pa.list_(pa.string())
+        existing_tags = None
         if self.tags_column in batch.column_names:
-            existing = batch[self.tags_column]
-            existing = existing.combine_chunks() if isinstance(existing, pa.ChunkedArray) else existing
-            py_tags = existing.to_pylist()
-            new_tags = [
-                ((t or []) + tag_list) if f else t for t, f in zip(py_tags, failure)
-            ]
-            tags_arr = pa.array(new_tags, type=tags_type)
+            existing_tags = batch[self.tags_column]
             batch = batch.drop_columns([self.tags_column])
-        else:
-            # vectorized ListArray build: offsets advance by len(tag_list) on
-            # failure rows; success rows are null entries (no Python lists)
-            k = len(tag_list)
-            counts = failure.astype(np.int32) * k
-            offsets_np = np.zeros(n + 1, dtype=np.int32)
-            np.cumsum(counts, out=offsets_np[1:])
-            n_fail = int(failure.sum())
-            values = pa.array(tag_list * n_fail, type=pa.string())
-            offsets = pa.array(offsets_np, type=pa.int32())
-            mask = pa.array(~failure)  # mask True → null entry (success rows)
-            tags_arr = pa.ListArray.from_arrays(offsets, values, mask=mask)
+        tags_arr = append_tags(existing_tags, failure, tag_list, n)
 
         if self.target_column in batch.column_names:
             # E16 merge-not-replace (applyGeoData, GeoIPFilter.java:209-234;

@@ -71,6 +71,25 @@ def test_minhash_lsh_finds_planted_dups(ray_session):
     assert exact["inter"] == exact["union_"]  # identical docs
 
 
+def test_embedding_grid_equals_broadcast(ray_session):
+    """The block-grid self-join (scale default) and the broadcast matmul are
+    independent implementations of the same exact computation — identical
+    pair sets, including across a threshold-hugging sim distribution."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.dedup import (
+        embedding_dup_pairs,
+        embedding_dup_pairs_broadcast,
+    )
+
+    emb = ray.data.read_parquet(SF + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    for tau in (0.3, 0.4):
+        g = embedding_dup_pairs(emb, min_cosine=tau, num_blocks=5).to_pandas()
+        b = embedding_dup_pairs_broadcast(emb, min_cosine=tau).to_pandas()
+        pd.testing.assert_frame_equal(g.reset_index(drop=True), b.reset_index(drop=True))
+        assert len(g) > 0
+
+
 def test_minhash_jaccard_estimate_accuracy():
     from logstash_filter_geoip_ray.functions.sketches import (
         MinHasher,

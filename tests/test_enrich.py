@@ -281,6 +281,31 @@ def test_corrupt_database_build_error(tmp_path):
         GeoIPLookup(cfg)
 
 
+def test_append_tags_vectorized_matches_python_semantics():
+    """append_tags offset/take arithmetic vs the obvious per-row reference."""
+    import numpy as np
+
+    from logstash_filter_geoip_ray.stages.enrich import append_tags
+
+    existing = pa.array(
+        [["keep"], None, [], ["a", "b"], None, ["x"]], type=pa.list_(pa.string())
+    )
+    failure = np.array([True, True, True, False, False, True])
+    tags = ["_f1", "_f2"]
+    out = append_tags(existing, failure, tags, 6).to_pylist()
+    ref = [
+        ((t or []) + tags) if f else t
+        for t, f in zip(existing.to_pylist(), failure)
+    ]
+    assert out == ref
+    # no pre-existing column fast path
+    out2 = append_tags(None, failure, ["_t"], 6).to_pylist()
+    assert out2 == [["_t"] if f else None for f in failure]
+    # empty tag list: failure rows become empty (not null), like (t or []) + []
+    out3 = append_tags(existing, failure, [], 6).to_pylist()
+    assert out3 == [((t or []) if f else t) for t, f in zip(existing.to_pylist(), failure)]
+
+
 def test_non_string_source_type_error(db_paths):
     """GeoIPFilter.java:159-162 parity: numeric source field raises with the
     reference's message instead of an opaque Arrow kernel error."""

@@ -115,6 +115,36 @@ def test_salted_counts_match_plain(ray_session):
     assert (merged["n_p"] == merged["n_s"]).all()
 
 
+def test_bucketed_routed_write(ray_session, tmp_path):
+    """Hash-bucket exchange: exactly one file per sink, no sort operator,
+    same per-sink totals as the aggregate query."""
+    import glob
+    import pyarrow.parquet as pq
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        write_routed_bucketed,
+    )
+
+    out_dir = str(tmp_path / "routed_bucketed")
+    _, files_written = write_routed_bucketed(build_enriched(SF), out_dir, num_buckets=8)
+    files = glob.glob(out_dir + "/**/*.parquet", recursive=True)
+    part_dirs = glob.glob(out_dir + "/country=*/tool=*")
+    assert len(files) == files_written == len(part_dirs)  # one file per sink
+    # per-sink counts equal the aggregate path
+    expected = {
+        (r["country"], r["tool"]): r["n"]
+        for _, r in sink_counts(build_enriched(SF)).to_pandas().iterrows()
+    }
+    got = {}
+    for d in part_dirs:
+        country = d.split("country=")[1].split("/")[0]
+        tool = d.split("tool=")[1]
+        got[(country, tool)] = sum(
+            pq.read_table(f).num_rows for f in glob.glob(d + "/*.parquet")
+        )
+    assert got == expected
+
+
 def test_actor_mode_matches_task_mode(ray_session):
     """enrich_mode='actors' (classic actor pool) must produce identical sink
     counts to the default task mode."""

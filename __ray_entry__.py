@@ -94,6 +94,45 @@ def _q_asn_counts_salted(sf_dir: str):
     return asn_salted_counts(sf_dir)
 
 
+#: E7/E9/E10/E11 end-to-end coverage: (db-const name, engine keys, oracle cols)
+#: engine key = (target struct child, alias, kind); oracle col = (side-table
+#: column, alias, kind). Aliases must match for the driver's hash compare.
+_DB_COUNT_SPECS = {
+    "isp_counts": (
+        "DEFAULT_ISP_DB",
+        [("isp", "isp", "str"), ("organization", "isp_org", "str")],
+        [("isp", "isp", "str"), ("isp_org", "isp_org", "str")],
+    ),
+    "domain_counts": (
+        "DEFAULT_DOMAIN_DB",
+        [("domain", "domain", "str")],
+        [("domain", "domain", "str")],
+    ),
+    "enterprise_counts": (
+        "DEFAULT_ENTERPRISE_DB",
+        [("country_code2", "ent_country", "str"), ("city_name", "ent_city", "str")],
+        [("ent_country", "ent_country", "str"), ("ent_city", "ent_city", "str")],
+    ),
+    "anonymous_counts": (
+        "DEFAULT_ANON_DB",
+        [("anonymous", "is_anonymous", "int"), ("hosting_provider", "is_hosting", "int")],
+        [("is_anonymous", "is_anonymous", "int"), ("is_hosting", "is_hosting", "int")],
+    ),
+}
+
+
+def _make_db_counts_query(spec_name: str):
+    def q(sf_dir: str):
+        from logstash_filter_geoip_ray.pipelines.geoip_pipeline import db_key_counts
+        from logstash_filter_geoip_ray.sources import transcripts as tsrc
+
+        db_const, engine_keys, _ = _DB_COUNT_SPECS[spec_name]
+        return db_key_counts(sf_dir, getattr(tsrc, db_const), engine_keys)
+
+    q.__name__ = "_q_" + spec_name
+    return q
+
+
 def _q_parse_tokens(sf_dir: str):
     """P2 alone: distinct extracted tokens with frequencies."""
     from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
@@ -124,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "routed_rows": _q_routed_rows,
         "parse_tokens": _q_parse_tokens,
     }
+    for spec_name in _DB_COUNT_SPECS:
+        out[spec_name] = _make_db_counts_query(spec_name)
     out.update(DATA_QUERIES)
     return out
 
@@ -163,6 +204,10 @@ GROUP BY 1 ORDER BY 1
 """
     from logstash_filter_geoip_ray.pipelines.data_ops import DATA_ORACLES
 
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        oracle_db_key_counts_sql,
+    )
+
     out = {
         "sink_counts": oracle_sink_counts_sql(sf),
         "sink_counts_ecs": oracle_sink_counts_sql(sf),
@@ -172,5 +217,7 @@ GROUP BY 1 ORDER BY 1
         "routed_rows": routed,
         "parse_tokens": parse_tokens,
     }
+    for spec_name, (_, _, oracle_cols) in _DB_COUNT_SPECS.items():
+        out[spec_name] = oracle_db_key_counts_sql(sf, oracle_cols)
     out.update(DATA_ORACLES)
     return out

@@ -17,7 +17,7 @@ exchanges are the two final aggregates over pre-combined partials.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -282,6 +282,70 @@ def asn_salted_counts(sf_dir: str, rows: Optional[int] = None, buckets: int = 8)
     return salted_grouped_counts(keyed, ["asn_key"], "n", buckets=buckets).sort(
         "asn_key"
     )
+
+
+def db_key_counts(
+    sf_dir: str,
+    database: str,
+    keys: Sequence[Tuple[str, str, str]],
+    rows: Optional[int] = None,
+):
+    """Generic per-database count pipeline (E7/E9/E10/E11 end-to-end): enrich
+    against ``database`` and count rows per projected key(s).
+
+    ``keys``: (target_struct_child, output_alias, kind) with kind 'str'
+    (null → '_miss') or 'int' (null → -1, for boolean traits cast to 0/1 so
+    the oracle comparison stays integer-only). Reads only ``text``, sheds it
+    at extraction — the fleet scan shape."""
+    cfg = GeoIPConfig(source="source_ip", database=database)
+    ds = build_enriched(
+        sf_dir, config=cfg, rows=rows, add_routing=False,
+        columns=["text"], drop_text=True,
+    )
+    target_col = cfg.resolved_target()
+
+    def keyfn(batch: pa.Table) -> pa.Table:
+        target = batch[target_col]
+        if isinstance(target, pa.ChunkedArray):
+            target = target.combine_chunks()
+        cols = {}
+        for child, alias, kind in keys:
+            v = pc.struct_field(target, [child])
+            if kind == "int":
+                cols[alias] = pc.fill_null(pc.cast(v, pa.int64()), -1)
+            else:
+                cols[alias] = pc.fill_null(pc.cast(v, pa.string()), MISS_KEY)
+        return pa.table(cols)
+
+    keyed = ds.map_batches(keyfn, batch_format="pyarrow")
+    return grouped_counts(keyed, [a for _, a, _ in keys], "n", sort_result=True)
+
+
+def oracle_db_key_counts_sql(
+    sf_dir: str, cols: Sequence[Tuple[str, str, str]], rows: Optional[int] = None
+) -> str:
+    """DuckDB oracle for :func:`db_key_counts`: join the parsed token to the
+    golden side table, coalesce misses the same way ('_miss' / -1)."""
+    t = transcripts_path(sf_dir, rows)
+    g = ip_geo_path(sf_dir, rows)
+    sel = ", ".join(
+        (
+            f"coalesce(g.{side_col}, -1) AS {alias}"
+            if kind == "int"
+            else f"coalesce(g.{side_col}, '{MISS_KEY}') AS {alias}"
+        )
+        for side_col, alias, kind in cols
+    )
+    aliases = ", ".join(alias for _, alias, _ in cols)
+    return f"""
+WITH parsed AS (
+  SELECT nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS tok
+  FROM read_parquet('{t}/*.parquet')
+)
+SELECT {sel}, count(*) AS n
+FROM parsed p LEFT JOIN read_parquet('{g}') g ON p.tok = g.ip
+GROUP BY {aliases} ORDER BY {aliases}
+"""
 
 
 def oracle_asn_counts_sql(sf_dir: str, rows: Optional[int] = None) -> str:

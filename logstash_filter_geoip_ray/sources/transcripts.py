@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-GENERATOR_VERSION = "v4"
+GENERATOR_VERSION = "v5"  # v5: ip_geo gains isp/domain/enterprise/anonymous columns
 ROWS_PER_SF = 6_000_000  # sf0.001 → 6k, sf0.01 → 60k, sf0.1 → 600k
 TURNS_PER_CONV = 16
 ROWS_PER_SHARD = 65_536  # one parquet part-file per shard → read parallelism
@@ -46,6 +46,14 @@ ROW_GROUP_SIZE = 16_384  # row groups small enough for block splitting
 _REPO_ROOT = pathlib.Path(__file__).resolve().parents[2]
 DEFAULT_CITY_DB = str(_REPO_ROOT / "tests" / "data" / "maxmind" / "GeoIP2-City-Test.mmdb")
 DEFAULT_ASN_DB = str(_REPO_ROOT / "tests" / "data" / "maxmind" / "GeoLite2-ASN-Test.mmdb")
+DEFAULT_ISP_DB = str(_REPO_ROOT / "tests" / "data" / "maxmind" / "GeoIP2-ISP-Test.mmdb")
+DEFAULT_DOMAIN_DB = str(_REPO_ROOT / "tests" / "data" / "maxmind" / "GeoIP2-Domain-Test.mmdb")
+DEFAULT_ENTERPRISE_DB = str(
+    _REPO_ROOT / "tests" / "data" / "maxmind" / "GeoIP2-Enterprise-Test.mmdb"
+)
+DEFAULT_ANON_DB = str(
+    _REPO_ROOT / "tests" / "data" / "maxmind" / "GeoIP2-Anonymous-IP-Test.mmdb"
+)
 
 ROLES = ("user", "assistant", "system", "tool")
 TOOLS = ("bash", "browser", "search", "editor", "none")
@@ -218,8 +226,11 @@ def _write_shard(job, tdir, pool, hit_weights, seed):
 
 def _write_ip_geo(path: str, pool: List[str], city_db: str,
                   asn_db: str = DEFAULT_ASN_DB) -> None:
-    """Golden token→geo/asn side table for the oracle (see module docstring):
-    city columns from the City DB, asn columns from the ASN DB."""
+    """Golden token→enrichment side table for the oracle (see module
+    docstring): one column set per fixture database, every value computed
+    through ``GeoIPLookup`` (itself pinned by the JUnit-vector unit tests).
+    The DuckDB oracles join this table so the driver comparison exercises
+    every database type's parse → enrich → aggregate path end-to-end."""
     from ..functions.config import GeoIPConfig
     from ..functions.fields import Field
     from ..stages.enrich import GeoIPLookup
@@ -230,11 +241,19 @@ def _write_ip_geo(path: str, pool: List[str], city_db: str,
                     fields=("IP", "AUTONOMOUS_SYSTEM_NUMBER",
                             "AUTONOMOUS_SYSTEM_ORGANIZATION", "NETWORK"))
     )
+    isp_lookup = GeoIPLookup(GeoIPConfig(source="x", database=DEFAULT_ISP_DB))
+    dom_lookup = GeoIPLookup(GeoIPConfig(source="x", database=DEFAULT_DOMAIN_DB))
+    ent_lookup = GeoIPLookup(GeoIPConfig(source="x", database=DEFAULT_ENTERPRISE_DB))
+    anon_lookup = GeoIPLookup(GeoIPConfig(source="x", database=DEFAULT_ANON_DB))
     all_tokens = list(pool) + list(MISS_TOKENS) + list(MALFORMED_TOKENS)
     rows = []
     for tok in all_tokens:
         ok, values = lookup.lookup(tok)
         aok, avalues = asn_lookup.lookup(tok)
+        iok, ivalues = isp_lookup.lookup(tok)
+        dok, dvalues = dom_lookup.lookup(tok)
+        eok, evalues = ent_lookup.lookup(tok)
+        nok, nvalues = anon_lookup.lookup(tok)
         rows.append(
             {
                 "ip": tok,
@@ -243,24 +262,33 @@ def _write_ip_geo(path: str, pool: List[str], city_db: str,
                 "timezone": values.get(Field.TIMEZONE) if ok else None,
                 "asn": avalues.get(Field.AUTONOMOUS_SYSTEM_NUMBER) if aok else None,
                 "as_org": avalues.get(Field.AUTONOMOUS_SYSTEM_ORGANIZATION) if aok else None,
+                "isp": ivalues.get(Field.ISP) if iok else None,
+                "isp_org": ivalues.get(Field.ORGANIZATION) if iok else None,
+                "domain": dvalues.get(Field.DOMAIN) if dok else None,
+                "ent_country": evalues.get(Field.COUNTRY_CODE2) if eok else None,
+                "ent_city": evalues.get(Field.CITY_NAME) if eok else None,
+                # anonymous flags as 0/1 ints (null on miss) — integer-only
+                # oracle comparisons, no bool-rendering ambiguity
+                "is_anonymous": int(bool(nvalues.get(Field.ANONYMOUS))) if nok else None,
+                "is_hosting": (
+                    int(bool(nvalues.get(Field.HOSTING_PROVIDER))) if nok else None
+                ),
             }
         )
-    lookup.close()
-    asn_lookup.close()
+    for lk in (lookup, asn_lookup, isp_lookup, dom_lookup, ent_lookup, anon_lookup):
+        lk.close()
     tmp = path + ".tmp"
-    pq.write_table(
-        pa.table(
-            {
-                "ip": pa.array([r["ip"] for r in rows], type=pa.string()),
-                "country_code2": pa.array([r["country_code2"] for r in rows], type=pa.string()),
-                "city_name": pa.array([r["city_name"] for r in rows], type=pa.string()),
-                "timezone": pa.array([r["timezone"] for r in rows], type=pa.string()),
-                "asn": pa.array([r["asn"] for r in rows], type=pa.int64()),
-                "as_org": pa.array([r["as_org"] for r in rows], type=pa.string()),
-            }
-        ),
-        tmp,
+    str_cols = (
+        "ip country_code2 city_name timezone as_org isp isp_org domain "
+        "ent_country ent_city".split()
     )
+    int_cols = ["asn", "is_anonymous", "is_hosting"]
+    columns = {}
+    for c in str_cols:
+        columns[c] = pa.array([r[c] for r in rows], type=pa.string())
+    for c in int_cols:
+        columns[c] = pa.array([r[c] for r in rows], type=pa.int64())
+    pq.write_table(pa.table(columns), tmp)
     os.replace(tmp, path)
 
 

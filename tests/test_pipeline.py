@@ -68,6 +68,32 @@ def test_turn_histogram_matches_oracle(ray_session):
     assert (merged["n_r"] == merged["n_o"]).all()
 
 
+@pytest.mark.parametrize(
+    "spec", ["isp_counts", "domain_counts", "enterprise_counts", "anonymous_counts"]
+)
+def test_db_type_counts_match_oracle(ray_session, spec):
+    """E7/E9/E10/E11 end-to-end: ISP/Domain/Enterprise/Anonymous pipelines
+    vs the golden-side-table DuckDB oracle."""
+    import importlib.util
+    import pathlib
+
+    entry = pathlib.Path(__file__).resolve().parents[1] / "__ray_entry__.py"
+    s = importlib.util.spec_from_file_location("_ray_entry_test", entry)
+    mod = importlib.util.module_from_spec(s)
+    s.loader.exec_module(mod)
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        oracle_db_key_counts_sql,
+    )
+
+    ray_df = mod.queries()[spec](SF).to_pandas()
+    _, _, oracle_cols = mod._DB_COUNT_SPECS[spec]
+    oracle_df = duckdb.sql(oracle_db_key_counts_sql(SF, oracle_cols)).df()
+    keys = [c for c in ray_df.columns if c != "n"]
+    merged = ray_df.merge(oracle_df, on=keys, how="outer", suffixes=("_r", "_o"))
+    assert len(merged) == len(ray_df) == len(oracle_df)
+    assert (merged["n_r"] == merged["n_o"]).all()
+
+
 def test_routed_rows_stable_ordering(ray_session):
     """Per-turn text equality under stable (conv_id, turn_idx) ordering
     (input_hint invariant): keys survive the pipeline untouched."""

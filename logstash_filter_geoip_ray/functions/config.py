@@ -66,6 +66,14 @@ class GeoIPConfig:
     tag_on_failure: Tuple[str, ...] = DEFAULT_TAG_ON_FAILURE
     ecs_compatibility: str = "disabled"  # disabled | v1 | v8
     default_database_type: str = "City"  # City | ASN (geoip.rb:45-46)
+    #: runtime DB manager hook (update_filter(:update/:expire),
+    #: geoip.rb:156-171): path to a JSON control file every worker polls at
+    #: most once per ``db_poll_interval`` seconds. {"action": "expire"} tags
+    #: rows `_geoip_expired_database` with no lookup (fail_filter);
+    #: {"action": "update", "path": "...mmdb"} hot-swaps to the new database
+    #: (setup_filter). None (default) disables polling entirely.
+    db_control_path: Optional[str] = None
+    db_poll_interval: float = 5.0
 
     def __post_init__(self):
         if self.ecs_compatibility not in ("disabled", "v1", "v8"):

@@ -360,22 +360,37 @@ def dup_clusters(pairs_ds, a_col: str = "a", b_col: str = "b"):
 
 
 def label_propagation_clusters(pairs_ds, a_col: str = "a", b_col: str = "b",
-                               max_rounds: int = 50):
+                               max_rounds: int = 50, num_buckets: int = 32):
     """Distributed connected components by iterated min-label propagation —
     the scale path for pair sets too large for driver union-find. Entirely
     shuffle-based: no broadcast of the label table, no driver-side state
     beyond one scalar per round.
 
-    One round: co-locate each node's current label with its half-edges
-    (``groupby(node).map_groups``), send the label to every neighbor, then
-    ``groupby(node).min`` adopts the smallest proposal. Labels only ever
-    decrease, so ``sum(label)`` is strictly decreasing until convergence —
-    the stopping test is a single scalar aggregate, not a dataset diff.
-    Converges in O(component diameter) rounds.
+    One round: HASH-JOIN the label table to the half-edge list on ``node``
+    (bucket-co-partitioned ``stages.joins.hash_join`` — the exchange is a
+    bounded-bucket join, not one pandas group per node), send each node's
+    label to every neighbor, union the nodes' own labels, then
+    ``groupby(node).min`` adopts the smallest proposal; a POINTER-DOUBLING
+    self-join (label ← label[label]) then short-circuits long chains, so
+    convergence takes O(log diameter) rounds, not O(diameter). Labels only
+    ever decrease, so ``sum(label)`` is strictly decreasing until
+    convergence — the stopping test is a single scalar aggregate, not a
+    dataset diff.
 
     Returns rows (doc_id, cluster_id = min id in component)."""
     import ray.data
     from ray.data.aggregate import Min, Sum
+
+    from .joins import hash_join
+
+    def checkpoint(ds):
+        # sever lineage COMPLETELY between rounds: plain materialize() keeps
+        # the logical plan chained, and because each round references the
+        # previous labels twice (join left + doubling side) the driver-side
+        # plan tree doubles per round — measured 2× wall per round until a
+        # 12-round run took minutes of pure plan traversal. Rebuilding from
+        # the materialized block refs makes every round O(1) on the driver.
+        return ray.data.from_arrow_refs(ds.to_arrow_refs())
 
     def explode(batch: pa.Table) -> pa.Table:
         a = batch[a_col].combine_chunks() if isinstance(batch[a_col], pa.ChunkedArray) else batch[a_col]
@@ -384,40 +399,67 @@ def label_propagation_clusters(pairs_ds, a_col: str = "a", b_col: str = "b",
         neigh = pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())])
         return pa.table({"node": node, "neigh": neigh})
 
-    half_edges = pairs_ds.map_batches(explode, batch_format="pyarrow").materialize()
+    half_edges = checkpoint(pairs_ds.map_batches(explode, batch_format="pyarrow"))
 
     # initial labels: own id (distinct nodes from the half-edge list)
-    labels = (
-        half_edges.groupby("node")
-        .aggregate(Min("node", alias_name="label"))
-        .materialize()
+    labels = checkpoint(
+        half_edges.groupby("node").aggregate(Min("node", alias_name="label"))
     )
 
-    def propagate(group: pd.DataFrame) -> pd.DataFrame:
-        # rows: this node's half-edges (neigh >= 0) + its label row (neigh = -1)
-        label = int(group.loc[group["neigh"] < 0, "label"].min())
-        neighbors = group.loc[group["neigh"] >= 0, "neigh"].astype("int64")
-        out_nodes = list(neighbors) + [int(group["node"].iloc[0])]
-        return pd.DataFrame({"node": out_nodes, "label": [label] * len(out_nodes)})
+    def to_neighbor(batch: pa.Table) -> pa.Table:
+        neigh = batch["neigh"]
+        label = batch["label"]
+        return pa.table(
+            {
+                "node": neigh.combine_chunks() if isinstance(neigh, pa.ChunkedArray) else neigh,
+                "label": label.combine_chunks() if isinstance(label, pa.ChunkedArray) else label,
+            }
+        )
+
+    def relabel(batch: pa.Table) -> pa.Table:
+        # after the doubling self-join: adopt the label's label
+        lbl2 = batch["label2"]
+        node = batch["node"]
+        return pa.table(
+            {
+                "node": node.combine_chunks() if isinstance(node, pa.ChunkedArray) else node,
+                "label": lbl2.combine_chunks() if isinstance(lbl2, pa.ChunkedArray) else lbl2,
+            }
+        )
+
+    def bundle(ds):
+        # union+aggregate DOUBLE the label table's block count every round
+        # (measured: 1→3→7→15… micro-blocks, and per-block operator overhead
+        # then dominates); bundle into ~1M-row blocks after each exchange.
+        # num_cpus marker prevents fusion from dragging the big batch_size
+        # upstream (see aggregate.tree_sum).
+        return ds.map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=1 << 20, num_cpus=0.9
+        )
 
     prev_sum = None
     for _ in range(max_rounds):
-        tagged_labels = labels.map_batches(
-            lambda b: b.append_column("neigh", pa.array([-1] * b.num_rows, type=pa.int64())),
-            batch_format="pyarrow",
+        # (node, neigh) ⋈ (node, label) → each half-edge carries its node's
+        # current label; retargeted to the neighbor it proposes to
+        joined = hash_join(half_edges, labels, "node", "node", num_buckets=num_buckets)
+        proposals = joined.map_batches(to_neighbor, batch_format="pyarrow")
+        labels = checkpoint(
+            bundle(
+                proposals.union(labels)
+                .groupby("node")
+                .aggregate(Min("label", alias_name="label"))
+            )
+        )  # consumed twice below (join left + self side)
+        # pointer doubling: label ← label[label]. Every label value is itself
+        # a node (the min id of some subset), so the 1:1 self-join never
+        # drops rows; chains halve every round → O(log diameter) rounds.
+        renamed = labels.map_batches(
+            lambda b: b.rename_columns(["node2", "label2"]), batch_format="pyarrow"
         )
-        tagged_edges = half_edges.map_batches(
-            lambda b: b.append_column("label", pa.array([2**62] * b.num_rows, type=pa.int64())),
-            batch_format="pyarrow",
+        doubled = hash_join(
+            labels, renamed, "label", "node2", num_buckets=num_buckets
         )
-        proposals = (
-            tagged_edges.union(tagged_labels)
-            .groupby("node")
-            .map_groups(propagate, batch_format="pandas")
-        )
-        labels = (
-            proposals.groupby("node").aggregate(Min("label", alias_name="label")).materialize()
-        )
+        labels = checkpoint(bundle(doubled.map_batches(relabel, batch_format="pyarrow")))
         total = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if total == prev_sum:
             break

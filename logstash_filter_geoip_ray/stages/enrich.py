@@ -759,6 +759,9 @@ class GeoIPEnricher:
         self.db_expired = db_expired
         self._lookup: Optional[GeoIPLookup] = None
         self._leaves = None
+        self._db_override: Optional[str] = None
+        self._control_mtime: Optional[float] = None
+        self._last_poll = 0.0
 
     # MMDB state must not be pickled (mmap); recreate lazily per process.
     def __getstate__(self):
@@ -774,11 +777,62 @@ class GeoIPEnricher:
         self.__dict__.update(state)
         self._lookup = None
         self._leaves = None
+        self._db_override = None
+        self._control_mtime = None
+        self._last_poll = 0.0
+
+    def _effective_config(self) -> GeoIPConfig:
+        if self._db_override is None:
+            return self.config
+        import dataclasses
+
+        return dataclasses.replace(self.config, database=self._db_override)
 
     def _ensure_open(self):
         if self._lookup is None:
-            self._lookup = GeoIPLookup(self.config)
+            cfg = self._effective_config()
+            self._lookup = GeoIPLookup(cfg)
             self._leaves = output_leaves(self._lookup.effective, self.config.ecs)
+
+    def _poll_control(self) -> None:
+        """Runtime DB manager hook (update_filter, geoip.rb:156-171): check
+        the control file at most once per poll interval; apply
+        expire (→ fail_filter) / update (→ setup_filter with the new path)
+        actions when its mtime changes. Stat-only when idle — never in the
+        per-row path."""
+        import json
+        import os as _os
+        import time as _time
+
+        now = _time.monotonic()
+        if now - self._last_poll < self.config.db_poll_interval:
+            return
+        self._last_poll = now
+        try:
+            mtime = _os.path.getmtime(self.config.db_control_path)
+        except OSError:
+            return  # no control file → no action
+        if mtime == self._control_mtime:
+            return
+        self._control_mtime = mtime
+        try:
+            with open(self.config.db_control_path) as f:
+                control = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return  # partially-written file: retry next poll
+        action = control.get("action")
+        if action == "expire":
+            self.db_expired = True
+        elif action == "update":
+            path = control.get("path")
+            if path:
+                if self._lookup is not None:
+                    self._lookup.close()
+                self._lookup = None
+                self._leaves = None
+                self._db_override = path
+                self.db_expired = False
+        # else: invalid action ignored (reference logs a warning)
 
     def _tag_all(self, batch: pa.Table, tag: str) -> pa.Table:
         n = batch.num_rows
@@ -790,6 +844,8 @@ class GeoIPEnricher:
         return batch.append_column(self.tags_column, tags_arr)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.config.db_control_path is not None:
+            self._poll_control()
         if self.db_expired:
             from ..functions.config import EXPIRED_DATABASE_TAG
 

@@ -295,8 +295,8 @@ def test_label_propagation_equals_union_find(ray_session):
     )
 
     rng = np.random.default_rng(3)
-    a = rng.integers(0, 200, 150)
-    b = rng.integers(0, 200, 150)
+    a = rng.integers(0, 2000, 1500)
+    b = rng.integers(0, 2000, 1500)
     m = a != b
     pairs = pa.table(
         {

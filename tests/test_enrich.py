@@ -331,6 +331,38 @@ def test_unknown_database_type_build_error(tmp_path):
         GeoIPLookup(cfg)
 
 
+def test_db_control_expire_and_hot_swap(db_paths, tmp_path):
+    """Runtime DB manager hook (geoip.rb:156-171): :expire tags everything
+    `_geoip_expired_database` with no lookup; :update hot-swaps the database
+    mid-run without rebuilding the stage."""
+    import json
+    import os
+
+    ctl = str(tmp_path / "db_control.json")
+    cfg = GeoIPConfig(
+        source="message",
+        database=db_paths["city"],
+        db_control_path=ctl,
+        db_poll_interval=0.0,
+    )
+    e = GeoIPEnricher(cfg)
+    batch = pa.table({"message": ["216.160.83.58"]})
+    assert e(batch).to_pylist()[0]["geoip"]["city_name"] == "Milton"
+
+    with open(ctl, "w") as f:
+        json.dump({"action": "expire"}, f)
+    os.utime(ctl, (1, 1))
+    row = e(batch).to_pylist()[0]
+    assert row["tags"] == ["_geoip_expired_database"] and row.get("geoip") is None
+
+    with open(ctl, "w") as f:
+        json.dump({"action": "update", "path": db_paths["asn"]}, f)
+    os.utime(ctl, (2, 2))
+    row = e(batch).to_pylist()[0]
+    assert row["geoip"]["asn"] == 209  # 216.160.83.58 in the ASN test DB
+    assert row["tags"] is None
+
+
 def test_lookup_cache_transparent(db_paths):
     cfg = GeoIPConfig(source="message", database=db_paths["city"], cache_size=2)
     lk = GeoIPLookup(cfg)

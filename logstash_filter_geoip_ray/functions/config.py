@@ -74,6 +74,11 @@ class GeoIPConfig:
     #: (setup_filter). None (default) disables polling entirely.
     db_control_path: Optional[str] = None
     db_poll_interval: float = 5.0
+    #: InetAddress.getByName DNS parity (GeoIPFilter.java:172) — opt-in:
+    #: resolve non-literal source values as hostnames (first answer wins).
+    #: Default False: DNS in a hot batch path is a scale hazard, so
+    #: non-literals are failed lookups unless explicitly enabled.
+    resolve_hostnames: bool = False
 
     def __post_init__(self):
         if self.ecs_compatibility not in ("disabled", "v1", "v8"):

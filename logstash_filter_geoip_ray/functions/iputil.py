@@ -15,18 +15,48 @@ Java semantics we reproduce:
 - IPv4-mapped IPv6 literals (``::ffff:1.2.3.4``) come back from Java as an
   ``Inet4Address`` → dotted quad; we mirror via ``IPv6Address.ipv4_mapped``.
 
-Known divergence: ``InetAddress.getByName`` also resolves *hostnames* via
-DNS; this engine (offline by design, and DNS in a hot batch path is a
-scale hazard) treats any non-literal as a failed lookup instead. Pre-resolve
-hostnames upstream if that behavior is needed.
+Hostname resolution: ``InetAddress.getByName`` also resolves *hostnames*
+via DNS. The engine reproduces that behind an opt-in
+(``GeoIPConfig(resolve_hostnames=True)`` → :func:`resolve_hostname`, the
+first ``getaddrinfo`` answer like Java takes the first address) because DNS
+in a hot batch path is a scale hazard — DEFAULT OFF, so a non-literal is a
+failed lookup unless explicitly enabled. The resolver is process-global
+injectable (:func:`set_hostname_resolver`) for offline tests and for
+plugging a cached/deterministic resolver in production.
 """
 
 from __future__ import annotations
 
 import ipaddress
-from typing import Optional, Tuple, Union
+from typing import Callable, Optional, Tuple, Union
 
 IPAddress = Union[ipaddress.IPv4Address, ipaddress.IPv6Address]
+
+_hostname_resolver: Optional[Callable[[str], Optional[IPAddress]]] = None
+
+
+def set_hostname_resolver(fn: Optional[Callable[[str], Optional[IPAddress]]]) -> None:
+    """Install a process-global hostname resolver (None → back to the
+    default ``socket.getaddrinfo`` path). Called per worker process when
+    customizing — e.g. a pre-warmed cache or an offline test fake."""
+    global _hostname_resolver
+    _hostname_resolver = fn
+
+
+def resolve_hostname(name: str) -> Optional[IPAddress]:
+    """DNS-resolve a hostname to its FIRST address (InetAddress.getByName
+    order, GeoIPFilter.java:172); None on failure (UnknownHostException)."""
+    if _hostname_resolver is not None:
+        return _hostname_resolver(name)
+    import socket
+
+    try:
+        infos = socket.getaddrinfo(name, None)
+    except (socket.gaierror, UnicodeError, OSError):
+        return None
+    for _fam, _t, _p, _c, sockaddr in infos:
+        return parse_ip(sockaddr[0])
+    return None
 
 
 def parse_ip(text: str) -> Optional[IPAddress]:

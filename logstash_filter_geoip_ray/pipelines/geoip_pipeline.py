@@ -183,74 +183,67 @@ def write_routed_bucketed(
     writes one Parquet file per sink it owns (a sink key lives in exactly one
     bucket → file count = #sinks, independent of upstream task count).
 
-    This is the one stage expressed in raw Ray tasks: the Dataset API has no
-    repartition-by-key (``sort`` would be a full range-sort; ``groupby`` is
-    itself sort-based), and a hash exchange is exactly what a fan-out write
-    wants — the split side never compares keys, and writers pull only their
-    bucket's shards from the object store. Partitioning assumption: one
-    bucket's rows fit a writer task (pick num_buckets ≥ sinks/heap; hot sinks
-    can be salted upstream into country=XX/tool=YY/part-N splits).
+    Implementation: a DISK-STAGED exchange, like a MapReduce shuffle. Phase 1
+    is the streaming fan-out write into a hive-partitioned staging dir (each
+    map task appends its block's per-sink slices — no sort, no object-store
+    residency beyond one block per task). Phase 2 runs one raw-Ray compaction
+    task per sink directory, streaming its staged part-files into a single
+    output file part-by-part (bounded memory even for hot sinks). A first
+    raw-Ray attempt that exchanged per-bucket sub-tables through the object
+    store double-materialized the dataset and spilled (measured 237 s vs
+    15.5 s streaming at 41.9M rows); staging through the filesystem keeps
+    phase 1 identical to the streaming write and phase 2 sequential-IO.
+    Raw tasks are used only for compaction — the Dataset API has no
+    repartition-by-key (``sort`` is a range-sort, ``groupby`` is sort-based).
+    ``num_buckets`` caps concurrent compactions. Hot sinks can be salted
+    upstream into country=XX/tool=YY/part-N splits.
 
     Returns (out_dir, files_written)."""
-    import numpy as np
+    import glob as _glob
+    import shutil
+
     import ray
 
-    from ..stages.aggregate import stable_key_hash
-
-    B = num_buckets or 32
     key_cols = list(key_cols)
+    staging = os.path.join(out_dir, "_staging")
+    enriched_ds.write_parquet(staging, partition_cols=key_cols)
+
+    sink_dirs = sorted(
+        _glob.glob(os.path.join(staging, *("%s=*" % c for c in key_cols)))
+    )
 
     @ray.remote
-    def split_block(block: pa.Table):
-        key = block[key_cols[0]].combine_chunks().cast(pa.string())
-        for kc in key_cols[1:]:
-            key = pc.binary_join_element_wise(
-                key, block[kc].combine_chunks().cast(pa.string()), "\x1f"
-            )
-        bucket = np.asarray(stable_key_hash(key, B))
-        return tuple(
-            block.filter(pa.array(bucket == i)) for i in range(B)
-        )
-
-    @ray.remote
-    def write_bucket(idx: int, *parts):
-        import os as _os
-
-        parts = [p for p in parts if p.num_rows]
-        if not parts:
-            return 0
-        tbl = pa.concat_tables(parts).combine_chunks()
+    def compact(sink_dir: str) -> int:
         import pyarrow.parquet as _pq
 
-        files = 0
-        # one file per sink owned by this bucket, hive-style dirs
-        sink_key = tbl[key_cols[0]].cast(pa.string())
-        for kc in key_cols[1:]:
-            sink_key = pc.binary_join_element_wise(
-                sink_key, tbl[kc].cast(pa.string()), "\x1f"
-            )
-        for sink in pc.unique(sink_key).to_pylist():
-            sub = tbl.filter(pc.equal(sink_key, sink))
-            values = sink.split("\x1f")
-            dirname = _os.path.join(
-                out_dir, *("%s=%s" % (c, v) for c, v in zip(key_cols, values))
-            )
-            _os.makedirs(dirname, exist_ok=True)
-            _pq.write_table(
-                sub.drop_columns(key_cols), _os.path.join(dirname, "part-%05d.parquet" % idx)
-            )
-            files += 1
-        return files
+        rel = os.path.relpath(sink_dir, staging)
+        dest_dir = os.path.join(out_dir, rel)
+        os.makedirs(dest_dir, exist_ok=True)
+        dest = os.path.join(dest_dir, "part-00000.parquet")
+        parts = sorted(_glob.glob(os.path.join(sink_dir, "*.parquet")))
+        writer = None
+        try:
+            for p in parts:  # stream part-by-part: bounded memory per task
+                t = _pq.read_table(p)
+                if writer is None:
+                    writer = _pq.ParquetWriter(dest + ".tmp", t.schema)
+                writer.write_table(t)
+        finally:
+            if writer is not None:
+                writer.close()
+        os.replace(dest + ".tmp", dest)
+        return 1
 
-    block_refs = enriched_ds.to_arrow_refs()
-    split_refs = [
-        split_block.options(num_returns=B).remote(ref) for ref in block_refs
-    ]
-    per_bucket = list(zip(*split_refs)) if split_refs else [[] for _ in range(B)]
-    write_refs = [
-        write_bucket.remote(i, *per_bucket[i]) for i in range(B)
-    ]
-    files = sum(ray.get(write_refs))
+    B = num_buckets or 32
+    files = 0
+    pending = []
+    for d in sink_dirs:
+        pending.append(compact.remote(d))
+        if len(pending) >= B:  # cap concurrent compactions
+            done, pending = ray.wait(pending, num_returns=1)
+            files += sum(ray.get(done))
+    files += sum(ray.get(pending))
+    shutil.rmtree(staging, ignore_errors=True)
     return out_dir, files
 
 

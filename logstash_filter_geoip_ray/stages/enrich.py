@@ -378,6 +378,12 @@ class GeoIPLookup:
 
     def _lookup_uncached(self, raw: str) -> Tuple[bool, Optional[Dict[Field, Any]]]:
         addr = parse_ip(raw)
+        if addr is None and self.config.resolve_hostnames:
+            # InetAddress.getByName DNS path (GeoIPFilter.java:172), opt-in;
+            # memoized by the surrounding LRU like every other lookup
+            from ..functions.iputil import resolve_hostname
+
+            addr = resolve_hostname(raw)
         if addr is None:
             return False, None  # UnknownHostException path (E3)
         try:

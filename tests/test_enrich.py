@@ -331,6 +331,36 @@ def test_unknown_database_type_build_error(tmp_path):
         GeoIPLookup(cfg)
 
 
+def test_hostname_resolution_opt_in(db_paths):
+    """InetAddress.getByName DNS parity (GeoIPFilter.java:172): hostnames
+    resolve when resolve_hostnames=True (injectable resolver; first answer
+    wins), stay failed lookups when off (the documented default)."""
+    import ipaddress
+
+    from logstash_filter_geoip_ray.functions.iputil import set_hostname_resolver
+
+    fake_dns = {"geo.example.test": ipaddress.ip_address("216.160.83.58")}
+    set_hostname_resolver(lambda name: fake_dns.get(name))
+    try:
+        cfg_on = GeoIPConfig(
+            source="message", database=db_paths["city"], resolve_hostnames=True
+        )
+        rows = GeoIPEnricher(cfg_on)(
+            pa.table({"message": ["geo.example.test", "nxdomain.example.test"]})
+        ).to_pylist()
+        assert rows[0]["geoip"]["city_name"] == "Milton"
+        assert rows[0]["tags"] is None
+        assert rows[1]["tags"] == ["_geoip_lookup_failure"]
+
+        cfg_off = GeoIPConfig(source="message", database=db_paths["city"])
+        rows = GeoIPEnricher(cfg_off)(
+            pa.table({"message": ["geo.example.test"]})
+        ).to_pylist()
+        assert rows[0]["tags"] == ["_geoip_lookup_failure"]
+    finally:
+        set_hostname_resolver(None)
+
+
 def test_db_control_expire_and_hot_swap(db_paths, tmp_path):
     """Runtime DB manager hook (geoip.rb:156-171): :expire tags everything
     `_geoip_expired_database` with no lookup; :update hot-swaps the database

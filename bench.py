@@ -114,6 +114,21 @@ def _run_bench() -> dict:
     queries["sink_counts"] = round(best, 3)
     rows = int(counts["n"].sum())
 
+    if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY"):
+        # scaling mode: only the headline matters; the write benches at low
+        # cpu counts would dominate wall for no extra signal
+        ray.shutdown()
+        return {
+            "metric": "parse+enrich+route+aggregate wall time (headline=sink_counts)",
+            "value": queries["sink_counts"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_from_dir(SF_DIR),
+            "num_cpus": NUM_CPUS,
+            "rows": rows,
+            "turns_per_sec": round(rows / queries["sink_counts"], 1),
+        }
+
     t0 = time.perf_counter()
     country_turn_histogram(enriched_pruned(["text", "turn_idx"])).to_pandas()
     queries["turn_histogram"] = round(time.perf_counter() - t0, 3)
@@ -160,7 +175,7 @@ def _run_bench() -> dict:
 
 def _run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env,

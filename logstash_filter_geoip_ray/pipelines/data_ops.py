@@ -168,7 +168,7 @@ def q_sink_counts_custom_db(sf_dir: str):
         _os.replace(db_path + ".tmp", db_path)
 
     ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["text", "tool"])
-    ds = ds.map_batches(make_extract_ips(), batch_format="pyarrow")
+    ds = ds.map_batches(make_extract_ips(drop_text=True), batch_format="pyarrow")
     ds = ds.map_batches(
         CustomMMDBEnricher(db_path, {"country": pa.string()}),
         batch_format="pyarrow",

@@ -219,5 +219,10 @@ GROUP BY 1 ORDER BY 1
     }
     for spec_name, (_, _, oracle_cols) in _DB_COUNT_SPECS.items():
         out[spec_name] = oracle_db_key_counts_sql(sf, oracle_cols)
+    out["conv_stats"] = f"""
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(max(turn_idx) AS BIGINT) AS max_turn
+FROM read_parquet('{t}/*.parquet') GROUP BY 1 ORDER BY 1
+"""
     out.update(DATA_ORACLES)
     return out

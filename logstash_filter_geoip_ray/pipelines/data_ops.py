@@ -343,6 +343,95 @@ def q_sessions(sf_dir: str):
     return sessionize(_events(sf_dir, ["ts", "user_id"]), SESSION_GAP_SEC)
 
 
+def q_exact_distinct_users(sf_dir: str):
+    """EXACT count-distinct per key (the oracle-backed complement of the HLL
+    sketch): per-batch distinct (event_type, user_id) pairs → global distinct
+    via groupby → count pairs per event_type. Shuffle volume = distinct
+    pairs, never rows."""
+    import pyarrow as pa
+
+    from ..stages.aggregate import grouped_counts
+
+    ds = _events(sf_dir, ["event_type", "user_id"])
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    pairs = (
+        ds.map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .count()
+        .select_columns(["event_type", "user_id"])
+    )
+    return grouped_counts(pairs, ["event_type"], "n_users", sort_result=True)
+
+
+def q_exact_value_quantiles(sf_dir: str):
+    """EXACT discrete per-key quantiles over integer milli-units (the
+    oracle-backed complement of the KLL sketch). Validation-grade shape:
+    one ``map_groups`` task per key holds that key's values — fine for
+    bounded keys; the KLL sketch is the unbounded-scale path."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.multiply(batch["value"], 1000.0)), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "v": v})
+
+    def qgroup(group: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(group["v"].to_numpy())
+        n = len(vals)
+        row = {"event_type": [group["event_type"].iloc[0]]}
+        for p, name in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            # DuckDB quantile_disc: element at ceil(n*p)-1 of the sorted
+            # values (verified empirically, incl. the p=0.99 tail)
+            idx = min(n - 1, max(0, int(np.ceil(n * p)) - 1))
+            row[name] = [int(vals[idx])] if n else [None]
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(to_milli, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(qgroup, batch_format="pandas")
+        .sort("event_type")
+    )
+
+
+def q_conv_stats(sf_dir: str):
+    """High-cardinality groupby over the transcript conv_id (one row per
+    conversation): exercises Ray's native hash aggregate where the
+    low-cardinality tree_sum shape would be wrong."""
+    import ray.data
+    from ray.data.aggregate import Count, Max
+
+    from ..sources.transcripts import transcripts_path
+
+    ds = ray.data.read_parquet(
+        transcripts_path(sf_dir), columns=["conv_id", "turn_idx"]
+    )
+    out = ds.groupby("conv_id").aggregate(
+        Count(alias_name="n_turns"), Max("turn_idx", alias_name="max_turn")
+    )
+
+    def fix_types(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "n_turns": pc.cast(batch["n_turns"], pa.int64()),
+                "max_turn": pc.cast(batch["max_turn"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(fix_types, batch_format="pyarrow").sort("conv_id")
+
+
 DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "doc_stats": q_doc_stats,
@@ -369,6 +458,9 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "asof_last_signup": q_asof_last_signup,
     "value_quantiles": q_value_quantiles,
     "sessions": q_sessions,
+    "exact_distinct_users": q_exact_distinct_users,
+    "exact_value_quantiles": q_exact_value_quantiles,
+    "conv_stats": q_conv_stats,
 }
 
 _TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
@@ -606,6 +698,17 @@ SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(max(c) AS BIGINT) AS max_session_events
 FROM sz GROUP BY 1 ORDER BY 1
+""",
+    "exact_distinct_users": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    "exact_value_quantiles": """
+SELECT event_type,
+       CAST(quantile_disc(CAST(floor(value * 1000) AS BIGINT), 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(CAST(floor(value * 1000) AS BIGINT), 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(CAST(floor(value * 1000) AS BIGINT), 0.99) AS BIGINT) AS p99
+FROM events GROUP BY 1 ORDER BY 1
 """,
     # dedup_minhash / dedup_simhash / ann_lsh / doc_analysis: seeded-hash
     # algorithms & heuristics SQL cannot reproduce → rows-only driver check.

@@ -1,13 +1,22 @@
 """Multimodal column plumbing: opaque ``binary`` payload columns with typed
 metadata, decoded / feature-extracted by actor-pool ``map_batches`` stages.
 
-The image/audio codec libraries are not available in this container, so the
-*decode kernel* is stubbed: ``DecodeImageStage(strict=True)`` raises
-``NotImplementedError`` exactly where a real decoder (PIL/ffmpeg) would
-plug in, and the default deterministic fake decode derives pixel statistics
-from the payload bytes. Everything Ray-side — schema, batch handling, actor
-signature, fixed-shape feature output, frame sampling layout — is real and
-tested.
+Decode kernels come in two tiers:
+
+- **Real, zero-dependency decoders** for formats the standard library +
+  numpy can handle: PPM (P6) images (:func:`decode_ppm` → H×W×3 uint8
+  array, real per-channel statistics) and WAV/PCM audio (:func:`decode_wav`
+  via stdlib ``wave`` → samples, real RMS / zero-crossing / peak features in
+  ``AudioFeatureStage``). These exercise the full decode → vectorized
+  feature path with pixel/sample-exact unit tests.
+- **Stubbed codecs** for formats that need external libraries (jpeg/png →
+  PIL, video → ffmpeg — not in this container):
+  ``DecodeImageStage(strict=True)`` raises ``NotImplementedError`` exactly
+  where the codec would plug in; the default deterministic fake derives
+  stats from payload bytes so the Ray-side plumbing stays testable.
+
+Everything Ray-side — schema, batch handling, actor signature, fixed-shape
+feature output, frame sampling layout — is real and tested in both tiers.
 
 Scale notes: binary payloads dominate block size, so these stages run with
 small ``batch_size`` and the payload column is dropped as soon as features
@@ -16,7 +25,7 @@ are extracted (never carry image bytes through a shuffle)."""
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -52,6 +61,108 @@ def synthesize_media_table(n: int, seed: int = 5, payload_bytes: int = 4096) -> 
     )
 
 
+# -- real zero-dependency decoders ------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """H×W×3 uint8 array → binary PPM (P6) bytes."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → H×W×3 uint8 array. Raises ValueError on anything
+    that is not a well-formed P6 (the per-row failure path)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    pos += 1  # single whitespace after maxval
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples → WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
+    """WAV bytes → (int16 mono samples, sample_rate). Multi-channel input is
+    averaged to mono. Raises wave.Error/ValueError on malformed payloads."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        rate = f.getframerate()
+        n = f.getnframes()
+        width = f.getsampwidth()
+        channels = f.getnchannels()
+        raw = f.readframes(n)
+    if width != 2:
+        raise ValueError("only 16-bit PCM supported")
+    samples = np.frombuffer(raw, dtype="<i2")
+    if channels > 1:
+        samples = samples.reshape(-1, channels).mean(axis=1).astype(np.int16)
+    return samples, rate
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: WAV payload → real acoustic features, payload
+    dropped before any shuffle. Output columns (integer milli-units for
+    exact comparisons): duration_ms, sample_rate, rms_milli (RMS amplitude
+    ×1000 relative to full scale), zcr_milli (zero-crossing rate ×1000 per
+    sample), peak_milli. Malformed payloads yield nulls (per-row failure,
+    never a task crash) — the enricher's degrade contract."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = batch.drop_columns(["payload"])
+        cols = {"duration_ms": [], "sample_rate": [], "rms_milli": [],
+                "zcr_milli": [], "peak_milli": []}
+        for payload in batch["payload"].to_pylist():
+            try:
+                samples, rate = decode_wav(payload)
+            except Exception:
+                for v in cols.values():
+                    v.append(None)
+                continue
+            x = samples.astype(np.float64) / 32768.0
+            n = len(x)
+            cols["duration_ms"].append(int(round(n * 1000 / rate)) if rate else None)
+            cols["sample_rate"].append(rate)
+            cols["rms_milli"].append(int(round(float(np.sqrt(np.mean(x * x))) * 1000)) if n else 0)
+            zc = int(np.count_nonzero(np.diff(np.signbit(x)))) if n > 1 else 0
+            cols["zcr_milli"].append(int(round(zc * 1000 / n)) if n else 0)
+            cols["peak_milli"].append(int(round(float(np.max(np.abs(x))) * 1000)) if n else 0)
+        for name, vals in cols.items():
+            out = out.append_column(name, pa.array(vals, type=pa.int64()))
+        return out
+
+
 class DecodeImageStage:
     """Actor-pool stage: binary payload → fixed-shape feature vector.
 
@@ -67,9 +178,19 @@ class DecodeImageStage:
         self._codec_available = False
 
     def _decode_features(self, payload: bytes, meta: dict) -> np.ndarray:
+        # REAL decode path: PPM needs no external codec
+        if payload.startswith(b"P6") or (meta or {}).get("format") == "ppm":
+            px = decode_ppm(payload).astype(np.float32)
+            feats = np.zeros(self.FEATURE_DIM, dtype=np.float32)
+            feats[0], feats[1] = px.shape[1], px.shape[0]  # width, height
+            feats[2:5] = px.mean(axis=(0, 1))
+            feats[5:8] = px.std(axis=(0, 1))
+            feats[8:11] = px.min(axis=(0, 1))
+            feats[11:14] = px.max(axis=(0, 1))
+            return feats
         if self.strict:
             raise NotImplementedError(
-                "real image decode requires PIL/libjpeg, unavailable in this environment"
+                "jpeg/png decode requires PIL/libjpeg, unavailable in this environment"
             )
         # deterministic fake: 16 bytes of digest → [0,1) floats, scaled by
         # the declared dimensions so metadata plumbing is exercised

@@ -215,6 +215,63 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError, match="PIL"):
             stage(synthesize_media_table(2))
 
+    def test_ppm_real_decode_roundtrip(self):
+        """The PPM path is a REAL decoder: pixel-exact roundtrip and true
+        per-channel statistics in the feature vector."""
+        from logstash_filter_geoip_ray.stages.multimodal import (
+            DecodeImageStage,
+            decode_ppm,
+            encode_ppm,
+        )
+
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+        payload = encode_ppm(px)
+        assert (decode_ppm(payload) == px).all()
+        feats = DecodeImageStage(strict=True)._decode_features(payload, {"format": "ppm"})
+        assert feats[0] == 32 and feats[1] == 24  # width, height
+        assert np.allclose(feats[2:5], px.mean(axis=(0, 1)).astype(np.float32))
+        assert np.allclose(feats[5:8], px.std(axis=(0, 1)).astype(np.float32))
+        with pytest.raises(ValueError):
+            decode_ppm(b"JFIF not a ppm")
+
+    def test_wav_real_decode_features(self, ray_session):
+        """WAV decode is real (stdlib wave): a synthesized sine has known
+        RMS (amp/√2), zero-crossing rate (2f/sr) and peak."""
+        import ray.data
+
+        from logstash_filter_geoip_ray.stages.multimodal import (
+            AudioFeatureStage,
+            decode_wav,
+            encode_wav,
+        )
+
+        sr, f, amp = 16000, 440, 0.5
+        t = np.arange(sr)  # 1 second
+        sine = (amp * 32767 * np.sin(2 * np.pi * f * t / sr)).astype(np.int16)
+        payload = encode_wav(sine, sr)
+        samples, rate = decode_wav(payload)
+        assert rate == sr and (samples == sine).all()
+
+        tbl = pa.table(
+            {
+                "media_id": pa.array([1, 2], type=pa.int64()),
+                "payload": pa.array([payload, b"not a wav"], type=pa.binary()),
+            }
+        )
+        out = (
+            ray.data.from_arrow(tbl)
+            .map_batches(AudioFeatureStage(), batch_format="pyarrow")
+            .to_pandas()
+            .set_index("media_id")
+        )
+        good = out.loc[1]
+        assert good["duration_ms"] == 1000 and good["sample_rate"] == sr
+        assert abs(good["rms_milli"] - amp / np.sqrt(2) * 1000) <= 2
+        assert abs(good["zcr_milli"] - 2 * f * 1000 / sr) <= 2
+        assert abs(good["peak_milli"] - amp * 1000) <= 2
+        assert pd.isna(out.loc[2]["duration_ms"])  # malformed → null row
+
     def test_frame_sampling(self):
         from logstash_filter_geoip_ray.stages.multimodal import (
             FrameSampleStage,

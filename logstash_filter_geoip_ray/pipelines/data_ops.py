@@ -218,6 +218,12 @@ def q_ann_lsh(sf_dir: str):
     return lsh_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
 
 
+def q_ann_ivf(sf_dir: str):
+    from ..stages.similarity import ivf_topk
+
+    return ivf_topk(_emb(sf_dir, ["vec_id", "embedding"]), ANN_QUERY_IDS, k=ANN_K)
+
+
 def q_customers_per_region(sf_dir: str):
     """Broadcast dimension join: customer ⨝ nation ⨝ region (both dims tiny,
     shipped once) → customer counts per region name."""
@@ -449,6 +455,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "customers_per_region": q_customers_per_region,
     "orders_per_nation": q_orders_per_nation,
     "top_users": q_top_users,

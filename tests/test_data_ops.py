@@ -138,6 +138,34 @@ def test_ann_lsh_recall(ray_session):
     assert (approx.groupby("query_id")["rank"].min() == 1).all()
 
 
+def test_ann_ivf_recall(ray_session):
+    """IVF top-k (spherical k-means codebook, n_probe cells) must recover
+    most of the exact top-k, and more probes must not lower recall."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    exact = brute_force_topk(ds, ANN_QUERY_IDS, k=10).to_pandas()
+
+    def recall(n_probe):
+        approx = ivf_topk(
+            ray.data.read_parquet(f"{SF}/embeddings.parquet"),
+            ANN_QUERY_IDS, k=10, n_clusters=8, n_probe=n_probe,
+        ).to_pandas()
+        rs = []
+        for q in ANN_QUERY_IDS:
+            e = set(exact[exact.query_id == q].neighbor_id)
+            a = set(approx[approx.query_id == q].neighbor_id)
+            rs.append(len(e & a) / len(e))
+        return float(np.mean(rs))
+
+    r2, r8 = recall(2), recall(8)
+    assert r2 >= 0.5
+    assert r8 >= r2  # all cells probed → brute-force-equivalent recall
+    assert r8 == 1.0  # n_probe == n_clusters scores every vector
+
+
 def test_language_id_heuristic():
     from logstash_filter_geoip_ray.functions.textstats import language_id
 

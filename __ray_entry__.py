@@ -152,6 +152,35 @@ def _q_parse_tokens(sf_dir: str):
     return grouped_counts(ds, ["source_ip"], "n").sort("source_ip")
 
 
+def _q_log_field_counts(sf_dir: str):
+    """Multi-field grok (P2 generalized): path/status/latency captures from
+    the same text column, aggregated to (path, status) counts + total
+    latency. All extraction is one pc.extract_regex per field."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import tree_sum
+    from logstash_filter_geoip_ray.stages.parse import make_extract_log_fields
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["text"])
+    ds = ds.map_batches(make_extract_log_fields(drop_text=True), batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        path = pc.fill_null(batch["path"], "_none")
+        status = pc.fill_null(batch["status"], "_none")
+        lat = pc.fill_null(pc.cast(batch["latency_ms"], pa.int64()), 0)
+        keyed = pa.table({"path": path, "status": status, "lat": lat})
+        g = keyed.group_by(["path", "status"]).aggregate(
+            [("lat", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["path", "status", "lat", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return tree_sum(partials, ["path", "status"], ["lat", "n"], sort_result=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from logstash_filter_geoip_ray.pipelines.data_ops import DATA_QUERIES
 
@@ -162,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_histogram": _q_turn_histogram,
         "routed_rows": _q_routed_rows,
         "parse_tokens": _q_parse_tokens,
+        "log_field_counts": _q_log_field_counts,
     }
     for spec_name in _DB_COUNT_SPECS:
         out[spec_name] = _make_db_counts_query(spec_name)
@@ -219,6 +249,14 @@ GROUP BY 1 ORDER BY 1
     }
     for spec_name, (_, _, oracle_cols) in _DB_COUNT_SPECS.items():
         out[spec_name] = oracle_db_key_counts_sql(sf, oracle_cols)
+    out["log_field_counts"] = f"""
+SELECT coalesce(nullif(regexp_extract(text, 'path=([^\\s"]+)', 1), ''), '_none') AS path,
+       coalesce(nullif(regexp_extract(text, 'status=(\\d{{3}})', 1), ''), '_none') AS status,
+       CAST(sum(coalesce(CAST(nullif(regexp_extract(text, 'latency=(\\d+)ms', 1), '') AS BIGINT), 0)) AS BIGINT) AS lat,
+       CAST(count(*) AS BIGINT) AS n
+FROM read_parquet('{t}/*.parquet')
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
     out["conv_stats"] = f"""
 SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        CAST(max(turn_idx) AS BIGINT) AS max_turn

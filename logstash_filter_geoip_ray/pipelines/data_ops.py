@@ -325,6 +325,16 @@ def q_tumbling_windows(sf_dir: str):
     return tumbling_window_counts(_events(sf_dir, ["ts", "event_type", "value"]), WINDOW_SEC)
 
 
+def q_hopping_windows(sf_dir: str):
+    """Overlapping (hopping) window counts — each event lands in
+    width/hop consecutive windows via a vectorized np.repeat explosion."""
+    from ..stages.windows import hopping_window_counts
+
+    return hopping_window_counts(
+        _events(sf_dir, ["ts", "event_type"]), width_sec=WINDOW_SEC, hop_sec=WINDOW_SEC // 4
+    )
+
+
 def q_asof_last_signup(sf_dir: str):
     """As-of join: each event joined with the user's most recent signup at
     or before it (per-key ordered carry-forward)."""
@@ -462,6 +472,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "distinct_event_types": q_distinct_event_types,
     "sample_events": q_sample_events,
     "tumbling_windows": q_tumbling_windows,
+    "hopping_windows": q_hopping_windows,
     "asof_last_signup": q_asof_last_signup,
     "value_quantiles": q_value_quantiles,
     "sessions": q_sessions,
@@ -677,6 +688,16 @@ SELECT event_type,
        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "hopping_windows": f"""
+SELECT event_type, CAST(w AS BIGINT) AS window_id, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type,
+         unnest(range(greatest(epoch_us(ts) // {WINDOW_SEC // 4 * 1_000_000} - 3, 0),
+                      epoch_us(ts) // {WINDOW_SEC // 4 * 1_000_000} + 1)) AS w
+  FROM events
+)
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "asof_last_signup": """
 SELECT event_id,

@@ -54,3 +54,40 @@ def make_extract_ips(
 def extract_ips(batch: pa.Table) -> pa.Table:
     """Default-configured extraction (text → source_ip)."""
     return make_extract_ips()(batch)
+
+
+#: multi-field grok dictionary for the transcript log shapes — each entry is
+#: an independent RE2 pattern with one named capture (null on no-match),
+#: mirroring how a grok filter binds %{PATTERN:field} captures.
+LOG_FIELD_PATTERNS = {
+    "path": r"path=(?P<path>[^\s\"]+)",
+    "status": r"status=(?P<status>\d{3})",
+    "latency_ms": r"latency=(?P<latency_ms>\d+)ms",
+    "ua": r"ua=(?P<ua>[^\s\"]+)",
+}
+
+
+def make_extract_log_fields(
+    text_column: str = "text",
+    patterns: Optional[dict] = None,
+    drop_text: bool = False,
+):
+    """Vectorized multi-field grok: one ``pc.extract_regex`` per field over
+    the same text column (RE2, no Python row loop). Numeric-looking captures
+    stay strings — casting is the caller's choice (grok semantics)."""
+    pats = patterns or LOG_FIELD_PATTERNS
+
+    def extract_log_fields(batch: pa.Table) -> pa.Table:
+        text = batch[text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        out = batch.drop_columns([text_column]) if drop_text else batch
+        for name, pattern in pats.items():
+            matches = pc.extract_regex(text, pattern)
+            col = pc.struct_field(matches, name)
+            if name in out.column_names:
+                out = out.drop_columns([name])
+            out = out.append_column(name, col)
+        return out
+
+    return extract_log_fields

@@ -53,6 +53,57 @@ def tumbling_window_counts(
     )
 
 
+def hopping_window_counts(
+    ds,
+    width_sec: int = 3600,
+    hop_sec: int = 900,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+):
+    """Per (key, hop-window) event count for OVERLAPPING windows: window w
+    covers [w·hop, w·hop + width), so each event belongs to width/hop
+    consecutive windows (identified by start bucket w). Expressed as a
+    vectorized row-explosion inside ``map_batches`` (np.repeat over the
+    per-event window ranges — no Python loop) followed by the partial-count
+    path. Shuffle volume = (width/hop) × partial rows, never raw events."""
+    from ray.data.aggregate import Sum
+
+    assert width_sec % hop_sec == 0, "width must be a multiple of hop"
+    k = width_sec // hop_sec
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        epoch_us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        last = np.asarray(
+            pc.divide(epoch_us, pa.scalar(hop_sec * 1_000_000, type=pa.int64()))
+        )
+        # event at hop-bucket b is inside windows starting at b-k+1 .. b
+        # (clipped at 0 on the stream start): ragged explode via np.repeat
+        first = np.maximum(last - (k - 1), 0)
+        counts = (last - first + 1).astype(np.int64)
+        total = int(counts.sum())
+        offs = np.cumsum(counts) - counts
+        win = np.repeat(first, counts) + (np.arange(total) - np.repeat(offs, counts))
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        idx = pa.array(np.repeat(np.arange(len(last)), counts))
+        work = pa.table(
+            {
+                key_col: pc.take(keys, idx),
+                "window_id": pa.array(win, type=pa.int64()),
+            }
+        )
+        agg = work.group_by([key_col, "window_id"]).aggregate([([], "count_all")])
+        return agg.rename_columns([key_col, "window_id", "n"])
+
+    partials = ds.map_batches(per_batch, batch_format="pyarrow")
+    return (
+        partials.groupby([key_col, "window_id"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort([key_col, "window_id"])
+    )
+
+
 def asof_last_event(
     ds,
     marker_type: str = "signup",

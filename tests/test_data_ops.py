@@ -35,8 +35,9 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize(
     "name",
     ["dedup_exact", "doc_stats", "lang_stats", "jaccard_pairs", "ngram_jaccard",
-     "dedup_embedding", "ann_topk", "tumbling_windows", "sessions",
-     "top_users", "distinct_event_types", "sample_events"],
+     "dedup_embedding", "ann_topk", "tumbling_windows", "hopping_windows",
+     "sessions", "top_users", "distinct_event_types", "sample_events",
+     "exact_distinct_users", "exact_value_quantiles"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()

@@ -51,6 +51,42 @@ def test_extract_ips_vectorized():
     assert out["source_ip"].to_pylist() == ["1.2.3.4", "N/A", None, None]
 
 
+def test_extract_log_fields_vectorized():
+    from logstash_filter_geoip_ray.stages.parse import make_extract_log_fields
+
+    batch = pa.table(
+        {
+            "text": [
+                "request from 1.2.3.4 via proxy path=/api/v1/run",
+                "client=9.9.9.9 status=404 latency=17ms",
+                "session opened; request from 8.8.8.8 ua=agent/1.3",
+                None,
+            ]
+        }
+    )
+    out = make_extract_log_fields(drop_text=True)(batch)
+    assert "text" not in out.column_names
+    assert out["path"].to_pylist() == ["/api/v1/run", None, None, None]
+    assert out["status"].to_pylist() == [None, "404", None, None]
+    assert out["latency_ms"].to_pylist() == [None, "17", None, None]
+    assert out["ua"].to_pylist() == [None, None, "agent/1.3", None]
+
+
+def test_hopping_windows_cover_tumbling(ray_session):
+    """Every event lands in exactly width/hop hopping windows (stream start
+    clipped), so total hopping mass = k x event count minus the clip."""
+    import duckdb as _duck
+
+    from logstash_filter_geoip_ray.pipelines.data_ops import DATA_QUERIES
+
+    hop = DATA_QUERIES["hopping_windows"]("/root/testdata/sf0.001").to_pandas()
+    n_events = _duck.sql(
+        "SELECT count(*) FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()[0]
+    assert hop["n"].sum() <= 4 * n_events
+    assert hop["n"].sum() >= 4 * n_events - 3 * 5  # ≤ k-1 clipped per key
+
+
 def test_sink_counts_match_oracle(ray_session):
     counts = sink_counts(build_enriched(SF)).to_pandas()
     oracle = duckdb.sql(oracle_sink_counts_sql(SF)).df()

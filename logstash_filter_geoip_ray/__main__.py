@@ -68,6 +68,7 @@ def cmd_pipeline(args) -> int:
         country_turn_histogram,
         sink_counts,
         write_routed,
+        write_routed_bucketed,
     )
 
     ray = _ray_init(args.num_cpus)
@@ -76,7 +77,10 @@ def cmd_pipeline(args) -> int:
     counts = sink_counts(enriched).to_pandas()
     hist = country_turn_histogram(enriched).to_pandas()
     if args.routed_out:
-        write_routed(enriched, args.routed_out)
+        if args.routed_mode == "bucket":
+            write_routed_bucketed(enriched, args.routed_out)
+        else:
+            write_routed(enriched, args.routed_out, cluster=args.routed_mode == "sort")
     print(
         json.dumps(
             {
@@ -128,6 +132,13 @@ def main(argv=None) -> int:
     p = sub.add_parser("pipeline", help="full parse→enrich→route→aggregate run")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--routed-out", default=None)
+    p.add_argument(
+        "--routed-mode",
+        default="stream",
+        choices=["stream", "sort", "bucket"],
+        help="stream: cheapest wall, many files; sort: range-cluster; "
+        "bucket: staged hash exchange, one file per sink",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
     p.set_defaults(fn=cmd_pipeline)
 

@@ -206,6 +206,9 @@ def write_routed_bucketed(
 
     key_cols = list(key_cols)
     staging = os.path.join(out_dir, "_staging")
+    # a crashed prior run leaves partial staging files; appending to them
+    # would duplicate rows in the compacted output — start clean
+    shutil.rmtree(staging, ignore_errors=True)
     enriched_ds.write_parquet(staging, partition_cols=key_cols)
 
     sink_dirs = sorted(

@@ -30,15 +30,32 @@ def _normalized(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
+def list_column_to_matrix(arr) -> np.ndarray:
+    """Zero-copy-ish list<float> column → (n, dim) float64 matrix: uses the
+    flat Arrow values buffer + reshape when rows are equal-length (the
+    embedding-table contract); falls back to a per-row stack for ragged
+    input. No Python per-row conversion in the fast path."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    import pyarrow.compute as pc
+
+    lens = pc.list_value_length(arr)
+    uniq = pc.unique(pc.fill_null(lens, -1))
+    if len(uniq) == 1 and uniq[0].as_py() not in (None, -1):
+        dim = uniq[0].as_py()
+        offset0 = arr.offsets[0].as_py()
+        flat = np.asarray(arr.values)[offset0 : offset0 + len(arr) * dim]
+        return flat.reshape(len(arr), dim).astype(np.float64)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in arr.to_pylist()])
+
+
 def _batch_matrix(batch: pa.Table, id_col: str, vec_col: str):
     """(ids, normalized matrix) from a batch; (None, None) for empty
     batches — ``np.stack`` on an empty list raises."""
     if batch.num_rows == 0:
         return None, None
     bids = np.asarray(batch[id_col])
-    bmat = _normalized(
-        np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
-    )
+    bmat = _normalized(list_column_to_matrix(batch[vec_col]))
     return bids, bmat
 
 

@@ -63,6 +63,72 @@ def test_enricher_batch_any_strings(geo_enricher, values):
     assert "geoip" in out.column_names and "tags" in out.column_names
 
 
+_cidr_v4 = st.tuples(
+    st.integers(0, (1 << 32) - 1), st.integers(8, 32)
+).map(lambda t: "%s/%d" % (__import__("ipaddress").ip_address(t[0]), t[1]))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.tuples(_cidr_v4, st.integers(0, 1000)), min_size=1, max_size=12),
+    st.lists(st.integers(0, (1 << 32) - 1), min_size=1, max_size=16),
+)
+def test_mmdb_writer_longest_prefix_roundtrip(tmp_path_factory, entries, probes):
+    """Writer→reader roundtrip equals a pure-Python longest-prefix reference
+    for arbitrary CIDR sets and probe addresses."""
+    import ipaddress
+
+    from logstash_filter_geoip_ray.state.mmdb_writer import build_mmdb
+
+    nets = [(ipaddress.ip_network(c, strict=False), {"v": v}) for c, v in entries]
+    path = tmp_path_factory.mktemp("wfuzz") / "w.mmdb"
+    build_mmdb([(str(n), rec) for n, rec in nets], str(path))
+
+    def reference(addr):
+        best = None
+        for n, rec in nets:
+            if addr in n and (best is None or n.prefixlen > best[0]):
+                best = (n.prefixlen, rec)
+        # insertion order ties: build_mmdb sorts by prefixlen, later same-
+        # prefix entries overwrite — mirror that
+        if best is None:
+            return None
+        plen = best[0]
+        for n, rec in nets:
+            if addr in n and n.prefixlen == plen:
+                best = (plen, rec)
+        return best[1]
+
+    with MMDBReader(str(path)) as r:
+        for p in probes:
+            addr = __import__("ipaddress").ip_address(p)
+            got, _ = r.get(addr)
+            assert got == reference(addr), (str(addr), got, reference(addr))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.lists(st.text(max_size=6), max_size=4)), max_size=20
+    ),
+    st.lists(st.booleans(), max_size=20),
+    st.lists(st.text(min_size=1, max_size=8), max_size=3),
+)
+def test_append_tags_property(existing_rows, failures, tags):
+    """Offset-arithmetic append_tags equals the obvious per-row reference for
+    arbitrary existing lists / failure masks / tag lists."""
+    import numpy as np
+
+    from logstash_filter_geoip_ray.stages.enrich import append_tags
+
+    n = min(len(existing_rows), len(failures))
+    existing_rows, failures = existing_rows[:n], np.array(failures[:n], dtype=bool)
+    existing = pa.array(existing_rows, type=pa.list_(pa.string()))
+    out = append_tags(existing, failures, tags, n).to_pylist()
+    ref = [((t or []) + tags) if f else t for t, f in zip(existing_rows, failures)]
+    assert out == ref
+
+
 # session-scoped fixtures (built once; hypothesis calls the test many times)
 import pytest
 

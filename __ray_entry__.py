@@ -181,6 +181,29 @@ def _q_log_field_counts(sf_dir: str):
     return tree_sum(partials, ["path", "status"], ["lat", "n"], sort_result=True)
 
 
+def _q_frequent_tokens(sf_dir: str):
+    """Heavy hitters at sketch cost: tokens appearing ≥ 100 times, via
+    capacity-pruned partials (capacity=64 < the ~450 distinct tokens, so
+    pruning + the error-bound candidate pass are genuinely exercised) and
+    an exact recount — output is exact, oracle = GROUP BY ... HAVING."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import heavy_hitters
+    from logstash_filter_geoip_ray.stages.parse import make_extract_ips
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["text"])
+    ds = ds.map_batches(make_extract_ips(drop_text=True), batch_format="pyarrow")
+
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch["source_ip"])).select(["source_ip"])
+
+    tokens = ds.map_batches(drop_null, batch_format="pyarrow")
+    return heavy_hitters(tokens, "source_ip", threshold=100, capacity=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from logstash_filter_geoip_ray.pipelines.data_ops import DATA_QUERIES
 
@@ -192,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "routed_rows": _q_routed_rows,
         "parse_tokens": _q_parse_tokens,
         "log_field_counts": _q_log_field_counts,
+        "frequent_tokens": _q_frequent_tokens,
     }
     for spec_name in _DB_COUNT_SPECS:
         out[spec_name] = _make_db_counts_query(spec_name)
@@ -249,6 +273,15 @@ GROUP BY 1 ORDER BY 1
     }
     for spec_name, (_, _, oracle_cols) in _DB_COUNT_SPECS.items():
         out[spec_name] = oracle_db_key_counts_sql(sf, oracle_cols)
+    out["frequent_tokens"] = f"""
+WITH parsed AS (
+  SELECT nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS source_ip
+  FROM read_parquet('{t}/*.parquet')
+)
+SELECT source_ip, CAST(count(*) AS BIGINT) AS n
+FROM parsed WHERE source_ip IS NOT NULL
+GROUP BY 1 HAVING count(*) >= 100 ORDER BY 1
+"""
     out["log_field_counts"] = f"""
 SELECT coalesce(nullif(regexp_extract(text, 'path=([^\\s"]+)', 1), ''), '_none') AS path,
        coalesce(nullif(regexp_extract(text, 'status=(\\d{{3}})', 1), ''), '_none') AS status,

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _partial_counts(key_cols: Sequence[str], count_alias: str):
@@ -166,6 +167,93 @@ def salted_grouped_counts(
     return per_salt.groupby(list(key_cols)).aggregate(
         Sum(count_alias, alias_name=count_alias)
     )
+
+
+def heavy_hitters(
+    ds,
+    col: str,
+    threshold: int,
+    capacity: int = 4096,
+    count_alias: str = "n",
+):
+    """EXACT frequent-item mining at sketch cost (SpaceSaving-style): items
+    of ``col`` with global count ≥ ``threshold``.
+
+    Pass 1 emits per-batch partial counts PRUNED to the top-``capacity``
+    items, plus the batch's max evicted count as its error bound. An item's
+    global pruned sum undercounts by at most Σ error_b, so every item with
+    ``pruned_sum + Σ error_b ≥ threshold`` is a candidate — items with true
+    count ≥ threshold can never be missed (the SpaceSaving guarantee,
+    data-dependent and tighter than N/capacity). Pass 2 recounts ONLY the
+    candidate set exactly (broadcast ``pc.is_in`` filter → partial counts)
+    and applies the threshold. Output is exact → SQL-oracle comparable.
+
+    Scale shape: shuffle volume = batches × capacity + candidate counts —
+    never the full distinct-item space (the point: at 10^12 rows a full
+    groupby on a high-cardinality token column is the thing to avoid)."""
+    import ray
+
+    def pruned_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select([col])
+            .group_by([col])
+            .aggregate([([], "count_all")])
+            .rename_columns([col, count_alias])
+        )
+        if g.num_rows > capacity:
+            order = pc.sort_indices(
+                g, sort_keys=[(count_alias, "descending"), (col, "ascending")]
+            )
+            kept = g.take(order[:capacity])
+            evicted_max = g.take(order[capacity : capacity + 1])[count_alias][0]
+            err = int(evicted_max.as_py())
+        else:
+            kept = g
+            err = 0
+        return kept.append_column(
+            "_err", pa.array([err] * kept.num_rows, type=pa.int64())
+        )
+
+    partials = ds.map_batches(pruned_partial, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Sum
+
+    per_item = partials.groupby(col).aggregate(
+        Sum(count_alias, alias_name=count_alias)
+    )
+    # total error bound = Σ over batches of that batch's max evicted count.
+    # A pruned batch (err > 0) keeps EXACTLY `capacity` rows, all carrying
+    # the same err — so #batches with a given err = rows(err) / capacity,
+    # recovered from a tiny distinct-err aggregate.
+    err_rows = partials.groupby("_err").count().to_pandas()
+    total_err = int(
+        sum(
+            int(r["_err"]) * (int(r["count()"]) // capacity)
+            for _, r in err_rows.iterrows()
+            if r["_err"] > 0
+        )
+    )
+
+    cand = per_item.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b[count_alias], threshold - total_err)
+        ).select([col]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    cand_ref = ray.put(pa.array(cand[col].tolist()))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        f = batch.select([col]).filter(pc.is_in(batch[col], value_set=wanted))
+        g = f.group_by([col]).aggregate([([], "count_all")])
+        return g.rename_columns([col, count_alias])
+
+    counts = ds.map_batches(recount, batch_format="pyarrow")
+    exact = tree_sum(counts, [col], [count_alias], sort_result=False)
+    return exact.map_batches(
+        lambda b: b.filter(pc.greater_equal(b[count_alias], threshold)),
+        batch_format="pyarrow",
+    ).sort(col)
 
 
 def approx_distinct(

@@ -91,6 +91,29 @@ def test_embedding_grid_equals_broadcast(ray_session):
         assert len(g) > 0
 
 
+def test_heavy_hitters_exact_under_heavy_pruning(ray_session):
+    """heavy_hitters must equal the exact GROUP BY/HAVING answer even when
+    capacity is far below the distinct-item count (pruning every batch) and
+    heavy items are scattered across many blocks."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.aggregate import heavy_hitters
+
+    rng = np.random.default_rng(9)
+    # 2000 distinct light items + 12 heavy ones spread across blocks
+    light = [f"light-{i}" for i in rng.integers(0, 2000, 20000)]
+    heavy = [f"heavy-{i % 12}" for i in range(3000)]
+    vals = light + heavy
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table({"tok": vals})).repartition(16)
+    got = heavy_hitters(ds, "tok", threshold=100, capacity=8).to_pandas()
+    exact = (
+        pd.Series(vals).value_counts().loc[lambda s: s >= 100].sort_index()
+    )
+    assert list(got["tok"]) == list(exact.index)
+    assert list(got["n"]) == list(exact.values)
+
+
 def test_minhash_jaccard_estimate_accuracy():
     from logstash_filter_geoip_ray.functions.sketches import (
         MinHasher,

@@ -64,6 +64,14 @@ def q_lang_stats(sf_dir: str):
     return lang_stats(_docs(sf_dir, ["doc_id", "text", "lang"]))
 
 
+def q_masked_docs(sf_dir: str):
+    """Privacy scrub: normalized + IP/email-masked document text (the
+    pre-retention cleaning pass), row-for-row vs the SQL oracle."""
+    from ..stages.textops import normalize_and_mask
+
+    return normalize_and_mask(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_jaccard_pairs(sf_dir: str):
     from ..stages.dedup import jaccard_pairs_by_block
 
@@ -319,6 +327,16 @@ def q_sample_events(sf_dir: str):
     return ds.map_batches(mod_filter, batch_format="pyarrow").sort("event_id")
 
 
+def q_sample_stratified(sf_dir: str):
+    """Deterministic stratified sample: 20 events per event_type by md5(id)
+    order — reproducible across engines, no RNG."""
+    from ..stages.aggregate import stratified_sample
+
+    return stratified_sample(
+        _events(sf_dir, ["event_type", "event_id"]), "event_type", "event_id", 20
+    )
+
+
 def q_tumbling_windows(sf_dir: str):
     from ..stages.windows import tumbling_window_counts
 
@@ -453,6 +471,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "doc_stats": q_doc_stats,
     "doc_analysis": q_doc_analysis,
     "lang_stats": q_lang_stats,
+    "masked_docs": q_masked_docs,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
@@ -471,6 +490,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "top_users": q_top_users,
     "distinct_event_types": q_distinct_event_types,
     "sample_events": q_sample_events,
+    "sample_stratified": q_sample_stratified,
     "tumbling_windows": q_tumbling_windows,
     "hopping_windows": q_hopping_windows,
     "asof_last_signup": q_asof_last_signup,
@@ -498,6 +518,15 @@ SELECT lang,
        CAST(sum({_TOKEN_COUNT}) AS BIGINT) AS total_tokens,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY lang ORDER BY lang
+""",
+    "masked_docs": r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text
+FROM documents ORDER BY doc_id
 """,
     "jaccard_pairs": f"""
 WITH sets AS (
@@ -681,6 +710,14 @@ ORDER BY n DESC, user_id LIMIT 20
     "sample_events": """
 SELECT event_id, user_id, event_type FROM events
 WHERE event_id >= 100 AND event_id % 97 = 0 ORDER BY event_id
+""",
+    "sample_stratified": """
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events
+) WHERE rn <= 20 ORDER BY event_type, event_id
 """,
     "tumbling_windows": f"""
 SELECT event_type,

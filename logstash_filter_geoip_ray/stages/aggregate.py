@@ -169,6 +169,43 @@ def salted_grouped_counts(
     )
 
 
+def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int):
+    """Deterministic stratified sample: the ``n_per_key`` rows per key with
+    the smallest md5(id) — a seeded-free, machine-independent ordering both
+    this engine and a SQL oracle can compute (``ORDER BY md5(id)``).
+
+    Shape: per-batch partial top-n per key (only batches×keys×n tiny rows
+    survive) → per-key final top-n. The md5-per-row call is the kernel
+    (C-speed hashlib inside map_batches); everything after is partial top-k,
+    never a full-row shuffle."""
+    import hashlib as _hashlib
+
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, id_col]).to_pandas()
+        df["_h"] = [
+            _hashlib.md5(str(int(v)).encode()).hexdigest() for v in df[id_col]
+        ]
+        top = (
+            df.sort_values([key_col, "_h", id_col])
+            .groupby(key_col, sort=False)
+            .head(n_per_key)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["_h", id_col]).head(n_per_key)
+        return g[[key_col, id_col]]
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return (
+        partials.groupby(key_col)
+        .map_groups(final, batch_format="pandas")
+        .sort([key_col, id_col])
+    )
+
+
 def heavy_hitters(
     ds,
     col: str,

@@ -57,6 +57,41 @@ def doc_analysis(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(analyze, batch_format="pyarrow").sort(id_col)
 
 
+#: PII-ish scrub patterns (RE2 in both engines): IPv4 literals and emails —
+#: the privacy pass a log/training-data pipeline runs before retention.
+MASK_PATTERNS = (
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+)
+
+
+def normalize_and_mask(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mask: bool = True,
+    out_col: str = "clean_text",
+):
+    """Vectorized text normalization + PII masking: lowercase, trim,
+    whitespace-collapse, then regexp-mask IPv4/email literals. Pure
+    ``pyarrow.compute`` kernels (utf8_lower / replace_substring_regex) — no
+    Python row loop — and expressible 1:1 in SQL for the oracle."""
+    import pyarrow.compute as pc
+
+    def clean(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        t = pc.utf8_lower(pc.utf8_trim_whitespace(text))
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        if mask:
+            for pattern, repl in MASK_PATTERNS:
+                t = pc.replace_substring_regex(t, pattern=pattern, replacement=repl)
+        return batch.select([id_col]).append_column(out_col, t)
+
+    return ds.map_batches(clean, batch_format="pyarrow").sort(id_col)
+
+
 def lang_stats(ds, text_col: str = "text", lang_col: str = "lang"):
     """Per-language doc counts + total chars + total tokens (all ints →
     exact oracle comparison). Partial-aggregated before the shuffle."""

@@ -204,6 +204,38 @@ def _q_frequent_tokens(sf_dir: str):
     return heavy_hitters(tokens, "source_ip", threshold=100, capacity=64)
 
 
+def _q_conv_documents(sf_dir: str):
+    """Turn → conversation-document assembly (the canonical training-data
+    prep step): per conv_id, concatenate turn texts in (turn_idx) order and
+    fingerprint the assembled document. Per-key ordered map_groups — the
+    partitioning assumption (one conversation per task) is the transcript
+    contract (TURNS_PER_CONV is bounded)."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+
+    ds = ray.data.read_parquet(
+        transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("turn_idx")
+        doc = "\n".join(g["text"])
+        return pd.DataFrame(
+            {
+                "conv_id": [g["conv_id"].iloc[0]],
+                "n_turns": [len(g)],
+                "doc_chars": [len(doc)],
+                "doc_md5": [hashlib.md5(doc.encode("utf-8")).hexdigest()],
+            }
+        )
+
+    return ds.groupby("conv_id").map_groups(assemble, batch_format="pandas").sort("conv_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from logstash_filter_geoip_ray.pipelines.data_ops import DATA_QUERIES
 
@@ -216,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_tokens": _q_parse_tokens,
         "log_field_counts": _q_log_field_counts,
         "frequent_tokens": _q_frequent_tokens,
+        "conv_documents": _q_conv_documents,
     }
     for spec_name in _DB_COUNT_SPECS:
         out[spec_name] = _make_db_counts_query(spec_name)
@@ -273,6 +306,13 @@ GROUP BY 1 ORDER BY 1
     }
     for spec_name, (_, _, oracle_cols) in _DB_COUNT_SPECS.items():
         out[spec_name] = oracle_db_key_counts_sql(sf, oracle_cols)
+    out["conv_documents"] = f"""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(length(string_agg(text, chr(10) ORDER BY turn_idx)) AS BIGINT) AS doc_chars,
+       md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS doc_md5
+FROM read_parquet('{t}/*.parquet') GROUP BY 1 ORDER BY 1
+"""
     out["frequent_tokens"] = f"""
 WITH parsed AS (
   SELECT nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS source_ip

@@ -183,9 +183,10 @@ def _q_log_field_counts(sf_dir: str):
 
 def _q_frequent_tokens(sf_dir: str):
     """Heavy hitters at sketch cost: tokens appearing ≥ 100 times, via
-    capacity-pruned partials (capacity=64 < the ~450 distinct tokens, so
-    pruning + the error-bound candidate pass are genuinely exercised) and
-    an exact recount — output is exact, oracle = GROUP BY ... HAVING."""
+    capacity-pruned partials (capacity=128 < the ~450 distinct tokens, so
+    pruning + the error-bound candidate pass are genuinely exercised while
+    the summed eviction bound stays under the threshold) and an exact
+    recount — output is exact, oracle = GROUP BY ... HAVING."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
@@ -201,7 +202,7 @@ def _q_frequent_tokens(sf_dir: str):
         return batch.filter(pc.is_valid(batch["source_ip"])).select(["source_ip"])
 
     tokens = ds.map_batches(drop_null, batch_format="pyarrow")
-    return heavy_hitters(tokens, "source_ip", threshold=100, capacity=64)
+    return heavy_hitters(tokens, "source_ip", threshold=100, capacity=128)
 
 
 def _q_conv_documents(sf_dir: str):

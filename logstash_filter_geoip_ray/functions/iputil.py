@@ -55,7 +55,9 @@ def resolve_hostname(name: str) -> Optional[IPAddress]:
     except (socket.gaierror, UnicodeError, OSError):
         return None
     for _fam, _t, _p, _c, sockaddr in infos:
-        return parse_ip(sockaddr[0])
+        addr = parse_ip(sockaddr[0])
+        if addr is not None:
+            return addr  # first PARSEABLE answer (skips e.g. scoped fe80::%)
     return None
 
 

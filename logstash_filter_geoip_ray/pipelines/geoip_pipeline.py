@@ -177,11 +177,8 @@ def write_routed_bucketed(
     num_buckets: Optional[int] = None,
     key_cols: Sequence[str] = ("country", "tool"),
 ):
-    """Fleet-scale routed write: HASH-BUCKET exchange instead of a global
-    sort. Each block splits into ``num_buckets`` sub-tables by a stable hash
-    of the sink key; one writer task per bucket concatenates its shards and
-    writes one Parquet file per sink it owns (a sink key lives in exactly one
-    bucket → file count = #sinks, independent of upstream task count).
+    """Fleet-scale routed write with one output file per sink (file count =
+    #sinks, independent of upstream task count) and no global sort.
 
     Implementation: a DISK-STAGED exchange, like a MapReduce shuffle. Phase 1
     is the streaming fan-out write into a hive-partitioned staging dir (each
@@ -197,6 +194,11 @@ def write_routed_bucketed(
     repartition-by-key (``sort`` is a range-sort, ``groupby`` is sort-based).
     ``num_buckets`` caps concurrent compactions. Hot sinks can be salted
     upstream into country=XX/tool=YY/part-N splits.
+
+    Storage assumption (same as ANY distributed sink): ``out_dir`` must be
+    on storage every worker AND the driver can reach — on a real cluster
+    that is the job's shared object store / NFS output path, exactly where
+    a fan-out write lands anyway; node-local paths only work single-node.
 
     Returns (out_dir, files_written)."""
     import glob as _glob

@@ -219,11 +219,16 @@ def heavy_hitters(
     Pass 1 emits per-batch partial counts PRUNED to the top-``capacity``
     items, plus the batch's max evicted count as its error bound. An item's
     global pruned sum undercounts by at most Σ error_b, so every item with
-    ``pruned_sum + Σ error_b ≥ threshold`` is a candidate — items with true
-    count ≥ threshold can never be missed (the SpaceSaving guarantee,
-    data-dependent and tighter than N/capacity). Pass 2 recounts ONLY the
-    candidate set exactly (broadcast ``pc.is_in`` filter → partial counts)
-    and applies the threshold. Output is exact → SQL-oracle comparable.
+    ``pruned_sum + Σ error_b ≥ threshold`` is a candidate — and an item
+    evicted from EVERY batch has true count ≤ Σ error_b, so as long as
+    ``Σ error_b < threshold`` no qualifying item can be missed (the
+    SpaceSaving guarantee, data-dependent and tighter than N/capacity).
+    When the bound fails the capacity was too small for this threshold and
+    the function raises instead of silently under-reporting — raise
+    ``capacity`` (or lower ``threshold``) and rerun. Pass 2 recounts ONLY
+    the candidate set exactly (broadcast ``pc.is_in`` filter → partial
+    counts) and applies the threshold. Output is exact → SQL-oracle
+    comparable.
 
     Scale shape: shuffle volume = batches × capacity + candidate counts —
     never the full distinct-item space (the point: at 10^12 rows a full
@@ -270,6 +275,15 @@ def heavy_hitters(
             if r["_err"] > 0
         )
     )
+    if total_err >= threshold:
+        # an item evicted from every batch can have true count up to
+        # total_err ≥ threshold yet never appear in per_item — the no-miss
+        # guarantee is void. Fail loudly instead of silently dropping items.
+        raise ValueError(
+            "heavy_hitters: summed eviction error %d >= threshold %d — "
+            "capacity %d is too small for this threshold/distribution; "
+            "raise capacity" % (total_err, threshold, capacity)
+        )
 
     cand = per_item.map_batches(
         lambda b: b.filter(
@@ -277,6 +291,19 @@ def heavy_hitters(
         ).select([col]),
         batch_format="pyarrow",
     ).to_pandas()
+    if len(cand) == 0:
+        import ray.data
+
+        s = ds.schema()
+        col_type = dict(zip(s.names, s.types))[col]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    col: pa.array([], type=col_type),
+                    count_alias: pa.array([], type=pa.int64()),
+                }
+            )
+        )
     cand_ref = ray.put(pa.array(cand[col].tolist()))
 
     def recount(batch: pa.Table) -> pa.Table:

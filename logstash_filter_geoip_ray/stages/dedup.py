@@ -112,9 +112,20 @@ def minhash_candidate_pairs(
 
     Shape: (band_key, id) explode → ``groupby(band_key)`` co-locates bucket
     members → per-bucket id pairs → per-batch distinct → global distinct.
-    Shuffle volume = docs × bands tiny rows + candidate pairs."""
+    Shuffle volume = docs × bands tiny rows + candidate pairs.
+
+    ``id_col`` must be integer-typed (the pair columns and downstream
+    union-find are int64); a non-integer id raises here with a clear message
+    instead of failing inside bucket tasks."""
     from ray.data.aggregate import Count
 
+    schema = ds.schema()
+    id_type = dict(zip(schema.names, schema.types)).get(id_col)
+    if id_type is not None and not pa.types.is_integer(id_type):
+        raise TypeError(
+            "minhash_candidate_pairs: id column %r must be integer-typed "
+            "(got %s) — map string ids to int64 upstream" % (id_col, id_type)
+        )
     stage = MinHashBandStage(num_perm, bands, shingle_k, text_col, id_col)
     banded = ds.map_batches(stage, batch_format="pyarrow")
 
@@ -527,7 +538,7 @@ def embedding_dup_pairs(
         if batch.num_rows == 0:
             return pa.table(
                 {
-                    "cell": pa.array([], type=pa.string()),
+                    "cell": pa.array([], type=pa.int64()),
                     "bucket": pa.array([], type=pa.int64()),
                     id_col: pa.array([], type=pa.int64()),
                     vec_col: pa.array([], type=batch[vec_col].type),
@@ -538,19 +549,19 @@ def embedding_dup_pairs(
             ids = ids.combine_chunks()
         buckets = np.asarray(ids) % B
         # replicate: row in bucket p goes to every cell pairing p with
-        # another bucket (B copies, tiny rows + its vector)
-        take_idx, cells = [], []
-        for row, p in enumerate(buckets):
-            p = int(p)
-            for other in range(B):
-                i, j = (other, p) if other <= p else (p, other)
-                take_idx.append(row)
-                cells.append("%02d:%02d" % (i, j))
-        idx = pa.array(take_idx, type=pa.int64())
+        # another bucket (B copies each) — fully vectorized: cell id is the
+        # integer i*B + j for the ordered pair (i ≤ j)
+        n = len(buckets)
+        p_rep = np.repeat(buckets, B)
+        other = np.tile(np.arange(B, dtype=np.int64), n)
+        lo = np.minimum(p_rep, other)
+        hi = np.maximum(p_rep, other)
+        cells = lo * B + hi
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), B))
         return pa.table(
             {
-                "cell": pa.array(cells, type=pa.string()),
-                "bucket": pa.array(buckets[take_idx], type=pa.int64()),
+                "cell": pa.array(cells, type=pa.int64()),
+                "bucket": pa.array(p_rep, type=pa.int64()),
                 id_col: pc.take(ids, idx),
                 vec_col: pc.take(
                     batch[vec_col].combine_chunks()
@@ -562,8 +573,8 @@ def embedding_dup_pairs(
         )
 
     def cell_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        cell = group["cell"].iloc[0]
-        i, j = (int(x) for x in cell.split(":"))
+        cell = int(group["cell"].iloc[0])
+        i, j = divmod(cell, B)
         # rows arriving for a cell are deduped per (bucket, id): a vector is
         # sent once per cell, but defensively drop repeats
         group = group.drop_duplicates(subset=["bucket", id_col])

@@ -180,14 +180,24 @@ class DecodeImageStage:
     def _decode_features(self, payload: bytes, meta: dict) -> np.ndarray:
         # REAL decode path: PPM needs no external codec
         if payload.startswith(b"P6") or (meta or {}).get("format") == "ppm":
-            px = decode_ppm(payload).astype(np.float32)
-            feats = np.zeros(self.FEATURE_DIM, dtype=np.float32)
-            feats[0], feats[1] = px.shape[1], px.shape[0]  # width, height
-            feats[2:5] = px.mean(axis=(0, 1))
-            feats[5:8] = px.std(axis=(0, 1))
-            feats[8:11] = px.min(axis=(0, 1))
-            feats[11:14] = px.max(axis=(0, 1))
-            return feats
+            try:
+                px = decode_ppm(payload).astype(np.float32)
+            except ValueError:
+                if self.strict:
+                    raise
+                # per-row degrade: an opaque payload that merely starts with
+                # b'P6' (2^-16 of random binaries — guaranteed at scale), or
+                # a truncated PPM, must not kill the task; fall through to
+                # the deterministic fake features
+                px = None
+            if px is not None:
+                feats = np.zeros(self.FEATURE_DIM, dtype=np.float32)
+                feats[0], feats[1] = px.shape[1], px.shape[0]  # width, height
+                feats[2:5] = px.mean(axis=(0, 1))
+                feats[5:8] = px.std(axis=(0, 1))
+                feats[8:11] = px.min(axis=(0, 1))
+                feats[11:14] = px.max(axis=(0, 1))
+                return feats
         if self.strict:
             raise NotImplementedError(
                 "jpeg/png decode requires PIL/libjpeg, unavailable in this environment"

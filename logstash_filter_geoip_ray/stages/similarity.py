@@ -193,7 +193,8 @@ def ivf_topk(
     k: int = 10,
     n_clusters: int = 16,
     n_probe: int = 4,
-    train_sample_mod: int = 1,
+    train_sample_mod: Optional[int] = None,
+    train_target_rows: int = 65536,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ):
@@ -204,15 +205,21 @@ def ivf_topk(
     one of a query's ``n_probe`` nearest cells are scored. Same output
     schema as brute_force_topk; recall measured in tests.
 
-    Scale shape: training reads a bounded sample (set ``train_sample_mod``
-    so the sample fits the driver), search is one matmul per batch against
-    the tiny codebook + the usual partial top-k — the corpus never
-    broadcasts or shuffles."""
+    Scale shape: training reads a BOUNDED sample — ``train_sample_mod``
+    defaults to ``ceil(count / train_target_rows)`` so at most
+    ~``train_target_rows`` vectors ever reach the driver, regardless of
+    corpus size; search is one matmul per batch against the tiny codebook +
+    the usual partial top-k — the corpus never broadcasts or shuffles."""
     import pyarrow.compute as pc
 
     import ray
 
     qids, qmat = _collect_queries(ds, query_ids, id_col, vec_col)
+
+    if train_sample_mod is None:
+        # parquet metadata count: cheap, no scan
+        n_total = ds.count()
+        train_sample_mod = max(1, -(-n_total // train_target_rows))
 
     # deterministic sample → codebook (driver-side numpy on the sample only)
     def sample_batch(b: pa.Table) -> pa.Table:

@@ -68,7 +68,11 @@ def hopping_window_counts(
     path. Shuffle volume = (width/hop) × partial rows, never raw events."""
     from ray.data.aggregate import Sum
 
-    assert width_sec % hop_sec == 0, "width must be a multiple of hop"
+    if width_sec % hop_sec != 0:
+        raise ValueError(
+            "hopping_window_counts: width_sec (%d) must be a multiple of "
+            "hop_sec (%d)" % (width_sec, hop_sec)
+        )
     k = width_sec // hop_sec
 
     def per_batch(batch: pa.Table) -> pa.Table:

@@ -106,12 +106,21 @@ def test_heavy_hitters_exact_under_heavy_pruning(ray_session):
     vals = light + heavy
     rng.shuffle(vals)
     ds = ray.data.from_arrow(pa.table({"tok": vals})).repartition(16)
-    got = heavy_hitters(ds, "tok", threshold=100, capacity=8).to_pandas()
+    # capacity 48 << ~1100 distinct per block: every batch prunes, yet the
+    # summed error bound stays below the threshold → exact answer guaranteed
+    got = heavy_hitters(ds, "tok", threshold=100, capacity=48).to_pandas()
     exact = (
         pd.Series(vals).value_counts().loc[lambda s: s >= 100].sort_index()
     )
     assert list(got["tok"]) == list(exact.index)
     assert list(got["n"]) == list(exact.values)
+    # capacity too small for the threshold → loud error, never silent misses
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(ds, "tok", threshold=100, capacity=8).to_pandas()
+    # nothing qualifies → clean empty result with a stable schema
+    empty = heavy_hitters(ds, "tok", threshold=10**9, capacity=4096)
+    assert empty.schema().names == ["tok", "n"]
+    assert empty.count() == 0
 
 
 def test_minhash_jaccard_estimate_accuracy():

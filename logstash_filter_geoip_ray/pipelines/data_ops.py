@@ -64,6 +64,33 @@ def q_lang_stats(sf_dir: str):
     return lang_stats(_docs(sf_dir, ["doc_id", "text", "lang"]))
 
 
+def q_vocab_top(sf_dir: str):
+    """Vocabulary building (LLM-prep): lowercase word frequencies over the
+    corpus, top 100 by (count desc, token asc). Vectorized explode
+    (utf8_split_whitespace → flatten) → per-batch partial counts → tree
+    combine; shuffle = batches × batch-distinct words, never raw tokens."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import grouped_counts
+
+    docs = _docs(sf_dir, ["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.utf8_split_whitespace(
+            pc.utf8_lower(pc.utf8_trim_whitespace(text))
+        ).flatten()
+        return pa.table({"w": words.filter(pc.not_equal(words, ""))})
+
+    counts = grouped_counts(
+        docs.map_batches(explode, batch_format="pyarrow"), ["w"], "n"
+    )
+    return counts.sort(["n", "w"], descending=[True, False]).limit(100)
+
+
 def q_masked_docs(sf_dir: str):
     """Privacy scrub: normalized + IP/email-masked document text (the
     pre-retention cleaning pass), row-for-row vs the SQL oracle."""
@@ -472,6 +499,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "doc_analysis": q_doc_analysis,
     "lang_stats": q_lang_stats,
     "masked_docs": q_masked_docs,
+    "vocab_top": q_vocab_top,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
@@ -518,6 +546,13 @@ SELECT lang,
        CAST(sum({_TOKEN_COUNT}) AS BIGINT) AS total_tokens,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY lang ORDER BY lang
+""",
+    "vocab_top": r"""
+WITH w AS (
+  SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w FROM documents
+)
+SELECT w, CAST(count(*) AS BIGINT) AS n FROM w WHERE w <> ''
+GROUP BY 1 ORDER BY n DESC, w LIMIT 100
 """,
     "masked_docs": r"""
 SELECT doc_id,

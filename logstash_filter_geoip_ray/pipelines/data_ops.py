@@ -91,6 +91,56 @@ def q_vocab_top(sf_dir: str):
     return counts.sort(["n", "w"], descending=[True, False]).limit(100)
 
 
+#: decontamination parameters: docs with doc_id % MOD == 0 play the role of
+#: the (small, fixed) eval benchmark; 4-gram overlap flags training docs.
+CONTAM_BENCH_MOD = 17
+CONTAM_NGRAM = 4
+
+
+def _mod_filter(equal: bool):
+    """Batch filter on doc_id % CONTAM_BENCH_MOD (Arrow lacks a modulo
+    kernel; one numpy op per batch)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hit = (ids % CONTAM_BENCH_MOD) == 0
+        return batch.filter(pa.array(hit if equal else ~hit))
+
+    return f
+
+
+def q_contaminated_docs(sf_dir: str):
+    """Benchmark decontamination: training docs (doc_id % 17 != 0) sharing
+    any word 4-gram with the benchmark split (doc_id % 17 == 0). Benchmark
+    shingles broadcast once; corpus streams through one vectorized is_in."""
+    from ..stages.contamination import benchmark_shingles, contaminated_docs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = benchmark_shingles(
+        docs.map_batches(_mod_filter(True), batch_format="pyarrow"), n=CONTAM_NGRAM
+    )
+    train = docs.map_batches(_mod_filter(False), batch_format="pyarrow")
+    return contaminated_docs(train, bench, n=CONTAM_NGRAM).sort("doc_id")
+
+
+def q_quality_filter(sf_dir: str):
+    """Gopher-style repetition filter: docs surviving the duplicate-word /
+    top-word-fraction / min-length thresholds, with their integer-milli
+    stats."""
+    from ..stages.textops import quality_filter
+
+    return quality_filter(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_inverted_index(sf_dir: str):
+    """word → (df, sorted posting list) over the corpus."""
+    from ..stages.textops import inverted_index
+
+    return inverted_index(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_masked_docs(sf_dir: str):
     """Privacy scrub: normalized + IP/email-masked document text (the
     pre-retention cleaning pass), row-for-row vs the SQL oracle."""
@@ -500,6 +550,9 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "lang_stats": q_lang_stats,
     "masked_docs": q_masked_docs,
     "vocab_top": q_vocab_top,
+    "contaminated_docs": q_contaminated_docs,
+    "quality_filter": q_quality_filter,
+    "inverted_index": q_inverted_index,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
@@ -553,6 +606,51 @@ WITH w AS (
 )
 SELECT w, CAST(count(*) AS BIGINT) AS n FROM w WHERE w <> ''
 GROUP BY 1 ORDER BY n DESC, w LIMIT 100
+""",
+    "contaminated_docs": r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+), g AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= 4
+      THEN list_transform(range(1, len(ws) - 2),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+      ELSE CAST(NULL AS VARCHAR[]) END) AS g
+  FROM t
+), bench AS (
+  SELECT DISTINCT g FROM g WHERE doc_id % 17 = 0
+), hits AS (
+  SELECT DISTINCT gg.doc_id, gg.g FROM g gg
+  WHERE gg.doc_id % 17 <> 0 AND gg.g IN (SELECT g FROM bench)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+FROM hits GROUP BY 1 ORDER BY 1
+""",
+    "quality_filter": r"""
+WITH w AS (
+  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
+  FROM documents WHERE trim(text) <> ''
+), f AS (
+  SELECT doc_id, w, count(*) AS c FROM w WHERE w <> '' GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS token_total,
+         CAST(1000 - (1000 * count(*)) // sum(c) AS BIGINT) AS dup_milli,
+         CAST((1000 * max(c)) // sum(c) AS BIGINT) AS top_milli
+  FROM f GROUP BY 1
+)
+SELECT doc_id, token_total, dup_milli, top_milli FROM agg
+WHERE token_total >= 20 AND dup_milli <= 500 AND top_milli <= 150
+ORDER BY doc_id
+""",
+    "inverted_index": r"""
+WITH w AS (
+  SELECT DISTINCT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT w, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM w WHERE w <> '' GROUP BY w ORDER BY w
 """,
     "masked_docs": r"""
 SELECT doc_id,

@@ -125,3 +125,106 @@ def lang_stats(ds, text_col: str = "text", lang_col: str = "lang"):
         )
         .sort(lang_col)
     )
+
+
+def quality_filter(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_dup_milli: int = 500,
+    max_top_milli: int = 150,
+):
+    """Gopher-style repetition quality filter: keep documents whose
+    duplicate-word fraction and most-frequent-word fraction stay under
+    thresholds (integer milli-units → exact oracle comparison).
+
+    Per doc: token_total, dup_milli = 1000 - (1000·distinct)//total,
+    top_milli = (1000·max_word_count)//total. Vectorized: the batch's words
+    are exploded once (``utf8_split_whitespace`` → flatten with row index)
+    and all per-doc stats come from two pandas groupbys over the exploded
+    frame — no per-row Python loop. Embarrassingly parallel per batch, no
+    shuffle; the final sort is on the (small) surviving id set."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .contamination import _flat_words
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, idx = _flat_words(text)
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "token_total": pa.array([], type=pa.int64()),
+                "dup_milli": pa.array([], type=pa.int64()),
+                "top_milli": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(flat) == 0:
+            return empty
+        df = pd.DataFrame({"i": idx, "w": flat.to_numpy(zero_copy_only=False)})
+        per_word = df.groupby(["i", "w"], sort=False).size()
+        g = per_word.groupby(level=0)
+        total = g.sum()
+        distinct = g.size()
+        top = g.max()
+        token_total = total.to_numpy(dtype=np.int64)
+        dup_milli = 1000 - (1000 * distinct.to_numpy(dtype=np.int64)) // token_total
+        top_milli = (1000 * top.to_numpy(dtype=np.int64)) // token_total
+        keep = (
+            (token_total >= min_tokens)
+            & (dup_milli <= max_dup_milli)
+            & (top_milli <= max_top_milli)
+        )
+        rows = total.index.to_numpy(dtype=np.int64)[keep]
+        ids = pc.take(pc.cast(batch[id_col], pa.int64()), pa.array(rows))
+        return pa.table(
+            {
+                id_col: ids,
+                "token_total": pa.array(token_total[keep], type=pa.int64()),
+                "dup_milli": pa.array(dup_milli[keep], type=pa.int64()),
+                "top_milli": pa.array(top_milli[keep], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow").sort(id_col)
+
+
+def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Inverted index (the classic MapReduce shape): word → document
+    frequency + comma-joined sorted posting list. Map side explodes each
+    batch to DISTINCT (word, doc_id) pairs (per-batch dedup shrinks the
+    shuffle to the posting-pair count); reduce side is one groupby(word)
+    building each posting list independently. At fleet scale the shuffle
+    payload is exactly the index being built — there is no smaller exchange
+    that still materializes global posting lists."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .contamination import _flat_words
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, idx = _flat_words(text)
+        ids = pc.take(pc.cast(batch[id_col], pa.int64()), pa.array(idx))
+        pairs = pa.table({"w": flat, id_col: ids})
+        return pairs.group_by(["w", id_col]).aggregate([])
+
+    def build_postings(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(int(i) for i in group[id_col]))
+        return pd.DataFrame(
+            {
+                "w": [group["w"].iloc[0]],
+                "df": [len(ids)],
+                "postings": [",".join(str(i) for i in ids)],
+            }
+        )
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow")
+    return pairs.groupby("w").map_groups(build_postings, batch_format="pandas").sort("w")

@@ -37,7 +37,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     ["dedup_exact", "doc_stats", "lang_stats", "jaccard_pairs", "ngram_jaccard",
      "dedup_embedding", "ann_topk", "tumbling_windows", "hopping_windows",
      "sessions", "top_users", "distinct_event_types", "sample_events",
-     "exact_distinct_users", "exact_value_quantiles"],
+     "exact_distinct_users", "exact_value_quantiles",
+     "contaminated_docs", "quality_filter", "inverted_index"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()
@@ -557,3 +558,89 @@ def test_hash_join_mixed_widths_and_negatives(ray_session, lw, rw):
     )
     # no float64 leakage on int keys
     assert str(out["k"].dtype).startswith("int")
+
+
+# -- contamination / quality / inverted index -------------------------------
+
+
+def test_contamination_flags_exact_gram_overlap(ray_session):
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.contamination import (
+        benchmark_shingles,
+        contaminated_docs,
+    )
+
+    bench_tbl = pa.table(
+        {"doc_id": [0], "text": ["the quick brown fox jumps over the lazy dog"]}
+    )
+    train_tbl = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                # shares the 4-gram "quick brown fox jumps" AND
+                # "brown fox jumps over" → 2 distinct hit grams
+                "a quick brown fox jumps over fences",
+                "completely different words entirely here now",
+                "fox jumps over the lazy dog indeed",  # 3 hit grams
+            ],
+        }
+    )
+    bench = benchmark_shingles(ray.data.from_arrow(bench_tbl), n=4)
+    out = (
+        contaminated_docs(ray.data.from_arrow(train_tbl), bench, n=4)
+        .sort("doc_id")
+        .to_pandas()
+    )
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["n_hit_grams"].tolist() == [2, 3]
+
+
+def test_contamination_empty_benchmark_flags_nothing(ray_session):
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.contamination import contaminated_docs
+
+    train = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["a b c d e"]}))
+    out = contaminated_docs(train, pa.array([], type=pa.string()), n=4).to_pandas()
+    assert len(out) == 0
+
+
+def test_quality_filter_drops_repetitive_doc(ray_session):
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.textops import quality_filter
+
+    clean = " ".join(f"w{i}" for i in range(30))  # 30 distinct words
+    spam = " ".join(["buy"] * 30)  # 100% repetition
+    short = "too short"
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [1, 2, 3], "text": [clean, spam, short]})
+    )
+    out = quality_filter(ds).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+    row = out.iloc[0]
+    assert row["token_total"] == 30 and row["dup_milli"] == 0
+    # 1/30 → 33 milli
+    assert row["top_milli"] == (1000 * 1) // 30
+
+
+def test_inverted_index_postings(ray_session):
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.textops import inverted_index
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [10, 2, 7],
+                "text": ["apple banana apple", "banana cherry", "apple"],
+            }
+        )
+    )
+    out = inverted_index(ds).to_pandas().set_index("w")
+    # apple appears in docs 10 and 7 (twice in 10 → still one posting)
+    assert out.loc["apple", "df"] == 2
+    assert out.loc["apple", "postings"] == "7,10"
+    assert out.loc["banana", "postings"] == "2,10"
+    assert out.loc["cherry", "postings"] == "2"

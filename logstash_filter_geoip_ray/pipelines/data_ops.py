@@ -141,6 +141,22 @@ def q_inverted_index(sf_dir: str):
     return inverted_index(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle: global order by md5(seed:doc_id) —
+    reproducible across cluster sizes, rerunnable per epoch by seed."""
+    from ..stages.packing import hash_shuffle
+
+    return hash_shuffle(_docs(sf_dir, ["doc_id"])).select_columns(["doc_id", "h"])
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing: per-bucket greedy doc→fixed-token-chunk assignment
+    (chunk_tokens=256, buckets=8)."""
+    from ..stages.packing import pack_sequences
+
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_masked_docs(sf_dir: str):
     """Privacy scrub: normalized + IP/email-masked document text (the
     pre-retention cleaning pass), row-for-row vs the SQL oracle."""
@@ -553,6 +569,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "contaminated_docs": q_contaminated_docs,
     "quality_filter": q_quality_filter,
     "inverted_index": q_inverted_index,
+    "epoch_shuffle": q_epoch_shuffle,
+    "pack_sequences": q_pack_sequences,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
@@ -651,6 +669,27 @@ WITH w AS (
 SELECT w, CAST(count(*) AS BIGINT) AS df,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM w WHERE w <> '' GROUP BY w ORDER BY w
+""",
+    "epoch_shuffle": r"""
+SELECT doc_id, md5('s0:' || CAST(doc_id AS VARCHAR)) AS h
+FROM documents ORDER BY h, doc_id
+""",
+    "pack_sequences": r"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS bucket,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, bucket, tokens,
+         sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - tokens AS start_tok
+  FROM t
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // 256 AS BIGINT) AS chunk_id
+FROM c ORDER BY doc_id
 """,
     "masked_docs": r"""
 SELECT doc_id,

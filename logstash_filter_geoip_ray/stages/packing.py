@@ -1,0 +1,90 @@
+"""Training-batch assembly: deterministic epoch shuffle + sequence packing.
+
+Two operators an LLM training-data pipeline runs after cleaning/dedup:
+
+- ``hash_shuffle``: a machine-independent global shuffle — order rows by
+  ``md5(seed + ':' + id)``. Unlike ``Dataset.random_shuffle`` (whose result
+  depends on block layout and task scheduling), the hash order is a pure
+  function of (seed, id): reproducible across cluster sizes, resumable
+  mid-epoch, and a new epoch is just a new seed. The execution cost is one
+  range-partition sort — exactly the all-to-all any true shuffle pays.
+
+- ``pack_sequences``: greedy sequence packing — concatenate documents in a
+  deterministic per-bucket order and split the token stream every
+  ``chunk_tokens`` tokens; each doc is assigned the chunk containing its
+  first token. Buckets (``doc_id % num_buckets``) are the unit of
+  parallelism: packing is inherently sequential (each doc's offset depends
+  on every predecessor), so the cumulative sum runs per bucket inside one
+  ``map_groups`` task while buckets proceed in parallel. At fleet scale,
+  pick ``num_buckets`` ≈ total_tokens / (a few hundred M) so one bucket's
+  (id, token_count) pairs — NOT its text — fit in a task; only the
+  doc_id→chunk assignment is computed here, the heavy text concat happens
+  downstream per chunk.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def hash_shuffle(ds, id_col: str = "doc_id", seed: str = "s0"):
+    """Rows with an ``h = md5(seed:id)`` column, globally sorted by
+    ``(h, id)`` — the deterministic epoch shuffle."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = [hashlib.md5(f"{seed}:{int(v)}".encode()).hexdigest() for v in ids]
+        return batch.append_column("h", pa.array(h, type=pa.string()))
+
+    return ds.map_batches(add_hash, batch_format="pyarrow").sort(["h", id_col])
+
+
+def pack_sequences(
+    ds,
+    chunk_tokens: int = 256,
+    num_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """(doc_id, bucket, start_tok, chunk_id) for every document: the packed
+    training-chunk assignment. Token counts are whitespace words (the
+    engine's ``token_counts`` kernel — swap in the BPE-ish counter for real
+    tokenizer budgets); all outputs are integers (oracle-expressible via a
+    SQL window cumsum)."""
+    from ..functions.textstats import token_counts
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "bucket": pa.array(ids % num_buckets, type=pa.int64()),
+                "tokens": token_counts(text),
+            }
+        )
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col)
+        start = g["tokens"].cumsum().to_numpy(dtype=np.int64) - g["tokens"].to_numpy(
+            dtype=np.int64
+        )
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(dtype=np.int64),
+                "bucket": g["bucket"].to_numpy(dtype=np.int64),
+                "start_tok": start,
+                "chunk_id": start // chunk_tokens,
+            }
+        )
+
+    counts = ds.map_batches(count, batch_format="pyarrow")
+    return (
+        counts.groupby("bucket").map_groups(pack, batch_format="pandas").sort(id_col)
+    )

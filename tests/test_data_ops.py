@@ -38,7 +38,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "dedup_embedding", "ann_topk", "tumbling_windows", "hopping_windows",
      "sessions", "top_users", "distinct_event_types", "sample_events",
      "exact_distinct_users", "exact_value_quantiles",
-     "contaminated_docs", "quality_filter", "inverted_index"],
+     "contaminated_docs", "quality_filter", "inverted_index",
+     "epoch_shuffle", "pack_sequences"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()
@@ -644,3 +645,39 @@ def test_inverted_index_postings(ray_session):
     assert out.loc["apple", "postings"] == "7,10"
     assert out.loc["banana", "postings"] == "2,10"
     assert out.loc["cherry", "postings"] == "2"
+
+
+def test_hash_shuffle_deterministic_and_seed_sensitive(ray_session):
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.packing import hash_shuffle
+
+    tbl = pa.table({"doc_id": list(range(50))})
+    a = hash_shuffle(ray.data.from_arrow(tbl), seed="e1").to_pandas()
+    b = hash_shuffle(ray.data.from_arrow(tbl), seed="e1").to_pandas()
+    c = hash_shuffle(ray.data.from_arrow(tbl), seed="e2").to_pandas()
+    pd.testing.assert_frame_equal(a, b)  # reproducible
+    assert a["doc_id"].tolist() != c["doc_id"].tolist()  # new epoch, new order
+    assert sorted(a["doc_id"]) == sorted(c["doc_id"]) == list(range(50))
+    assert a["doc_id"].tolist() != list(range(50))  # actually shuffled
+
+
+def test_pack_sequences_chunk_assignment(ray_session):
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.packing import pack_sequences
+
+    # one bucket, chunk=10: docs of 4/4/4 tokens → starts 0,4,8 → chunks 0,0,0
+    # then a 7-token doc starts at 12 → chunk 1
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": ["a b c d", "e f g h", "i j k l", "m n o p q r s"],
+            }
+        )
+    )
+    out = pack_sequences(ds, chunk_tokens=10, num_buckets=1).to_pandas()
+    assert out["start_tok"].tolist() == [0, 4, 8, 12]
+    assert out["chunk_id"].tolist() == [0, 0, 0, 1]
+    assert (out["bucket"] == 0).all()

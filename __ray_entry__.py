@@ -133,6 +133,16 @@ def _make_db_counts_query(spec_name: str):
     return q
 
 
+def _q_sink_counts_checkpointed(sf_dir: str):
+    """P8 end-to-end: checkpointed per-shard enrich (rerun = resume) →
+    aggregate over the checkpoint outputs; same oracle as sink_counts."""
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        sink_counts_checkpointed,
+    )
+
+    return sink_counts_checkpointed(sf_dir)
+
+
 def _q_parse_tokens(sf_dir: str):
     """P2 alone: distinct extracted tokens with frequencies."""
     from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
@@ -246,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asn_counts_salted": _q_asn_counts_salted,
         "turn_histogram": _q_turn_histogram,
         "routed_rows": _q_routed_rows,
+        "sink_counts_checkpointed": _q_sink_counts_checkpointed,
         "parse_tokens": _q_parse_tokens,
         "log_field_counts": _q_log_field_counts,
         "frequent_tokens": _q_frequent_tokens,
@@ -301,6 +312,7 @@ GROUP BY 1 ORDER BY 1
         "sink_counts_ecs": oracle_sink_counts_sql(sf),
         "asn_counts_salted": oracle_asn_counts_sql(sf),
         "sink_counts_custom_db": oracle_sink_counts_sql(sf),
+        "sink_counts_checkpointed": oracle_sink_counts_sql(sf),
         "turn_histogram": oracle_turn_histogram_sql(sf),
         "routed_rows": routed,
         "parse_tokens": parse_tokens,

@@ -147,6 +147,31 @@ def sink_counts(enriched_ds, count_alias: str = "n"):
     )
 
 
+def sink_counts_checkpointed(sf_dir: str, work_root: str = "/tmp/graft_ckpt_query"):
+    """P8 (checkpoint/resume) through the driver gate: per-shard checkpointed
+    enrich into a content-keyed /tmp work dir — a rerun is a pure resume
+    (manifests + config hash skip every finished shard) — then the flagship
+    (country, tool) aggregate over the checkpoint OUTPUT shards. Must
+    reproduce the sink_counts oracle exactly, proving the resumable path
+    computes the same answer as the streaming path."""
+    import glob as _glob
+    import hashlib as _hashlib
+
+    import ray.data
+
+    from ..state.checkpoint import output_path, run_checkpointed
+
+    path = transcripts_path(sf_dir)
+    out_dir = os.path.join(work_root, _hashlib.md5(path.encode()).hexdigest()[:12])
+    run_checkpointed(path, out_dir)
+    inputs = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    # read exactly the outputs of the current inputs (stale files from an
+    # older generator revision in the same work dir can never leak in)
+    outputs = [output_path(out_dir, p) for p in inputs]
+    ds = ray.data.read_parquet(outputs, columns=["country", "tool"])
+    return sink_counts(ds)
+
+
 def country_turn_histogram(enriched_ds, bucket_width: int = 4, count_alias: str = "n"):
     return turn_histogram(
         enriched_ds, "country", "turn_idx", bucket_width, count_alias, sort_result=True

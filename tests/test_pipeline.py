@@ -231,3 +231,31 @@ def test_clustered_routed_write(ray_session, tmp_path):
     assert len(files) <= len(part_dirs) + 8  # ~one file per sink
     total = sum(pq.read_table(f).num_rows for f in files)
     assert total == 6000
+
+
+def test_sink_counts_checkpointed_matches_oracle(ray_session, tmp_path):
+    """P8 driver query: the checkpointed enrich path reproduces the flagship
+    sink counts, and a rerun is a pure resume (no shard reprocessed)."""
+    import glob
+    import os
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        sink_counts_checkpointed,
+    )
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+
+    work = str(tmp_path / "ckpt")
+    counts = sink_counts_checkpointed(SF, work_root=work).to_pandas()
+    oracle = duckdb.sql(oracle_sink_counts_sql(SF)).df()
+    merged = counts.merge(oracle, on=["country", "tool"], how="outer", suffixes=("_r", "_o"))
+    assert len(merged) == len(counts) == len(oracle)
+    assert (merged["n_r"] == merged["n_o"]).all()
+    # rerun resumes: every manifest already present, outputs unchanged
+    out_dir = glob.glob(os.path.join(work, "*"))[0]
+    manifests = glob.glob(os.path.join(out_dir, "_manifests", "*.json"))
+    n_inputs = len(glob.glob(os.path.join(transcripts_path(SF), "*.parquet")))
+    assert len(manifests) == n_inputs
+    mtimes = {m: os.path.getmtime(m) for m in manifests}
+    counts2 = sink_counts_checkpointed(SF, work_root=work).to_pandas()
+    assert counts2.equals(counts)
+    assert {m: os.path.getmtime(m) for m in manifests} == mtimes

@@ -677,7 +677,7 @@ FROM documents ORDER BY h, doc_id
     "pack_sequences": r"""
 WITH t AS (
   SELECT doc_id, doc_id % 8 AS bucket,
-         CASE WHEN trim(text) = '' THEN 0
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tokens
   FROM documents
 ), c AS (

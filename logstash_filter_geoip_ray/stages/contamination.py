@@ -28,6 +28,8 @@ import pyarrow.compute as pc
 def _flat_words(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
     """Lowercased whitespace words of every row, flattened, with the row
     index of each word. Empty strings (from empty rows) are removed."""
+    if pa.types.is_null(text.type):  # all-null block arrives as null type
+        text = text.cast(pa.string())
     words = pc.utf8_split_whitespace(pc.utf8_lower(pc.utf8_trim_whitespace(text)))
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()

@@ -218,33 +218,44 @@ def _q_frequent_tokens(sf_dir: str):
 def _q_conv_documents(sf_dir: str):
     """Turn → conversation-document assembly (the canonical training-data
     prep step): per conv_id, concatenate turn texts in (turn_idx) order and
-    fingerprint the assembled document. Per-key ordered map_groups — the
-    partitioning assumption (one conversation per task) is the transcript
-    contract (TURNS_PER_CONV is bounded)."""
+    fingerprint the assembled document. Scale shape: stable-hash bucket on
+    conv_id (P7 `bucket_by_key`) → ONE vectorized pandas groupby.agg per
+    bucket — a bounded number of tasks each assembling thousands of
+    conversations in C-speed groupby code, instead of one Python
+    `map_groups` call per conversation (millions at fleet scale)."""
     import hashlib
 
     import pandas as pd
     import ray.data
 
     from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import bucket_by_key
 
     ds = ray.data.read_parquet(
         transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
     )
 
-    def assemble(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("turn_idx")
-        doc = "\n".join(g["text"])
+    def assemble_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values(["conv_id", "turn_idx"])
+        g = b.groupby("conv_id", sort=True)
+        docs = g["text"].agg("\n".join)
         return pd.DataFrame(
             {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "n_turns": [len(g)],
-                "doc_chars": [len(doc)],
-                "doc_md5": [hashlib.md5(doc.encode("utf-8")).hexdigest()],
+                "conv_id": docs.index.to_numpy(),
+                "n_turns": g.size().to_numpy(),
+                "doc_chars": docs.str.len().to_numpy(),
+                "doc_md5": [
+                    hashlib.md5(d.encode("utf-8")).hexdigest() for d in docs
+                ],
             }
         )
 
-    return ds.groupby("conv_id").map_groups(assemble, batch_format="pandas").sort("conv_id")
+    bucketed = bucket_by_key(ds, "conv_id", num_buckets=64)
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(assemble_bucket, batch_format="pandas")
+        .sort("conv_id")
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

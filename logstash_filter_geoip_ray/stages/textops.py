@@ -194,17 +194,22 @@ def quality_filter(
     return ds.map_batches(kernel, batch_format="pyarrow").sort(id_col)
 
 
-def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id"):
+def inverted_index(
+    ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64
+):
     """Inverted index (the classic MapReduce shape): word → document
     frequency + comma-joined sorted posting list. Map side explodes each
     batch to DISTINCT (word, doc_id) pairs (per-batch dedup shrinks the
-    shuffle to the posting-pair count); reduce side is one groupby(word)
-    building each posting list independently. At fleet scale the shuffle
-    payload is exactly the index being built — there is no smaller exchange
-    that still materializes global posting lists."""
+    shuffle to the posting-pair count); reduce side co-locates words by
+    stable hash bucket and builds ALL of a bucket's posting lists in one
+    vectorized pandas groupby — a bounded number of tasks, not one Python
+    call per vocabulary word. At fleet scale the shuffle payload is exactly
+    the index being built — there is no smaller exchange that still
+    materializes global posting lists."""
     import pandas as pd
     import pyarrow.compute as pc
 
+    from .aggregate import bucket_by_key
     from .contamination import _flat_words
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -216,15 +221,23 @@ def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id"):
         pairs = pa.table({"w": flat, id_col: ids})
         return pairs.group_by(["w", id_col]).aggregate([])
 
-    def build_postings(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(i) for i in group[id_col]))
+    def build_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.drop_duplicates(["w", id_col]).sort_values(["w", id_col])
+        b[id_col] = b[id_col].astype(str)
+        g = b.groupby("w", sort=True)
+        sizes = g.size()
         return pd.DataFrame(
             {
-                "w": [group["w"].iloc[0]],
-                "df": [len(ids)],
-                "postings": [",".join(str(i) for i in ids)],
+                "w": sizes.index.to_numpy(),
+                "df": sizes.to_numpy(),
+                "postings": g[id_col].agg(",".join).to_numpy(),
             }
         )
 
     pairs = ds.map_batches(explode, batch_format="pyarrow")
-    return pairs.groupby("w").map_groups(build_postings, batch_format="pandas").sort("w")
+    bucketed = bucket_by_key(pairs, "w", num_buckets)
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(build_bucket, batch_format="pandas")
+        .sort("w")
+    )

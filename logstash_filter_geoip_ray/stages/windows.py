@@ -119,30 +119,39 @@ def asof_last_event(
 ):
     """As-of join within an event stream: for every event, the µs timestamp
     of the same key's most recent ``marker_type`` event at-or-before it
-    (self-inclusive). The classic per-key ordered carry-forward — sort each
-    key's group by (ts, id) and cummax the marker timestamps.
+    (self-inclusive). The classic per-key ordered carry-forward — order by
+    (key, ts, id) and segmented-cummax the marker timestamps.
 
-    Partitioning assumption: one key's events fit one ``map_groups`` task
-    (same as sessionize). Deterministic tie order (ts, id) matches the SQL
-    window oracle exactly."""
+    Scale shape: keys co-locate by stable hash bucket (bounded task count);
+    inside a bucket ALL keys are processed in one vectorized pass (pandas
+    grouped ``cummax`` — C-speed, no Python call per key). Deterministic tie
+    order (ts, id) matches the SQL window oracle exactly."""
+    from .aggregate import bucket_by_key
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([ts_col, id_col])
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, ts_col, id_col])
         # normalize to µs explicitly — the int64 view of a datetime64 column
         # follows the SOURCE unit (ns-written parquet would be 1000x off)
-        ts_us = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
-        is_marker = (g[type_col] == marker_type).to_numpy()
-        vals = np.where(is_marker, ts_us, np.int64(np.iinfo(np.int64).min))
-        carried = np.maximum.accumulate(vals)
+        ts_us = b[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        is_marker = (b[type_col] == marker_type).to_numpy()
+        int_min = np.int64(np.iinfo(np.int64).min)
+        vals = np.where(is_marker, ts_us, int_min)
+        keys = b[key_col].to_numpy()
+        seg_start = np.ones(len(b), dtype=bool)
+        seg_start[1:] = keys[1:] != keys[:-1]
+        seg_id = np.cumsum(seg_start)
+        carried = pd.Series(vals).groupby(seg_id).cummax().to_numpy()
         # no-marker-yet → -1 (avoids a nullable-int column whose pandas/
         # DuckDB dtype conversions diverge in the driver comparison)
-        carried = np.where(carried == np.iinfo(np.int64).min, np.int64(-1), carried)
-        return pd.DataFrame({id_col: g[id_col].to_numpy(), alias: carried})
+        carried = np.where(carried == int_min, np.int64(-1), carried)
+        return pd.DataFrame({id_col: b[id_col].to_numpy(), alias: carried})
 
+    bucketed = bucket_by_key(
+        ds.select_columns([key_col, ts_col, type_col, id_col]), key_col, 64
+    )
     return (
-        ds.select_columns([key_col, ts_col, type_col, id_col])
-        .groupby(key_col)
-        .map_groups(per_key, batch_format="pandas")
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .sort(id_col)
     )
 
@@ -157,29 +166,37 @@ def sessionize(
     previous event exceeds ``gap_sec``. Output: (user_id, n_events,
     n_sessions, max_session_events) — ints only.
 
-    Partitioning assumption: all events of one key meet in one
-    ``map_groups`` task (holds for per-user/per-conversation logs)."""
+    Scale shape: keys co-locate by stable hash bucket; one vectorized pass
+    per bucket (boundary mask + cumsum + two pandas groupbys) computes every
+    key's sessions — no Python call per key."""
+    from .aggregate import bucket_by_key
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col)
-        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
-        new_session = np.ones(len(ts), dtype=bool)
-        if len(ts) > 1:
-            new_session[1:] = np.diff(ts) > gap_sec * 1_000_000
-        session_ids = np.cumsum(new_session)
-        sizes = pd.Series(session_ids).value_counts()
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, ts_col])
+        ts = b[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        keys = b[key_col].to_numpy()
+        new_session = np.ones(len(b), dtype=bool)
+        if len(b) > 1:
+            gap_break = np.diff(ts) > gap_sec * 1_000_000
+            key_break = keys[1:] != keys[:-1]
+            new_session[1:] = gap_break | key_break
+        session_ids = np.cumsum(new_session)  # globally increasing per bucket
+        df = pd.DataFrame({key_col: keys, "_s": session_ids})
+        sess_sizes = df.groupby([key_col, "_s"], sort=True).size()
+        per_key = sess_sizes.groupby(level=0)
+        n_events = df.groupby(key_col, sort=True).size()
         return pd.DataFrame(
             {
-                key_col: [g[key_col].iloc[0]],
-                "n_events": [len(ts)],
-                "n_sessions": [int(session_ids[-1])],
-                "max_session_events": [int(sizes.max())],
+                key_col: n_events.index.to_numpy(),
+                "n_events": n_events.to_numpy(),
+                "n_sessions": per_key.size().to_numpy(),
+                "max_session_events": per_key.max().to_numpy(),
             }
         )
 
+    bucketed = bucket_by_key(ds.select_columns([key_col, ts_col]), key_col, 64)
     return (
-        ds.select_columns([key_col, ts_col])
-        .groupby(key_col)
-        .map_groups(per_user, batch_format="pandas")
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
         .sort(key_col)
     )

@@ -129,12 +129,26 @@ def minhash_candidate_pairs(
     stage = MinHashBandStage(num_perm, bands, shingle_k, text_col, id_col)
     banded = ds.map_batches(stage, batch_format="pyarrow")
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        ids_ = sorted(set(int(v) for v in group[id_col]))
-        out = [(a, b) for i, a in enumerate(ids_) for b in ids_[i + 1 :]]
-        return pd.DataFrame(out, columns=["a", "b"], dtype="int64")
+    # band keys are high-cardinality with tiny member sets: co-locate them by
+    # coarse hash bucket and generate ALL of a bucket's pairs in one
+    # vectorized self-merge — not one Python map_groups call per band key
+    from .aggregate import bucket_by_key
 
-    cand = banded.groupby("band_key").map_groups(pairs_in_bucket, batch_format="pandas")
+    def pairs_in_coarse_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.drop_duplicates(["band_key", id_col])[["band_key", id_col]]
+        m = b.merge(b, on="band_key", suffixes=("_a", "_b"))
+        m = m[m[id_col + "_a"] < m[id_col + "_b"]]
+        return pd.DataFrame(
+            {
+                "a": m[id_col + "_a"].astype("int64").to_numpy(),
+                "b": m[id_col + "_b"].astype("int64").to_numpy(),
+            }
+        ).drop_duplicates()
+
+    bucketed = bucket_by_key(banded, "band_key", 64)
+    cand = bucketed.groupby("_bucket").map_groups(
+        pairs_in_coarse_bucket, batch_format="pandas"
+    )
 
     def partial_distinct(batch: pa.Table) -> pa.Table:
         return batch.group_by(["a", "b"]).aggregate([])

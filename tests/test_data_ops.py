@@ -681,3 +681,87 @@ def test_pack_sequences_chunk_assignment(ray_session):
     assert out["start_tok"].tolist() == [0, 4, 8, 12]
     assert out["chunk_id"].tolist() == [0, 0, 0, 1]
     assert (out["bucket"] == 0).all()
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Property: within every bucket, start_tok is the exact running token
+    sum in doc_id order, chunk ids are non-decreasing, and totals equal the
+    corpus token count."""
+    from hypothesis import given, settings, strategies as st
+
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.packing import pack_sequences
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=30), min_size=1, max_size=40
+        ),
+        st.integers(min_value=1, max_value=64),
+    )
+    def check(token_counts_list, chunk):
+        texts = [" ".join("w" for _ in range(n)) for n in token_counts_list]
+        tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        out = (
+            pack_sequences(
+                ray.data.from_arrow(tbl), chunk_tokens=chunk, num_buckets=3
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(texts)
+        for _, grp in out.groupby("bucket"):
+            g = grp.sort_values("doc_id")
+            expect = 0
+            for doc_id, start in zip(g["doc_id"], g["start_tok"]):
+                assert start == expect
+                expect += token_counts_list[doc_id]
+            assert (g["chunk_id"].to_numpy() == g["start_tok"].to_numpy() // chunk).all()
+            assert (np.diff(g["chunk_id"].to_numpy()) >= 0).all()
+
+    check()
+
+
+def test_sessionize_vectorized_matches_naive(ray_session):
+    """Property: the bucket-vectorized sessionizer equals a naive per-key
+    Python reference on random event streams."""
+    import collections
+
+    import ray.data
+
+    from logstash_filter_geoip_ray.pipelines.data_ops import SESSION_GAP_SEC
+    from logstash_filter_geoip_ray.stages.windows import sessionize
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    users = [f"u{int(i)}" for i in rng.integers(0, 200, n)]  # 200 keys
+    ts = np.sort(rng.integers(0, 3 * 86400 * 1_000_000, n))
+    tbl = pa.table(
+        {
+            "user_id": users,
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    got = (
+        sessionize(ray.data.from_arrow(tbl), gap_sec=SESSION_GAP_SEC)
+        .to_pandas()
+        .set_index("user_id")
+    )
+    # naive reference
+    per_user = collections.defaultdict(list)
+    for u, t in zip(users, ts):
+        per_user[u].append(int(t))
+    for u, times in per_user.items():
+        times.sort()
+        sessions = [1]
+        for prev, cur in zip(times, times[1:]):
+            if cur - prev > SESSION_GAP_SEC * 1_000_000:
+                sessions.append(1)
+            else:
+                sessions[-1] += 1
+        assert got.loc[u, "n_events"] == len(times)
+        assert got.loc[u, "n_sessions"] == len(sessions)
+        assert got.loc[u, "max_session_events"] == max(sessions)
+    assert len(got) == len(per_user)

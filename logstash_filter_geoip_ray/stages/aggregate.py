@@ -175,9 +175,10 @@ def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int):
     this engine and a SQL oracle can compute (``ORDER BY md5(id)``).
 
     Shape: per-batch partial top-n per key (only batches×keys×n tiny rows
-    survive) → per-key final top-n. The md5-per-row call is the kernel
-    (C-speed hashlib inside map_batches); everything after is partial top-k,
-    never a full-row shuffle."""
+    survive) → keys co-located by stable hash bucket → per-bucket vectorized
+    ``groupby.head`` final top-n (no Python call per stratum). The
+    md5-per-row call is the kernel (C-speed hashlib inside map_batches);
+    everything after is partial top-k, never a full-row shuffle."""
     import hashlib as _hashlib
 
     import pandas as pd
@@ -194,14 +195,19 @@ def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int):
         )
         return pa.Table.from_pandas(top, preserve_index=False)
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["_h", id_col]).head(n_per_key)
+    def final_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            block.sort_values([key_col, "_h", id_col])
+            .groupby(key_col, sort=False)
+            .head(n_per_key)
+        )
         return g[[key_col, id_col]]
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    bucketed = bucket_by_key(partials, key_col, 64)
     return (
-        partials.groupby(key_col)
-        .map_groups(final, batch_format="pandas")
+        bucketed.groupby("_bucket")
+        .map_groups(final_bucket, batch_format="pandas")
         .sort([key_col, id_col])
     )
 

@@ -360,20 +360,26 @@ def approx_distinct(
             }
         )
 
-    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        # one task per hash bucket of keys; the inner per-key merge loop is
+        # sketch-object code (can't vectorize), but Ray dispatch stays
+        # bounded at #buckets instead of one group per key
         from ..functions.sketches import HLL as _HLL
 
-        merged = _HLL.from_bytes(group["_sketch"].iloc[0], p)
-        for raw in group["_sketch"].iloc[1:]:
-            merged.merge(_HLL.from_bytes(raw, p))
-        return pd.DataFrame(
-            {key_col: [group[key_col].iloc[0]], alias: [int(round(merged.estimate()))]}
-        )
+        keys_out, ests = [], []
+        for key, group in block.groupby(key_col, sort=True):
+            merged = _HLL.from_bytes(group["_sketch"].iloc[0], p)
+            for raw in group["_sketch"].iloc[1:]:
+                merged.merge(_HLL.from_bytes(raw, p))
+            keys_out.append(key)
+            ests.append(int(round(merged.estimate())))
+        return pd.DataFrame({key_col: keys_out, alias: ests})
 
     sketches = ds.map_batches(sketch_batch, batch_format="pyarrow")
+    bucketed = bucket_by_key(sketches, key_col, 64)
     return (
-        sketches.groupby(key_col)
-        .map_groups(merge_group, batch_format="pandas")
+        bucketed.groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
         .sort(key_col)
     )
 
@@ -407,21 +413,26 @@ def approx_quantiles(
             }
         )
 
-    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(block: pd.DataFrame) -> pd.DataFrame:
         from ..functions.sketches import QuantileSketch as _QS
 
-        merged = _QS.from_payload(group["_sk"].iloc[0], k)
-        for raw in group["_sk"].iloc[1:]:
-            merged.merge(_QS.from_payload(raw, k))
-        row = {key_col: [group[key_col].iloc[0]]}
+        rows = {key_col: []}
         for q in quantiles:
-            row["q%02d" % int(round(q * 100))] = [merged.quantile(q)]
-        return pd.DataFrame(row)
+            rows["q%02d" % int(round(q * 100))] = []
+        for key, group in block.groupby(key_col, sort=True):
+            merged = _QS.from_payload(group["_sk"].iloc[0], k)
+            for raw in group["_sk"].iloc[1:]:
+                merged.merge(_QS.from_payload(raw, k))
+            rows[key_col].append(key)
+            for q in quantiles:
+                rows["q%02d" % int(round(q * 100))].append(merged.quantile(q))
+        return pd.DataFrame(rows)
 
+    sketches = ds.map_batches(sketch_batch, batch_format="pyarrow")
+    bucketed = bucket_by_key(sketches, key_col, 64)
     return (
-        ds.map_batches(sketch_batch, batch_format="pyarrow")
-        .groupby(key_col)
-        .map_groups(merge_group, batch_format="pandas")
+        bucketed.groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
         .sort(key_col)
     )
 

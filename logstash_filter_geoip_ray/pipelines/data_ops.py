@@ -141,6 +141,38 @@ def q_inverted_index(sf_dir: str):
     return inverted_index(_docs(sf_dir, ["doc_id", "text"]))
 
 
+#: data-mixing sampler: per-source keep rate in milli (rate = 100 + 45·k for
+#: source "src{k}") and a Knuth multiplicative hash of doc_id as the
+#: deterministic coin — both sides integer, so the oracle is exact.
+MIX_HASH_MULT = 2654435761
+
+
+def q_mix_sample(sf_dir: str):
+    """Domain mixing: downsample each source at its own rate (the
+    training-mixture reweighting step). Stateless vectorized filter — keep
+    doc iff (doc_id · MULT) % 1000 < rate(source); embarrassingly parallel,
+    no shuffle, reproducible on any cluster size."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sfx = pc.cast(pc.utf8_slice_codeunits(src, 3, 32), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        rate = 100 + 45 * sfx
+        mask = (ids * MIX_HASH_MULT) % 1000 < rate
+        return batch.filter(pa.array(mask))
+
+    return docs.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic epoch shuffle: global order by md5(seed:doc_id) —
     reproducible across cluster sizes, rerunnable per epoch by seed."""
@@ -571,6 +603,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "inverted_index": q_inverted_index,
     "epoch_shuffle": q_epoch_shuffle,
     "pack_sequences": q_pack_sequences,
+    "mix_sample": q_mix_sample,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
@@ -669,6 +702,11 @@ WITH w AS (
 SELECT w, CAST(count(*) AS BIGINT) AS df,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM w WHERE w <> '' GROUP BY w ORDER BY w
+""",
+    "mix_sample": r"""
+SELECT doc_id, source FROM documents
+WHERE (doc_id * 2654435761) % 1000 < 100 + 45 * CAST(substr(source, 4) AS BIGINT)
+ORDER BY doc_id
 """,
     "epoch_shuffle": r"""
 SELECT doc_id, md5('s0:' || CAST(doc_id AS VARCHAR)) AS h

@@ -39,7 +39,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "sessions", "top_users", "distinct_event_types", "sample_events",
      "exact_distinct_users", "exact_value_quantiles",
      "contaminated_docs", "quality_filter", "inverted_index",
-     "epoch_shuffle", "pack_sequences"],
+     "epoch_shuffle", "pack_sequences", "mix_sample"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()
@@ -765,3 +765,15 @@ def test_sessionize_vectorized_matches_naive(ray_session):
         assert got.loc[u, "n_sessions"] == len(sessions)
         assert got.loc[u, "max_session_events"] == max(sessions)
     assert len(got) == len(per_user)
+
+
+def test_mix_sample_rates_graded(ray_session):
+    """Higher-rate sources must keep proportionally more documents, and the
+    filter is a pure function of (doc_id, source)."""
+    out = DATA_QUERIES["mix_sample"](SF).to_pandas()
+    kept = out.groupby("source").size()
+    low = kept.get("src0", 0) + kept.get("src1", 0) + kept.get("src2", 0)
+    high = kept.get("src17", 0) + kept.get("src18", 0) + kept.get("src19", 0)
+    assert high > 2 * low  # rate 865-955 milli vs 100-190 milli
+    again = DATA_QUERIES["mix_sample"](SF).to_pandas()
+    assert again.equals(out)

@@ -43,6 +43,39 @@ def hash_shuffle(ds, id_col: str = "doc_id", seed: str = "s0"):
     return ds.map_batches(add_hash, batch_format="pyarrow").sort(["h", id_col])
 
 
+def hash_shuffle_fast(ds, id_col: str = "doc_id", seed: str = "s0"):
+    """Scale-path epoch shuffle: same contract as :func:`hash_shuffle`
+    (pure function of (seed, id), reproducible on any cluster size) but the
+    key is pandas' vectorized SipHash seeded through ``hash_key`` — an int64
+    sort key computed at C speed instead of 41M Python ``md5()`` calls and
+    32-char string comparisons. Use :func:`hash_shuffle` when the order must
+    be reproducible by a SQL oracle (DuckDB has ``md5``, not SipHash)."""
+    import pandas as pd
+
+    # pandas' hash_key only seeds OBJECT-dtype hashing; for int64 ids the
+    # seed must be mixed in explicitly. xor-multiply-xor is a bijection on
+    # uint64, so the result stays a valid (collision-free given distinct
+    # base hashes) deterministic sort key.
+    seed_k = np.uint64(
+        pd.util.hash_pandas_object(pd.Series([seed]), index=False).iloc[0]
+    )
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if pa.types.is_integer(ids.type):
+            ids = ids.cast(pa.int64())
+        h = pd.util.hash_pandas_object(ids.to_pandas(), index=False).to_numpy()
+        with np.errstate(over="ignore"):
+            h = (h ^ seed_k) * mult
+            h = h ^ (h >> np.uint64(29))
+        return batch.append_column("h", pa.array(h.view("int64")))
+
+    return ds.map_batches(add_hash, batch_format="pyarrow").sort(["h", id_col])
+
+
 def pack_sequences(
     ds,
     chunk_tokens: int = 256,

@@ -777,3 +777,20 @@ def test_mix_sample_rates_graded(ray_session):
     assert high > 2 * low  # rate 865-955 milli vs 100-190 milli
     again = DATA_QUERIES["mix_sample"](SF).to_pandas()
     assert again.equals(out)
+
+
+def test_hash_shuffle_fast_contract(ray_session):
+    """The SipHash scale-path shuffle obeys the same contract as the
+    md5 oracle-path one: reproducible, seed-sensitive, a permutation."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.packing import hash_shuffle_fast
+
+    tbl = pa.table({"doc_id": list(range(100))})
+    a = hash_shuffle_fast(ray.data.from_arrow(tbl), seed="e1").to_pandas()
+    b = hash_shuffle_fast(ray.data.from_arrow(tbl), seed="e1").to_pandas()
+    c = hash_shuffle_fast(ray.data.from_arrow(tbl), seed="e2").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert a["doc_id"].tolist() != c["doc_id"].tolist()
+    assert sorted(a["doc_id"]) == sorted(c["doc_id"]) == list(range(100))
+    assert a["doc_id"].tolist() != list(range(100))

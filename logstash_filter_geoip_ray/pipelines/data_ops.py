@@ -143,8 +143,12 @@ def q_inverted_index(sf_dir: str):
 
 #: data-mixing sampler: per-source keep rate in milli (rate = 100 + 45·k for
 #: source "src{k}") and a Knuth multiplicative hash of doc_id as the
-#: deterministic coin — both sides integer, so the oracle is exact.
+#: deterministic coin — both sides integer, so the oracle is exact. The coin
+#: is computed as ((id % 1000) · (MULT % 1000)) % 1000 ≡ (id · MULT) % 1000:
+#: the reduced product never exceeds ~1e6, so neither numpy int64 (silent
+#: wrap) nor DuckDB BIGINT (hard error) can overflow at any doc_id.
 MIX_HASH_MULT = 2654435761
+_MIX_MULT_RED = MIX_HASH_MULT % 1000
 
 
 def q_mix_sample(sf_dir: str):
@@ -167,7 +171,7 @@ def q_mix_sample(sf_dir: str):
             zero_copy_only=False
         )
         rate = 100 + 45 * sfx
-        mask = (ids * MIX_HASH_MULT) % 1000 < rate
+        mask = ((ids % 1000) * _MIX_MULT_RED) % 1000 < rate
         return batch.filter(pa.array(mask))
 
     return docs.map_batches(keep, batch_format="pyarrow").sort("doc_id")
@@ -705,7 +709,7 @@ FROM w WHERE w <> '' GROUP BY w ORDER BY w
 """,
     "mix_sample": r"""
 SELECT doc_id, source FROM documents
-WHERE (doc_id * 2654435761) % 1000 < 100 + 45 * CAST(substr(source, 4) AS BIGINT)
+WHERE ((doc_id % 1000) * 761) % 1000 < 100 + 45 * CAST(substr(source, 4) AS BIGINT)
 ORDER BY doc_id
 """,
     "epoch_shuffle": r"""

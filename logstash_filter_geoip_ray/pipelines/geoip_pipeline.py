@@ -159,10 +159,27 @@ def sink_counts_checkpointed(sf_dir: str, work_root: str = "/tmp/graft_ckpt_quer
 
     import ray.data
 
+    from ..stages import enrich as _enrich_mod
+    from ..stages import parse as _parse_mod
+    from ..state import checkpoint as _ckpt_mod
     from ..state.checkpoint import output_path, run_checkpointed
 
+    # key the work dir by input path AND the source bytes of every module
+    # that shapes the output — a code change invalidates the cache without
+    # anyone remembering to bump ENGINE_VERSION (config_hash only covers
+    # the GeoIPConfig fields)
+    h = _hashlib.md5()
     path = transcripts_path(sf_dir)
-    out_dir = os.path.join(work_root, _hashlib.md5(path.encode()).hexdigest()[:12])
+    h.update(path.encode())
+    import sys as _sys
+
+    for mod in (_enrich_mod, _parse_mod, _ckpt_mod, _sys.modules[__name__]):
+        try:
+            with open(mod.__file__, "rb") as f:
+                h.update(f.read())
+        except (OSError, AttributeError):
+            pass
+    out_dir = os.path.join(work_root, h.hexdigest()[:16])
     run_checkpointed(path, out_dir)
     inputs = sorted(_glob.glob(os.path.join(path, "*.parquet")))
     # read exactly the outputs of the current inputs (stale files from an

@@ -169,7 +169,7 @@ def salted_grouped_counts(
     )
 
 
-def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int):
+def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int, num_buckets: int = 64):
     """Deterministic stratified sample: the ``n_per_key`` rows per key with
     the smallest md5(id) — a seeded-free, machine-independent ordering both
     this engine and a SQL oracle can compute (``ORDER BY md5(id)``).
@@ -204,7 +204,7 @@ def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int):
         return g[[key_col, id_col]]
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    bucketed = bucket_by_key(partials, key_col, 64)
+    bucketed = bucket_by_key(partials, key_col, num_buckets)
     return (
         bucketed.groupby("_bucket")
         .map_groups(final_bucket, batch_format="pandas")
@@ -332,6 +332,7 @@ def approx_distinct(
     value_col: str,
     p: int = 14,
     alias: str = "approx_distinct",
+    num_buckets: int = 64,
 ):
     """Approximate COUNT(DISTINCT value) per key via mergeable HyperLogLog
     sketches: one sketch per (batch, key) inside ``map_batches`` (shuffle
@@ -376,7 +377,7 @@ def approx_distinct(
         return pd.DataFrame({key_col: keys_out, alias: ests})
 
     sketches = ds.map_batches(sketch_batch, batch_format="pyarrow")
-    bucketed = bucket_by_key(sketches, key_col, 64)
+    bucketed = bucket_by_key(sketches, key_col, num_buckets)
     return (
         bucketed.groupby("_bucket")
         .map_groups(merge_bucket, batch_format="pandas")
@@ -390,6 +391,7 @@ def approx_quantiles(
     value_col: str,
     quantiles=(0.5, 0.9, 0.99),
     k: int = 256,
+    num_buckets: int = 64,
 ):
     """Approximate per-key quantiles via mergeable KLL-style sketches: one
     sketch per (batch, key) → per-key merge in map_groups. Shuffle carries
@@ -429,7 +431,7 @@ def approx_quantiles(
         return pd.DataFrame(rows)
 
     sketches = ds.map_batches(sketch_batch, batch_format="pyarrow")
-    bucketed = bucket_by_key(sketches, key_col, 64)
+    bucketed = bucket_by_key(sketches, key_col, num_buckets)
     return (
         bucketed.groupby("_bucket")
         .map_groups(merge_bucket, batch_format="pandas")

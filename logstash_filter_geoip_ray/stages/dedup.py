@@ -107,6 +107,7 @@ def minhash_candidate_pairs(
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_buckets: int = 64,
 ):
     """Distinct LSH candidate pairs (a, b), a < b — ids only, no payload.
 
@@ -145,7 +146,7 @@ def minhash_candidate_pairs(
             }
         ).drop_duplicates()
 
-    bucketed = bucket_by_key(banded, "band_key", 64)
+    bucketed = bucket_by_key(banded, "band_key", num_buckets)
     cand = bucketed.groupby("_bucket").map_groups(
         pairs_in_coarse_bucket, batch_format="pandas"
     )

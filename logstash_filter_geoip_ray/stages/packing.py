@@ -90,16 +90,22 @@ def pack_sequences(
     SQL window cumsum)."""
     from ..functions.textstats import token_counts
 
+    import pyarrow.compute as pc
+
     def count(batch: pa.Table) -> pa.Table:
         text = batch[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
+        if pa.types.is_null(text.type):  # all-null block arrives as null type
+            text = text.cast(pa.string())
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # null text = 0 tokens (matches the null-safe SQL oracle)
+        tokens = pc.fill_null(token_counts(text), 0)
         return pa.table(
             {
                 id_col: pa.array(ids, type=pa.int64()),
                 "bucket": pa.array(ids % num_buckets, type=pa.int64()),
-                "tokens": token_counts(text),
+                "tokens": tokens,
             }
         )
 

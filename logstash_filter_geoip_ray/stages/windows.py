@@ -116,6 +116,7 @@ def asof_last_event(
     type_col: str = "event_type",
     id_col: str = "event_id",
     alias: str = "last_marker_us",
+    num_buckets: int = 64,
 ):
     """As-of join within an event stream: for every event, the µs timestamp
     of the same key's most recent ``marker_type`` event at-or-before it
@@ -147,7 +148,7 @@ def asof_last_event(
         return pd.DataFrame({id_col: b[id_col].to_numpy(), alias: carried})
 
     bucketed = bucket_by_key(
-        ds.select_columns([key_col, ts_col, type_col, id_col]), key_col, 64
+        ds.select_columns([key_col, ts_col, type_col, id_col]), key_col, num_buckets
     )
     return (
         bucketed.groupby("_bucket")
@@ -161,6 +162,7 @@ def sessionize(
     gap_sec: int = 1800,
     ts_col: str = "ts",
     key_col: str = "user_id",
+    num_buckets: int = 64,
 ):
     """Gap-based sessions per key: a new session starts when the gap from the
     previous event exceeds ``gap_sec``. Output: (user_id, n_events,
@@ -194,7 +196,7 @@ def sessionize(
             }
         )
 
-    bucketed = bucket_by_key(ds.select_columns([key_col, ts_col]), key_col, 64)
+    bucketed = bucket_by_key(ds.select_columns([key_col, ts_col]), key_col, num_buckets)
     return (
         bucketed.groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")

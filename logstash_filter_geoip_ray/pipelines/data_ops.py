@@ -177,6 +177,78 @@ def q_mix_sample(sf_dir: str):
     return docs.map_batches(keep, batch_format="pyarrow").sort("doc_id")
 
 
+def q_top_terms(sf_dir: str):
+    """Per-document top-3 TF-IDF-style terms with an integer-exact score
+    (score = tf · ((1000·N_docs) // df) — `//` keeps both engines bit-equal;
+    a float idf would be hash-fragile). The retrieval-prep pipeline shape:
+    exploded (doc, word, tf) table → global (word, df) aggregate →
+    partitioned hash_join on word (both sides large at fleet scale — no
+    broadcast) → re-bucket by doc → vectorized per-bucket rank/head."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import bucket_by_key
+    from ..stages.contamination import _flat_words
+    from ..stages.joins import hash_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def tf_explode(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, idx = _flat_words(text)
+        ids = pc.take(pc.cast(batch["doc_id"], pa.int64()), pa.array(idx))
+        pairs = pa.table({"doc_id": ids, "w": flat})
+        g = pairs.group_by(["doc_id", "w"]).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "w", "tf"])
+
+    tf = docs.map_batches(tf_explode, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    df_tbl = tf.groupby("w").aggregate(Count(alias_name="df"))
+    # N: docs with ≥1 word — a tiny scalar aggregate on the driver
+    import duckdb as _duck
+
+    n_docs = _duck.sql(
+        f"SELECT count(*) FROM read_parquet('{os.path.join(sf_dir, 'documents.parquet')}') "
+        "WHERE trim(text) <> ''"
+    ).fetchone()[0]
+
+    joined = hash_join(tf, df_tbl, left_key="w", right_key="w")
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf_v = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df_v = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = tf_v * ((1000 * n_docs) // df_v)
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "w": batch["w"],
+                "score": pa.array(s, type=pa.int64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def rank_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values(
+            ["doc_id", "score", "w"], ascending=[True, False, True]
+        )
+        b["rk"] = b.groupby("doc_id", sort=False).cumcount() + 1
+        b = b[b["rk"] <= 3]
+        return b[["doc_id", "w", "score", "rk"]]
+
+    bucketed = bucket_by_key(scored, "doc_id", 64)
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+        .sort(["doc_id", "rk"])
+    )
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic epoch shuffle: global order by md5(seed:doc_id) —
     reproducible across cluster sizes, rerunnable per epoch by seed."""
@@ -608,6 +680,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "epoch_shuffle": q_epoch_shuffle,
     "pack_sequences": q_pack_sequences,
     "mix_sample": q_mix_sample,
+    "top_terms": q_top_terms,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
@@ -706,6 +779,27 @@ WITH w AS (
 SELECT w, CAST(count(*) AS BIGINT) AS df,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM w WHERE w <> '' GROUP BY w ORDER BY w
+""",
+    "top_terms": r"""
+WITH words AS (
+  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM words WHERE w <> '' GROUP BY 1, 2
+), df AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n FROM documents WHERE trim(text) <> ''
+), scored AS (
+  SELECT t.doc_id, t.w, t.tf * ((1000 * (SELECT n FROM n)) // d.df) AS score
+  FROM tf t JOIN df d USING (w)
+), ranked AS (
+  SELECT doc_id, w, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+  FROM scored
+)
+SELECT doc_id, w, CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
 """,
     "mix_sample": r"""
 SELECT doc_id, source FROM documents

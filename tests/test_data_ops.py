@@ -794,3 +794,16 @@ def test_hash_shuffle_fast_contract(ray_session):
     assert a["doc_id"].tolist() != c["doc_id"].tolist()
     assert sorted(a["doc_id"]) == sorted(c["doc_id"]) == list(range(100))
     assert a["doc_id"].tolist() != list(range(100))
+
+
+def test_top_terms_semantics(ray_session, oracle_con):
+    """TF-IDF top-terms: rare distinctive words outrank ubiquitous ones."""
+    out = DATA_QUERIES["top_terms"](SF).to_pandas()
+    assert (out.groupby("doc_id")["rk"].max() <= 3).all()
+    assert (out.groupby("doc_id")["rk"].min() == 1).all()
+    # a word present in EVERY doc has idf floor (1000*N)//N = 1000; any word
+    # in half the docs has idf >= 2000 — so rank-1 terms are never the most
+    # common word unless tf compensates: spot-check score monotonicity per doc
+    for _, g in list(out.groupby("doc_id"))[:20]:
+        s = g.sort_values("rk")["score"].to_numpy()
+        assert (s[:-1] >= s[1:]).all()

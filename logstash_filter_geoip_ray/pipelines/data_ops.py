@@ -209,13 +209,19 @@ def q_top_terms(sf_dir: str):
     from ray.data.aggregate import Count
 
     df_tbl = tf.groupby("w").aggregate(Count(alias_name="df"))
-    # N: docs with ≥1 word — a tiny scalar aggregate on the driver
-    import duckdb as _duck
+    # N: docs with ≥1 word — a tiny streaming scalar (filter + count)
+    def nonempty(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if pa.types.is_null(text.type):
+            text = text.cast(pa.string())
+        keep = pc.not_equal(pc.fill_null(pc.utf8_trim_whitespace(text), ""), "")
+        return batch.filter(keep).select(["doc_id"])
 
-    n_docs = _duck.sql(
-        f"SELECT count(*) FROM read_parquet('{os.path.join(sf_dir, 'documents.parquet')}') "
-        "WHERE trim(text) <> ''"
-    ).fetchone()[0]
+    n_docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        nonempty, batch_format="pyarrow"
+    ).count()
 
     joined = hash_join(tf, df_tbl, left_key="w", right_key="w")
 

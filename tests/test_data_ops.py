@@ -807,3 +807,46 @@ def test_top_terms_semantics(ray_session, oracle_con):
     for _, g in list(out.groupby("doc_id"))[:20]:
         s = g.sort_values("rk")["score"].to_numpy()
         assert (s[:-1] >= s[1:]).all()
+
+
+def test_contamination_fuzz_vs_reference(ray_session):
+    """Property: the vectorized gram-build + is_in probe equals a naive
+    per-doc Python reference on random word soups (repeats, short docs,
+    cross-row adjacency)."""
+    from hypothesis import given, settings, strategies as st
+
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.contamination import contaminated_docs
+
+    word = st.sampled_from(["a", "b", "c", "d", "e"])
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(st.lists(word, min_size=0, max_size=12), min_size=1, max_size=8),
+        st.lists(st.lists(word, min_size=4, max_size=8), min_size=1, max_size=3),
+    )
+    def check(train_words, bench_words):
+        n = 3
+        train = [" ".join(ws) for ws in train_words]
+        bench_set = set()
+        for ws in bench_words:
+            bench_set |= {
+                " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+            }
+        expected = {}
+        for i, ws in enumerate(train_words):
+            grams = {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
+            hits = grams & bench_set
+            if hits:
+                expected[i] = len(hits)
+        tbl = pa.table({"doc_id": list(range(len(train))), "text": train})
+        df = contaminated_docs(
+            ray.data.from_arrow(tbl), pa.array(sorted(bench_set)), n=n
+        ).to_pandas()
+        # Ray quirk: to_pandas() on an all-empty dataset loses the columns
+        # (schema() still has them) — normalize to the empty mapping
+        got = {} if df.empty else df.set_index("doc_id")["n_hit_grams"].to_dict()
+        assert got == expected
+
+    check()

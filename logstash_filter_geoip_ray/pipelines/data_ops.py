@@ -151,6 +151,14 @@ MIX_HASH_MULT = 2654435761
 _MIX_MULT_RED = MIX_HASH_MULT % 1000
 
 
+def q_packed_chunks(sf_dir: str):
+    """Materialized training chunks: per (bucket, chunk) doc count, chars,
+    and md5 of the ordered concatenated text."""
+    from ..stages.packing import pack_chunks
+
+    return pack_chunks(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_mix_sample(sf_dir: str):
     """Domain mixing: downsample each source at its own rate (the
     training-mixture reweighting step). Stateless vectorized filter — keep
@@ -687,6 +695,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "pack_sequences": q_pack_sequences,
     "mix_sample": q_mix_sample,
     "top_terms": q_top_terms,
+    "packed_chunks": q_packed_chunks,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
@@ -785,6 +794,25 @@ WITH w AS (
 SELECT w, CAST(count(*) AS BIGINT) AS df,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM w WHERE w <> '' GROUP BY w ORDER BY w
+""",
+    "packed_chunks": r"""
+WITH t AS (
+  SELECT doc_id, text, doc_id % 8 AS bucket,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, text, bucket,
+         sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - tokens AS start_tok
+  FROM t
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(start_tok // 256 AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(length(string_agg(text, chr(10) ORDER BY doc_id)) AS BIGINT) AS chunk_chars,
+       md5(string_agg(text, chr(10) ORDER BY doc_id)) AS chunk_md5
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "top_terms": r"""
 WITH words AS (

@@ -127,3 +127,75 @@ def pack_sequences(
     return (
         counts.groupby("bucket").map_groups(pack, batch_format="pandas").sort(id_col)
     )
+
+
+def pack_chunks(
+    ds,
+    chunk_tokens: int = 256,
+    num_buckets: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Materialized training chunks: the :func:`pack_sequences` assignment
+    PLUS the assembled chunk text — (bucket, chunk_id, n_docs, chunk_chars,
+    chunk_md5). One pass per bucket: cumsum the token counts in doc order,
+    then a vectorized groupby(chunk) ordered concat. Null texts contribute 0
+    tokens and are skipped in the concat (string_agg semantics). At fleet
+    scale this is the step that writes chunk files; here the chunk content
+    is pinned by md5 so a SQL oracle can verify it byte-for-byte."""
+    import hashlib
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import token_counts
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if pa.types.is_null(text.type):
+            text = text.cast(pa.string())
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tokens = pc.fill_null(token_counts(text), 0)
+        return pa.table(
+            {
+                id_col: pa.array(ids, type=pa.int64()),
+                "bucket": pa.array(ids % num_buckets, type=pa.int64()),
+                "tokens": tokens,
+                text_col: text,
+            }
+        )
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col)
+        tok = g["tokens"].to_numpy(dtype=np.int64)
+        start = tok.cumsum() - tok
+        g = g.assign(_chunk=start // chunk_tokens)
+        present = g[g[text_col].notna()]
+        docs = present.groupby("_chunk", sort=True)[text_col].agg("\n".join)
+        n_docs = g.groupby("_chunk", sort=True).size()
+        # chunks whose docs are all-null still exist (n_docs counts them);
+        # their text is the empty aggregation, mirroring string_agg → NULL
+        texts = docs.reindex(n_docs.index)
+        md5s = [
+            None if pd.isna(t) else hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in texts
+        ]
+        chars = pd.array(
+            [None if pd.isna(t) else len(t) for t in texts], dtype="Int64"
+        )
+        return pd.DataFrame(
+            {
+                "bucket": np.full(len(n_docs), g["bucket"].iloc[0], dtype=np.int64),
+                "chunk_id": n_docs.index.to_numpy(dtype=np.int64),
+                "n_docs": n_docs.to_numpy(dtype=np.int64),
+                "chunk_chars": chars,
+                "chunk_md5": md5s,
+            }
+        )
+
+    counts = ds.map_batches(count, batch_format="pyarrow")
+    return (
+        counts.groupby("bucket")
+        .map_groups(assemble, batch_format="pandas")
+        .sort(["bucket", "chunk_id"])
+    )

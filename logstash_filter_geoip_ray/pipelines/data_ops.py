@@ -213,23 +213,22 @@ def q_top_terms(sf_dir: str):
         g = pairs.group_by(["doc_id", "w"]).aggregate([([], "count_all")])
         return g.rename_columns(["doc_id", "w", "tf"])
 
-    tf = docs.map_batches(tf_explode, batch_format="pyarrow")
-    from ray.data.aggregate import Count
+    # materialize tf ONCE: the single text scan feeds the df aggregate, the
+    # N scalar, and the join (a lazy tf would re-run the explode per consumer)
+    tf = docs.map_batches(tf_explode, batch_format="pyarrow").materialize()
+    from ray.data.aggregate import Count, Sum
 
     df_tbl = tf.groupby("w").aggregate(Count(alias_name="df"))
-    # N: docs with ≥1 word — a tiny streaming scalar (filter + count)
-    def nonempty(batch: pa.Table) -> pa.Table:
-        text = batch["text"]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        if pa.types.is_null(text.type):
-            text = text.cast(pa.string())
-        keep = pc.not_equal(pc.fill_null(pc.utf8_trim_whitespace(text), ""), "")
-        return batch.filter(keep).select(["doc_id"])
+    # N: docs with ≥1 word — exactly the distinct doc_ids of tf. Each doc
+    # lives in one explode batch, so per-batch distinct counts sum globally.
+    def batch_doc_count(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([pc.count_distinct(batch["doc_id"]).as_py()], type=pa.int64())}
+        )
 
-    n_docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        nonempty, batch_format="pyarrow"
-    ).count()
+    n_docs = int(
+        tf.map_batches(batch_doc_count, batch_format="pyarrow").sum("n") or 0
+    )
 
     joined = hash_join(tf, df_tbl, left_key="w", right_key="w")
 
@@ -725,8 +724,14 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "conv_stats": q_conv_stats,
 }
 
-_TOKENS = r"regexp_split_to_array(trim(text), '\s+')"
-_TOKEN_COUNT = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
+#: SQL-side whitespace trim matching Arrow's utf8_trim_whitespace: DuckDB's
+#: bare trim() strips SPACES only, so tab/newline-padded text would tokenize
+#: differently in the two engines (phantom empty edge tokens, diverging
+#: token counts / doc-inclusion predicates).
+_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+_TRIMMED = f"trim(text, {_WS})"
+_TOKENS = rf"regexp_split_to_array({_TRIMMED}, '\s+')"
+_TOKEN_COUNT = f"CASE WHEN {_TRIMMED} = '' THEN 0 ELSE len({_TOKENS}) END"
 
 DATA_ORACLES: Dict[str, str] = {
     "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1",
@@ -745,15 +750,15 @@ FROM documents GROUP BY lang ORDER BY lang
 """,
     "vocab_top": r"""
 WITH w AS (
-  SELECT lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w FROM documents
+  SELECT lower(unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+'))) AS w FROM documents
 )
 SELECT w, CAST(count(*) AS BIGINT) AS n FROM w WHERE w <> ''
 GROUP BY 1 ORDER BY n DESC, w LIMIT 100
 """,
     "contaminated_docs": r"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') AS ws
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
 ), g AS (
   SELECT doc_id, unnest(CASE WHEN len(ws) >= 4
       THEN list_transform(range(1, len(ws) - 2),
@@ -771,8 +776,8 @@ FROM hits GROUP BY 1 ORDER BY 1
 """,
     "quality_filter": r"""
 WITH w AS (
-  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+'))) AS w
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
 ), f AS (
   SELECT doc_id, w, count(*) AS c FROM w WHERE w <> '' GROUP BY 1, 2
 ), agg AS (
@@ -788,8 +793,8 @@ ORDER BY doc_id
 """,
     "inverted_index": r"""
 WITH w AS (
-  SELECT DISTINCT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
-  FROM documents WHERE trim(text) <> ''
+  SELECT DISTINCT doc_id, lower(unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+'))) AS w
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
 )
 SELECT w, CAST(count(*) AS BIGINT) AS df,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
@@ -798,9 +803,9 @@ FROM w WHERE w <> '' GROUP BY w ORDER BY w
     "packed_chunks": r"""
 WITH t AS (
   SELECT doc_id, text, doc_id % 8 AS bucket,
-         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tokens
-  FROM documents
+         CASE WHEN trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) END AS tokens
+  FROM documents WHERE text IS NOT NULL
 ), c AS (
   SELECT doc_id, text, bucket,
          sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
@@ -816,14 +821,14 @@ FROM c GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "top_terms": r"""
 WITH words AS (
-  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
-  FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+'))) AS w
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
 ), tf AS (
   SELECT doc_id, w, count(*) AS tf FROM words WHERE w <> '' GROUP BY 1, 2
 ), df AS (
   SELECT w, count(*) AS df FROM tf GROUP BY 1
 ), n AS (
-  SELECT count(*) AS n FROM documents WHERE trim(text) <> ''
+  SELECT count(*) AS n FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
 ), scored AS (
   SELECT t.doc_id, t.w, t.tf * ((1000 * (SELECT n FROM n)) // d.df) AS score
   FROM tf t JOIN df d USING (w)
@@ -847,8 +852,8 @@ FROM documents ORDER BY h, doc_id
     "pack_sequences": r"""
 WITH t AS (
   SELECT doc_id, doc_id % 8 AS bucket,
-         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tokens
+         CASE WHEN text IS NULL OR trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+')) END AS tokens
   FROM documents
 ), c AS (
   SELECT doc_id, bucket, tokens,
@@ -865,7 +870,7 @@ FROM c ORDER BY doc_id
 SELECT doc_id,
   regexp_replace(
     regexp_replace(
-      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+      regexp_replace(lower(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))), '\s+', ' ', 'g'),
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text
 FROM documents ORDER BY doc_id
@@ -873,7 +878,7 @@ FROM documents ORDER BY doc_id
     "jaccard_pairs": f"""
 WITH sets AS (
   SELECT DISTINCT doc_id, source, lower(unnest({_TOKENS})) AS w
-  FROM documents WHERE trim(text) <> ''
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
 ), counts AS (
   SELECT doc_id, count(*) AS c FROM sets GROUP BY 1
 ), inter AS (
@@ -893,7 +898,7 @@ ORDER BY a, b
 """,
     "ngram_jaccard": f"""
 WITH toks AS (
-  SELECT doc_id, lang, {_TOKENS} AS t FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, lang, {_TOKENS} AS t FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
 ), grams AS (
   SELECT doc_id, lang,
          unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
@@ -919,7 +924,7 @@ ORDER BY a, b
     "dup_clusters": f"""
 WITH RECURSIVE sets AS (
   SELECT DISTINCT doc_id, source, lower(unnest({_TOKENS})) AS w
-  FROM documents WHERE trim(text) <> ''
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
 ), counts AS (
   SELECT doc_id, count(*) AS c FROM sets GROUP BY 1
 ), inter AS (
@@ -945,7 +950,7 @@ FROM walk GROUP BY 1 ORDER BY 1
     "dedup_filtered_docs": f"""
 WITH RECURSIVE sets AS (
   SELECT DISTINCT doc_id, source, lower(unnest({_TOKENS})) AS w
-  FROM documents WHERE trim(text) <> ''
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
 ), counts AS (
   SELECT doc_id, count(*) AS c FROM sets GROUP BY 1
 ), inter AS (
@@ -976,7 +981,7 @@ ORDER BY d.doc_id
     # scale path must reproduce exactly on this corpus (planted dups J ≥ 0.9)
     "dedup_filtered_docs_minhash": f"""
 WITH RECURSIVE toks AS (
-  SELECT doc_id, {_TOKENS} AS t FROM documents WHERE trim(text) <> ''
+  SELECT doc_id, {_TOKENS} AS t FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
 ), grams AS (
   SELECT doc_id,
          unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]

@@ -76,6 +76,42 @@ def hash_shuffle_fast(ds, id_col: str = "doc_id", seed: str = "s0"):
     return ds.map_batches(add_hash, batch_format="pyarrow").sort(["h", id_col])
 
 
+def _token_count_stage(num_buckets, text_col, id_col, keep_text):
+    """Shared map stage for the packing operators: (id, bucket, tokens
+    [, text]). Null text counts 0 tokens; all-null blocks (Arrow null type)
+    are cast to string first."""
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import token_counts
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if pa.types.is_null(text.type):
+            text = text.cast(pa.string())
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            id_col: pa.array(ids, type=pa.int64()),
+            "bucket": pa.array(ids % num_buckets, type=pa.int64()),
+            "tokens": pc.fill_null(token_counts(text), 0),
+        }
+        if keep_text:
+            cols[text_col] = text
+        return pa.table(cols)
+
+    return count
+
+
+def _chunk_starts(group: "pd.DataFrame", id_col: str, chunk_tokens: int):
+    """Sort a bucket's docs by id and return (sorted_group, start_tok,
+    chunk_id) — the single source of truth for the packing assignment."""
+    g = group.sort_values(id_col)
+    tok = g["tokens"].to_numpy(dtype=np.int64)
+    start = tok.cumsum() - tok
+    return g, start, start // chunk_tokens
+
+
 def pack_sequences(
     ds,
     chunk_tokens: int = 256,
@@ -86,44 +122,24 @@ def pack_sequences(
     """(doc_id, bucket, start_tok, chunk_id) for every document: the packed
     training-chunk assignment. Token counts are whitespace words (the
     engine's ``token_counts`` kernel — swap in the BPE-ish counter for real
-    tokenizer budgets); all outputs are integers (oracle-expressible via a
-    SQL window cumsum)."""
-    from ..functions.textstats import token_counts
-
-    import pyarrow.compute as pc
-
-    def count(batch: pa.Table) -> pa.Table:
-        text = batch[text_col]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        if pa.types.is_null(text.type):  # all-null block arrives as null type
-            text = text.cast(pa.string())
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        # null text = 0 tokens (matches the null-safe SQL oracle)
-        tokens = pc.fill_null(token_counts(text), 0)
-        return pa.table(
-            {
-                id_col: pa.array(ids, type=pa.int64()),
-                "bucket": pa.array(ids % num_buckets, type=pa.int64()),
-                "tokens": tokens,
-            }
-        )
+    tokenizer budgets); null text counts 0 tokens; all outputs are integers
+    (oracle-expressible via a SQL window cumsum)."""
 
     def pack(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col)
-        start = g["tokens"].cumsum().to_numpy(dtype=np.int64) - g["tokens"].to_numpy(
-            dtype=np.int64
-        )
+        g, start, chunk = _chunk_starts(group, id_col, chunk_tokens)
         return pd.DataFrame(
             {
                 id_col: g[id_col].to_numpy(dtype=np.int64),
                 "bucket": g["bucket"].to_numpy(dtype=np.int64),
                 "start_tok": start,
-                "chunk_id": start // chunk_tokens,
+                "chunk_id": chunk,
             }
         )
 
-    counts = ds.map_batches(count, batch_format="pyarrow")
+    counts = ds.map_batches(
+        _token_count_stage(num_buckets, text_col, id_col, keep_text=False),
+        batch_format="pyarrow",
+    )
     return (
         counts.groupby("bucket").map_groups(pack, batch_format="pandas").sort(id_col)
     )
@@ -137,63 +153,43 @@ def pack_chunks(
     id_col: str = "doc_id",
 ):
     """Materialized training chunks: the :func:`pack_sequences` assignment
-    PLUS the assembled chunk text — (bucket, chunk_id, n_docs, chunk_chars,
+    (same ``_chunk_starts`` helper — the two can never desynchronize) PLUS
+    the assembled chunk text — (bucket, chunk_id, n_docs, chunk_chars,
     chunk_md5). One pass per bucket: cumsum the token counts in doc order,
-    then a vectorized groupby(chunk) ordered concat. Null texts contribute 0
-    tokens and are skipped in the concat (string_agg semantics). At fleet
-    scale this is the step that writes chunk files; here the chunk content
-    is pinned by md5 so a SQL oracle can verify it byte-for-byte."""
+    then a vectorized groupby(chunk) ordered concat. Null-text docs carry no
+    content and are DROPPED before chunking (they contribute 0 tokens, so
+    every other doc's assignment is unchanged); chunk columns are therefore
+    plain non-null int64/str. At fleet scale this is the step that writes
+    chunk files; here the chunk content is pinned by md5 so a SQL oracle can
+    verify it byte-for-byte."""
     import hashlib
     import pyarrow.compute as pc
 
-    from ..functions.textstats import token_counts
+    stage = _token_count_stage(num_buckets, text_col, id_col, keep_text=True)
 
-    def count(batch: pa.Table) -> pa.Table:
-        text = batch[text_col]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        if pa.types.is_null(text.type):
-            text = text.cast(pa.string())
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        tokens = pc.fill_null(token_counts(text), 0)
-        return pa.table(
-            {
-                id_col: pa.array(ids, type=pa.int64()),
-                "bucket": pa.array(ids % num_buckets, type=pa.int64()),
-                "tokens": tokens,
-                text_col: text,
-            }
-        )
+    def count_nonnull(batch: pa.Table) -> pa.Table:
+        t = stage(batch)
+        return t.filter(pc.is_valid(t[text_col]))
 
     def assemble(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col)
-        tok = g["tokens"].to_numpy(dtype=np.int64)
-        start = tok.cumsum() - tok
-        g = g.assign(_chunk=start // chunk_tokens)
-        present = g[g[text_col].notna()]
-        docs = present.groupby("_chunk", sort=True)[text_col].agg("\n".join)
-        n_docs = g.groupby("_chunk", sort=True).size()
-        # chunks whose docs are all-null still exist (n_docs counts them);
-        # their text is the empty aggregation, mirroring string_agg → NULL
-        texts = docs.reindex(n_docs.index)
-        md5s = [
-            None if pd.isna(t) else hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in texts
-        ]
-        chars = pd.array(
-            [None if pd.isna(t) else len(t) for t in texts], dtype="Int64"
-        )
+        g, start, chunk = _chunk_starts(group, id_col, chunk_tokens)
+        g = g.assign(_chunk=chunk)
+        grp = g.groupby("_chunk", sort=True)
+        docs = grp[text_col].agg("\n".join)
+        n_docs = grp.size()
         return pd.DataFrame(
             {
                 "bucket": np.full(len(n_docs), g["bucket"].iloc[0], dtype=np.int64),
                 "chunk_id": n_docs.index.to_numpy(dtype=np.int64),
                 "n_docs": n_docs.to_numpy(dtype=np.int64),
-                "chunk_chars": chars,
-                "chunk_md5": md5s,
+                "chunk_chars": docs.str.len().to_numpy(dtype=np.int64),
+                "chunk_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in docs
+                ],
             }
         )
 
-    counts = ds.map_batches(count, batch_format="pyarrow")
+    counts = ds.map_batches(count_nonnull, batch_format="pyarrow")
     return (
         counts.groupby("bucket")
         .map_groups(assemble, batch_format="pandas")

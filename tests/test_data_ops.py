@@ -39,7 +39,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "sessions", "top_users", "distinct_event_types", "sample_events",
      "exact_distinct_users", "exact_value_quantiles",
      "contaminated_docs", "quality_filter", "inverted_index",
-     "epoch_shuffle", "pack_sequences", "mix_sample", "packed_chunks"],
+     "epoch_shuffle", "pack_sequences", "mix_sample", "packed_chunks",
+     "top_terms"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()

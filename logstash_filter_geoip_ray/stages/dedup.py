@@ -50,7 +50,13 @@ def exact_dedup_keepers(ds, text_col: str = "text", id_col: str = "doc_id"):
         text = batch[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        return batch.select([id_col]).append_column("_h", md5_fingerprints(text))
+        if pa.types.is_null(text.type):
+            text = text.cast(pa.string())
+        # null texts form ONE group (SQL GROUP BY semantics); the sentinel
+        # cannot collide with a 32-char hex digest, and Ray's sort-based
+        # groupby cannot order null keys against strings
+        h = pc.fill_null(md5_fingerprints(text), "__null_text__")
+        return batch.select([id_col]).append_column("_h", h)
 
     def partial_min(batch: pa.Table) -> pa.Table:
         return (

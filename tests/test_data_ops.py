@@ -851,3 +851,39 @@ def test_contamination_fuzz_vs_reference(ray_session):
         assert got == expected
 
     check()
+
+
+def test_text_oracles_on_adversarial_whitespace(ray_session, tmp_path):
+    """Whitespace parity net: tab/newline-padded, whitespace-only, empty and
+    NULL texts must hash-match between engine and oracle for every
+    documents-table text operator (DuckDB's bare trim() strips spaces only —
+    regression test for the trim-semantics divergence)."""
+    import pyarrow.parquet as pq
+
+    docs = pa.table(
+        {
+            "doc_id": list(range(8)),
+            "text": [
+                "\ta b c d e f g h i j k l m n o p q r s t u\t",
+                "\t", "\n\n", None, " x y z ", "a " * 30,
+                "\tq w e r t y u i o p a s d f g h j k l z x c\n", "",
+            ],
+            "lang": ["en"] * 8,
+            "source": [f"src{i}" for i in range(8)],
+            "n_chars": [0] * 8,
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for name in ["top_terms", "packed_chunks", "pack_sequences", "quality_filter",
+                 "inverted_index", "doc_stats", "vocab_top", "masked_docs",
+                 "contaminated_docs", "dedup_exact", "lang_stats"]:
+        d = DATA_QUERIES[name](str(tmp_path)).to_pandas()
+        o = con.sql(DATA_ORACLES[name]).df()
+        assert len(d) == len(o), f"{name}: {len(d)} vs {len(o)} rows"
+        if len(d):
+            a, b = _norm(d), _norm(o)
+            pd.testing.assert_frame_equal(a, b, obj=name)

@@ -159,6 +159,69 @@ def q_packed_chunks(sf_dir: str):
     return pack_chunks(_docs(sf_dir, ["doc_id", "text"]))
 
 
+#: collocation mining: bigrams seen ≥ this count qualify for PMI scoring —
+#: the threshold prunes the candidate set BEFORE any join/driver step, which
+#: is what keeps the op scale-safe (heavy collocations are few by definition)
+COLLOC_MIN_COUNT = 10
+COLLOC_TOP_K = 50
+
+
+def q_collocations(sf_dir: str):
+    """Phrase mining: top-50 bigrams by integer PMI surrogate
+    pmi_milli = (1000 · cnt_ab · N_words) // (cnt_a · cnt_b), among bigrams
+    with cnt_ab ≥ 10. Bigram + unigram counts stream through the partial-
+    count path (shuffle = distinct grams); only the threshold-pruned
+    candidate set (provably small) reaches the driver, where Python big-int
+    arithmetic scores it exactly — no int64 overflow at any corpus size."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import grouped_counts
+    from ..stages.contamination import _doc_ngrams, _flat_words
+
+    docs = _docs(sf_dir, ["text"])
+
+    def explode_bigrams(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        g, _ = _doc_ngrams(text, 2)
+        return pa.table({"g": g})
+
+    def explode_words(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, _ = _flat_words(text)
+        return pa.table({"w": flat})
+
+    big = grouped_counts(
+        docs.map_batches(explode_bigrams, batch_format="pyarrow"), ["g"], "c2"
+    )
+    def keep_heavy(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["c2"], COLLOC_MIN_COUNT))
+
+    heavy = big.map_batches(keep_heavy, batch_format="pyarrow")
+    uni = grouped_counts(
+        docs.map_batches(explode_words, batch_format="pyarrow"), ["w"], "c"
+    ).to_pandas()
+    counts = dict(zip(uni["w"], (int(v) for v in uni["c"])))
+    n_words = sum(counts.values())
+
+    cand = heavy.to_pandas()  # small by construction (threshold-pruned)
+    rows = []
+    for g_, c2 in zip(cand["g"], cand["c2"]):
+        a, b = g_.split(" ", 1)
+        pmi = (1000 * int(c2) * n_words) // (counts[a] * counts[b])
+        rows.append((g_, int(c2), pmi))
+    out = pd.DataFrame(rows, columns=["bigram", "cnt", "pmi_milli"])
+    out = out.sort_values(
+        ["pmi_milli", "bigram"], ascending=[False, True]
+    ).head(COLLOC_TOP_K)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def q_mix_sample(sf_dir: str):
     """Domain mixing: downsample each source at its own rate (the
     training-mixture reweighting step). Stateless vectorized filter — keep
@@ -694,6 +757,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "pack_sequences": q_pack_sequences,
     "mix_sample": q_mix_sample,
     "top_terms": q_top_terms,
+    "collocations": q_collocations,
     "packed_chunks": q_packed_chunks,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard": q_ngram_jaccard,
@@ -799,6 +863,31 @@ WITH w AS (
 SELECT w, CAST(count(*) AS BIGINT) AS df,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM w WHERE w <> '' GROUP BY w ORDER BY w
+""",
+    "collocations": r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') AS ws
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
+), words AS (
+  SELECT unnest(ws) AS w FROM t
+), uni AS (
+  SELECT w, count(*) AS c FROM words WHERE w <> '' GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS HUGEINT) AS n FROM uni
+), big AS (
+  SELECT unnest(CASE WHEN len(ws) >= 2
+      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      ELSE CAST(NULL AS VARCHAR[]) END) AS g
+  FROM t
+), bigc AS (
+  SELECT g, count(*) AS c2 FROM big GROUP BY 1 HAVING count(*) >= 10
+)
+SELECT g AS bigram, CAST(c2 AS BIGINT) AS cnt,
+       CAST((1000 * c2 * (SELECT n FROM tot)) // (u1.c * u2.c) AS BIGINT) AS pmi_milli
+FROM bigc
+JOIN uni u1 ON u1.w = split_part(g, ' ', 1)
+JOIN uni u2 ON u2.w = split_part(g, ' ', 2)
+ORDER BY pmi_milli DESC, bigram LIMIT 50
 """,
     "packed_chunks": r"""
 WITH t AS (

@@ -40,7 +40,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "exact_distinct_users", "exact_value_quantiles",
      "contaminated_docs", "quality_filter", "inverted_index",
      "epoch_shuffle", "pack_sequences", "mix_sample", "packed_chunks",
-     "top_terms"],
+     "top_terms", "collocations"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()

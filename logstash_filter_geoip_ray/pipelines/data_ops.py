@@ -67,12 +67,16 @@ def q_lang_stats(sf_dir: str):
 def q_vocab_top(sf_dir: str):
     """Vocabulary building (LLM-prep): lowercase word frequencies over the
     corpus, top 100 by (count desc, token asc). Vectorized explode
-    (utf8_split_whitespace → flatten) → per-batch partial counts → tree
-    combine; shuffle = batches × batch-distinct words, never raw tokens."""
+    (utf8_split_whitespace → flatten) → per-batch partial counts →
+    word-hash-bucketed combine (each word lands in exactly one bucket, so a
+    per-bucket sum is that word's GLOBAL count and a per-bucket top-100 is
+    valid) → global sort over only buckets×100 rows. No single task ever
+    holds the whole vocabulary, and the Sort operator never sees it."""
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..stages.aggregate import grouped_counts
+    from ..stages.aggregate import _partial_counts, bucket_by_key
 
     docs = _docs(sf_dir, ["text"])
 
@@ -85,10 +89,20 @@ def q_vocab_top(sf_dir: str):
         ).flatten()
         return pa.table({"w": words.filter(pc.not_equal(words, ""))})
 
-    counts = grouped_counts(
-        docs.map_batches(explode, batch_format="pyarrow"), ["w"], "n"
+    partials = docs.map_batches(explode, batch_format="pyarrow").map_batches(
+        _partial_counts(["w"], "n"), batch_format="pyarrow", batch_size=65536
     )
-    return counts.sort(["n", "w"], descending=[True, False]).limit(100)
+    bucketed = bucket_by_key(partials, "w", 32)
+
+    def bucket_top(block: pd.DataFrame) -> pd.DataFrame:
+        g = block.groupby("w", sort=False, observed=True)["n"].sum().reset_index()
+        g = g.sort_values(["n", "w"], ascending=[False, True]).head(100)
+        return g[["w", "n"]]
+
+    topped = bucketed.groupby("_bucket").map_groups(
+        bucket_top, batch_format="pandas"
+    )
+    return topped.sort(["n", "w"], descending=[True, False]).limit(100)
 
 
 #: decontamination parameters: docs with doc_id % MOD == 0 play the role of
@@ -172,7 +186,14 @@ def q_collocations(sf_dir: str):
     with cnt_ab ≥ 10. Bigram + unigram counts stream through the partial-
     count path (shuffle = distinct grams); only the threshold-pruned
     candidate set (provably small) reaches the driver, where Python big-int
-    arithmetic scores it exactly — no int64 overflow at any corpus size."""
+    arithmetic scores it exactly — no int64 overflow at any corpus size.
+
+    The unigram side never reaches the driver whole: N_words is a streamed
+    ``sum`` over the distributed count table, and the per-word counts are
+    semi-joined down to the candidate bigrams' component words (≤ 2·|cand|,
+    small by the same pruning argument) with a broadcast ``pc.is_in`` filter
+    before the only driver pull. Vocabulary size (unbounded at web scale —
+    typos/URLs/hashes) therefore never bounds driver memory."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -203,13 +224,34 @@ def q_collocations(sf_dir: str):
         return batch.filter(pc.greater_equal(batch["c2"], COLLOC_MIN_COUNT))
 
     heavy = big.map_batches(keep_heavy, batch_format="pyarrow")
-    uni = grouped_counts(
-        docs.map_batches(explode_words, batch_format="pyarrow"), ["w"], "c"
-    ).to_pandas()
-    counts = dict(zip(uni["w"], (int(v) for v in uni["c"])))
-    n_words = sum(counts.values())
-
     cand = heavy.to_pandas()  # small by construction (threshold-pruned)
+
+    # semi-join the (unbounded) unigram table down to the candidate words
+    cand_words: set = set()
+    for g_ in cand["g"]:
+        a, b = g_.split(" ", 1)
+        cand_words.add(a)
+        cand_words.add(b)
+    word_set = pa.array(sorted(cand_words), type=pa.string())
+
+    # materialize the distributed count table once: it feeds both the
+    # streamed N_words sum and the is_in filter (lazy would re-explode text)
+    uni_ds = grouped_counts(
+        docs.map_batches(explode_words, batch_format="pyarrow"), ["w"], "c"
+    ).materialize()
+    n_words = int(uni_ds.sum("c") or 0)
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["w"], value_set=word_set))
+
+    if len(cand):
+        uni = uni_ds.map_batches(
+            keep_candidates, batch_format="pyarrow"
+        ).to_pandas()
+        counts = dict(zip(uni["w"], (int(v) for v in uni["c"])))
+    else:  # empty-corpus guard: to_pandas() on an empty Dataset drops columns
+        counts = {}
+
     rows = []
     for g_, c2 in zip(cand["g"], cand["c2"]):
         a, b = g_.split(" ", 1)
@@ -282,15 +324,19 @@ def q_top_terms(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     df_tbl = tf.groupby("w").aggregate(Count(alias_name="df"))
-    # N: docs with ≥1 word — exactly the distinct doc_ids of tf. Each doc
-    # lives in one explode batch, so per-batch distinct counts sum globally.
-    def batch_doc_count(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"n": pa.array([pc.count_distinct(batch["doc_id"]).as_py()], type=pa.int64())}
-        )
+    # N: docs with ≥1 word — exactly the distinct doc_ids of tf, counted as
+    # a GLOBAL distinct (per-batch dedup → groupby → row count). A per-batch
+    # count_distinct sum would double-count any doc whose rows Ray's dynamic
+    # block splitting spread over two blocks — invisible at gate scale,
+    # wrong at fleet scale.
+    def batch_distinct_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.unique(batch["doc_id"])})
 
-    n_docs = int(
-        tf.map_batches(batch_doc_count, batch_format="pyarrow").sum("n") or 0
+    n_docs = (
+        tf.map_batches(batch_distinct_ids, batch_format="pyarrow")
+        .groupby("doc_id")
+        .count()
+        .count()
     )
 
     joined = hash_join(tf, df_tbl, left_key="w", right_key="w")

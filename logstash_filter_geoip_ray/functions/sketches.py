@@ -22,6 +22,28 @@ def stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+def hash_strings64(values) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a string sequence → uint64 array.
+
+    pandas' SipHash-1-3 C kernel with its fixed key — stable across
+    processes/machines, one C pass instead of a Python loop of blake2b
+    calls. This is the hot-path string hash for MinHash shingles; it is NOT
+    interchangeable with :func:`stable_hash64` (different function, different
+    values — pick one per shuffle key and stick with it)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        values = values.to_pandas()
+    return (
+        pd.util.hash_pandas_object(pd.Series(values), index=False)
+        .to_numpy()
+        .astype(np.uint64)
+    )
+
+
 def _mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer over uint64 arrays (wraparound intended)."""
     with np.errstate(over="ignore"):
@@ -62,6 +84,30 @@ class MinHasher:
         # piecewise-monotone (a small, no wrap → correlated minima and a
         # badly biased Jaccard estimate — measured 0.35 vs true 0.54).
         self._seeds = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+        # per-band mixing constants so identical signature segments in
+        # different bands land in different buckets
+        self._band_consts = np.random.default_rng(seed + 101).integers(
+            1, 1 << 63, size=bands, dtype=np.uint64
+        )
+
+    def sig_matrix(self, gram_hashes: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        """Signatures for many docs at once from a flat gram-hash array.
+
+        ``gram_hashes`` is uint64, grouped contiguously per doc;
+        ``starts[i]`` is the first gram index of doc ``i``. Returns
+        ``(len(starts), num_perm)`` uint64 — min over each doc's grams of the
+        splitmix-mixed per-permutation values, computed as chunked
+        broadcast-mix + ``np.minimum.reduceat`` (no Python per-doc loop).
+        Memory per chunk = 16 perms × len(gram_hashes) × 8 B."""
+        gh = gram_hashes.astype(np.uint64, copy=False)
+        out = np.empty((len(starts), self.num_perm), dtype=np.uint64)
+        for p0 in range(0, self.num_perm, 16):
+            seeds = self._seeds[p0 : p0 + 16]
+            vals = _mix64(gh[None, :] ^ seeds[:, None])
+            out[:, p0 : p0 + len(seeds)] = np.minimum.reduceat(
+                vals, starts, axis=1
+            ).T
+        return out
 
     def signature(self, text: Optional[str]) -> Optional[np.ndarray]:
         if text is None:
@@ -69,20 +115,25 @@ class MinHasher:
         shingles = word_shingles(text, self.shingle_k)
         if not shingles:
             return None
-        h = np.fromiter(
-            (stable_hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
-        )
-        # (num_perm, n_shingles) mixed values; min over shingles
-        vals = _mix64(h[None, :] ^ self._seeds[:, None])
-        return vals.min(axis=1)
+        h = hash_strings64(list(shingles))
+        return self.sig_matrix(h, np.array([0]))[0]
 
-    def band_keys(self, signature: np.ndarray) -> List[str]:
-        keys = []
-        for band in range(self.bands):
-            seg = signature[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-            digest = hashlib.blake2b(seg.tobytes(), digest_size=8).hexdigest()
-            keys.append("%02d:%s" % (band, digest))
-        return keys
+    def band_key_matrix(self, sigs: np.ndarray) -> np.ndarray:
+        """Int64 LSH bucket key per (doc, band) from a ``(n, num_perm)``
+        signature matrix — the vectorized replacement for per-doc blake2b
+        band digests. Combines each band's rows with an iterated splitmix
+        fold seeded by a per-band constant; returns ``(n, bands)`` int64
+        (uint64 bits reinterpreted for Arrow)."""
+        n = sigs.shape[0]
+        v = sigs.reshape(n, self.bands, self.rows_per_band)
+        h = np.broadcast_to(self._band_consts, (n, self.bands)).copy()
+        for j in range(self.rows_per_band):
+            h = _mix64(h ^ v[:, :, j])
+        return h.view(np.int64)
+
+    def band_keys(self, signature: np.ndarray) -> List[int]:
+        """Per-doc convenience wrapper over :meth:`band_key_matrix`."""
+        return [int(k) for k in self.band_key_matrix(signature[None, :])[0]]
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:

@@ -72,13 +72,44 @@ def exact_dedup_keepers(ds, text_col: str = "text", id_col: str = "doc_id"):
 # -- MinHash + LSH ----------------------------------------------------------
 
 
+def _raw_words(text: pa.Array) -> tuple:
+    """Case-preserving whitespace words of every row, flattened, with row
+    indices — the vectorized equivalent of ``str.split()`` per row (trim +
+    split_whitespace + drop empties). Mirrors ``contamination._flat_words``
+    minus the lowercasing, because :func:`~..functions.sketches.word_shingles`
+    (the per-row reference and the exact-Jaccard verifier) is
+    case-sensitive."""
+    if pa.types.is_null(text.type):  # all-null block arrives as null type
+        text = text.cast(pa.string())
+    words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    lengths = words.value_lengths().to_numpy(zero_copy_only=False)
+    lengths = np.where(np.isnan(lengths.astype("float64")), 0, lengths).astype(
+        "int64"
+    )
+    idx = np.repeat(np.arange(len(words), dtype=np.int64), lengths)
+    flat = words.flatten()
+    nonempty = pc.not_equal(flat, "")
+    mask = nonempty.to_numpy(zero_copy_only=False)
+    return flat.filter(nonempty), idx[mask]
+
+
 class MinHashBandStage:
-    """map_batches stage: text → LSH band rows (band_key, id) ONLY.
+    """map_batches stage: text → LSH band rows (band_key int64, id) ONLY.
 
     The band shuffle is the one all-to-all in the MinHash path; its rows must
     be minimal — carrying text would ship ~``bands``× the corpus through the
     object store. Candidate texts are re-attached later by id (broadcast
-    semi-join in :func:`minhash_lsh_pairs`)."""
+    semi-join in :func:`minhash_lsh_pairs`).
+
+    The signature kernel is fully vectorized per batch: one Arrow pass
+    builds every doc's word k-grams (flat array + doc offsets), one pandas
+    C call hashes all gram strings, and ``MinHasher.sig_matrix`` does the
+    per-permutation mix + segment-min with numpy ``reduceat`` — no Python
+    loop over docs in the hot path. Docs with 1..k-1 words (whose single
+    shingle is the joined token list, matching ``word_shingles``) are the
+    only per-row fallback and are rare by construction."""
 
     def __init__(self, num_perm=128, bands=32, shingle_k=3, text_col="text", id_col="doc_id"):
         self.hasher = MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k)
@@ -86,22 +117,76 @@ class MinHashBandStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, keys = [], []
-        for doc_id, text in zip(
-            batch[self.id_col].to_pylist(), batch[self.text_col].to_pylist()
-        ):
-            sig = self.hasher.signature(text)
-            if sig is None:
-                continue
-            for key in self.hasher.band_keys(sig):
-                ids.append(doc_id)
-                keys.append(key)
+        from ..functions.sketches import hash_strings64
+
+        text = batch[self.text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        k = self.hasher.shingle_k
+        n_rows = batch.num_rows
+        flat, widx = _raw_words(text)
+        wc = (
+            np.bincount(widx, minlength=n_rows)
+            if len(widx)
+            else np.zeros(n_rows, dtype=np.int64)
+        )
+
+        # full-length docs (wc >= k): k-gram join over the flat word array
+        m = len(flat) - k + 1
+        if m > 0:
+            valid = widx[:m] == widx[k - 1 :]
+            parts = [flat.slice(j, m) for j in range(k)]
+            grams = pc.binary_join_element_wise(*parts, " ").filter(
+                pa.array(valid)
+            )
+            gidx = widx[:m][valid]
+        else:
+            grams = pa.array([], type=pa.string())
+            gidx = np.array([], dtype=np.int64)
+
+        sig_parts, pos_parts = [], []
+        if len(gidx):
+            starts = np.flatnonzero(np.r_[True, gidx[1:] != gidx[:-1]])
+            gh = hash_strings64(grams)
+            sig_parts.append(self.hasher.sig_matrix(gh, starts))
+            pos_parts.append(gidx[starts])
+
+        # short docs (0 < wc < k): single shingle = " ".join(words)
+        short = np.flatnonzero((wc > 0) & (wc < k))
+        if len(short):
+            joined = [
+                " ".join(text[int(r)].as_py().split()) for r in short
+            ]
+            sh = hash_strings64(joined)
+            from ..functions.sketches import _mix64
+
+            sig_parts.append(
+                _mix64(sh[:, None] ^ self.hasher._seeds[None, :])
+            )
+            pos_parts.append(short)
+
+        if not sig_parts:
+            return pa.table(
+                {
+                    "band_key": pa.array([], type=pa.int64()),
+                    # explicit type: an all-skipped block must not emit a
+                    # null-typed id column that breaks schema unification
+                    self.id_col: pa.array([], type=ids.type),
+                }
+            )
+
+        sigs = np.concatenate(sig_parts, axis=0)
+        positions = np.concatenate(pos_parts)
+        keys = self.hasher.band_key_matrix(sigs)  # (n, bands) int64
+        bands = keys.shape[1]
+        out_idx = pa.array(np.repeat(positions, bands))
         return pa.table(
             {
-                "band_key": pa.array(keys, type=pa.string()),
-                # explicit type: an all-skipped block must not emit a
-                # null-typed id column that breaks schema unification
-                self.id_col: pa.array(ids, type=batch[self.id_col].type),
+                "band_key": pa.array(keys.reshape(-1)),
+                self.id_col: pc.take(ids, out_idx),
             }
         )
 

@@ -887,3 +887,47 @@ def test_text_oracles_on_adversarial_whitespace(ray_session, tmp_path):
         if len(d):
             a, b = _norm(d), _norm(o)
             pd.testing.assert_frame_equal(a, b, obj=name)
+
+
+def test_minhash_band_stage_matches_per_row_reference():
+    """The vectorized batch kernel (Arrow gram explode + pandas C hash +
+    reduceat segment-min) must emit exactly the (band_key, id) rows the
+    per-row reference path (signature() + band_keys()) produces — including
+    null text, empty/whitespace-only text, and short docs (< k words) whose
+    single shingle is the joined token list."""
+    from logstash_filter_geoip_ray.stages.dedup import MinHashBandStage
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        None,
+        "",
+        "   \t\n  ",
+        "one",
+        "two words",
+        "exactly three words",
+        "the quick brown fox jumps over the sleepy dog",
+        "  leading and trailing   whitespace \t mid\ngaps  ",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of row 0
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    stage = MinHashBandStage(num_perm=32, bands=8, shingle_k=3)
+    got = stage(batch).to_pandas()
+    got_rows = set(zip(got["band_key"], got["doc_id"]))
+
+    expect = set()
+    for i, t in enumerate(texts):
+        sig = stage.hasher.signature(t)
+        if sig is None:
+            continue
+        for key in stage.hasher.band_keys(sig):
+            expect.add((key, i))
+    assert got_rows == expect
+    # exact dup docs share every band key
+    keys0 = {k for k, d in got_rows if d == 0}
+    keys9 = {k for k, d in got_rows if d == 9}
+    assert keys0 == keys9 and len(keys0) == 8

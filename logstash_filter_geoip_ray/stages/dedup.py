@@ -353,19 +353,42 @@ def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
 # -- token-set Jaccard within blocking key (oracle-expressible) -------------
 
 
+#: all-pairs validators refuse blocks bigger than this: a skewed block key
+#: must fail loudly instead of handing one task n²/2 Python comparisons.
+#: 5000 rows ⇒ ≤ 12.5M comparisons per block — minutes, not days.
+JACCARD_MAX_BLOCK_ROWS = 5000
+
+
+def _check_block_cap(n: int, key, max_rows: int, fn_name: str) -> None:
+    if n > max_rows:
+        raise ValueError(
+            "%s: block %r has %d rows (> max_block_rows=%d) — the all-pairs "
+            "validator is O(n²) per block and exists as an oracle cross-check;"
+            " use the MinHash+LSH path (minhash_lsh_pairs) for skewed/large "
+            "blocks, or raise max_block_rows explicitly" % (fn_name, key, n, max_rows)
+        )
+
+
 def jaccard_pairs_by_block(
     ds,
     block_col: str = "source",
     min_ratio: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_block_rows: int = JACCARD_MAX_BLOCK_ROWS,
 ):
     """Unigram-token-set Jaccard for every doc pair sharing ``block_col``:
     rows (a, b, inter, union) with inter/union ≥ min_ratio, a < b.
     Integer outputs → exact oracle comparison (see oracle SQL in
-    __ray_entry__)."""
+    __ray_entry__). Blocks over ``max_block_rows`` raise (skew guard)."""
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        _check_block_cap(
+            len(group),
+            group[block_col].iloc[0] if len(group) else None,
+            max_block_rows,
+            "jaccard_pairs_by_block",
+        )
         rows = group.sort_values(id_col)
         items = list(zip(rows[id_col], rows[text_col]))
         out = []
@@ -395,16 +418,24 @@ def ngram_jaccard_pairs_by_block(
     threshold_den: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_block_rows: int = JACCARD_MAX_BLOCK_ROWS,
 ):
     """Word-k-gram shingle-set Jaccard for every doc pair sharing
     ``block_col``: rows (a, b, inter, union_) with
     ``inter * threshold_den >= union * threshold_num`` (pure integer
     threshold, so the DuckDB oracle comparison has no float boundary),
-    a < b. The shingle sets match the MinHash stage's ``word_shingles``."""
+    a < b. The shingle sets match the MinHash stage's ``word_shingles``.
+    Blocks over ``max_block_rows`` raise (skew guard)."""
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         from ..functions.sketches import word_shingles
 
+        _check_block_cap(
+            len(group),
+            group[block_col].iloc[0] if len(group) else None,
+            max_block_rows,
+            "ngram_jaccard_pairs_by_block",
+        )
         rows = group.sort_values(id_col)
         items = [
             (i, word_shingles(t, shingle_k))

@@ -157,9 +157,21 @@ class RandomHyperplaneLSH:
 
 def _multiprobe_buckets(qkeys, n_planes: int, multiprobe_bits: int) -> frozenset:
     """Every bucket within Hamming distance ``multiprobe_bits`` of a query
-    bucket (all bit-flip combinations, not just single bits)."""
+    bucket (all bit-flip combinations, not just single bits). The probe set
+    grows as C(n_planes, d) per distance d — a sanity cap keeps a
+    misconfigured call from enumerating millions of buckets."""
     import itertools
+    import math
 
+    n_probe = sum(
+        math.comb(n_planes, d) for d in range(multiprobe_bits + 1)
+    ) * max(1, len(qkeys))
+    if n_probe > 1_000_000:
+        raise ValueError(
+            "_multiprobe_buckets: %d probe buckets (n_planes=%d, "
+            "multiprobe_bits=%d, queries=%d) exceeds the 1M sanity cap — "
+            "lower multiprobe_bits" % (n_probe, n_planes, multiprobe_bits, len(qkeys))
+        )
     accept: set = set()
     for qk in qkeys:
         accept.add(int(qk))
@@ -169,7 +181,9 @@ def _multiprobe_buckets(qkeys, n_planes: int, multiprobe_bits: int) -> frozenset
                 for b in bits:
                     flipped ^= 1 << b
                 accept.add(flipped)
-    return frozenset(accept)
+    # sorted int64 array, not a set: the per-batch membership test is a
+    # vectorized np.isin against this array
+    return np.array(sorted(accept), dtype=np.int64)
 
 
 def _kmeans(mat: np.ndarray, n_clusters: int, n_iter: int = 20, seed: int = 13) -> np.ndarray:
@@ -286,7 +300,7 @@ def lsh_topk(
         bits = (bmat @ planes.T) > 0
         weights = 1 << np.arange(bits.shape[1], dtype=np.int64)
         keys = (bits @ weights).astype(np.int64)
-        mask = np.array([int(key) in acc for key in keys])
+        mask = np.isin(keys, acc)
         if not mask.any():
             return _empty_partial()
         bids, bmat = bids[mask], bmat[mask]

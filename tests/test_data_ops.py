@@ -931,3 +931,26 @@ def test_minhash_band_stage_matches_per_row_reference():
     keys0 = {k for k, d in got_rows if d == 0}
     keys9 = {k for k, d in got_rows if d == 9}
     assert keys0 == keys9 and len(keys0) == 8
+
+
+def test_jaccard_block_cap_raises(ray_session):
+    """A skewed block key must fail loudly, not hand one task n^2/2 Python
+    comparisons."""
+    import ray.data
+    import pytest
+
+    from logstash_filter_geoip_ray.stages.dedup import jaccard_pairs_by_block
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(20)), type=pa.int64()),
+            "source": pa.array(["hot"] * 20),
+            "text": pa.array(["some text %d" % i for i in range(20)]),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    with pytest.raises(Exception, match="max_block_rows"):
+        jaccard_pairs_by_block(ds, max_block_rows=10).materialize()
+    # under the cap the same input works
+    out = jaccard_pairs_by_block(ds, max_block_rows=20).to_pandas()
+    assert (out["union_"] > 0).all() if len(out) else True

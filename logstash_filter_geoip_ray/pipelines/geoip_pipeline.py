@@ -253,6 +253,11 @@ def write_routed_bucketed(
     # a crashed prior run leaves partial staging files; appending to them
     # would duplicate rows in the compacted output — start clean
     shutil.rmtree(staging, ignore_errors=True)
+    # likewise remove prior COMPACTED outputs: a rerun into a reused out_dir
+    # whose input changed must not leave stale key-partition dirs for sinks
+    # that no longer occur (the destination is exactly this run's sinks)
+    for stale in _glob.glob(os.path.join(out_dir, "%s=*" % key_cols[0])):
+        shutil.rmtree(stale, ignore_errors=True)
     enriched_ds.write_parquet(staging, partition_cols=key_cols)
 
     sink_dirs = sorted(

@@ -2,6 +2,8 @@
 deterministic synthetic transcripts, checked against the DuckDB oracle
 (the driver's correctness gate in miniature)."""
 
+import os
+
 import duckdb
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -259,3 +261,28 @@ def test_sink_counts_checkpointed_matches_oracle(ray_session, tmp_path):
     counts2 = sink_counts_checkpointed(SF, work_root=work).to_pandas()
     assert counts2.equals(counts)
     assert {m: os.path.getmtime(m) for m in manifests} == mtimes
+
+
+def test_bucketed_routed_write_clears_stale_sinks(ray_session, tmp_path):
+    """Rerunning into a reused out_dir with different input must not leave
+    stale key-partition dirs from the previous run mixed into the output."""
+    import pyarrow as pa
+    import ray.data
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        write_routed_bucketed,
+    )
+
+    out = str(tmp_path / "routed")
+    t1 = pa.table({"country": ["US", "DE"], "tool": ["a", "b"], "v": [1, 2]})
+    write_routed_bucketed(ray.data.from_arrow(t1), out)
+    assert os.path.isdir(os.path.join(out, "country=DE"))
+
+    t2 = pa.table({"country": ["US"], "tool": ["a"], "v": [3]})
+    _, nfiles = write_routed_bucketed(ray.data.from_arrow(t2), out)
+    assert nfiles == 1
+    assert not os.path.isdir(os.path.join(out, "country=DE"))
+    import pyarrow.parquet as pq
+
+    got = pq.read_table(os.path.join(out, "country=US", "tool=a", "part-00000.parquet"))
+    assert got["v"].to_pylist() == [3]

@@ -5,12 +5,15 @@ Decode kernels come in two tiers:
 
 - **Real, zero-dependency decoders** for formats the standard library +
   numpy can handle: PPM (P6) images (:func:`decode_ppm` → H×W×3 uint8
-  array, real per-channel statistics) and WAV/PCM audio (:func:`decode_wav`
-  via stdlib ``wave`` → samples, real RMS / zero-crossing / peak features in
-  ``AudioFeatureStage``). These exercise the full decode → vectorized
-  feature path with pixel/sample-exact unit tests.
-- **Stubbed codecs** for formats that need external libraries (jpeg/png →
-  PIL, video → ffmpeg — not in this container):
+  array, real per-channel statistics), non-interlaced 8-bit PNG
+  (:func:`decode_png` — stdlib ``zlib`` inflate + all five scanline
+  filters reconstructed in numpy, CRC-verified), and WAV/PCM audio
+  (:func:`decode_wav` via stdlib ``wave`` → samples, real RMS /
+  zero-crossing / peak features in ``AudioFeatureStage``). These exercise
+  the full decode → vectorized feature path with pixel/sample-exact unit
+  tests.
+- **Stubbed codecs** for formats that need external libraries (jpeg →
+  PIL/libjpeg, video → ffmpeg — not in this container):
   ``DecodeImageStage(strict=True)`` raises ``NotImplementedError`` exactly
   where the codec would plug in; the default deterministic fake derives
   stats from payload bytes so the Ray-side plumbing stays testable.
@@ -97,6 +100,180 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return data.reshape(h, w, 3)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples per pixel
+
+
+def _png_filter_row(raw: np.ndarray, prev: np.ndarray, ftype: int, bpp: int) -> np.ndarray:
+    """Apply PNG filter ``ftype`` to one scanline (encoder side, vectorized).
+    ``raw``/``prev`` are int32 arrays of the current / prior reconstructed
+    scanline bytes."""
+    left = np.zeros_like(raw)
+    left[bpp:] = raw[:-bpp]
+    up_left = np.zeros_like(prev)
+    up_left[bpp:] = prev[:-bpp]
+    if ftype == 0:
+        out = raw
+    elif ftype == 1:  # Sub
+        out = raw - left
+    elif ftype == 2:  # Up
+        out = raw - prev
+    elif ftype == 3:  # Average
+        out = raw - (left + prev) // 2
+    elif ftype == 4:  # Paeth
+        p = left + prev - up_left
+        pa_ = np.abs(p - left)
+        pb = np.abs(p - prev)
+        pc_ = np.abs(p - up_left)
+        pred = np.where((pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, prev, up_left))
+        out = raw - pred
+    else:
+        raise ValueError("bad PNG filter type %d" % ftype)
+    return (out % 256).astype(np.uint8)
+
+
+def encode_png(pixels: np.ndarray, filter_type: int | str = 0) -> bytes:
+    """H×W×{1,2,3,4} (or H×W) uint8 array → non-interlaced 8-bit PNG bytes.
+
+    ``filter_type``: 0-4 applied to every scanline, or ``"mixed"`` (row
+    index mod 5 — exercises every filter in one image; used by the
+    round-trip tests)."""
+    import struct
+    import zlib
+
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    assert pixels.dtype == np.uint8 and c in (1, 2, 3, 4)
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+    prev = np.zeros(w * c, dtype=np.int32)
+    lines = []
+    for r in range(h):
+        raw = pixels[r].reshape(-1).astype(np.int32)
+        ft = (r % 5) if filter_type == "mixed" else int(filter_type)
+        lines.append(bytes([ft]) + _png_filter_row(raw, prev, ft, bpp).tobytes())
+        prev = raw
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA) →
+    H×W×C uint8 array, pure stdlib ``zlib`` + numpy unfiltering — no PIL.
+
+    All five scanline filters are reconstructed: None/Up fully vectorized,
+    Sub as a per-channel-lane modular cumsum, Average/Paeth as a per-pixel
+    walk with vectorized channel math (their left-neighbor dependency is
+    inherently sequential). Chunk CRCs are verified. Raises ``ValueError``
+    on malformed input and on unsupported variants (palette, 16-bit,
+    interlaced) — the per-row failure path of the decode stage."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"PLTE":
+            raise ValueError("palette PNG not supported")
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8:
+        raise ValueError("only 8-bit PNG supported (got depth %d)" % depth)
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    if comp or filt:
+        raise ValueError("bad compression/filter method")
+    channels = _PNG_CHANNELS.get(color_type)
+    if channels is None:
+        raise ValueError("unsupported PNG color type %d" % color_type)
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError("corrupt IDAT: %s" % e)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad IDAT payload length")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    data = arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    bpp = channels
+    for r in range(h):
+        f = int(ftypes[r])
+        line = data[r]
+        prev = out[r - 1] if r else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: modular cumsum per channel lane
+            rec = np.cumsum(line.reshape(w, bpp), axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                left = (line[s] + (left + prev[s]) // 2) % 256
+                rec[s] = left
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            up_left = np.zeros(bpp, dtype=np.int32)
+            for x in range(w):
+                s = slice(x * bpp, (x + 1) * bpp)
+                up = prev[s]
+                p = left + up - up_left
+                pa_ = np.abs(p - left)
+                pb = np.abs(p - up)
+                pc_ = np.abs(p - up_left)
+                pred = np.where(
+                    (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up, up_left)
+                )
+                left = (line[s] + pred) % 256
+                rec[s] = left
+                up_left = up
+        else:
+            raise ValueError("bad PNG scanline filter %d" % f)
+        out[r] = rec
+    return out.astype(np.uint8).reshape(h, w, channels)
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """int16 mono samples → WAV bytes (stdlib wave)."""
     import io
@@ -177,9 +354,30 @@ class DecodeImageStage:
         # real implementation would do: import PIL.Image / load model here
         self._codec_available = False
 
+    @staticmethod
+    def _as_rgb(px: np.ndarray) -> np.ndarray:
+        """H×W×C → H×W×3 for the per-channel feature slots: gray (1/2 ch)
+        replicates the luma plane; RGBA drops alpha."""
+        c = px.shape[2]
+        if c >= 3:
+            return px[:, :, :3]
+        return np.repeat(px[:, :, :1], 3, axis=2)
+
+    def _pixel_features(self, px: np.ndarray) -> np.ndarray:
+        feats = np.zeros(self.FEATURE_DIM, dtype=np.float32)
+        feats[0], feats[1] = px.shape[1], px.shape[0]  # width, height
+        rgb = self._as_rgb(px)
+        feats[2:5] = rgb.mean(axis=(0, 1))
+        feats[5:8] = rgb.std(axis=(0, 1))
+        feats[8:11] = rgb.min(axis=(0, 1))
+        feats[11:14] = rgb.max(axis=(0, 1))
+        return feats
+
     def _decode_features(self, payload: bytes, meta: dict) -> np.ndarray:
-        # REAL decode path: PPM needs no external codec
-        if payload.startswith(b"P6") or (meta or {}).get("format") == "ppm":
+        # REAL decode paths: PPM and PNG need no external codec
+        fmt = (meta or {}).get("format")
+        px = None
+        if payload.startswith(b"P6") or fmt == "ppm":
             try:
                 px = decode_ppm(payload).astype(np.float32)
             except ValueError:
@@ -190,17 +388,19 @@ class DecodeImageStage:
                 # a truncated PPM, must not kill the task; fall through to
                 # the deterministic fake features
                 px = None
-            if px is not None:
-                feats = np.zeros(self.FEATURE_DIM, dtype=np.float32)
-                feats[0], feats[1] = px.shape[1], px.shape[0]  # width, height
-                feats[2:5] = px.mean(axis=(0, 1))
-                feats[5:8] = px.std(axis=(0, 1))
-                feats[8:11] = px.min(axis=(0, 1))
-                feats[11:14] = px.max(axis=(0, 1))
-                return feats
+        elif payload.startswith(_PNG_SIG):
+            try:
+                px = decode_png(payload).astype(np.float32)
+            except ValueError:
+                if self.strict:
+                    raise
+                px = None
+        if px is not None:
+            return self._pixel_features(px)
         if self.strict:
             raise NotImplementedError(
-                "jpeg/png decode requires PIL/libjpeg, unavailable in this environment"
+                "jpeg decode requires PIL/libjpeg, unavailable in this "
+                "environment (PPM and PNG decode natively)"
             )
         # deterministic fake: 16 bytes of digest → [0,1) floats, scaled by
         # the declared dimensions so metadata plumbing is exercised

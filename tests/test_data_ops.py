@@ -299,6 +299,85 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             decode_ppm(b"JFIF not a ppm")
 
+
+    def test_png_real_decode_roundtrip_all_filters(self):
+        """decode_png is a REAL zero-dependency decoder: pixel-exact
+        round-trip for every scanline filter (None/Sub/Up/Average/Paeth,
+        plus a mixed-filter image) and every channel count (gray,
+        gray+alpha, RGB, RGBA)."""
+        from logstash_filter_geoip_ray.stages.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(23)
+        for channels in (1, 2, 3, 4):
+            px = rng.integers(0, 256, size=(13, 17, channels), dtype=np.uint8)
+            for ft in (0, 1, 2, 3, 4, "mixed"):
+                payload = encode_png(px, filter_type=ft)
+                got = decode_png(payload)
+                assert got.shape == px.shape, (channels, ft)
+                assert (got == px).all(), (channels, ft)
+
+    def test_png_malformed_and_unsupported(self):
+        from logstash_filter_geoip_ray.stages.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        good = encode_png(px)
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"JFIF nope")
+        # flip one IDAT byte: CRC must catch it
+        bad = bytearray(good)
+        bad[len(bad) - 20] ^= 0xFF
+        with pytest.raises(ValueError):
+            decode_png(bytes(bad))
+        with pytest.raises(ValueError, match="truncated|missing"):
+            decode_png(good[: len(good) - 30])
+
+    def test_png_decode_stage_features(self, ray_session):
+        """DecodeImageStage decodes PNG payloads natively (no PIL) in strict
+        mode and emits true per-channel statistics."""
+        import ray.data
+
+        from logstash_filter_geoip_ray.stages.multimodal import (
+            IMAGE_META_TYPE,
+            DecodeImageStage,
+            encode_png,
+        )
+
+        rng = np.random.default_rng(31)
+        px = rng.integers(0, 256, size=(20, 28, 3), dtype=np.uint8)
+        payload = encode_png(px, filter_type="mixed")
+        stage = DecodeImageStage(strict=True)
+        feats = stage._decode_features(payload, {"format": "png"})
+        assert feats[0] == 28 and feats[1] == 20
+        assert np.allclose(feats[2:5], px.mean(axis=(0, 1)).astype(np.float32))
+        # end-to-end through the actor-pool stage
+        tbl = pa.table(
+            {
+                "media_id": pa.array([1], type=pa.int64()),
+                "payload": pa.array([payload], type=pa.binary()),
+                "meta": pa.array(
+                    [{"width": 28, "height": 20, "format": "png"}],
+                    type=IMAGE_META_TYPE,
+                ),
+            }
+        )
+        out = (
+            ray.data.from_arrow(tbl)
+            .map_batches(
+                DecodeImageStage,
+                fn_constructor_kwargs={"strict": True},
+                batch_format="pyarrow",
+                concurrency=1,
+            )
+            .take_all()
+        )
+        assert np.allclose(out[0]["features"], feats)
+
     def test_wav_real_decode_features(self, ray_session):
         """WAV decode is real (stdlib wave): a synthesized sine has known
         RMS (amp/√2), zero-crossing rate (2f/sr) and peak."""

@@ -278,9 +278,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(DATA_QUERIES)
     # oracle-backed queries first: the round driver checks the first 50
     # registered queries, and every query with a DuckDB oracle should get a
-    # hash-compare row before any rows-only (approximate/seeded) one
+    # hash-compare row before any rows-only (approximate/seeded) one.
+    # sink_counts_ecs goes last among the oracle-backed — it is the one
+    # entry over the 50-row window, and it shares the sink_counts pipeline
+    # with only the ECS naming differing (independently pinned by
+    # test_fields.py unit vectors), so it loses the least by falling out.
     sql = oracle_sql()
-    ordered = {n: f for n, f in out.items() if n in sql}
+    ordered = {
+        n: f for n, f in out.items() if n in sql and n != "sink_counts_ecs"
+    }
+    if "sink_counts_ecs" in out:
+        ordered["sink_counts_ecs"] = out["sink_counts_ecs"]
     ordered.update({n: f for n, f in out.items() if n not in sql})
     return ordered
 

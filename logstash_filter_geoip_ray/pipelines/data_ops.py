@@ -371,6 +371,83 @@ def q_top_terms(sf_dir: str):
     )
 
 
+def q_repetition_filter(sf_dir: str):
+    """Gopher-style structural repetition filter: duplicate-line fraction +
+    top-bigram fraction thresholds (integer milli)."""
+    from ..stages.textops import repetition_filter
+
+    return repetition_filter(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash Hamming near-dup pairs (≤ 3 bits over md5-token-hash
+    signatures) — exact via pigeonhole banding, full DuckDB oracle."""
+    from ..stages.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal decode pipeline over REAL self-decoded payloads: each doc
+    id is rendered into a deterministic small PNG (pure-Python encoder),
+    decoded back by the strict actor-pool DecodeImageStage (stdlib zlib +
+    numpy unfiltering — no PIL), and reduced to integer features. Rows-only
+    driver check (feature extraction has no SQL equivalent); the decoder
+    itself is pinned by pixel-exact unit tests."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.multimodal import IMAGE_META_TYPE, DecodeImageStage, encode_png
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads, metas = [], []
+        for i in ids:
+            # deterministic 8×8 RGB image from the id (no RNG)
+            base = np.arange(192, dtype=np.int64) * (7 + int(i) % 251) + int(i)
+            px = (base % 256).astype(np.uint8).reshape(8, 8, 3)
+            payloads.append(encode_png(px, filter_type="mixed"))
+            metas.append({"width": 8, "height": 8, "format": "png"})
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "meta": pa.array(metas, type=IMAGE_META_TYPE),
+            }
+        )
+
+    media = docs.map_batches(render, batch_format="pyarrow")
+    feats = media.map_batches(
+        DecodeImageStage,
+        fn_constructor_kwargs={"strict": True},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=4,
+    )
+
+    def to_ints(batch: pa.Table) -> pa.Table:
+        f = np.stack(
+            [np.asarray(v) for v in batch["features"].to_pylist()]
+        ) if batch.num_rows else np.zeros((0, 16), dtype=np.float32)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(f[:, 0].astype(np.int64), type=pa.int64()),
+                "height": pa.array(f[:, 1].astype(np.int64), type=pa.int64()),
+                "mean_milli_r": pa.array(
+                    (f[:, 2] * 1000).round().astype(np.int64), type=pa.int64()
+                ),
+                "std_milli_r": pa.array(
+                    (f[:, 5] * 1000).round().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return feats.map_batches(to_ints, batch_format="pyarrow").sort("media_id")
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic epoch shuffle: global order by md5(seed:doc_id) —
     reproducible across cluster sizes, rerunnable per epoch by seed."""
@@ -798,6 +875,9 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "vocab_top": q_vocab_top,
     "contaminated_docs": q_contaminated_docs,
     "quality_filter": q_quality_filter,
+    "repetition_filter": q_repetition_filter,
+    "simhash_pairs": q_simhash_pairs,
+    "media_features": q_media_features,
     "inverted_index": q_inverted_index,
     "epoch_shuffle": q_epoch_shuffle,
     "pack_sequences": q_pack_sequences,
@@ -900,6 +980,63 @@ WITH w AS (
 SELECT doc_id, token_total, dup_milli, top_milli FROM agg
 WHERE token_total >= 20 AND dup_milli <= 500 AND top_milli <= 150
 ORDER BY doc_id
+""",
+    "repetition_filter": f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+), lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d
+), lm AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST((1000 * (count(*) - count(DISTINCT line))) // count(*) AS BIGINT)
+           AS dup_line_milli
+  FROM lines GROUP BY doc_id
+), t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text), {_WS}), '\\s+') AS ws
+  FROM d WHERE trim(text, {_WS}) <> ''
+), big AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      ELSE CAST(NULL AS VARCHAR[]) END) AS g
+  FROM t
+), bc AS (
+  SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2
+), bm AS (
+  SELECT doc_id, CAST((1000 * max(c)) // sum(c) AS BIGINT) AS top_bigram_milli
+  FROM bc GROUP BY doc_id
+)
+SELECT lm.doc_id, lm.n_lines, lm.dup_line_milli,
+       CAST(coalesce(bm.top_bigram_milli, 0) AS BIGINT) AS top_bigram_milli
+FROM lm LEFT JOIN bm ON lm.doc_id = bm.doc_id
+WHERE lm.dup_line_milli <= 300 AND coalesce(bm.top_bigram_milli, 0) <= 200
+ORDER BY lm.doc_id
+""",
+    "simhash_pairs": f"""
+WITH w AS (
+  SELECT doc_id,
+         lower(unnest(regexp_split_to_array(trim(text, {_WS}), '\\s+'))) AS w
+  FROM documents WHERE trim(text, {_WS}) <> ''
+), f AS (
+  SELECT doc_id, w, count(*) AS c FROM w WHERE w <> '' GROUP BY 1, 2
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS hv, c FROM f
+), bits AS (
+  SELECT doc_id, b.range AS b,
+         sum(CASE WHEN (hv >> b.range::INT) & 1::UBIGINT = 1::UBIGINT
+                  THEN c ELSE -c END) AS s
+  FROM h, range(64) b GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::UBIGINT << b::INT)::HUGEINT
+                  ELSE 0::HUGEINT END)::UBIGINT AS sig
+  FROM bits GROUP BY 1
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sig, y.sig)) <= 3
+ORDER BY a, b
 """,
     "inverted_index": r"""
 WITH w AS (

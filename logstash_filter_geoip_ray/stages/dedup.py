@@ -336,6 +336,182 @@ def minhash_lsh_pairs(
 # -- SimHash ----------------------------------------------------------------
 
 
+#: Hamming-near-dup parameters: 4 bands × 16 bits over a 64-bit signature.
+#: Pigeonhole: any pair at Hamming distance ≤ 3 differs in at most 3 of the
+#: 4 bands, so it SHARES at least one band — banding finds every qualifying
+#: pair exactly (no recall loss), unlike probabilistic MinHash banding.
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1
+
+
+def _md5_token_hash64(tokens: np.ndarray) -> np.ndarray:
+    """uint64 from the first 16 hex chars of md5(token) — chosen because the
+    oracle can reproduce it in SQL (`('0x' || substr(md5(w),1,16))::UBIGINT`).
+    Hashes the UNIQUE tokens of the batch only (a Python loop over the
+    batch vocabulary, not the corpus): the oracle-parity variant trades a
+    slower hash for SQL reproducibility; the fleet-scale default signature
+    is the keyed-blake2b :func:`~..functions.sketches.simhash64`."""
+    import hashlib as _hl
+
+    uniq, inv = np.unique(tokens, return_inverse=True)
+    hv = np.fromiter(
+        (
+            int(_hl.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return hv[inv]
+
+
+def simhash_md5_signatures_batch(
+    text: pa.Array,
+) -> tuple:
+    """(row_positions int64[], signatures uint64[]) for every row with ≥1
+    lowercase token — tf-weighted 64-bit SimHash over md5 token hashes,
+    vectorized: one word explode, per-(doc, token) counts via pandas, bit
+    matrix + signed accumulate via ``np.add.at``."""
+    import pandas as pd
+
+    from .contamination import _flat_words
+
+    flat, idx = _flat_words(text)
+    if not len(idx):
+        return np.array([], dtype=np.int64), np.array([], dtype=np.uint64)
+    df = pd.DataFrame({"i": idx, "w": flat.to_numpy(zero_copy_only=False)})
+    per = df.groupby(["i", "w"], sort=False).size().reset_index(name="c")
+    docs = per["i"].to_numpy(dtype=np.int64)
+    cnts = per["c"].to_numpy(dtype=np.int64)
+    hv = _md5_token_hash64(per["w"].to_numpy())
+    uniq_docs, doc_pos = np.unique(docs, return_inverse=True)
+    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        bool
+    )
+    contrib = np.where(bits, cnts[:, None], -cnts[:, None])
+    acc = np.zeros((len(uniq_docs), 64), dtype=np.int64)
+    np.add.at(acc, doc_pos, contrib)
+    sig_bits = acc > 0
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    sigs = np.where(sig_bits, weights, np.uint64(0)).sum(
+        axis=1, dtype=np.uint64
+    )
+    return uniq_docs, sigs
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (byte-view + unpackbits)."""
+    return (
+        np.unpackbits(x.astype(np.uint64).reshape(-1, 1).view(np.uint8), axis=1)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+def simhash_hamming_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    num_buckets: int = 64,
+):
+    """Near-duplicate pairs (a, b, hamming) with Hamming(simhash_a,
+    simhash_b) ≤ ``max_hamming``, a < b — EXACT result (pigeonhole banding,
+    see SIMHASH_BANDS) with a full DuckDB oracle (md5-derived token hashes
+    are SQL-reproducible; ``bit_count(xor(...))`` is the verifier).
+
+    Scale shape: signature stage is embarrassingly parallel; the band
+    explode ships ``SIMHASH_BANDS`` tiny rows per doc (band_key int64 +
+    signature int64); per-coarse-bucket vectorized self-merge generates
+    candidates exactly like the MinHash path; the Hamming verify is a
+    vectorized xor+popcount per batch. No all-pairs stage anywhere."""
+    from ray.data.aggregate import Count
+
+    from .aggregate import bucket_by_key
+
+    bands = SIMHASH_BANDS
+    band_bits = 64 // bands
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        pos, sigs = simhash_md5_signatures_batch(text)
+        if not len(pos):
+            return pa.table(
+                {
+                    "band_key": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "sig": pa.array([], type=pa.int64()),
+                }
+            )
+        ids = (
+            pc.take(pc.cast(batch[id_col], pa.int64()), pa.array(pos))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        mask = np.uint64((1 << band_bits) - 1)
+        keys = np.empty((len(sigs), bands), dtype=np.int64)
+        for b in range(bands):
+            seg = (sigs >> np.uint64(b * band_bits)) & mask
+            # band index folded into the key so equal segments of different
+            # bands never collide into one bucket
+            keys[:, b] = (seg.astype(np.int64) << 3) | b
+        return pa.table(
+            {
+                "band_key": pa.array(keys.reshape(-1)),
+                id_col: pa.array(np.repeat(ids, bands)),
+                "sig": pa.array(np.repeat(sigs.view(np.int64), bands)),
+            }
+        )
+
+    banded = ds.map_batches(band_rows, batch_format="pyarrow")
+    bucketed = bucket_by_key(banded, "band_key", num_buckets)
+
+    def pairs_in_coarse_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.drop_duplicates(["band_key", id_col])[
+            ["band_key", id_col, "sig"]
+        ]
+        m = b.merge(b, on="band_key", suffixes=("_a", "_b"))
+        m = m[m[id_col + "_a"] < m[id_col + "_b"]]
+        if not len(m):
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
+        xa = m["sig_a"].to_numpy().astype(np.int64).view(np.uint64)
+        xb = m["sig_b"].to_numpy().astype(np.int64).view(np.uint64)
+        ham = _popcount64(xa ^ xb)
+        out = pd.DataFrame(
+            {
+                "a": m[id_col + "_a"].astype("int64").to_numpy(),
+                "b": m[id_col + "_b"].astype("int64").to_numpy(),
+                "hamming": ham,
+            }
+        )
+        return out[out["hamming"] <= max_hamming].drop_duplicates(["a", "b"])
+
+    cand = bucketed.groupby("_bucket").map_groups(
+        pairs_in_coarse_bucket, batch_format="pandas"
+    )
+
+    def partial_distinct(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["a", "b", "hamming"]).aggregate([])
+
+    # (a, b) determines hamming (one signature per doc), so distinct over
+    # all three columns is the pair-dedup across bands
+    return (
+        cand.map_batches(partial_distinct, batch_format="pyarrow")
+        .groupby(["a", "b", "hamming"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["a", "b", "hamming"])
+        .sort(["a", "b"])
+    )
+
+
 def simhash_signatures(ds, text_col: str = "text", id_col: str = "doc_id"):
     """(id, simhash hex string) per doc — identical signatures are near-dup
     buckets; hex keeps the driver/oracle comparison integer-free."""

@@ -194,6 +194,100 @@ def quality_filter(
     return ds.map_batches(kernel, batch_format="pyarrow").sort(id_col)
 
 
+def repetition_filter(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_milli: int = 300,
+    max_top_bigram_milli: int = 200,
+):
+    """Gopher-style *structural* repetition filter (the companion to
+    :func:`quality_filter`'s word-level one): keep documents whose
+    duplicate-LINE fraction and most-frequent-word-BIGRAM fraction stay
+    under thresholds. Integer milli-units → exact oracle comparison.
+
+    Per doc: n_lines (``'\\n'`` split), dup_line_milli =
+    (1000·(n_lines − distinct_lines)) // n_lines, top_bigram_milli =
+    (1000·max_bigram_count) // total_bigrams (0 when the doc has fewer than
+    2 words). Every metric is local to its row, so the kernel is
+    embarrassingly parallel per batch — one Arrow line explode + one
+    ``_doc_ngrams`` bigram explode, all per-doc stats from pandas groupbys,
+    no shuffle. Null-text docs are excluded (matching the SQL oracle's
+    ``WHERE text IS NOT NULL``)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .contamination import _doc_ngrams
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if pa.types.is_null(text.type):
+            text = text.cast(pa.string())
+        valid = pc.is_valid(text)
+        rows = np.flatnonzero(valid.to_numpy(zero_copy_only=False))
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "n_lines": pa.array([], type=pa.int64()),
+                "dup_line_milli": pa.array([], type=pa.int64()),
+                "top_bigram_milli": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(rows) == 0:
+            return empty
+        text = text.filter(valid)
+
+        # line metrics: one list-explode, distinct-per-row via pandas
+        lines = pc.split_pattern(text, "\n")
+        lengths = lines.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        lidx = np.repeat(np.arange(len(lines), dtype=np.int64), lengths)
+        ldf = pd.DataFrame(
+            {"i": lidx, "l": lines.flatten().to_numpy(zero_copy_only=False)}
+        )
+        lg = ldf.groupby("i", sort=True)["l"]
+        n_lines = lg.size().to_numpy(dtype=np.int64)  # >= 1 always
+        n_distinct = lg.nunique().to_numpy(dtype=np.int64)
+        dup_line_milli = (1000 * (n_lines - n_distinct)) // n_lines
+
+        # bigram metrics (lowercased words, same tokenization as the
+        # collocations/quality oracles)
+        grams, gidx = _doc_ngrams(text, 2)
+        top_bigram_milli = np.zeros(len(rows), dtype=np.int64)
+        if len(gidx):
+            gdf = pd.DataFrame(
+                {"i": gidx, "g": grams.to_numpy(zero_copy_only=False)}
+            )
+            per_gram = gdf.groupby(["i", "g"], sort=False).size()
+            gg = per_gram.groupby(level=0)
+            gtot = gg.sum()
+            gmax = gg.max()
+            gi = gtot.index.to_numpy(dtype=np.int64)
+            top_bigram_milli[gi] = (
+                1000 * gmax.to_numpy(dtype=np.int64)
+            ) // gtot.to_numpy(dtype=np.int64)
+
+        keep = (dup_line_milli <= max_dup_line_milli) & (
+            top_bigram_milli <= max_top_bigram_milli
+        )
+        kept_rows = rows[keep]
+        ids = pc.take(pc.cast(batch[id_col], pa.int64()), pa.array(kept_rows))
+        return pa.table(
+            {
+                id_col: ids,
+                "n_lines": pa.array(n_lines[keep], type=pa.int64()),
+                "dup_line_milli": pa.array(dup_line_milli[keep], type=pa.int64()),
+                "top_bigram_milli": pa.array(
+                    top_bigram_milli[keep], type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow").sort(id_col)
+
+
 def inverted_index(
     ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64
 ):

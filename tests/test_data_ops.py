@@ -40,7 +40,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "exact_distinct_users", "exact_value_quantiles",
      "contaminated_docs", "quality_filter", "inverted_index",
      "epoch_shuffle", "pack_sequences", "mix_sample", "packed_chunks",
-     "top_terms", "collocations"],
+     "top_terms", "collocations", "repetition_filter", "simhash_pairs"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()
@@ -959,7 +959,8 @@ def test_text_oracles_on_adversarial_whitespace(ray_session, tmp_path):
     )
     for name in ["top_terms", "packed_chunks", "pack_sequences", "quality_filter",
                  "inverted_index", "doc_stats", "vocab_top", "masked_docs",
-                 "contaminated_docs", "dedup_exact", "lang_stats"]:
+                 "contaminated_docs", "dedup_exact", "lang_stats",
+                 "repetition_filter", "simhash_pairs", "collocations"]:
         d = DATA_QUERIES[name](str(tmp_path)).to_pandas()
         o = con.sql(DATA_ORACLES[name]).df()
         assert len(d) == len(o), f"{name}: {len(d)} vs {len(o)} rows"
@@ -1033,3 +1034,59 @@ def test_jaccard_block_cap_raises(ray_session):
     # under the cap the same input works
     out = jaccard_pairs_by_block(ds, max_block_rows=20).to_pandas()
     assert (out["union_"] > 0).all() if len(out) else True
+
+
+def test_repetition_filter_planted(ray_session):
+    """Docs with heavy line duplication or a dominating bigram must be
+    dropped; clean docs kept with correct integer metrics."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.textops import repetition_filter
+
+    clean = "\n".join("unique line number %d with words" % i for i in range(10))
+    dup_lines = "\n".join(["same line every time"] * 10)
+    dup_bigram = "spam ham " * 40  # one bigram dominates
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [clean, dup_lines, dup_bigram, None],
+        }
+    )
+    out = repetition_filter(ray.data.from_arrow(docs)).to_pandas()
+    assert list(out["doc_id"]) == [1]
+    assert out["n_lines"].iloc[0] == 10
+    assert out["dup_line_milli"].iloc[0] == 0
+
+
+def test_simhash_hamming_pairs_exact_vs_bruteforce(ray_session):
+    """Pigeonhole banding must find EXACTLY the pairs a brute-force all-pairs
+    Hamming scan finds (≤ 3 bits) — including planted near-identical docs."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.dedup import (
+        _popcount64,
+        simhash_hamming_pairs,
+        simhash_md5_signatures_batch,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    texts = [base, base + "extra", base.replace("lazy", "sleepy"),
+             "entirely different content about streaming data engines " * 4,
+             base, "", None, "one two"]
+    ids = list(range(len(texts)))
+    docs = pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+    got = simhash_hamming_pairs(ray.data.from_arrow(docs)).to_pandas()
+    got_pairs = {(int(r.a), int(r.b), int(r.hamming)) for r in got.itertuples()}
+
+    pos, sigs = simhash_md5_signatures_batch(docs["text"].combine_chunks())
+    expect = set()
+    for i in range(len(pos)):
+        for j in range(i + 1, len(pos)):
+            h = int(_popcount64(np.array([sigs[i] ^ sigs[j]], dtype=np.uint64))[0])
+            if h <= 3:
+                expect.add((int(pos[i]), int(pos[j]), h))
+    assert got_pairs == expect
+    assert (0, 4, 0) in got_pairs  # exact dup

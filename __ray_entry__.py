@@ -279,16 +279,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # oracle-backed queries first: the round driver checks the first 50
     # registered queries, and every query with a DuckDB oracle should get a
     # hash-compare row before any rows-only (approximate/seeded) one.
-    # sink_counts_ecs goes last among the oracle-backed — it is the one
-    # entry over the 50-row window, and it shares the sink_counts pipeline
-    # with only the ECS naming differing (independently pinned by
-    # test_fields.py unit vectors), so it loses the least by falling out.
+    # With >50 oracle-backed queries some must fall outside the window; the
+    # demote list holds the ones that lose the least — each shares its
+    # machinery with a driver-checked sibling and keeps its own oracle row
+    # in tests/ + tools/check_oracles.py:
+    #   sink_counts_ecs — sink_counts pipeline, only ECS naming differs
+    #     (independently pinned by test_fields.py unit vectors)
+    #   sample_events — same modular-coin filter shape as mix_sample
+    demote = [n for n in ("sink_counts_ecs", "sample_events") if n in out]
     sql = oracle_sql()
     ordered = {
-        n: f for n, f in out.items() if n in sql and n != "sink_counts_ecs"
+        n: f for n, f in out.items() if n in sql and n not in demote
     }
-    if "sink_counts_ecs" in out:
-        ordered["sink_counts_ecs"] = out["sink_counts_ecs"]
+    for n in demote:
+        ordered[n] = out[n]
     ordered.update({n: f for n, f in out.items() if n not in sql})
     return ordered
 

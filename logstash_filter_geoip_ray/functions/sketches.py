@@ -329,3 +329,66 @@ class HLL:
     @classmethod
     def from_bytes(cls, data: bytes, p: int = 14) -> "HLL":
         return cls(p, np.frombuffer(data, dtype=np.uint8).copy())
+
+
+class BloomFilter:
+    """Mergeable Bloom filter over uint64 hashes — the broadcast prefilter
+    for incremental dedup of a NEW corpus against a PRIOR one (no shuffle of
+    either side; see ``stages.dedup.bloom_incremental_dedup``).
+
+    Vectorized double hashing (Kirsch–Mitzenmacher): probe i uses
+    ``h1 + i·h2 mod m`` with ``h1 = h`` and ``h2 = splitmix(h ^ salt) | 1``.
+    ``add_hashes``/``contains`` are pure numpy over whole hash arrays;
+    ``merge``/``union_bits`` make partial filters OR-combinable, so the
+    build is a map-side partial per batch + one bitwise-OR reduce.
+
+    Sizing: m_bits ≈ 10 bits/key → ~0.8% false positives at k=7 (FPs cost
+    only wasted exact-verify work, never correctness). A fleet-scale prior
+    corpus (10^10 keys → ~12 GB) outgrows a single broadcast object; shard
+    the filter by hash prefix and route probes to the matching shard."""
+
+    __slots__ = ("m", "k", "bits", "_salt")
+
+    def __init__(self, m_bits: int = 1 << 23, k: int = 7, seed: int = 77):
+        assert m_bits % 64 == 0
+        self.m = m_bits
+        self.k = k
+        self._salt = np.uint64(
+            (0x9E3779B97F4A7C15 * (seed * 2 + 1)) & 0xFFFFFFFFFFFFFFFF
+        )
+        self.bits = np.zeros(m_bits // 64, dtype=np.uint64)
+
+    def _probes(self, h: np.ndarray) -> np.ndarray:
+        """(k, n) bit positions for a uint64 hash array."""
+        h1 = h.astype(np.uint64, copy=False)
+        with np.errstate(over="ignore"):
+            h2 = _mix64(h1 ^ self._salt) | np.uint64(1)
+            idx = (
+                h1[None, :]
+                + np.arange(self.k, dtype=np.uint64)[:, None] * h2[None, :]
+            ) % np.uint64(self.m)
+        return idx
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        if not len(h):
+            return
+        idx = self._probes(h).reshape(-1)
+        np.bitwise_or.at(
+            self.bits, (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
+        )
+
+    def contains(self, h: np.ndarray) -> np.ndarray:
+        """Vectorized membership mask (True may be a false positive; False
+        is definite)."""
+        if not len(h):
+            return np.zeros(0, dtype=bool)
+        idx = self._probes(h)
+        words = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
+        hit = (words >> (idx & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        self.bits |= other.bits
+        return self

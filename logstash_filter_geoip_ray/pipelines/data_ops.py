@@ -387,6 +387,35 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_hamming_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
 
+#: incremental-dedup split: docs with doc_id % BLOOM_OLD_MOD == 0 play the
+#: prior (already-ingested) corpus; the rest are the new crawl
+BLOOM_OLD_MOD = 3
+
+
+def q_bloom_dedup(sf_dir: str):
+    """Incremental dedup of the new crawl against the prior corpus via a
+    broadcast Bloom prefilter + exact text verify (exact result, full
+    oracle)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.dedup import bloom_incremental_dedup
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def part(equal: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            hit = (ids % BLOOM_OLD_MOD) == 0
+            return batch.filter(pa.array(hit if equal else ~hit))
+
+        return f
+
+    old = docs.map_batches(part(True), batch_format="pyarrow")
+    new = docs.map_batches(part(False), batch_format="pyarrow")
+    return bloom_incremental_dedup(new, old)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal decode pipeline over REAL self-decoded payloads: each doc
     id is rendered into a deterministic small PNG (pure-Python encoder),
@@ -877,6 +906,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "quality_filter": q_quality_filter,
     "repetition_filter": q_repetition_filter,
     "simhash_pairs": q_simhash_pairs,
+    "bloom_dedup": q_bloom_dedup,
     "media_features": q_media_features,
     "inverted_index": q_inverted_index,
     "epoch_shuffle": q_epoch_shuffle,
@@ -1011,6 +1041,13 @@ SELECT lm.doc_id, lm.n_lines, lm.dup_line_milli,
 FROM lm LEFT JOIN bm ON lm.doc_id = bm.doc_id
 WHERE lm.dup_line_milli <= 300 AND coalesce(bm.top_bigram_milli, 0) <= 200
 ORDER BY lm.doc_id
+""",
+    "bloom_dedup": """
+SELECT doc_id FROM documents n
+WHERE doc_id % 3 <> 0
+  AND (text IS NULL OR text NOT IN
+       (SELECT text FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL))
+ORDER BY doc_id
 """,
     "simhash_pairs": f"""
 WITH w AS (

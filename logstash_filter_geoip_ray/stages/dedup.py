@@ -333,6 +333,136 @@ def minhash_lsh_pairs(
     return cand.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
 
 
+# -- Bloom-filter incremental dedup ----------------------------------------
+
+
+def bloom_incremental_dedup(
+    new_ds,
+    old_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 23,
+    k: int = 7,
+):
+    """Keeper ids of the NEW corpus after removing docs whose text already
+    exists in the PRIOR corpus — the incremental-crawl dedup step, EXACT
+    result (the Bloom filter only prefilters; hash collisions and Bloom
+    false positives are removed by a text-level verify). Null-text docs are
+    kept (they cannot match prior text).
+
+    Scale shape — neither corpus shuffles:
+
+    1. build: per-batch partial Bloom bitmaps over ``hash64(text)`` of the
+       prior corpus (vectorized double hashing), bitwise-OR reduce down to
+       one ``m_bits/8``-byte bitmap, ``ray.put`` once.
+    2. probe: each new-corpus batch tests its hashes against the broadcast
+       filter — definite misses (the overwhelming majority in a mostly-fresh
+       crawl) are kept immediately.
+    3. verify: the candidate hash set (true dups + ~0.8% FPs) is a
+       provably-small driver pull; prior-corpus texts with those hashes come
+       back via a vectorized ``pc.is_in`` semi-join, and the final filter
+       compares actual text, making the Bloom layer correctness-free.
+
+    At 10^10+ prior keys the single broadcast bitmap outgrows an object —
+    shard the filter by hash prefix (see ``BloomFilter`` docstring)."""
+    import ray
+    import ray.data
+
+    from ..functions.sketches import BloomFilter, hash_strings64
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if pa.types.is_null(text.type):
+            text = text.cast(pa.string())
+        text = text.drop_null()
+        bf = BloomFilter(m_bits, k)
+        if len(text):
+            bf.add_hashes(hash_strings64(text))
+        return pa.table({"bits": pa.array([bf.bits.tobytes()], type=pa.binary())})
+
+    # OR-reduce: bundle many partial bitmaps per task (large batch_size with
+    # a fusion-blocking num_cpus marker, same trick as aggregate.tree_sum),
+    # then a single final combine
+    def or_combine(batch: pa.Table) -> pa.Table:
+        acc = None
+        for buf in batch["bits"].to_pylist():
+            arr = np.frombuffer(buf, dtype=np.uint64)
+            acc = arr.copy() if acc is None else (acc | arr)
+        if acc is None:
+            acc = np.zeros(m_bits // 64, dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], type=pa.binary())})
+
+    partials = old_ds.map_batches(partial_bloom, batch_format="pyarrow")
+    combined = partials.map_batches(
+        or_combine, batch_format="pyarrow", batch_size=1 << 20, num_cpus=0.9
+    ).repartition(1).map_batches(or_combine, batch_format="pyarrow", batch_size=None)
+    final_bits = combined.to_pandas()["bits"].iloc[0]
+    bloom = BloomFilter(m_bits, k)
+    bloom.bits = np.frombuffer(final_bits, dtype=np.uint64).copy()
+    bloom_ref = ray.put(bloom)
+
+    def probe_hits(batch: pa.Table) -> pa.Table:
+        """Bloom-positive texts only — the small candidate stream."""
+        bf = ray.get(bloom_ref)
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if pa.types.is_null(text.type):
+            text = text.cast(pa.string())
+        text = text.drop_null()
+        if not len(text):
+            return pa.table({"_t": pa.array([], type=pa.string())})
+        hit = bf.contains(hash_strings64(text))
+        return pa.table({"_t": pc.unique(text.filter(pa.array(hit)))})
+
+    # candidate texts: provably small (true dups + ~FP-rate of the filter)
+    cand_texts: set = set()
+    for b in (
+        new_ds.map_batches(probe_hits, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ):
+        cand_texts.update(b["_t"].to_pylist())
+
+    if cand_texts:
+        cand_arr = pa.array(sorted(cand_texts), type=pa.string())
+
+        def old_matching(batch: pa.Table) -> pa.Table:
+            text = batch[text_col]
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            if pa.types.is_null(text.type):
+                text = text.cast(pa.string())
+            text = text.drop_null()
+            keep = pc.is_in(text, value_set=cand_arr)
+            return pa.table({"t": pc.unique(text.filter(keep))})
+
+        dup_texts = set(
+            old_ds.map_batches(old_matching, batch_format="pyarrow")
+            .to_pandas()["t"]
+            .tolist()
+        )
+    else:
+        dup_texts = set()
+    dup_arr = pa.array(sorted(dup_texts), type=pa.string()) if dup_texts else None
+
+    def keepers(batch: pa.Table) -> pa.Table:
+        """Exact text-level filter — the Bloom layer never decides."""
+        ids = pc.cast(batch[id_col], pa.int64())
+        if dup_arr is None:
+            return pa.table({id_col: ids})
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if pa.types.is_null(t.type):
+            t = t.cast(pa.string())
+        is_dup = pc.fill_null(pc.is_in(t, value_set=dup_arr), False)
+        return pa.table({id_col: ids.filter(pc.invert(is_dup))})
+
+    return new_ds.map_batches(keepers, batch_format="pyarrow").sort(id_col)
+
+
 # -- SimHash ----------------------------------------------------------------
 
 

@@ -1090,3 +1090,31 @@ def test_simhash_hamming_pairs_exact_vs_bruteforce(ray_session):
                 expect.add((int(pos[i]), int(pos[j]), h))
     assert got_pairs == expect
     assert (0, 4, 0) in got_pairs  # exact dup
+
+
+def test_bloom_incremental_dedup_exact_under_fps(ray_session):
+    """A deliberately tiny Bloom filter (heavy false positives) must still
+    produce the exact anti-join answer — the filter only prefilters; the
+    text verify decides. Null-text docs are always kept."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.dedup import bloom_incremental_dedup
+
+    old_texts = ["doc %d content" % i for i in range(200)]
+    new_texts = (
+        ["doc %d content" % i for i in range(50)]       # dups of old
+        + ["fresh %d content" % i for i in range(150)]  # genuinely new
+        + [None, ""]
+    )
+    old = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(200), type=pa.int64()),
+                  "text": pa.array(old_texts, type=pa.string())})
+    )
+    new = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(1000, 1000 + len(new_texts)), type=pa.int64()),
+                  "text": pa.array(new_texts, type=pa.string())})
+    )
+    # 256 bits for 200 keys -> filter saturates, FP rate near 1.0
+    out = bloom_incremental_dedup(new, old, m_bits=256, k=2).to_pandas()
+    expect = [1000 + i for i in range(50, len(new_texts))]
+    assert list(out["doc_id"]) == expect

@@ -286,7 +286,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   sink_counts_ecs — sink_counts pipeline, only ECS naming differs
     #     (independently pinned by test_fields.py unit vectors)
     #   sample_events — same modular-coin filter shape as mix_sample
-    demote = [n for n in ("sink_counts_ecs", "sample_events") if n in out]
+    #   jaccard_pairs — token-set all-pairs validator; the k-gram sibling
+    #     ngram_jaccard (same blocked all-pairs machinery) stays checked
+    #   dedup_filtered_docs — anti-join filter over the validator pairs;
+    #     dedup_filtered_docs_minhash (the scale path) stays checked
+    demote = [
+        n
+        for n in (
+            "sink_counts_ecs",
+            "sample_events",
+            "jaccard_pairs",
+            "dedup_filtered_docs",
+        )
+        if n in out
+    ]
     sql = oracle_sql()
     ordered = {
         n: f for n, f in out.items() if n in sql and n not in demote

@@ -387,6 +387,22 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_hamming_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_shared_paragraphs(sf_dir: str):
+    """Dolma-style paragraph-dedup signal: per doc, distinct non-empty
+    paragraphs appearing in >= 2 docs (integer milli fraction)."""
+    from ..stages.textops import shared_paragraphs
+
+    return shared_paragraphs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_quality_top_decile(sf_dir: str):
+    """Top-quantile curation: docs at or above the 0.9 discrete quantile of
+    token count (histogram-derived threshold, ties kept)."""
+    from ..stages.textops import quality_threshold_filter
+
+    return quality_threshold_filter(_docs(sf_dir, ["doc_id", "text"]))
+
+
 #: incremental-dedup split: docs with doc_id % BLOOM_OLD_MOD == 0 play the
 #: prior (already-ingested) corpus; the rest are the new crawl
 BLOOM_OLD_MOD = 3
@@ -907,6 +923,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "repetition_filter": q_repetition_filter,
     "simhash_pairs": q_simhash_pairs,
     "bloom_dedup": q_bloom_dedup,
+    "shared_paragraphs": q_shared_paragraphs,
+    "quality_top_decile": q_quality_top_decile,
     "media_features": q_media_features,
     "inverted_index": q_inverted_index,
     "epoch_shuffle": q_epoch_shuffle,
@@ -1041,6 +1059,30 @@ SELECT lm.doc_id, lm.n_lines, lm.dup_line_milli,
 FROM lm LEFT JOIN bm ON lm.doc_id = bm.doc_id
 WHERE lm.dup_line_milli <= 300 AND coalesce(bm.top_bigram_milli, 0) <= 200
 ORDER BY lm.doc_id
+""",
+    "shared_paragraphs": """
+WITH p AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS para
+  FROM documents WHERE text IS NOT NULL
+), np AS (
+  SELECT doc_id, para FROM p WHERE para <> ''
+), pf AS (
+  SELECT para FROM (SELECT para, count(*) AS c FROM np GROUP BY 1) WHERE c >= 2
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN para IN (SELECT para FROM pf) THEN 1 ELSE 0 END) AS BIGINT) AS shared_paras,
+       CAST((1000 * sum(CASE WHEN para IN (SELECT para FROM pf) THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS shared_milli
+FROM np GROUP BY doc_id ORDER BY doc_id
+""",
+    "quality_top_decile": f"""
+WITH s AS (
+  SELECT doc_id, CAST({_TOKEN_COUNT} AS BIGINT) AS score
+  FROM documents WHERE text IS NOT NULL
+), t AS (
+  SELECT quantile_disc(score, 0.9) AS q FROM s
+)
+SELECT doc_id, score FROM s WHERE score >= (SELECT q FROM t) ORDER BY doc_id
 """,
     "bloom_dedup": """
 SELECT doc_id FROM documents n

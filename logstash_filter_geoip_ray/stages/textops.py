@@ -288,6 +288,150 @@ def repetition_filter(
     return ds.map_batches(kernel, batch_format="pyarrow").sort(id_col)
 
 
+def quality_threshold_filter(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    p_milli: int = 900,
+):
+    """Top-quantile selection by an integer quality score (here: token
+    count) — the "keep the best X%" curation step. Keeps every doc whose
+    score ≥ the p-th discrete quantile (quantile_disc convention:
+    sorted-ascending index ``ceil(n·p) − 1``, matching DuckDB), so ties at
+    the threshold are kept deterministically. Rows: (doc_id, score).
+
+    Scale shape: scores are computed vectorized per batch; the threshold
+    comes from a score HISTOGRAM (grouped partial counts → driver pull
+    bounded by the number of DISTINCT score values, not docs — token counts
+    are bounded by document length, orders of magnitude below corpus size);
+    the filter pass is then embarrassingly parallel. The corpus is scanned
+    twice (score histogram, filter) rather than materialized."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .aggregate import grouped_counts
+    from .contamination import _flat_words
+
+    def scores_of(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if pa.types.is_null(text.type):
+            text = text.cast(pa.string())
+        valid = pc.is_valid(text)
+        text = text.filter(valid)
+        ids = pc.cast(batch[id_col], pa.int64()).filter(valid)
+        _, idx = _flat_words(text)
+        counts = (
+            np.bincount(idx, minlength=len(text)).astype(np.int64)
+            if len(idx)
+            else np.zeros(len(text), dtype=np.int64)
+        )
+        return pa.table({id_col: ids, "score": pa.array(counts, type=pa.int64())})
+
+    scored = ds.map_batches(scores_of, batch_format="pyarrow")
+    hist = grouped_counts(
+        scored.select_columns(["score"]), ["score"], "c"
+    ).to_pandas()
+    if not len(hist):
+        return scored  # empty corpus: nothing to threshold
+    hist = hist.sort_values("score").reset_index(drop=True)
+    n = int(hist["c"].sum())
+    rank = (n * p_milli + 999) // 1000 - 1  # ceil(n·p) − 1, 0-indexed
+    cum = hist["c"].cumsum()
+    q = int(hist["score"][int((cum > rank).idxmax())])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["score"], q))
+
+    return scored.map_batches(keep, batch_format="pyarrow").sort(id_col)
+
+
+def shared_paragraphs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """Paragraph-level duplication stats (the Dolma-style paragraph-dedup
+    signal): per doc, how many of its distinct non-empty paragraphs
+    (``'\\n'``-separated) also appear in at least one other doc.
+    Rows: (doc_id, n_paras, shared_paras, shared_milli) for docs with ≥ 1
+    non-empty paragraph. Integer milli → exact oracle.
+
+    Scale shape: one explode to distinct (doc, paragraph) rows → paragraphs
+    co-locate by hash bucket (each paragraph's rows land in exactly ONE
+    bucket, so its document-frequency is computable inside that bucket — no
+    separate df table, no join) → per-bucket vectorized partials
+    (doc_id, n_paras, shared_paras) → tiny per-doc sum. Shuffle volume =
+    distinct (doc, paragraph) pairs, the same class as the inverted index;
+    the final aggregate is docs-sized."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .aggregate import bucket_by_key
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if pa.types.is_null(text.type):
+            text = text.cast(pa.string())
+        valid = pc.is_valid(text)
+        text = text.filter(valid)
+        ids = pc.cast(batch[id_col], pa.int64()).filter(valid)
+        paras = pc.split_pattern(text, "\n")
+        lengths = paras.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.repeat(np.arange(len(paras), dtype=np.int64), lengths)
+        flat = paras.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                id_col: pc.take(ids, pa.array(idx[keep])),
+                "para": flat.filter(pa.array(keep)),
+            }
+        )
+        # distinct per doc WITHIN the batch (each doc is one row, so this is
+        # the global per-doc distinct)
+        return t.group_by([id_col, "para"]).aggregate([])
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow")
+    bucketed = bucket_by_key(pairs, "para", num_buckets)
+
+    def bucket_partial(block: pd.DataFrame) -> pd.DataFrame:
+        df_per_para = block.groupby("para", sort=False)[id_col].transform("nunique")
+        shared = (df_per_para >= 2).astype("int64")
+        g = block.assign(_s=shared).groupby(id_col, sort=False)["_s"]
+        out = g.agg(["count", "sum"]).reset_index()
+        out.columns = [id_col, "n_paras", "shared_paras"]
+        return out
+
+    partials = bucketed.groupby("_bucket").map_groups(
+        bucket_partial, batch_format="pandas"
+    )
+    summed = partials.groupby(id_col).aggregate(
+        Sum("n_paras", alias_name="n_paras"),
+        Sum("shared_paras", alias_name="shared_paras"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_paras"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["shared_paras"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "n_paras": pa.array(n, type=pa.int64()),
+                "shared_paras": pa.array(s, type=pa.int64()),
+                "shared_milli": pa.array((1000 * s) // n, type=pa.int64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow").sort(id_col)
+
+
 def inverted_index(
     ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64
 ):

@@ -40,7 +40,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "exact_distinct_users", "exact_value_quantiles",
      "contaminated_docs", "quality_filter", "inverted_index",
      "epoch_shuffle", "pack_sequences", "mix_sample", "packed_chunks",
-     "top_terms", "collocations", "repetition_filter", "simhash_pairs"],
+     "top_terms", "collocations", "repetition_filter", "simhash_pairs",
+     "shared_paragraphs", "quality_top_decile", "bloom_dedup"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()
@@ -960,7 +961,8 @@ def test_text_oracles_on_adversarial_whitespace(ray_session, tmp_path):
     for name in ["top_terms", "packed_chunks", "pack_sequences", "quality_filter",
                  "inverted_index", "doc_stats", "vocab_top", "masked_docs",
                  "contaminated_docs", "dedup_exact", "lang_stats",
-                 "repetition_filter", "simhash_pairs", "collocations"]:
+                 "repetition_filter", "simhash_pairs", "collocations",
+                 "shared_paragraphs", "quality_top_decile", "bloom_dedup"]:
         d = DATA_QUERIES[name](str(tmp_path)).to_pandas()
         o = con.sql(DATA_ORACLES[name]).df()
         assert len(d) == len(o), f"{name}: {len(d)} vs {len(o)} rows"
@@ -1118,3 +1120,27 @@ def test_bloom_incremental_dedup_exact_under_fps(ray_session):
     out = bloom_incremental_dedup(new, old, m_bits=256, k=2).to_pandas()
     expect = [1000 + i for i in range(50, len(new_texts))]
     assert list(out["doc_id"]) == expect
+
+
+def test_shared_paragraphs_planted(ray_session):
+    """A paragraph pasted into two docs must be flagged in both; unique
+    paragraphs must not."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.textops import shared_paragraphs
+
+    boiler = "subscribe to our newsletter"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                "unique one\n" + boiler,
+                boiler + "\nunique two\nunique three",
+                "totally original\n\ncontent here",
+                None,
+            ],
+        }
+    )
+    out = shared_paragraphs(ray.data.from_arrow(docs), num_buckets=4).to_pandas()
+    got = {int(r.doc_id): (int(r.n_paras), int(r.shared_paras)) for r in out.itertuples()}
+    assert got == {1: (2, 1), 2: (3, 1), 3: (2, 0)}

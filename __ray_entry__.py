@@ -290,6 +290,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     ngram_jaccard (same blocked all-pairs machinery) stays checked
     #   dedup_filtered_docs — anti-join filter over the validator pairs;
     #     dedup_filtered_docs_minhash (the scale path) stays checked
+    #   dedup_embedding — raw cosine pair set; its end-to-end sibling
+    #     dedup_filtered_embeddings stays checked and the grid-vs-broadcast
+    #     equivalence is pinned by test_embedding_grid_equals_broadcast
     demote = [
         n
         for n in (
@@ -297,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sample_events",
             "jaccard_pairs",
             "dedup_filtered_docs",
+            "dedup_embedding",
         )
         if n in out
     ]

@@ -659,6 +659,21 @@ def q_dedup_embedding(sf_dir: str):
     return embedding_dup_pairs(_emb(sf_dir, ["vec_id", "embedding"]), min_cosine=EMB_DUP_TAU)
 
 
+def q_dedup_filtered_embeddings(sf_dir: str):
+    """SemDeDup end-to-end: exact cosine dup pairs (block-grid self-join) →
+    connected components → anti-join keeper filter over the embeddings
+    table. Returns the surviving vec_ids; keeper = min id per cluster."""
+    from ..stages.dedup import dup_clusters, embedding_dup_pairs, filter_non_keepers
+
+    pairs = embedding_dup_pairs(_emb(sf_dir, ["vec_id", "embedding"]), min_cosine=EMB_DUP_TAU)
+    clusters = dup_clusters(pairs)
+    return (
+        filter_non_keepers(_emb(sf_dir, ["vec_id"]), clusters, id_col="vec_id")
+        .select_columns(["vec_id"])
+        .sort("vec_id")
+    )
+
+
 def q_ann_topk(sf_dir: str):
     from ..stages.similarity import brute_force_topk
 
@@ -943,6 +958,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_filtered_embeddings": q_dedup_filtered_embeddings,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1370,6 +1386,24 @@ SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_DUP_TAU}
 ORDER BY 1, 2
+""",
+    "dedup_filtered_embeddings": f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMB_DUP_TAU}
+), e AS (
+  SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+), walk(node, reach) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+  UNION
+  SELECT w.node, e.d FROM walk w JOIN e ON e.s = w.reach
+), clusters AS (
+  SELECT node AS vec_id, min(reach) AS cluster_id FROM walk GROUP BY 1
+)
+SELECT v.vec_id FROM embeddings v
+WHERE v.vec_id NOT IN (SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
+ORDER BY v.vec_id
 """,
     "ann_topk": f"""
 WITH q AS (

@@ -515,12 +515,19 @@ def simhash_md5_signatures_batch(
     cnts = per["c"].to_numpy(dtype=np.int64)
     hv = _md5_token_hash64(per["w"].to_numpy())
     uniq_docs, doc_pos = np.unique(docs, return_inverse=True)
-    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-        bool
-    )
-    contrib = np.where(bits, cnts[:, None], -cnts[:, None])
     acc = np.zeros((len(uniq_docs), 64), dtype=np.int64)
-    np.add.at(acc, doc_pos, contrib)
+    # chunked accumulate: the (rows, 64) contrib matrix is 512 B/row — a
+    # batch of long docs would otherwise materialize gigabytes at once
+    shifts = np.arange(64, dtype=np.uint64)
+    for s in range(0, len(hv), 1 << 19):
+        hv_c = hv[s : s + (1 << 19)]
+        cnt_c = cnts[s : s + (1 << 19)]
+        bits = ((hv_c[:, None] >> shifts) & np.uint64(1)).astype(bool)
+        np.add.at(
+            acc,
+            doc_pos[s : s + (1 << 19)],
+            np.where(bits, cnt_c[:, None], -cnt_c[:, None]),
+        )
     sig_bits = acc > 0
     weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
     sigs = np.where(sig_bits, weights, np.uint64(0)).sum(

@@ -147,3 +147,65 @@ def geo_enricher(db_paths):
     from logstash_filter_geoip_ray.stages.enrich import GeoIPEnricher
 
     return GeoIPEnricher(GeoIPConfig(source="message", database=db_paths["city"]))
+
+
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    ftype=st.sampled_from([0, 1, 2, 3, 4, "mixed"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_fuzz_png_roundtrip(h, w, channels, ftype, seed):
+    """encode_png → decode_png is the identity for every shape × filter ×
+    channel count, including 1-pixel images."""
+    import numpy as np
+
+    from logstash_filter_geoip_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+    got = decode_png(encode_png(px, filter_type=ftype))
+    assert got.shape == px.shape
+    assert (got == px).all()
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.sampled_from(list("ab \t\n")), max_size=40
+            ),
+            st.text(max_size=30),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_fuzz_minhash_band_stage_equivalence(texts):
+    """Vectorized batch band kernel ≡ per-row signature()/band_keys()
+    reference on arbitrary (unicode, whitespace-degenerate, null) text."""
+    import pyarrow as pa
+
+    from logstash_filter_geoip_ray.stages.dedup import MinHashBandStage
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    stage = MinHashBandStage(num_perm=16, bands=4, shingle_k=3)
+    got = stage(batch).to_pandas()
+    got_rows = set(zip(got["band_key"], got["doc_id"]))
+    expect = set()
+    for i, t in enumerate(texts):
+        sig = stage.hasher.signature(t)
+        if sig is None:
+            continue
+        for key in stage.hasher.band_keys(sig):
+            expect.add((key, i))
+    assert got_rows == expect

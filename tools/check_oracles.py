@@ -4,6 +4,14 @@ round driver does (sorted columns, stringified value hash).
 
 Usage:  PYTHONPATH=/root/repo python tools/check_oracles.py [sf_dir]
 
+NOTE: the transcript-pipeline oracles (sink_counts, *_counts, routed_rows,
+conv_*, parse_tokens, log_field_counts, frequent_tokens) embed absolute
+paths to the deterministic transcript table generated for
+``__ray_entry__.ORACLE_SF_DIR`` (sf0.01 — the scale the round driver
+compares at). Running this gate with a different sf_dir therefore reports
+expected MISMATCHes for exactly those queries; every query that takes
+sf_dir symmetrically (documents/events/embeddings tables) must still MATCH.
+
 Owns its own Ray session (scripts may; library code must not)."""
 
 from __future__ import annotations

@@ -339,7 +339,7 @@ class BloomFilter:
     Vectorized double hashing (Kirsch–Mitzenmacher): probe i uses
     ``h1 + i·h2 mod m`` with ``h1 = h`` and ``h2 = splitmix(h ^ salt) | 1``.
     ``add_hashes``/``contains`` are pure numpy over whole hash arrays;
-    ``merge``/``union_bits`` make partial filters OR-combinable, so the
+    ``merge`` makes partial filters OR-combinable, so the
     build is a map-side partial per batch + one bitwise-OR reduce.
 
     Sizing: m_bits ≈ 10 bits/key → ~0.8% false positives at k=7 (FPs cost

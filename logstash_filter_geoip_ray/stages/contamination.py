@@ -25,12 +25,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _flat_words(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
-    """Lowercased whitespace words of every row, flattened, with the row
-    index of each word. Empty strings (from empty rows) are removed."""
+def _flat_words(text: pa.Array, lower: bool = True) -> tuple[pa.Array, np.ndarray]:
+    """Whitespace words of every row (lowercased unless ``lower=False``),
+    flattened, with the row index of each word. Empty strings (from empty
+    rows) are removed. ``lower=False`` matches case-sensitive ``str.split``
+    consumers (MinHash shingles / exact-Jaccard verify)."""
     if pa.types.is_null(text.type):  # all-null block arrives as null type
         text = text.cast(pa.string())
-    words = pc.utf8_split_whitespace(pc.utf8_lower(pc.utf8_trim_whitespace(text)))
+    trimmed = pc.utf8_trim_whitespace(text)
+    if lower:
+        trimmed = pc.utf8_lower(trimmed)
+    words = pc.utf8_split_whitespace(trimmed)
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     lengths = words.value_lengths().to_numpy(zero_copy_only=False)
@@ -42,11 +47,13 @@ def _flat_words(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
     return flat.filter(nonempty), idx[mask]
 
 
-def _doc_ngrams(text: pa.Array, n: int) -> tuple[pa.Array, np.ndarray]:
-    """All word n-grams of every row (``' '``-joined), with row indices.
+def _ngrams_from_flat(
+    flat: pa.Array, idx: np.ndarray, n: int
+) -> tuple[pa.Array, np.ndarray]:
+    """Word n-grams from an already-exploded (flat words, row index) pair —
+    the shared core of :func:`_doc_ngrams` and the MinHash band stage.
     Vectorized: n offset slices of the flat word array joined element-wise;
     a gram is valid when its first and last word fall in the same row."""
-    flat, idx = _flat_words(text)
     m = len(flat) - n + 1
     if m <= 0:
         return pa.array([], type=pa.string()), np.array([], dtype=np.int64)
@@ -55,6 +62,13 @@ def _doc_ngrams(text: pa.Array, n: int) -> tuple[pa.Array, np.ndarray]:
     grams = pc.binary_join_element_wise(*parts, " ")
     vmask = pa.array(valid)
     return grams.filter(vmask), idx[:m][valid]
+
+
+def _doc_ngrams(text: pa.Array, n: int) -> tuple[pa.Array, np.ndarray]:
+    """All lowercased word n-grams of every row (``' '``-joined), with row
+    indices."""
+    flat, idx = _flat_words(text)
+    return _ngrams_from_flat(flat, idx, n)
 
 
 def benchmark_shingles(ds, n: int = 4, text_col: str = "text") -> pa.Array:

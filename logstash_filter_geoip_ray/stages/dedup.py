@@ -74,25 +74,13 @@ def exact_dedup_keepers(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 def _raw_words(text: pa.Array) -> tuple:
     """Case-preserving whitespace words of every row, flattened, with row
-    indices — the vectorized equivalent of ``str.split()`` per row (trim +
-    split_whitespace + drop empties). Mirrors ``contamination._flat_words``
-    minus the lowercasing, because :func:`~..functions.sketches.word_shingles`
-    (the per-row reference and the exact-Jaccard verifier) is
-    case-sensitive."""
-    if pa.types.is_null(text.type):  # all-null block arrives as null type
-        text = text.cast(pa.string())
-    words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(text))
-    if isinstance(words, pa.ChunkedArray):
-        words = words.combine_chunks()
-    lengths = words.value_lengths().to_numpy(zero_copy_only=False)
-    lengths = np.where(np.isnan(lengths.astype("float64")), 0, lengths).astype(
-        "int64"
-    )
-    idx = np.repeat(np.arange(len(words), dtype=np.int64), lengths)
-    flat = words.flatten()
-    nonempty = pc.not_equal(flat, "")
-    mask = nonempty.to_numpy(zero_copy_only=False)
-    return flat.filter(nonempty), idx[mask]
+    indices — ``contamination._flat_words(lower=False)``: the vectorized
+    equivalent of ``str.split()`` per row, case-sensitive because
+    :func:`~..functions.sketches.word_shingles` (the per-row reference and
+    the exact-Jaccard verifier) is."""
+    from .contamination import _flat_words
+
+    return _flat_words(text, lower=False)
 
 
 class MinHashBandStage:
@@ -135,17 +123,9 @@ class MinHashBandStage:
         )
 
         # full-length docs (wc >= k): k-gram join over the flat word array
-        m = len(flat) - k + 1
-        if m > 0:
-            valid = widx[:m] == widx[k - 1 :]
-            parts = [flat.slice(j, m) for j in range(k)]
-            grams = pc.binary_join_element_wise(*parts, " ").filter(
-                pa.array(valid)
-            )
-            gidx = widx[:m][valid]
-        else:
-            grams = pa.array([], type=pa.string())
-            gidx = np.array([], dtype=np.int64)
+        from .contamination import _ngrams_from_flat
+
+        grams, gidx = _ngrams_from_flat(flat, widx, k)
 
         sig_parts, pos_parts = [], []
         if len(gidx):
@@ -568,6 +548,14 @@ def simhash_hamming_pairs(
 
     bands = SIMHASH_BANDS
     band_bits = 64 // bands
+    if max_hamming > bands - 1:
+        # the pigeonhole guarantee (pair shares >= 1 band) only holds for
+        # distance <= bands - 1; a larger threshold would silently miss pairs
+        raise ValueError(
+            "simhash_hamming_pairs: max_hamming=%d exceeds SIMHASH_BANDS-1=%d"
+            " — banding recall is exact only up to bands-1 bit flips; raise"
+            " SIMHASH_BANDS (and the oracle threshold) together" % (max_hamming, bands - 1)
+        )
 
     def band_rows(batch: pa.Table) -> pa.Table:
         text = batch[text_col]

@@ -155,22 +155,25 @@ class RandomHyperplaneLSH:
         return (bits @ weights).astype(np.int64)
 
 
-def _multiprobe_buckets(qkeys, n_planes: int, multiprobe_bits: int) -> frozenset:
+def _multiprobe_buckets(qkeys, n_planes: int, multiprobe_bits: int) -> np.ndarray:
     """Every bucket within Hamming distance ``multiprobe_bits`` of a query
-    bucket (all bit-flip combinations, not just single bits). The probe set
-    grows as C(n_planes, d) per distance d — a sanity cap keeps a
-    misconfigured call from enumerating millions of buckets."""
+    bucket (all bit-flip combinations, not just single bits), as a sorted
+    int64 array for vectorized ``np.isin`` probing. The enumeration work
+    grows as C(n_planes, d) per distance d per query, but the DISTINCT
+    result is bounded by the 2^n_planes bucket space — the sanity cap
+    therefore bounds min(enumeration, bucket space), so many queries over a
+    small plane count (fine: the set saturates) never trip it."""
     import itertools
     import math
 
-    n_probe = sum(
-        math.comb(n_planes, d) for d in range(multiprobe_bits + 1)
-    ) * max(1, len(qkeys))
+    per_query = sum(math.comb(n_planes, d) for d in range(multiprobe_bits + 1))
+    n_probe = min(per_query * max(1, len(qkeys)), 2 ** min(n_planes, 62))
     if n_probe > 1_000_000:
         raise ValueError(
-            "_multiprobe_buckets: %d probe buckets (n_planes=%d, "
-            "multiprobe_bits=%d, queries=%d) exceeds the 1M sanity cap — "
-            "lower multiprobe_bits" % (n_probe, n_planes, multiprobe_bits, len(qkeys))
+            "_multiprobe_buckets: up to %d distinct probe buckets "
+            "(n_planes=%d, multiprobe_bits=%d, queries=%d) exceeds the 1M "
+            "sanity cap — lower multiprobe_bits or n_planes"
+            % (n_probe, n_planes, multiprobe_bits, len(qkeys))
         )
     accept: set = set()
     for qk in qkeys:

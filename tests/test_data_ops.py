@@ -41,7 +41,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "contaminated_docs", "quality_filter", "inverted_index",
      "epoch_shuffle", "pack_sequences", "mix_sample", "packed_chunks",
      "top_terms", "collocations", "repetition_filter", "simhash_pairs",
-     "shared_paragraphs", "quality_top_decile", "bloom_dedup"],
+     "shared_paragraphs", "quality_top_decile", "bloom_dedup",
+     "dedup_filtered_embeddings"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()
@@ -1144,3 +1145,19 @@ def test_shared_paragraphs_planted(ray_session):
     out = shared_paragraphs(ray.data.from_arrow(docs), num_buckets=4).to_pandas()
     got = {int(r.doc_id): (int(r.n_paras), int(r.shared_paras)) for r in out.itertuples()}
     assert got == {1: (2, 1), 2: (3, 1), 3: (2, 0)}
+
+
+def test_simhash_hamming_threshold_guard(ray_session):
+    """max_hamming beyond the pigeonhole guarantee must raise, not silently
+    under-report pairs."""
+    import ray.data
+    import pytest
+
+    from logstash_filter_geoip_ray.stages.dedup import simhash_hamming_pairs
+
+    docs = pa.table(
+        {"doc_id": pa.array([1, 2], type=pa.int64()),
+         "text": ["a b c", "a b d"]}
+    )
+    with pytest.raises(ValueError, match="SIMHASH_BANDS"):
+        simhash_hamming_pairs(ray.data.from_arrow(docs), max_hamming=5)

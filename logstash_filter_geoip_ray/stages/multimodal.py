@@ -7,13 +7,15 @@ Decode kernels come in two tiers:
   numpy can handle: PPM (P6) images (:func:`decode_ppm` → H×W×3 uint8
   array, real per-channel statistics), non-interlaced 8-bit PNG
   (:func:`decode_png` — stdlib ``zlib`` inflate + all five scanline
-  filters reconstructed in numpy, CRC-verified), and WAV/PCM audio
-  (:func:`decode_wav` via stdlib ``wave`` → samples, real RMS /
-  zero-crossing / peak features in ``AudioFeatureStage``). These exercise
-  the full decode → vectorized feature path with pixel/sample-exact unit
-  tests.
-- **Stubbed codecs** for formats that need external libraries (jpeg →
-  PIL/libjpeg, video → ffmpeg — not in this container):
+  filters reconstructed in numpy, CRC-verified), baseline JPEG
+  (``functions/jpeg.py`` — matrix DCT, Annex-K Huffman/quant tables,
+  4:4:4 + 4:2:0; lossy, so tests assert bounded error instead of bit
+  equality), and WAV/PCM audio (:func:`decode_wav` via stdlib ``wave`` →
+  samples, real RMS / zero-crossing / peak features in
+  ``AudioFeatureStage``). These exercise the full decode → vectorized
+  feature path with pixel/sample-exact unit tests.
+- **Stubbed codecs** for formats that need external libraries (video →
+  ffmpeg — not in this container):
   ``DecodeImageStage(strict=True)`` raises ``NotImplementedError`` exactly
   where the codec would plug in; the default deterministic fake derives
   stats from payload bytes so the Ray-side plumbing stays testable.
@@ -395,12 +397,23 @@ class DecodeImageStage:
                 if self.strict:
                     raise
                 px = None
+        elif payload.startswith(b"\xff\xd8"):
+            from ..functions.jpeg import decode_jpeg
+
+            try:
+                px = decode_jpeg(payload).astype(np.float32)
+                if px.ndim == 2:  # grayscale → 1-channel plane
+                    px = px[:, :, None]
+            except ValueError:
+                if self.strict:
+                    raise
+                px = None
         if px is not None:
             return self._pixel_features(px)
         if self.strict:
             raise NotImplementedError(
-                "jpeg decode requires PIL/libjpeg, unavailable in this "
-                "environment (PPM and PNG decode natively)"
+                "unrecognized image payload (PPM, PNG and baseline JPEG "
+                "decode natively; only video needs external codecs)"
             )
         # deterministic fake: 16 bytes of digest → [0,1) floats, scaled by
         # the declared dimensions so metadata plumbing is exercised

@@ -278,7 +278,7 @@ class TestMultimodal:
         )
 
         stage = DecodeImageStage(strict=True)
-        with pytest.raises(NotImplementedError, match="PIL"):
+        with pytest.raises(NotImplementedError, match="video"):
             stage(synthesize_media_table(2))
 
     def test_ppm_real_decode_roundtrip(self):
@@ -1161,3 +1161,49 @@ def test_simhash_hamming_threshold_guard(ray_session):
     )
     with pytest.raises(ValueError, match="SIMHASH_BANDS"):
         simhash_hamming_pairs(ray.data.from_arrow(docs), max_hamming=5)
+
+
+def test_jpeg_real_codec_bounded_error():
+    """The baseline JPEG codec is REAL (matrix DCT + Annex-K Huffman): the
+    round-trip is lossy but bounded — smooth gradients reconstruct within
+    ~1 intensity level at q90 in both 4:4:4 and 4:2:0, grayscale included —
+    and malformed/unsupported inputs raise."""
+    from logstash_filter_geoip_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    y, x = np.mgrid[0:37, 0:53]
+    img = np.stack(
+        [(x * 3 + y) % 256, (x + y * 2) % 256, (255 - x * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    for sub in (False, True):
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        assert out.shape == img.shape
+        mae = np.abs(out.astype(int) - img.astype(int)).mean()
+        assert mae < 2.0, (sub, mae)
+    gray = ((x * 2 + y * 3) % 256).astype(np.uint8)
+    gout = decode_jpeg(encode_jpeg(gray, quality=90))
+    assert gout.shape == gray.shape
+    assert np.abs(gout.astype(int) - gray.astype(int)).mean() < 2.0
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"P6 nope")
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg(img)[:-40])  # truncated entropy data
+
+
+def test_jpeg_decode_stage_features(ray_session):
+    """DecodeImageStage handles JPEG payloads natively in strict mode with
+    approximately-true statistics."""
+    from logstash_filter_geoip_ray.stages.multimodal import DecodeImageStage
+    from logstash_filter_geoip_ray.functions.jpeg import encode_jpeg
+
+    y, x = np.mgrid[0:24, 0:32]
+    img = np.stack([(x * 4) % 256, (y * 5) % 256, (x + y) % 256], axis=-1).astype(
+        np.uint8
+    )
+    payload = encode_jpeg(img, quality=92)
+    feats = DecodeImageStage(strict=True)._decode_features(
+        payload, {"format": "jpeg"}
+    )
+    assert feats[0] == 32 and feats[1] == 24
+    assert np.allclose(feats[2:5], img.mean(axis=(0, 1)), atol=3.0)

@@ -353,8 +353,8 @@ class DecodeImageStage:
 
     def __init__(self, strict: bool = False):
         self.strict = strict
-        # real implementation would do: import PIL.Image / load model here
-        self._codec_available = False
+        # per-actor setup slot: a model-based featurizer would load weights
+        # here (the PPM/PNG/JPEG decoders are stateless pure functions)
 
     @staticmethod
     def _as_rgb(px: np.ndarray) -> np.ndarray:

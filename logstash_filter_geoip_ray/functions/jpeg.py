@@ -6,9 +6,10 @@ zigzag ordering, DC-prediction + AC run-length entropy coding, 0xFF byte
 stuffing, SOI/APP0/DQT/SOF0/DHT/SOS/EOI marker structure.
 
 Scope (documented, honest): 8-bit baseline sequential, grayscale or YCbCr
-4:4:4 (the encoder always writes 4:4:4; the decoder additionally accepts
-2×2/2×1/1×2 chroma subsampling via box upsampling). Progressive,
-arithmetic-coded, 12-bit and hierarchical modes raise ``ValueError``.
+(the encoder writes 4:4:4 by default or 4:2:0 with ``subsample=True``; the
+decoder accepts 2×2/2×1/1×2 chroma subsampling via box upsampling).
+Progressive, arithmetic-coded, 12-bit, hierarchical and non-interleaved
+multi-scan inputs raise ``ValueError``.
 
 JPEG is lossy: the round-trip contract is bounded error (quantization
 noise), verified in tests as mean-abs-error, not bit equality — unlike the
@@ -156,12 +157,17 @@ class _BitReader:
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        self.pad_bytes = 0
 
     def _fill(self) -> None:
         while self.nbits <= 24:
             if self.pos >= len(self.data):
-                # entropy segment exhausted: pad with 1s (decoder stops at
-                # block count, so this only feeds final-byte padding)
+                # entropy segment exhausted: feed final-byte 1-padding, but
+                # only a bounded amount — a decoder still asking for data
+                # after that is reading a TRUNCATED stream
+                if self.pad_bytes >= 8:
+                    raise ValueError("truncated JPEG entropy data")
+                self.pad_bytes += 1
                 self.acc = (self.acc << 8) | 0xFF
                 self.nbits += 8
                 continue
@@ -425,7 +431,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     Raises ``ValueError`` on non-JPEG input, truncation, and unsupported
     variants (progressive/arithmetic/12-bit, >2× subsampling, restart
-    markers)."""
+    markers, non-interleaved multi-scan). The contract is total: adversarial
+    bytes can only produce ``ValueError``, never a stray
+    IndexError/KeyError/struct.error — the per-row degrade path in
+    ``DecodeImageStage`` catches exactly ``ValueError``."""
+    try:
+        return _decode_jpeg_checked(payload)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error, ZeroDivisionError, StopIteration) as e:
+        raise ValueError("malformed JPEG: %s: %s" % (type(e).__name__, e))
+
+
+def _decode_jpeg_checked(payload: bytes) -> np.ndarray:
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -465,13 +483,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 (huff_dc if cls == 0 else huff_ac)[tid] = tab
                 o += 17 + nv
         elif marker == 0xFFC0 or marker == 0xFFC1:
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("malformed SOF segment")
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
+            if fh == 0 or fw == 0:
+                raise ValueError("zero-sized JPEG frame")
             comps = []
             for ci in range(nc):
                 cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
-                comps.append((cid, samp >> 4, samp & 0x0F, qid))
+                hs, vs = samp >> 4, samp & 0x0F
+                if hs == 0 or vs == 0:
+                    raise ValueError("zero sampling factor in SOF")
+                comps.append((cid, hs, vs, qid))
             frame = (fh, fw, nc)
         elif marker in (0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
@@ -482,11 +507,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            if ns != frame[2]:
+                # a spec-legal non-interleaved file carries one scan per
+                # component; decoding only the first would silently zero
+                # the other planes — refuse instead
+                raise ValueError(
+                    "non-interleaved multi-scan JPEG not supported"
+                )
             scan_sel = []  # (comp index, dc table, ac table)
             for si in range(ns):
                 cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
-                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
-                scan_sel.append((idx, tabs >> 4, tabs & 0x0F))
+                matches = [i for i, c in enumerate(comps) if c[0] == cid]
+                if not matches:
+                    raise ValueError("SOS references unknown component id")
+                scan_sel.append((matches[0], tabs >> 4, tabs & 0x0F))
             pos = pos + 2 + ln
             return _decode_scan(payload, pos, frame, comps, scan_sel,
                                 quant, huff_dc, huff_ac)
@@ -504,6 +538,11 @@ def _decode_scan(payload, pos, frame, comps, scan_sel, quant, huff_dc, huff_ac):
     end = payload.rfind(b"\xff\xd9")
     if end < 0:
         end = len(payload)
+    for idx, dct, act in scan_sel:
+        if dct not in huff_dc or act not in huff_ac:
+            raise ValueError("SOS references undefined Huffman table")
+        if comps[idx][3] not in quant:
+            raise ValueError("component references undefined quant table")
     reader = _BitReader(payload[pos:end])
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = -(-fw // mcu_w)
@@ -533,7 +572,7 @@ def _decode_scan(payload, pos, frame, comps, scan_sel, quant, huff_dc, huff_ac):
             p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(p[:fh, :fw])
     if nc == 1:
-        return np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
     if nc != 3:
         raise ValueError("unsupported component count %d" % nc)
     ycc = np.stack(full, axis=-1)

@@ -209,3 +209,27 @@ def test_fuzz_minhash_band_stage_equivalence(texts):
         for key in stage.hasher.band_keys(sig):
             expect.add((key, i))
     assert got_rows == expect
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=80, deadline=None)
+def test_fuzz_jpeg_decode_total_contract(seed):
+    """Adversarially mutated JPEG bytes must either decode or raise
+    ValueError — never any other exception (the DecodeImageStage per-row
+    degrade path catches exactly ValueError)."""
+    import numpy as np
+
+    from logstash_filter_geoip_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    good = bytearray(
+        encode_jpeg(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    )
+    b = bytearray(good)
+    for _ in range(int(rng.integers(1, 8))):
+        b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+    try:
+        out = decode_jpeg(bytes(b))
+        assert out.dtype == np.uint8
+    except ValueError:
+        pass

@@ -14,11 +14,13 @@ Decode kernels come in two tiers:
   samples, real RMS / zero-crossing / peak features in
   ``AudioFeatureStage``). These exercise the full decode → vectorized
   feature path with pixel/sample-exact unit tests.
-- **Stubbed codecs** for formats that need external libraries (video →
-  ffmpeg — not in this container):
-  ``DecodeImageStage(strict=True)`` raises ``NotImplementedError`` exactly
-  where the codec would plug in; the default deterministic fake derives
-  stats from payload bytes so the Ray-side plumbing stays testable.
+- **Stubbed codecs** for formats that need external libraries (codec
+  video — H.264/VP9/AV1 — needs ffmpeg, not in this container). MJPEG
+  video (concatenated baseline JPEGs) gets REAL frame extraction in
+  ``FrameSampleStage``; for anything else ``strict=True`` raises
+  ``NotImplementedError`` exactly where the codec would plug in, and the
+  default deterministic fake derives stats from payload bytes so the
+  Ray-side plumbing stays testable.
 
 Everything Ray-side — schema, batch handling, actor signature, fixed-shape
 feature output, frame sampling layout — is real and tested in both tiers.
@@ -30,7 +32,7 @@ are extracted (never carry image bytes through a shuffle)."""
 from __future__ import annotations
 
 import hashlib
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -315,13 +317,15 @@ class AudioFeatureStage:
     dropped before any shuffle. Output columns (integer milli-units for
     exact comparisons): duration_ms, sample_rate, rms_milli (RMS amplitude
     ×1000 relative to full scale), zcr_milli (zero-crossing rate ×1000 per
-    sample), peak_milli. Malformed payloads yield nulls (per-row failure,
-    never a task crash) — the enricher's degrade contract."""
+    sample), peak_milli, dominant_hz (argmax of the rFFT magnitude
+    spectrum — a real spectral feature). Malformed payloads yield nulls
+    (per-row failure, never a task crash) — the enricher's degrade
+    contract."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = batch.drop_columns(["payload"])
         cols = {"duration_ms": [], "sample_rate": [], "rms_milli": [],
-                "zcr_milli": [], "peak_milli": []}
+                "zcr_milli": [], "peak_milli": [], "dominant_hz": []}
         for payload in batch["payload"].to_pylist():
             try:
                 samples, rate = decode_wav(payload)
@@ -337,6 +341,13 @@ class AudioFeatureStage:
             zc = int(np.count_nonzero(np.diff(np.signbit(x)))) if n > 1 else 0
             cols["zcr_milli"].append(int(round(zc * 1000 / n)) if n else 0)
             cols["peak_milli"].append(int(round(float(np.max(np.abs(x))) * 1000)) if n else 0)
+            if n > 1 and rate:
+                spec = np.abs(np.fft.rfft(x))
+                spec[0] = 0.0  # ignore DC
+                k = int(np.argmax(spec))
+                cols["dominant_hz"].append(int(round(k * rate / n)))
+            else:
+                cols["dominant_hz"].append(0)
         for name, vals in cols.items():
             out = out.append_column(name, pa.array(vals, type=pa.int64()))
         return out
@@ -433,10 +444,45 @@ class DecodeImageStage:
         return out.append_column("features", pa.array(list(feats), type=feat_type))
 
 
+def encode_mjpeg(frames) -> bytes:
+    """List of H×W×3 / H×W uint8 arrays → MJPEG bytes (concatenated baseline
+    JPEG frames — the classic motion-JPEG layout)."""
+    from ..functions.jpeg import encode_jpeg
+
+    return b"".join(encode_jpeg(f) for f in frames)
+
+
+def split_mjpeg(payload: bytes) -> List[bytes]:
+    """Split an MJPEG byte stream into its JPEG frames (SOI→EOI spans).
+    Raises ValueError when the payload is not a clean frame concatenation."""
+    frames = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError("MJPEG frame does not start with SOI")
+        end = payload.find(b"\xff\xd9", pos + 2)
+        if end < 0:
+            raise ValueError("unterminated MJPEG frame")
+        frames.append(payload[pos : end + 2])
+        pos = end + 2
+    if not frames:
+        raise ValueError("empty MJPEG payload")
+    return frames
+
+
 class FrameSampleStage:
-    """Actor-pool stage for video-shaped payloads: emit every k-th "frame"
-    as its own row (flat_map-shaped output). The frame extraction itself is
-    the stubbed kernel; the row-explosion layout is real."""
+    """Actor-pool stage for video-shaped payloads: emit every k-th frame as
+    its own row (flat_map-shaped output).
+
+    Two kernels: MJPEG payloads (leading SOI marker) get REAL frame
+    extraction — SOI/EOI span split, every k-th frame re-emitted as a
+    standalone JPEG, decodable by ``functions.jpeg.decode_jpeg`` — since
+    motion-JPEG is just concatenated baseline JPEGs. Codec video
+    (H.264/VP9/AV1) needs ffmpeg, absent in this container:
+    ``strict=True`` raises for non-MJPEG payloads; the default falls back
+    to the deterministic fixed-stride byte chunking so the row-explosion
+    plumbing stays exercised on opaque payloads."""
 
     def __init__(self, every_k: int = 4, frame_bytes: int = 64, strict: bool = False):
         self.every_k = every_k
@@ -444,10 +490,25 @@ class FrameSampleStage:
         self.strict = strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError("real frame extraction requires ffmpeg")
         ids, frame_idx, frames = [], [], []
         for media_id, payload in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            if payload.startswith(b"\xff\xd8"):
+                try:
+                    all_frames = split_mjpeg(payload)
+                except ValueError:
+                    if self.strict:
+                        raise
+                    all_frames = None
+                if all_frames is not None:
+                    for f in range(0, len(all_frames), self.every_k):
+                        ids.append(media_id)
+                        frame_idx.append(f)
+                        frames.append(all_frames[f])
+                    continue
+            if self.strict:
+                raise NotImplementedError(
+                    "codec video (non-MJPEG) frame extraction requires ffmpeg"
+                )
             n_frames = max(1, len(payload) // self.frame_bytes)
             for f in range(0, n_frames, self.every_k):
                 ids.append(media_id)

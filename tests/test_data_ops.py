@@ -1207,3 +1207,62 @@ def test_jpeg_decode_stage_features(ray_session):
     )
     assert feats[0] == 32 and feats[1] == 24
     assert np.allclose(feats[2:5], img.mean(axis=(0, 1)), atol=3.0)
+
+
+def test_mjpeg_frame_extraction_real(ray_session):
+    """FrameSampleStage extracts REAL frames from MJPEG payloads: every k-th
+    SOI/EOI span comes back as a standalone, decodable JPEG; codec video in
+    strict mode still raises."""
+    from logstash_filter_geoip_ray.functions.jpeg import decode_jpeg
+    from logstash_filter_geoip_ray.stages.multimodal import (
+        FrameSampleStage,
+        encode_mjpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = [
+        np.full((8, 8, 3), 32 * i, dtype=np.uint8) for i in range(6)
+    ]
+    payload = encode_mjpeg(frames)
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], type=pa.int64()),
+            "payload": pa.array([payload], type=pa.binary()),
+        }
+    )
+    out = FrameSampleStage(every_k=2, strict=True)(batch).to_pandas()
+    assert list(out["frame_idx"]) == [0, 2, 4]
+    for fi, fb in zip(out["frame_idx"], out["frame"]):
+        px = decode_jpeg(bytes(fb))
+        assert abs(int(px.mean()) - 32 * fi) <= 2  # flat frame round-trips
+    # non-MJPEG payload in strict mode: honest gate
+    opaque = pa.table(
+        {
+            "media_id": pa.array([2], type=pa.int64()),
+            "payload": pa.array([b"\x00\x01" * 100], type=pa.binary()),
+        }
+    )
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        FrameSampleStage(strict=True)(opaque)
+
+
+def test_audio_dominant_frequency():
+    """The spectral feature is real: a pure sine's dominant_hz lands on its
+    frequency."""
+    from logstash_filter_geoip_ray.stages.multimodal import (
+        AudioFeatureStage,
+        encode_wav,
+    )
+
+    rate = 16000
+    t = np.arange(rate) / rate  # 1 second
+    for hz in (440, 1000, 3000):
+        sig = (np.sin(2 * np.pi * hz * t) * 20000).astype(np.int16)
+        batch = pa.table(
+            {
+                "media_id": pa.array([1], type=pa.int64()),
+                "payload": pa.array([encode_wav(sig, rate)], type=pa.binary()),
+            }
+        )
+        out = AudioFeatureStage()(batch).to_pandas()
+        assert abs(int(out["dominant_hz"].iloc[0]) - hz) <= 2

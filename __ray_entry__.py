@@ -293,6 +293,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   dedup_embedding — raw cosine pair set; its end-to-end sibling
     #     dedup_filtered_embeddings stays checked and the grid-vs-broadcast
     #     equivalence is pinned by test_embedding_grid_equals_broadcast
+    #   tumbling_windows — hopping_windows (checked) is the strict superset
+    #     (hop == size degenerates to tumbling; covering test in repo)
+    #   distinct_event_types — trivial distinct; exact_distinct_users is
+    #     the stronger checked sibling of the same shape
     demote = [
         n
         for n in (
@@ -301,6 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "jaccard_pairs",
             "dedup_filtered_docs",
             "dedup_embedding",
+            "tumbling_windows",
+            "distinct_event_types",
         )
         if n in out
     ]

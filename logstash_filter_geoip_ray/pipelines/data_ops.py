@@ -387,6 +387,54 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_hamming_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_rag_chunks(sf_dir: str):
+    """RAG-prep chunking: overlapping 64-token windows (stride 48) per doc,
+    with exact chunk text — the retrieval-index preparation step."""
+    from ..stages.textops import chunk_documents
+
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_freq_spectrum(sf_dir: str):
+    """Vocabulary frequency spectrum (count-of-counts, the Zipf/Good-Turing
+    table): rows (freq, n_words) = how many distinct lowercase words occur
+    exactly freq times. Word counts come from the same hash-bucketed
+    combine as vocab_top (each word's global count computed inside its one
+    bucket — no single task holds the vocabulary); the spectrum itself is a
+    tiny tree-combined count over ~log-many distinct frequencies."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.aggregate import _partial_counts, bucket_by_key, tree_sum
+    from ..stages.contamination import _flat_words
+
+    docs = _docs(sf_dir, ["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, _ = _flat_words(text)
+        return pa.table({"w": flat})
+
+    partials = docs.map_batches(explode, batch_format="pyarrow").map_batches(
+        _partial_counts(["w"], "n"), batch_format="pyarrow", batch_size=65536
+    )
+    bucketed = bucket_by_key(partials, "w", 32)
+
+    def bucket_spectrum(block: pd.DataFrame) -> pd.DataFrame:
+        c = block.groupby("w", sort=False, observed=True)["n"].sum()
+        spec = c.value_counts().sort_index()
+        return pd.DataFrame(
+            {"freq": spec.index.astype("int64"), "n_words": spec.to_numpy("int64")}
+        )
+
+    spectra = bucketed.groupby("_bucket").map_groups(
+        bucket_spectrum, batch_format="pandas"
+    )
+    return tree_sum(spectra, ["freq"], ["n_words"], sort_result=True)
+
+
 def q_shared_paragraphs(sf_dir: str):
     """Dolma-style paragraph-dedup signal: per doc, distinct non-empty
     paragraphs appearing in >= 2 docs (integer milli fraction)."""
@@ -938,6 +986,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "repetition_filter": q_repetition_filter,
     "simhash_pairs": q_simhash_pairs,
     "bloom_dedup": q_bloom_dedup,
+    "rag_chunks": q_rag_chunks,
+    "freq_spectrum": q_freq_spectrum,
     "shared_paragraphs": q_shared_paragraphs,
     "quality_top_decile": q_quality_top_decile,
     "media_features": q_media_features,
@@ -1075,6 +1125,28 @@ SELECT lm.doc_id, lm.n_lines, lm.dup_line_milli,
 FROM lm LEFT JOIN bm ON lm.doc_id = bm.doc_id
 WHERE lm.dup_line_milli <= 300 AND coalesce(bm.top_bigram_milli, 0) <= 200
 ORDER BY lm.doc_id
+""",
+    "rag_chunks": f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS} AS ws FROM documents WHERE {_TRIMMED} <> ''
+), c AS (
+  SELECT doc_id, len(ws) AS n, ws,
+         unnest(range(0, (len(ws) + 47) // 48)) AS chunk_idx
+  FROM t
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(least(n, chunk_idx * 48 + 64) - chunk_idx * 48 AS BIGINT) AS n_tokens,
+       array_to_string(ws[chunk_idx * 48 + 1 : least(n, chunk_idx * 48 + 64)], ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_idx
+""",
+    "freq_spectrum": f"""
+WITH w AS (
+  SELECT lower(unnest({_TOKENS})) AS w FROM documents WHERE {_TRIMMED} <> ''
+), u AS (
+  SELECT w, count(*) AS c FROM w WHERE w <> '' GROUP BY 1
+)
+SELECT CAST(c AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS n_words
+FROM u GROUP BY 1 ORDER BY 1
 """,
     "shared_paragraphs": """
 WITH p AS (

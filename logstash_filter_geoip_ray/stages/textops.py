@@ -288,6 +288,92 @@ def repetition_filter(
     return ds.map_batches(kernel, batch_format="pyarrow").sort(id_col)
 
 
+def chunk_documents(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+):
+    """RAG-prep chunking: split each doc into overlapping token windows —
+    rows (doc_id, chunk_idx, n_tokens, chunk_text). Window starts step by
+    ``chunk_tokens - overlap``; the final window may be short. Tokens are
+    the whitespace split of the trimmed text (case-preserving, matching the
+    SQL oracle's regexp_split); docs with no tokens emit nothing.
+
+    Vectorized per batch (per-doc local, no shuffle): one word explode →
+    each word's chunk memberships (≤ ceil(size/stride) per word) emitted by
+    a numpy repeat → lexsort by (row, chunk, position) → one pandas groupby
+    join builds every chunk string."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .contamination import _flat_words
+
+    stride = chunk_tokens - overlap
+    assert stride > 0
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, idx = _flat_words(text, lower=False)
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "chunk_idx": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
+            }
+        )
+        if not len(idx):
+            return empty
+        # position of each word within its row
+        starts = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
+        row_start = np.repeat(starts, np.diff(np.r_[starts, len(idx)]))
+        p = np.arange(len(idx), dtype=np.int64) - row_start
+        # chunk membership range per word: c_min..c_max (overlap ⇒ ≥1)
+        c_max = p // stride
+        c_min = np.maximum(0, -(-(p - chunk_tokens + 1) // stride))
+        reps = (c_max - c_min + 1).astype(np.int64)
+        w_rep = np.repeat(np.arange(len(idx), dtype=np.int64), reps)
+        # chunk index per emitted membership: c_min[w] + offset within run
+        run_off = np.arange(len(w_rep), dtype=np.int64) - np.repeat(
+            np.cumsum(np.r_[0, reps[:-1]]), reps
+        )
+        chunk_of = np.repeat(c_min, reps) + run_off
+        order = np.lexsort((p[w_rep], chunk_of, idx[w_rep]))
+        df = pd.DataFrame(
+            {
+                "i": idx[w_rep][order],
+                "c": chunk_of[order],
+                "w": flat.take(pa.array(w_rep[order])).to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        g = df.groupby(["i", "c"], sort=True)["w"]
+        joined = g.agg(" ".join)
+        sizes = g.size()
+        rows = joined.index.get_level_values(0).to_numpy(dtype=np.int64)
+        ids = pc.take(pc.cast(batch[id_col], pa.int64()), pa.array(rows))
+        return pa.table(
+            {
+                id_col: ids,
+                "chunk_idx": pa.array(
+                    joined.index.get_level_values(1).to_numpy(dtype=np.int64)
+                ),
+                "n_tokens": pa.array(sizes.to_numpy(dtype=np.int64)),
+                "chunk_text": pa.array(joined.to_numpy(), type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow").sort(
+        [id_col, "chunk_idx"]
+    )
+
+
 def quality_threshold_filter(
     ds,
     text_col: str = "text",

@@ -42,7 +42,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "epoch_shuffle", "pack_sequences", "mix_sample", "packed_chunks",
      "top_terms", "collocations", "repetition_filter", "simhash_pairs",
      "shared_paragraphs", "quality_top_decile", "bloom_dedup",
-     "dedup_filtered_embeddings"],
+     "dedup_filtered_embeddings", "rag_chunks", "freq_spectrum"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()
@@ -963,7 +963,8 @@ def test_text_oracles_on_adversarial_whitespace(ray_session, tmp_path):
                  "inverted_index", "doc_stats", "vocab_top", "masked_docs",
                  "contaminated_docs", "dedup_exact", "lang_stats",
                  "repetition_filter", "simhash_pairs", "collocations",
-                 "shared_paragraphs", "quality_top_decile", "bloom_dedup"]:
+                 "shared_paragraphs", "quality_top_decile", "bloom_dedup",
+                 "rag_chunks", "freq_spectrum"]:
         d = DATA_QUERIES[name](str(tmp_path)).to_pandas()
         o = con.sql(DATA_ORACLES[name]).df()
         assert len(d) == len(o), f"{name}: {len(d)} vs {len(o)} rows"

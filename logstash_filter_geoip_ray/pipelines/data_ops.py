@@ -64,35 +64,39 @@ def q_lang_stats(sf_dir: str):
     return lang_stats(_docs(sf_dir, ["doc_id", "text", "lang"]))
 
 
-def q_vocab_top(sf_dir: str):
-    """Vocabulary building (LLM-prep): lowercase word frequencies over the
-    corpus, top 100 by (count desc, token asc). Vectorized explode
-    (utf8_split_whitespace → flatten) → per-batch partial counts →
-    word-hash-bucketed combine (each word lands in exactly one bucket, so a
-    per-bucket sum is that word's GLOBAL count and a per-bucket top-100 is
-    valid) → global sort over only buckets×100 rows. No single task ever
-    holds the whole vocabulary, and the Sort operator never sees it."""
-    import pandas as pd
+def _bucketed_word_counts(docs, num_buckets: int = 32):
+    """Shared scaffolding for vocabulary-scale aggregates (vocab_top,
+    freq_spectrum): lowercase word explode (``_flat_words`` — handles
+    all-null blocks) → per-batch partial counts → word-hash buckets. Each
+    word lands in exactly ONE bucket, so a per-bucket sum of ``n`` is that
+    word's GLOBAL count — no single task ever holds the whole vocabulary."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from ..stages.aggregate import _partial_counts, bucket_by_key
-
-    docs = _docs(sf_dir, ["text"])
+    from ..stages.contamination import _flat_words
 
     def explode(batch: pa.Table) -> pa.Table:
         text = batch["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        words = pc.utf8_split_whitespace(
-            pc.utf8_lower(pc.utf8_trim_whitespace(text))
-        ).flatten()
-        return pa.table({"w": words.filter(pc.not_equal(words, ""))})
+        flat, _ = _flat_words(text)
+        return pa.table({"w": flat})
 
     partials = docs.map_batches(explode, batch_format="pyarrow").map_batches(
         _partial_counts(["w"], "n"), batch_format="pyarrow", batch_size=65536
     )
-    bucketed = bucket_by_key(partials, "w", 32)
+    return bucket_by_key(partials, "w", num_buckets)
+
+
+def q_vocab_top(sf_dir: str):
+    """Vocabulary building (LLM-prep): lowercase word frequencies over the
+    corpus, top 100 by (count desc, token asc). Word-hash-bucketed combine
+    (see ``_bucketed_word_counts``) → per-bucket top-100 (valid because a
+    bucket owns its words' global counts) → global sort over only
+    buckets×100 rows; the Sort operator never sees the vocabulary."""
+    import pandas as pd
+
+    bucketed = _bucketed_word_counts(_docs(sf_dir, ["text"]))
 
     def bucket_top(block: pd.DataFrame) -> pd.DataFrame:
         g = block.groupby("w", sort=False, observed=True)["n"].sum().reset_index()
@@ -403,24 +407,10 @@ def q_freq_spectrum(sf_dir: str):
     bucket — no single task holds the vocabulary); the spectrum itself is a
     tiny tree-combined count over ~log-many distinct frequencies."""
     import pandas as pd
-    import pyarrow as pa
 
-    from ..stages.aggregate import _partial_counts, bucket_by_key, tree_sum
-    from ..stages.contamination import _flat_words
+    from ..stages.aggregate import tree_sum
 
-    docs = _docs(sf_dir, ["text"])
-
-    def explode(batch: pa.Table) -> pa.Table:
-        text = batch["text"]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        flat, _ = _flat_words(text)
-        return pa.table({"w": flat})
-
-    partials = docs.map_batches(explode, batch_format="pyarrow").map_batches(
-        _partial_counts(["w"], "n"), batch_format="pyarrow", batch_size=65536
-    )
-    bucketed = bucket_by_key(partials, "w", 32)
+    bucketed = _bucketed_word_counts(_docs(sf_dir, ["text"]))
 
     def bucket_spectrum(block: pd.DataFrame) -> pd.DataFrame:
         c = block.groupby("w", sort=False, observed=True)["n"].sum()

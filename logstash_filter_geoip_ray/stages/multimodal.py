@@ -452,20 +452,61 @@ def encode_mjpeg(frames) -> bytes:
     return b"".join(encode_jpeg(f) for f in frames)
 
 
+def _jpeg_frame_end(data: bytes, pos: int) -> int:
+    """Index just past the EOI of the JPEG frame starting at ``pos`` —
+    found by WALKING the marker structure, not by searching for the first
+    0xFFD9 byte pair: a frame may legitimately contain FFD9 inside a
+    segment payload (e.g. an EXIF APP1 with an embedded thumbnail), so a
+    naive scan would cut the frame short."""
+    n = len(data)
+    if data[pos : pos + 2] != b"\xff\xd8":
+        raise ValueError("MJPEG frame does not start with SOI")
+    p = pos + 2
+    while p + 1 < n:
+        if data[p] != 0xFF:
+            raise ValueError("bad marker alignment in MJPEG frame")
+        m = data[p + 1]
+        if m == 0xFF:  # fill byte before a marker
+            p += 1
+            continue
+        if m == 0xD9:  # EOI
+            return p + 2
+        if m == 0xD8:
+            raise ValueError("nested SOI in MJPEG frame")
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone TEM/RSTn
+            p += 2
+            continue
+        if p + 4 > n:
+            break
+        ln = int.from_bytes(data[p + 2 : p + 4], "big")
+        if ln < 2:
+            raise ValueError("bad segment length in MJPEG frame")
+        p += 2 + ln
+        if m == 0xDA:  # SOS: entropy data until next real marker
+            while p + 1 < n:
+                if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+                    0xD0 <= data[p + 1] <= 0xD7
+                ):
+                    break
+                p += 1
+    raise ValueError("unterminated MJPEG frame")
+
+
 def split_mjpeg(payload: bytes) -> List[bytes]:
-    """Split an MJPEG byte stream into its JPEG frames (SOI→EOI spans).
-    Raises ValueError when the payload is not a clean frame concatenation."""
+    """Split an MJPEG byte stream into its JPEG frames (marker-walked
+    SOI→EOI spans; inter-frame zero padding tolerated). Raises ValueError
+    when the payload is not a frame concatenation."""
     frames = []
     pos = 0
     n = len(payload)
     while pos < n:
-        if payload[pos : pos + 2] != b"\xff\xd8":
-            raise ValueError("MJPEG frame does not start with SOI")
-        end = payload.find(b"\xff\xd9", pos + 2)
-        if end < 0:
-            raise ValueError("unterminated MJPEG frame")
-        frames.append(payload[pos : end + 2])
-        pos = end + 2
+        while pos < n and payload[pos] == 0x00:  # inter-frame padding
+            pos += 1
+        if pos >= n:
+            break
+        pos_end = _jpeg_frame_end(payload, pos)
+        frames.append(payload[pos:pos_end])
+        pos = pos_end
     if not frames:
         raise ValueError("empty MJPEG payload")
     return frames

@@ -319,16 +319,19 @@ def chunk_documents(
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         flat, idx = _flat_words(text, lower=False)
-        empty = pa.table(
-            {
-                id_col: pa.array([], type=pa.int64()),
-                "chunk_idx": pa.array([], type=pa.int64()),
-                "n_tokens": pa.array([], type=pa.int64()),
-                "chunk_text": pa.array([], type=pa.string()),
-            }
-        )
+        ids_col = batch[id_col]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
         if not len(idx):
-            return empty
+            # id dtype preserved (string ids work like integer ones)
+            return pa.table(
+                {
+                    id_col: pa.array([], type=ids_col.type),
+                    "chunk_idx": pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "chunk_text": pa.array([], type=pa.string()),
+                }
+            )
         # position of each word within its row
         starts = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
         row_start = np.repeat(starts, np.diff(np.r_[starts, len(idx)]))
@@ -357,7 +360,7 @@ def chunk_documents(
         joined = g.agg(" ".join)
         sizes = g.size()
         rows = joined.index.get_level_values(0).to_numpy(dtype=np.int64)
-        ids = pc.take(pc.cast(batch[id_col], pa.int64()), pa.array(rows))
+        ids = ids_col.take(pa.array(rows))
         return pa.table(
             {
                 id_col: ids,

@@ -1210,7 +1210,7 @@ def test_jpeg_decode_stage_features(ray_session):
     assert np.allclose(feats[2:5], img.mean(axis=(0, 1)), atol=3.0)
 
 
-def test_mjpeg_frame_extraction_real(ray_session):
+def test_mjpeg_frame_extraction_real():
     """FrameSampleStage extracts REAL frames from MJPEG payloads: every k-th
     SOI/EOI span comes back as a standalone, decodable JPEG; codec video in
     strict mode still raises."""
@@ -1220,7 +1220,6 @@ def test_mjpeg_frame_extraction_real(ray_session):
         encode_mjpeg,
     )
 
-    rng = np.random.default_rng(7)
     frames = [
         np.full((8, 8, 3), 32 * i, dtype=np.uint8) for i in range(6)
     ]
@@ -1267,3 +1266,67 @@ def test_audio_dominant_frequency():
         )
         out = AudioFeatureStage()(batch).to_pandas()
         assert abs(int(out["dominant_hz"].iloc[0]) - hz) <= 2
+
+
+def test_mjpeg_split_walks_markers_not_bytes():
+    """split_mjpeg must walk the marker structure: an APP1 segment with an
+    embedded FFD9 (EXIF-thumbnail shape) and inter-frame zero padding must
+    not break the frame split."""
+    import struct
+
+    from logstash_filter_geoip_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    from logstash_filter_geoip_ray.stages.multimodal import split_mjpeg
+
+    base = encode_jpeg(np.full((8, 8, 3), 100, dtype=np.uint8))
+    # inject an APP1 segment containing a fake embedded EOI right after SOI
+    thumb = b"Exif\x00\x00" + b"\xff\xd8stub-thumbnail\xff\xd9" + b"pad"
+    app1 = b"\xff\xe1" + struct.pack(">H", len(thumb) + 2) + thumb
+    tricky = base[:2] + app1 + base[2:]
+    assert decode_jpeg(tricky).shape == (8, 8, 3)  # decoder skips APP1 too
+    payload = tricky + b"\x00\x00" + base  # zero padding between frames
+    frames = split_mjpeg(payload)
+    assert len(frames) == 2
+    assert frames[0] == tricky and frames[1] == base
+    for f in frames:
+        assert decode_jpeg(f).shape == (8, 8, 3)
+
+
+def test_chunk_documents_matches_bruteforce(ray_session):
+    """chunk_documents must equal the brute-force stride-48/window-64
+    reference on edge sizes (empty, single word, exact window, ±1) and
+    preserve non-integer id dtypes."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.textops import chunk_documents
+
+    texts = [
+        " ".join("w%d" % i for i in range(n)) if n >= 0 else None
+        for n in (150, 64, 65, 63, 48, 49, 1, 0, -1, 112, 113)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    ["d%02d" % i for i in range(len(texts))], type=pa.string()
+                ),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    out = chunk_documents(ds).to_pandas()
+    assert out["doc_id"].dtype == object  # string ids preserved
+
+    expect = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        toks = t.split()
+        c = 0
+        while c * 48 < len(toks):
+            win = toks[c * 48 : c * 48 + 64]
+            expect.append(("d%02d" % i, c, len(win), " ".join(win)))
+            c += 1
+    got = list(
+        zip(out["doc_id"], out["chunk_idx"], out["n_tokens"], out["chunk_text"])
+    )
+    assert [(a, int(b), int(c), d) for a, b, c, d in got] == expect

@@ -297,6 +297,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     (hop == size degenerates to tumbling; covering test in repo)
     #   distinct_event_types — trivial distinct; exact_distinct_users is
     #     the stronger checked sibling of the same shape
+    #   doc_stats — token_count + md5 fingerprint; both kernels are load-
+    #     bearing inside other checked queries (quality_top_decile,
+    #     epoch_shuffle, packed_chunks)
     demote = [
         n
         for n in (
@@ -307,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dedup_embedding",
             "tumbling_windows",
             "distinct_event_types",
+            "doc_stats",
         )
         if n in out
     ]

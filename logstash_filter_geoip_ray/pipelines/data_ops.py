@@ -425,6 +425,14 @@ def q_freq_spectrum(sf_dir: str):
     return tree_sum(spectra, ["freq"], ["n_words"], sort_result=True)
 
 
+def q_dup_ngram_spans(sf_dir: str):
+    """Substring-dedup signal: per doc, fraction of word 8-gram windows
+    whose gram occurs >= 2 times in the corpus."""
+    from ..stages.textops import duplicated_window_stats
+
+    return duplicated_window_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_shared_paragraphs(sf_dir: str):
     """Dolma-style paragraph-dedup signal: per doc, distinct non-empty
     paragraphs appearing in >= 2 docs (integer milli fraction)."""
@@ -978,6 +986,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "bloom_dedup": q_bloom_dedup,
     "rag_chunks": q_rag_chunks,
     "freq_spectrum": q_freq_spectrum,
+    "dup_ngram_spans": q_dup_ngram_spans,
     "shared_paragraphs": q_shared_paragraphs,
     "quality_top_decile": q_quality_top_decile,
     "media_features": q_media_features,
@@ -1137,6 +1146,27 @@ WITH w AS (
 )
 SELECT CAST(c AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS n_words
 FROM u GROUP BY 1 ORDER BY 1
+""",
+    "dup_ngram_spans": f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text), {_WS}), '\\s+') AS ws
+  FROM documents WHERE trim(text, {_WS}) <> ''
+), g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' '
+           || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7])) AS g
+  FROM t WHERE len(ws) >= 8
+), c AS (
+  SELECT g, count(*) AS cnt FROM g GROUP BY 1
+), d AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+  FROM g JOIN c USING (g) GROUP BY doc_id
+)
+SELECT doc_id, n_windows, dup_windows,
+       CAST((1000 * dup_windows) // n_windows AS BIGINT) AS dup_milli
+FROM d ORDER BY doc_id
 """,
     "shared_paragraphs": """
 WITH p AS (

@@ -377,6 +377,87 @@ def chunk_documents(
     )
 
 
+def duplicated_window_stats(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    num_buckets: int = 64,
+):
+    """Substring-dedup signal (Lee et al. "Deduplicating Training Data"
+    family, token-window approximation): per doc, how many of its word
+    ``window``-gram positions carry a gram that occurs ≥ 2 times in the
+    corpus (counting every occurrence, including within-doc repeats).
+    Rows: (doc_id, n_windows, dup_windows, dup_milli) for docs with ≥ 1
+    window. Integer milli → exact oracle.
+
+    Scale shape (same one-shuffle form as :func:`shared_paragraphs`): the
+    window rows ship as (doc_id, hash64(gram)) — 16 bytes each, never the
+    gram text; each hash lands in exactly one bucket, so global occurrence
+    counts and per-doc partials come out of that bucket; a docs-sized sum
+    finishes. Hash collisions could in principle conflate two distinct
+    grams (the same standard trade every content-hash dedup makes);
+    vanishingly unlikely below ~10^9 distinct grams per 64-bit space."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketches import hash_strings64
+    from .aggregate import bucket_by_key
+    from .contamination import _doc_ngrams
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        grams, gidx = _doc_ngrams(text, window)
+        if not len(gidx):
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "h": pa.array([], type=pa.int64()),
+                }
+            )
+        ids = pc.take(pc.cast(batch[id_col], pa.int64()), pa.array(gidx))
+        h = hash_strings64(grams).view(np.int64)
+        return pa.table({id_col: ids, "h": pa.array(h)})
+
+    rows = ds.map_batches(explode, batch_format="pyarrow")
+    bucketed = bucket_by_key(rows, "h", num_buckets)
+
+    def bucket_partial(block: pd.DataFrame) -> pd.DataFrame:
+        cnt = block.groupby("h", sort=False)["h"].transform("size")
+        dup = (cnt >= 2).astype("int64")
+        g = block.assign(_d=dup).groupby(id_col, sort=False)["_d"]
+        out = g.agg(["count", "sum"]).reset_index()
+        out.columns = [id_col, "n_windows", "dup_windows"]
+        return out
+
+    partials = bucketed.groupby("_bucket").map_groups(
+        bucket_partial, batch_format="pandas"
+    )
+    summed = partials.groupby(id_col).aggregate(
+        Sum("n_windows", alias_name="n_windows"),
+        Sum("dup_windows", alias_name="dup_windows"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_windows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["dup_windows"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "n_windows": pa.array(n, type=pa.int64()),
+                "dup_windows": pa.array(d, type=pa.int64()),
+                "dup_milli": pa.array((1000 * d) // n, type=pa.int64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow").sort(id_col)
+
+
 def quality_threshold_filter(
     ds,
     text_col: str = "text",

@@ -42,7 +42,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "epoch_shuffle", "pack_sequences", "mix_sample", "packed_chunks",
      "top_terms", "collocations", "repetition_filter", "simhash_pairs",
      "shared_paragraphs", "quality_top_decile", "bloom_dedup",
-     "dedup_filtered_embeddings", "rag_chunks", "freq_spectrum"],
+     "dedup_filtered_embeddings", "rag_chunks", "freq_spectrum",
+     "dup_ngram_spans"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()
@@ -964,7 +965,7 @@ def test_text_oracles_on_adversarial_whitespace(ray_session, tmp_path):
                  "contaminated_docs", "dedup_exact", "lang_stats",
                  "repetition_filter", "simhash_pairs", "collocations",
                  "shared_paragraphs", "quality_top_decile", "bloom_dedup",
-                 "rag_chunks", "freq_spectrum"]:
+                 "rag_chunks", "freq_spectrum", "dup_ngram_spans"]:
         d = DATA_QUERIES[name](str(tmp_path)).to_pandas()
         o = con.sql(DATA_ORACLES[name]).df()
         assert len(d) == len(o), f"{name}: {len(d)} vs {len(o)} rows"
@@ -1330,3 +1331,35 @@ def test_chunk_documents_matches_bruteforce(ray_session):
         zip(out["doc_id"], out["chunk_idx"], out["n_tokens"], out["chunk_text"])
     )
     assert [(a, int(b), int(c), d) for a, b, c, d in got] == expect
+
+
+def test_dup_ngram_spans_planted(ray_session):
+    """A doc sharing an 8-gram span with another doc (or repeating one
+    internally) must show those window positions as duplicated."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.textops import duplicated_window_stats
+
+    span = "one two three four five six seven eight"  # exactly 8 words
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                span + " tail1 tail2",          # shares the span with doc 2
+                "lead0 " + span,                 # shares the span with doc 1
+                "all unique words here nine ten eleven twelve thirteen",
+                span + " and " + span,           # internal repeat
+            ],
+        }
+    )
+    out = duplicated_window_stats(
+        ray.data.from_arrow(docs), num_buckets=8
+    ).to_pandas()
+    got = {
+        int(r.doc_id): (int(r.n_windows), int(r.dup_windows))
+        for r in out.itertuples()
+    }
+    assert got[1][0] == 3 and got[1][1] >= 1   # the shared-span window
+    assert got[2][0] == 2 and got[2][1] >= 1
+    assert got[3] == (2, 0)                     # fully unique doc
+    assert got[4][1] >= 2                       # both copies of the span

@@ -318,6 +318,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ordered = {
         n: f for n, f in out.items() if n in sql and n not in demote
     }
+    if len(ordered) > 50:
+        # fail LOUDLY at registration: a 51st non-demoted oracle-backed
+        # query would silently fall outside the driver's 50-row
+        # hash-compare window (dict-insertion-order dependent) otherwise
+        raise RuntimeError(
+            "queries(): %d oracle-backed queries outside the demote list "
+            "exceed the driver's 50-row window — extend the demote list "
+            "(with a rationale) for the least-load-bearing entry"
+            % len(ordered)
+        )
     for n in demote:
         ordered[n] = out[n]
     ordered.update({n: f for n, f in out.items() if n not in sql})

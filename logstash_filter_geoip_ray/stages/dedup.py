@@ -325,26 +325,35 @@ def bloom_incremental_dedup(
     k: int = 7,
 ):
     """Keeper ids of the NEW corpus after removing docs whose text already
-    exists in the PRIOR corpus — the incremental-crawl dedup step, EXACT
-    result (the Bloom filter only prefilters; hash collisions and Bloom
-    false positives are removed by a text-level verify). Null-text docs are
-    kept (they cannot match prior text).
+    exists in the PRIOR corpus — the incremental-crawl dedup step. Bloom
+    FALSE POSITIVES are removed by an exact membership verify against the
+    prior corpus; dup detection is by 64-bit content hash, the same
+    equality convention as :func:`exact_dedup_keepers` (a cross-corpus
+    SipHash collision — ~n²/2⁶⁵ — is the accepted trade of every
+    content-hash dedup). Null-text docs are kept (they cannot match prior
+    text).
 
-    Scale shape — neither corpus shuffles:
+    Scale shape — neither corpus shuffles, and only 8-byte HASHES ever move
+    between stages (never document text):
 
     1. build: per-batch partial Bloom bitmaps over ``hash64(text)`` of the
        prior corpus (vectorized double hashing), bitwise-OR reduce down to
        one ``m_bits/8``-byte bitmap, ``ray.put`` once.
     2. probe: each new-corpus batch tests its hashes against the broadcast
        filter — definite misses (the overwhelming majority in a mostly-fresh
-       crawl) are kept immediately.
-    3. verify: the candidate hash set (true dups + ~0.8% FPs) is a
-       provably-small driver pull; prior-corpus texts with those hashes come
-       back via a vectorized ``pc.is_in`` semi-join, and the final filter
-       compares actual text, making the Bloom layer correctness-free.
+       crawl) are kept immediately; the surviving candidate HASH set
+       (true dups + ~0.8% FP) is deduped per batch and broadcast back.
+    3. verify: the prior corpus streams once through a vectorized
+       ``pc.is_in`` against the candidate hashes; the confirmed-hash set
+       broadcasts for the final keep filter.
 
-    At 10^10+ prior keys the single broadcast bitmap outgrows an object —
-    shard the filter by hash prefix (see ``BloomFilter`` docstring)."""
+    The candidate/confirmed sets are 8 bytes per distinct duplicate text —
+    ~100× smaller than the texts a naive verify would pull; a crawl whose
+    OVERLAP alone outgrows driver memory (≳10⁹ distinct dup texts) should
+    swap the two broadcasts for a bucketed ``hash_join`` on the hash
+    column. At 10^10+ prior keys the single broadcast bitmap also outgrows
+    an object — shard the filter by hash prefix (see ``BloomFilter``
+    docstring)."""
     import ray
     import ray.data
 
@@ -383,52 +392,57 @@ def bloom_incremental_dedup(
     bloom.bits = np.frombuffer(final_bits, dtype=np.uint64).copy()
     bloom_ref = ray.put(bloom)
 
-    def probe_hits(batch: pa.Table) -> pa.Table:
-        """Bloom-positive texts only — the small candidate stream."""
-        bf = ray.get(bloom_ref)
-        text = batch[text_col]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        if pa.types.is_null(text.type):
-            text = text.cast(pa.string())
-        text = text.drop_null()
-        if not len(text):
-            return pa.table({"_t": pa.array([], type=pa.string())})
-        hit = bf.contains(hash_strings64(text))
-        return pa.table({"_t": pc.unique(text.filter(pa.array(hit)))})
+    def _hashes_of(batch_text) -> np.ndarray:
+        if isinstance(batch_text, pa.ChunkedArray):
+            batch_text = batch_text.combine_chunks()
+        if pa.types.is_null(batch_text.type):
+            batch_text = batch_text.cast(pa.string())
+        batch_text = batch_text.drop_null()
+        if not len(batch_text):
+            return np.array([], dtype=np.int64)
+        return hash_strings64(batch_text).view(np.int64)
 
-    # candidate texts: provably small (true dups + ~FP-rate of the filter)
-    cand_texts: set = set()
+    def probe_hits(batch: pa.Table) -> pa.Table:
+        """Bloom-positive HASHES only (8 bytes/candidate, deduped)."""
+        bf = ray.get(bloom_ref)
+        h = _hashes_of(batch[text_col])
+        if not len(h):
+            return pa.table({"_h": pa.array([], type=pa.int64())})
+        hit = bf.contains(h.view(np.uint64))
+        return pa.table({"_h": pc.unique(pa.array(h[hit]))})
+
+    # candidate hashes: true dups + ~FP-rate of the filter, 8 B each
+    cand: set = set()
     for b in (
         new_ds.map_batches(probe_hits, batch_format="pyarrow")
         .iter_batches(batch_format="pyarrow")
     ):
-        cand_texts.update(b["_t"].to_pylist())
+        cand.update(b["_h"].to_pylist())
 
-    if cand_texts:
-        cand_arr = pa.array(sorted(cand_texts), type=pa.string())
+    if cand:
+        cand_arr = pa.array(sorted(cand), type=pa.int64())
 
         def old_matching(batch: pa.Table) -> pa.Table:
-            text = batch[text_col]
-            if isinstance(text, pa.ChunkedArray):
-                text = text.combine_chunks()
-            if pa.types.is_null(text.type):
-                text = text.cast(pa.string())
-            text = text.drop_null()
-            keep = pc.is_in(text, value_set=cand_arr)
-            return pa.table({"t": pc.unique(text.filter(keep))})
+            """Exact membership verify: which candidate hashes really exist
+            in the prior corpus (kills Bloom false positives)."""
+            h = _hashes_of(batch[text_col])
+            ha = pa.array(h)
+            return pa.table(
+                {"h": pc.unique(ha.filter(pc.is_in(ha, value_set=cand_arr)))}
+            )
 
-        dup_texts = set(
+        dup_hashes = set(
             old_ds.map_batches(old_matching, batch_format="pyarrow")
-            .to_pandas()["t"]
+            .to_pandas()["h"]
             .tolist()
         )
     else:
-        dup_texts = set()
-    dup_arr = pa.array(sorted(dup_texts), type=pa.string()) if dup_texts else None
+        dup_hashes = set()
+    dup_arr = (
+        pa.array(sorted(dup_hashes), type=pa.int64()) if dup_hashes else None
+    )
 
     def keepers(batch: pa.Table) -> pa.Table:
-        """Exact text-level filter — the Bloom layer never decides."""
         ids = pc.cast(batch[id_col], pa.int64())
         if dup_arr is None:
             return pa.table({id_col: ids})
@@ -437,8 +451,17 @@ def bloom_incremental_dedup(
             t = t.combine_chunks()
         if pa.types.is_null(t.type):
             t = t.cast(pa.string())
-        is_dup = pc.fill_null(pc.is_in(t, value_set=dup_arr), False)
-        return pa.table({id_col: ids.filter(pc.invert(is_dup))})
+        null_mask = pc.is_null(t).to_numpy(zero_copy_only=False)
+        h = np.zeros(len(t), dtype=np.int64)
+        if (~null_mask).any():
+            h[~null_mask] = hash_strings64(t.fill_null("")).view(np.int64)[
+                ~null_mask
+            ]
+        is_dup = pc.is_in(pa.array(h), value_set=dup_arr).to_numpy(
+            zero_copy_only=False
+        )
+        is_dup &= ~null_mask  # null text always kept
+        return pa.table({id_col: ids.filter(pa.array(~is_dup))})
 
     return new_ds.map_batches(keepers, batch_format="pyarrow").sort(id_col)
 
@@ -531,6 +554,7 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     max_hamming: int = SIMHASH_MAX_HAMMING,
     num_buckets: int = 64,
+    max_band_members: int = 10_000,
 ):
     """Near-duplicate pairs (a, b, hamming) with Hamming(simhash_a,
     simhash_b) ≤ ``max_hamming``, a < b — EXACT result (pigeonhole banding,
@@ -597,6 +621,18 @@ def simhash_hamming_pairs(
         b = block.drop_duplicates(["band_key", id_col])[
             ["band_key", id_col, "sig"]
         ]
+        hot = b.groupby("band_key", sort=False).size()
+        if len(hot) and int(hot.max()) > max_band_members:
+            # same skew principle as JACCARD_MAX_BLOCK_ROWS: a band key with
+            # n members self-merges into n² rows in ONE task — fail loudly.
+            # Identical signatures (exact duplicates) are the usual cause;
+            # run exact dedup first, or raise max_band_members explicitly.
+            raise ValueError(
+                "simhash_hamming_pairs: band key %r has %d members "
+                "(> max_band_members=%d) — deduplicate exact copies first "
+                "or raise max_band_members"
+                % (hot.idxmax(), int(hot.max()), max_band_members)
+            )
         m = b.merge(b, on="band_key", suffixes=("_a", "_b"))
         m = m[m[id_col + "_a"] < m[id_col + "_b"]]
         if not len(m):

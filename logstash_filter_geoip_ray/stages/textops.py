@@ -572,7 +572,9 @@ def shared_paragraphs(
     bucketed = bucket_by_key(pairs, "para", num_buckets)
 
     def bucket_partial(block: pd.DataFrame) -> pd.DataFrame:
-        df_per_para = block.groupby("para", sort=False)[id_col].transform("nunique")
+        # rows are globally distinct (doc, para) pairs, so per-paragraph
+        # size == distinct-doc count — transform("size") beats "nunique"
+        df_per_para = block.groupby("para", sort=False)["para"].transform("size")
         shared = (df_per_para >= 2).astype("int64")
         g = block.assign(_s=shared).groupby(id_col, sort=False)["_s"]
         out = g.agg(["count", "sum"]).reset_index()

@@ -1363,3 +1363,26 @@ def test_dup_ngram_spans_planted(ray_session):
     assert got[2][0] == 2 and got[2][1] >= 1
     assert got[3] == (2, 0)                     # fully unique doc
     assert got[4][1] >= 2                       # both copies of the span
+
+
+def test_simhash_band_skew_guard(ray_session):
+    """A band key flooded by exact duplicates must fail loudly (n-squared
+    self-merge guard), not OOM one bucket task."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.dedup import simhash_hamming_pairs
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), type=pa.int64()),
+            "text": ["identical boilerplate page content here"] * 40,
+        }
+    )
+    with pytest.raises(Exception, match="max_band_members"):
+        simhash_hamming_pairs(
+            ray.data.from_arrow(docs), max_band_members=10
+        ).materialize()
+    out = simhash_hamming_pairs(
+        ray.data.from_arrow(docs), max_band_members=1000
+    ).to_pandas()
+    assert len(out) == 40 * 39 // 2 and (out["hamming"] == 0).all()

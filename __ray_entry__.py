@@ -300,6 +300,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   doc_stats — token_count + md5 fingerprint; both kernels are load-
     #     bearing inside other checked queries (quality_top_decile,
     #     epoch_shuffle, packed_chunks)
+    #   packed_chunks — chunk-materialization half of the packing core;
+    #     pack_sequences (same assignment core) and rag_chunks (same
+    #     _chunk_starts core) stay checked
+    #   conv_stats — plain high-cardinality groupby; conv_documents (same
+    #     shape, strictly stronger md5-of-ordered-text oracle) stays checked
     demote = [
         n
         for n in (
@@ -311,6 +316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "tumbling_windows",
             "distinct_event_types",
             "doc_stats",
+            "packed_chunks",
+            "conv_stats",
         )
         if n in out
     ]

@@ -786,6 +786,76 @@ def q_orders_per_nation(sf_dir: str):
     return grouped_counts(with_nation, ["n_name"], "n", sort_result=True)
 
 
+#: PageRank driver-query constants (the oracle unrolls exactly this many
+#: iterations — keep the two in sync)
+PAGERANK_ITERS = 3
+
+
+def q_pagerank_nodes(sf_dir: str):
+    """Iterative operator: integer-exact PageRank over the symmetrized
+    customer–supplier co-order graph (an edge per distinct (customer,
+    supplier) pair that shares an order — orders ⨝ lineitem). Node ids:
+    customer c ↦ 2c, supplier s ↦ 2s+1. Every round is a partitioned
+    hash-join + grouped sum; see ``stages.graph.pagerank``."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.graph import pagerank
+    from ..stages.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_suppkey"]
+    )
+    joined = hash_join(orders, lineitem, "o_orderkey", "l_orderkey", num_buckets=16)
+
+    def to_pair(batch: pa.Table) -> pa.Table:
+        cust = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        supp = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"a": 2 * cust, "b": 2 * supp + 1})
+        return t.group_by(["a", "b"]).aggregate([])  # per-batch distinct
+
+    pairs = (
+        joined.map_batches(to_pair, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+    )
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch["a"]
+        b = batch["b"]
+        if isinstance(a, pa.ChunkedArray):
+            a, b = a.combine_chunks(), b.combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays([b, a]),
+            }
+        )
+
+    edges = pairs.map_batches(symmetrize, batch_format="pyarrow")
+    return pagerank(edges, iterations=PAGERANK_ITERS, num_buckets=16)
+
+
+def q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k: the 5 longest documents per language (n_chars desc,
+    doc_id asc tiebreak) via two-stage partial top-k — no global sort of
+    the corpus (``stages.aggregate.grouped_topk``)."""
+    from ..stages.aggregate import grouped_topk
+
+    return grouped_topk(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        key_col="lang",
+        order_col="n_chars",
+        id_col="doc_id",
+        k=5,
+    )
+
+
 def q_top_users(sf_dir: str):
     """sort + top-k: 20 most active users (count desc, user_id asc)."""
     from ..stages.aggregate import grouped_counts
@@ -1013,6 +1083,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "ann_ivf": q_ann_ivf,
     "customers_per_region": q_customers_per_region,
     "orders_per_nation": q_orders_per_nation,
+    "pagerank_nodes": q_pagerank_nodes,
+    "top_docs_per_lang": q_top_docs_per_lang,
     "top_users": q_top_users,
     "distinct_event_types": q_distinct_event_types,
     "sample_events": q_sample_events,
@@ -1525,6 +1597,14 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation nt ON c.c_nationkey = nt.n_nationkey
 GROUP BY 1 ORDER BY 1
 """,
+    "top_docs_per_lang": """
+SELECT lang, n_chars, doc_id FROM (
+  SELECT lang, n_chars, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5 ORDER BY lang, n_chars DESC, doc_id
+""",
     "top_users": """
 SELECT user_id, CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY user_id
@@ -1602,3 +1682,43 @@ FROM events GROUP BY 1 ORDER BY 1
     # dedup_minhash / dedup_simhash / ann_lsh / doc_analysis: seeded-hash
     # algorithms & heuristics SQL cannot reproduce → rows-only driver check.
 }
+
+
+def _pagerank_oracle_sql(iters: int) -> str:
+    """Unrolled-CTE oracle for ``q_pagerank_nodes``: one CTE per power
+    iteration, every arithmetic step (``//`` truncating division, 85/100
+    damping, 1e12 integer mass) mirroring ``stages.graph.pagerank``
+    EXACTLY so the comparison is a hash match, not a tolerance check."""
+    head = """
+WITH eraw AS (
+  SELECT DISTINCT 2 * o.o_custkey AS a, 2 * l.l_suppkey + 1 AS b
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), edges AS (
+  SELECT a AS src, b AS dst FROM eraw
+  UNION ALL
+  SELECT b AS src, a AS dst FROM eraw
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+), params AS (
+  SELECT CAST(1000000000000 // count(*) AS BIGINT) AS base,
+         CAST((15 * (1000000000000 // count(*))) // 100 AS BIGINT) AS tele
+  FROM deg
+), r0 AS (
+  SELECT node, deg, (SELECT base FROM params) AS pr FROM deg
+)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(
+            f""", r{i} AS (
+  SELECT e.dst AS node, d2.deg AS deg,
+         CAST((SELECT tele FROM params)
+              + (85 * sum(r.pr // r.deg)) // 100 AS BIGINT) AS pr
+  FROM edges e JOIN r{i - 1} r ON e.src = r.node
+  JOIN deg d2 ON d2.node = e.dst
+  GROUP BY 1, 2
+)"""
+        )
+    return head + "".join(rounds) + f"\nSELECT node, pr FROM r{iters} ORDER BY node"
+
+
+DATA_ORACLES["pagerank_nodes"] = _pagerank_oracle_sql(PAGERANK_ITERS)

@@ -212,6 +212,56 @@ def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int, num_buckets
     )
 
 
+def grouped_topk(
+    ds,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    k: int,
+    descending: bool = True,
+    num_buckets: int = 64,
+):
+    """Exact top-``k`` rows per key by ``order_col`` (ties broken by
+    ``id_col`` ascending — fully deterministic, SQL ``row_number()``
+    reproducible).
+
+    Scale shape — same two-stage partial top-k as
+    :func:`stratified_sample`: every batch keeps only its own top-``k`` per
+    key (batches × keys_in_batch × k rows survive the map side), the
+    survivors co-locate by stable key-hash bucket, and each bucket takes a
+    vectorized ``groupby.head`` final top-k. No global sort operator ever
+    sees more than buckets × keys × k rows; the full dataset never
+    shuffles."""
+    import pandas as pd
+
+    ascending = [True, not descending, True]
+    by = [key_col, order_col, id_col]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(by).to_pandas()
+        top = (
+            df.sort_values(by, ascending=ascending)
+            .groupby(key_col, sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def final_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        return (
+            block.sort_values(by, ascending=ascending)
+            .groupby(key_col, sort=False)
+            .head(k)[by]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    bucketed = bucket_by_key(partials, key_col, num_buckets)
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(final_bucket, batch_format="pandas")
+        .sort(by, descending=[False, descending, False])
+    )
+
+
 def heavy_hitters(
     ds,
     col: str,

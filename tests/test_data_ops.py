@@ -43,7 +43,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "top_terms", "collocations", "repetition_filter", "simhash_pairs",
      "shared_paragraphs", "quality_top_decile", "bloom_dedup",
      "dedup_filtered_embeddings", "rag_chunks", "freq_spectrum",
-     "dup_ngram_spans"],
+     "dup_ngram_spans", "top_docs_per_lang"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()
@@ -564,14 +564,16 @@ def test_value_quantiles_close_to_exact(ray_session, oracle_con):
 @pytest.fixture(scope="module")
 def tpch_con():
     con = duckdb.connect()
-    for t in ("customer", "nation", "region", "orders"):
+    for t in ("customer", "nation", "region", "orders", "lineitem"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
     return con
 
 
-@pytest.mark.parametrize("name", ["customers_per_region", "orders_per_nation"])
+@pytest.mark.parametrize(
+    "name", ["customers_per_region", "orders_per_nation", "pagerank_nodes"]
+)
 def test_join_queries_match_oracle(ray_session, tpch_con, name):
     df = DATA_QUERIES[name](SF).to_pandas().reset_index(drop=True)
     odf = tpch_con.sql(DATA_ORACLES[name]).df().reset_index(drop=True)

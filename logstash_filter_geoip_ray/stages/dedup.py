@@ -323,6 +323,7 @@ def bloom_incremental_dedup(
     id_col: str = "doc_id",
     m_bits: int = 1 << 23,
     k: int = 7,
+    verify: str = "broadcast",
 ):
     """Keeper ids of the NEW corpus after removing docs whose text already
     exists in the PRIOR corpus — the incremental-crawl dedup step. Bloom
@@ -348,12 +349,22 @@ def bloom_incremental_dedup(
        broadcasts for the final keep filter.
 
     The candidate/confirmed sets are 8 bytes per distinct duplicate text —
-    ~100× smaller than the texts a naive verify would pull; a crawl whose
-    OVERLAP alone outgrows driver memory (≳10⁹ distinct dup texts) should
-    swap the two broadcasts for a bucketed ``hash_join`` on the hash
-    column. At 10^10+ prior keys the single broadcast bitmap also outgrows
-    an object — shard the filter by hash prefix (see ``BloomFilter``
+    ~100× smaller than the texts a naive verify would pull. For a crawl
+    whose OVERLAP alone outgrows driver memory (≳10⁹ distinct dup texts)
+    pass ``verify="join"``: the verify becomes a bucket-co-partitioned
+    hash anti-join on the hash column — Bloom-positive new-corpus
+    ``(id, hash)`` pairs and the prior corpus's per-batch-distinct hashes
+    co-locate by stable hash bucket and each bucket drops confirmed dups
+    vectorized; nothing ever sits on the driver. Shuffle volume = 8-byte
+    hashes of the candidates plus the prior corpus's distinct hashes (the
+    canonical exact-dedup exchange); the Bloom prefilter still spares the
+    overwhelming fresh majority from the shuffle entirely. Both paths
+    return identical keeper sets (equivalence is pinned by a test). At
+    10^10+ prior keys the single broadcast bitmap also outgrows an
+    object — shard the filter by hash prefix (see ``BloomFilter``
     docstring)."""
+    if verify not in ("broadcast", "join"):
+        raise ValueError("bloom_incremental_dedup: verify must be 'broadcast' or 'join'")
     import ray
     import ray.data
 
@@ -401,6 +412,89 @@ def bloom_incremental_dedup(
         if not len(batch_text):
             return np.array([], dtype=np.int64)
         return hash_strings64(batch_text).view(np.int64)
+
+    if verify == "join":
+        from .aggregate import stable_key_hash
+
+        num_buckets = 64
+
+        def probe_rows(batch: pa.Table) -> pa.Table:
+            """(doc_id, _h, _cand): _cand rows enter the anti-join; the
+            rest (Bloom miss or null text) are kept immediately."""
+            bf = ray.get(bloom_ref)
+            ids = pc.cast(batch[id_col], pa.int64())
+            t = batch[text_col]
+            if isinstance(t, pa.ChunkedArray):
+                t = t.combine_chunks()
+            if pa.types.is_null(t.type):
+                t = t.cast(pa.string())
+            null_mask = pc.is_null(t).to_numpy(zero_copy_only=False)
+            h = np.zeros(len(t), dtype=np.int64)
+            cand = np.zeros(len(t), dtype=bool)
+            if (~null_mask).any():
+                h[~null_mask] = hash_strings64(t.fill_null("")).view(np.int64)[
+                    ~null_mask
+                ]
+                cand[~null_mask] = bf.contains(h[~null_mask].view(np.uint64))
+            return pa.table(
+                {id_col: ids, "_h": pa.array(h), "_cand": pa.array(cand)}
+            )
+
+        rows = new_ds.map_batches(probe_rows, batch_format="pyarrow")
+        keep_direct = rows.map_batches(
+            lambda b: b.filter(pc.invert(b["_cand"])).select([id_col]),
+            batch_format="pyarrow",
+        )
+
+        def cand_side(batch: pa.Table) -> pa.Table:
+            f = batch.filter(batch["_cand"])
+            ids = f[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            h = f["_h"]
+            if isinstance(h, pa.ChunkedArray):
+                h = h.combine_chunks()
+            return pa.table(
+                {
+                    id_col: ids,
+                    "_h": h,
+                    "_side": pa.array(["n"] * f.num_rows, type=pa.string()),
+                    "_bucket": stable_key_hash(h, num_buckets),
+                }
+            )
+
+        def old_side(batch: pa.Table) -> pa.Table:
+            h = pc.unique(pa.array(_hashes_of(batch[text_col])))
+            return pa.table(
+                {
+                    id_col: pa.nulls(len(h), type=pa.int64()),
+                    "_h": h,
+                    "_side": pa.array(["o"] * len(h), type=pa.string()),
+                    "_bucket": stable_key_hash(h, num_buckets),
+                }
+            )
+
+        tagged = rows.map_batches(cand_side, batch_format="pyarrow").union(
+            old_ds.map_batches(old_side, batch_format="pyarrow")
+        )
+
+        def anti(block: pd.DataFrame) -> pd.DataFrame:
+            """Per-bucket vectorized anti-join: drop new rows whose hash
+            exists in the prior corpus (this kills Bloom FPs too — an FP's
+            hash has no old-side row in its bucket)."""
+            old_h = block.loc[block["_side"] == "o", "_h"].to_numpy()
+            new = block[block["_side"] == "n"]
+            keep = new[~np.isin(new["_h"].to_numpy(), old_h)]
+            return keep[[id_col]].astype({id_col: "int64"})
+
+        survivors = (
+            tagged.groupby("_bucket")
+            .map_groups(anti, batch_format="pandas")
+            # normalize back to Arrow blocks: unioning pandas blocks with
+            # keep_direct's Arrow blocks breaks the downstream sort
+            .map_batches(lambda b: b, batch_format="pyarrow")
+        )
+        return keep_direct.union(survivors).sort(id_col)
 
     def probe_hits(batch: pa.Table) -> pa.Table:
         """Bloom-positive HASHES only (8 bytes/candidate, deduped)."""

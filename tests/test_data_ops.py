@@ -1099,10 +1099,13 @@ def test_simhash_hamming_pairs_exact_vs_bruteforce(ray_session):
     assert (0, 4, 0) in got_pairs  # exact dup
 
 
-def test_bloom_incremental_dedup_exact_under_fps(ray_session):
+@pytest.mark.parametrize("verify", ["broadcast", "join"])
+def test_bloom_incremental_dedup_exact_under_fps(ray_session, verify):
     """A deliberately tiny Bloom filter (heavy false positives) must still
     produce the exact anti-join answer — the filter only prefilters; the
-    text verify decides. Null-text docs are always kept."""
+    text verify decides. Null-text docs are always kept. Both verify
+    paths (driver-broadcast sets and the bucketed hash anti-join scale
+    fallback) must return the identical keeper set."""
     import ray.data
 
     from logstash_filter_geoip_ray.stages.dedup import bloom_incremental_dedup
@@ -1122,7 +1125,7 @@ def test_bloom_incremental_dedup_exact_under_fps(ray_session):
                   "text": pa.array(new_texts, type=pa.string())})
     )
     # 256 bits for 200 keys -> filter saturates, FP rate near 1.0
-    out = bloom_incremental_dedup(new, old, m_bits=256, k=2).to_pandas()
+    out = bloom_incremental_dedup(new, old, m_bits=256, k=2, verify=verify).to_pandas()
     expect = [1000 + i for i in range(50, len(new_texts))]
     assert list(out["doc_id"]) == expect
 

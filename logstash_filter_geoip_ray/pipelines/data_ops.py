@@ -856,6 +856,19 @@ def q_top_docs_per_lang(sf_dir: str):
     )
 
 
+def q_embedding_clusters(sf_dir: str):
+    """Distributed integer-milli KMeans over the embeddings table (full
+    corpus, streaming re-read per Lloyd round, centroids broadcast) →
+    (vec_id, cluster) assignments. Bit-deterministic across batchings but
+    iterative float→int quantized clustering has no SQL oracle → rows-only
+    driver check; exact numpy equivalence pinned in tests."""
+    from ..stages.clustering import kmeans_assign, kmeans_fit
+
+    ds = _emb(sf_dir, ["vec_id", "embedding"])
+    centroids = kmeans_fit(ds, k=8, iters=4)
+    return kmeans_assign(ds, centroids)
+
+
 def q_top_users(sf_dir: str):
     """sort + top-k: 20 most active users (count desc, user_id asc)."""
     from ..stages.aggregate import grouped_counts
@@ -1085,6 +1098,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "orders_per_nation": q_orders_per_nation,
     "pagerank_nodes": q_pagerank_nodes,
     "top_docs_per_lang": q_top_docs_per_lang,
+    "embedding_clusters": q_embedding_clusters,
     "top_users": q_top_users,
     "distinct_event_types": q_distinct_event_types,
     "sample_events": q_sample_events,

@@ -1,0 +1,180 @@
+"""Distributed KMeans over an embedding column — the curation clustering
+step of a training-data pipeline (cluster-balanced sampling, SemDeDup-style
+per-cluster dedup, topic bucketing).
+
+Unlike ``similarity._kmeans`` (driver-side numpy on a bounded SAMPLE, used
+to train the IVF codebook), this is full-corpus Lloyd iteration in the
+classic distributed form: centroids broadcast once per round (``ray.put``),
+each batch computes assignments and emits k partial (sum-vector, count)
+rows, the driver folds the tiny k×batches partial table into new
+centroids. The corpus itself never shuffles and is re-read streaming each
+round — at 100 TB the re-read is the scale-correct trade against
+materializing the dataset in the object store.
+
+Determinism contract (same idea as ``stages.graph.pagerank``): vectors are
+quantized to integer milli-units and all arithmetic — squared-distance
+argmin, partial sums, the ``sum // count`` centroid update — is int64, so
+the result is bit-identical for ANY batching/block structure (float
+accumulation would drift with summation order). Ties in the argmin go to
+the lowest cluster index.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: quantization: embedding value x ↦ floor(x * 1000) as int64
+KMEANS_MILLI = 1000
+
+
+def _milli_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    vecs = batch[vec_col]
+    if isinstance(vecs, pa.ChunkedArray):
+        vecs = vecs.combine_chunks()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs.to_pylist()])
+    return np.floor(mat * KMEANS_MILLI).astype(np.int64)
+
+
+def _assign(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Vectorized int64 squared-Euclidean argmin (ties → lowest index).
+    ||v - c||² ordering == (c·c - 2 v·c) ordering; dropping the v·v term
+    keeps every intermediate exactly representable in int64."""
+    cc = np.sum(centroids * centroids, axis=1)  # (k,)
+    scores = cc[None, :] - 2 * (mat @ centroids.T)  # (n, k) int64 exact
+    return np.argmin(scores, axis=1)
+
+
+def kmeans_fit(
+    ds,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Fit ``k`` integer-milli centroids with ``iters`` Lloyd rounds.
+
+    Init: deterministic farthest-point traversal (no RNG) — seed 1 is the
+    vector of the smallest id; each next seed is the point maximizing the
+    squared distance to its nearest chosen seed (ties → lowest id). Each
+    init round is one streaming pass emitting a single per-batch argmax
+    row, so only batches×1 rows reach the driver; k-1 rounds total.
+    Unlike smallest-k-ids init this cannot drop two seeds into one dense
+    blob. Empty clusters keep their previous centroid. Returns the
+    ``(k, dim)`` int64 centroid matrix."""
+    import ray
+
+    def bottom1(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_col], pa.int64())
+        t = pa.table({id_col: ids, vec_col: batch[vec_col]})
+        order = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        return t.take(order[:1])
+
+    first = (
+        ds.map_batches(bottom1, batch_format="pyarrow")
+        .sort(id_col)
+        .limit(1)
+        .to_pandas()
+    )
+    seeds = [
+        np.floor(
+            np.asarray(first[vec_col].iloc[0], dtype=np.float64) * KMEANS_MILLI
+        ).astype(np.int64)
+    ]
+
+    for _ in range(k - 1):
+        seed_ref = ray.put(np.stack(seeds))
+
+        def far_partial(batch: pa.Table) -> pa.Table:
+            cents = ray.get(seed_ref)
+            mat = _milli_matrix(batch, vec_col)
+            ids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            # full ||v-c||²: comparing across v, the v·v term matters here
+            vv = np.sum(mat * mat, axis=1)
+            cc = np.sum(cents * cents, axis=1)
+            d2 = np.min(
+                vv[:, None] - 2 * (mat @ cents.T) + cc[None, :], axis=1
+            )
+            best = int(np.lexsort((ids, -d2))[0])  # max d2, tie → min id
+            return pa.table(
+                {
+                    "d2": pa.array([int(d2[best])], type=pa.int64()),
+                    id_col: pa.array([int(ids[best])], type=pa.int64()),
+                    vec_col: pa.array(
+                        [mat[best].tolist()], type=pa.list_(pa.int64())
+                    ),
+                }
+            )
+
+        cand = ds.map_batches(far_partial, batch_format="pyarrow").to_pandas()
+        cand = cand.sort_values(["d2", id_col], ascending=[False, True])
+        seeds.append(np.asarray(cand[vec_col].iloc[0], dtype=np.int64))
+
+    centroids = np.stack(seeds)
+    dim = centroids.shape[1]
+
+    for _ in range(iters):
+        cent_ref = ray.put(centroids)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cent_ref)
+            mat = _milli_matrix(batch, vec_col)
+            assign = _assign(mat, cents)
+            rows_c, rows_s, rows_n = [], [], []
+            for c in np.unique(assign):
+                members = mat[assign == c]
+                rows_c.append(int(c))
+                rows_s.append(members.sum(axis=0, dtype=np.int64))
+                rows_n.append(len(members))
+            return pa.table(
+                {
+                    "c": pa.array(rows_c, type=pa.int64()),
+                    "s": pa.array(
+                        [r.tolist() for r in rows_s], type=pa.list_(pa.int64())
+                    ),
+                    "n": pa.array(rows_n, type=pa.int64()),
+                }
+            )
+
+        part = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        sums = np.zeros((k, dim), dtype=np.int64)
+        counts = np.zeros(k, dtype=np.int64)
+        for _, row in part.iterrows():
+            sums[int(row["c"])] += np.asarray(row["s"], dtype=np.int64)
+            counts[int(row["c"])] += int(row["n"])
+        new = centroids.copy()
+        nonempty = counts > 0
+        # int64 floor division — bit-stable regardless of partial grouping
+        new[nonempty] = sums[nonempty] // counts[nonempty, None]
+        centroids = new
+
+    return centroids
+
+
+def kmeans_assign(
+    ds,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Final assignment pass: rows ``(id, cluster)`` sorted by id."""
+    import ray
+
+    cent_ref = ray.put(centroids)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        mat = _milli_matrix(batch, vec_col)
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "cluster": pa.array(_assign(mat, cents)),
+            }
+        )
+
+    return ds.map_batches(assign_batch, batch_format="pyarrow").sort(id_col)

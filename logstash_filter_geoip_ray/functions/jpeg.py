@@ -427,12 +427,17 @@ def _decode_block(
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → H×W (grayscale) or H×W×3 (RGB) uint8.
+    """Baseline (SOF0/1) or progressive (SOF2) JFIF bytes → H×W
+    (grayscale) or H×W×3 (RGB) uint8. Progressive decode implements the
+    full T.81 Annex G successive-approximation algorithm: DC first/refine,
+    AC first/refine with EOB runs and correction bits, spectral selection,
+    interleaved and single-component scans, tables redefinable between
+    scans.
 
     Raises ``ValueError`` on non-JPEG input, truncation, and unsupported
-    variants (progressive/arithmetic/12-bit, >2× subsampling, restart
-    markers, non-interleaved multi-scan). The contract is total: adversarial
-    bytes can only produce ``ValueError``, never a stray
+    variants (arithmetic/lossless/12-bit, >2× subsampling, restart
+    markers, baseline non-interleaved multi-scan). The contract is total:
+    adversarial bytes can only produce ``ValueError``, never a stray
     IndexError/KeyError/struct.error — the per-row degrade path in
     ``DecodeImageStage`` catches exactly ``ValueError``."""
     try:
@@ -452,11 +457,16 @@ def _decode_jpeg_checked(payload: bytes) -> np.ndarray:
     huff_ac: Dict[int, Dict[Tuple[int, int], int]] = {}
     frame = None
     comps: List[Tuple[int, int, int, int]] = []  # (id, h_samp, v_samp, qid)
+    progressive = False
+    coefs: List[np.ndarray] = []  # per comp: (bh_pad, bw_pad, 64) zigzag
+    scans_seen = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
         marker = struct.unpack(">H", payload[pos : pos + 2])[0]
         if marker == 0xFFD9:
+            if progressive and scans_seen:
+                return _reconstruct_progressive(frame, comps, quant, coefs)
             break
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + ln]
@@ -482,7 +492,10 @@ def _decode_jpeg_checked(payload: bytes) -> np.ndarray:
                 tab = _build_decode_table(bits, vals)
                 (huff_dc if cls == 0 else huff_ac)[tid] = tab
                 o += 17 + nv
-        elif marker == 0xFFC0 or marker == 0xFFC1:
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):
+            if frame is not None:
+                raise ValueError("multiple SOF segments")
+            progressive = marker == 0xFFC2
             if len(body) < 6 or len(body) < 6 + 3 * body[5]:
                 raise ValueError("malformed SOF segment")
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
@@ -498,7 +511,7 @@ def _decode_jpeg_checked(payload: bytes) -> np.ndarray:
                     raise ValueError("zero sampling factor in SOF")
                 comps.append((cid, hs, vs, qid))
             frame = (fh, fw, nc)
-        elif marker in (0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("non-baseline JPEG process not supported")
         elif marker == 0xFFDD:
@@ -506,6 +519,18 @@ def _decode_jpeg_checked(payload: bytes) -> np.ndarray:
         elif marker == 0xFFDA:
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if progressive:
+                if not coefs:
+                    coefs = _alloc_coefs(frame, comps)
+                entropy_start = pos + 2 + ln
+                end = _entropy_end(payload, entropy_start)
+                _decode_prog_scan(
+                    payload[entropy_start:end], body, frame, comps, coefs,
+                    huff_dc, huff_ac,
+                )
+                scans_seen += 1
+                pos = end
+                continue
             ns = body[0]
             if ns != frame[2]:
                 # a spec-legal non-interleaved file carries one scan per
@@ -525,6 +550,11 @@ def _decode_jpeg_checked(payload: bytes) -> np.ndarray:
             return _decode_scan(payload, pos, frame, comps, scan_sel,
                                 quant, huff_dc, huff_ac)
         pos += 2 + ln
+    if progressive and scans_seen:
+        # EOI as the final two bytes falls out of the 4-byte loop window
+        if payload[pos : pos + 2] != b"\xff\xd9":
+            raise ValueError("truncated progressive JPEG: missing EOI")
+        return _reconstruct_progressive(frame, comps, quant, coefs)
     raise ValueError("no SOS marker found")
 
 
@@ -577,3 +607,517 @@ def _decode_scan(payload, pos, frame, comps, scan_sel, quant, huff_dc, huff_ac):
         raise ValueError("unsupported component count %d" % nc)
     ycc = np.stack(full, axis=-1)
     return np.round(_ycbcr_to_rgb(ycc)).astype(np.uint8)
+
+
+# -- progressive (SOF2) decode ----------------------------------------------
+#
+# T.81 Annex G: DCT coefficients arrive over multiple scans — spectral
+# selection (band Ss..Se per scan) and successive approximation (bit-plane
+# refinement, Ah/Al). Coefficients accumulate in per-component zigzag
+# buffers; dequantization + IDCT happen once, after the last scan.
+
+
+def _entropy_end(payload: bytes, pos: int) -> int:
+    """Index of the marker terminating the entropy segment at ``pos``
+    (0xFF followed by a non-stuffing byte). Restart markers rejected —
+    DRI already raises before any scan."""
+    i = pos
+    n = len(payload)
+    while i + 1 < n:
+        if payload[i] == 0xFF and payload[i + 1] != 0x00:
+            if 0xD0 <= payload[i + 1] <= 0xD7:
+                raise ValueError("restart markers not supported")
+            return i
+        i += 1
+    return n
+
+
+def _comp_block_dims(frame, comps, idx) -> Tuple[int, int]:
+    """REAL (non-MCU-padded) block grid of one component — the grid a
+    non-interleaved scan transmits (T.81 A.1.1: ceil of the scaled frame
+    dims, then ceil/8)."""
+    fh, fw, _ = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _, hs, vs, _ = comps[idx]
+    cw = -(-fw * hs // hmax)
+    ch = -(-fh * vs // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _mcu_dims(frame, comps) -> Tuple[int, int]:
+    fh, fw, _ = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    return -(-fh // (8 * vmax)), -(-fw // (8 * hmax))
+
+
+def _alloc_coefs(frame, comps) -> List[np.ndarray]:
+    mcus_y, mcus_x = _mcu_dims(frame, comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("subsampling beyond 2x not supported")
+    return [
+        np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64)
+        for (_, hs, vs, _) in comps
+    ]
+
+
+def _decode_prog_scan(entropy, body, frame, comps, coefs, huff_dc, huff_ac):
+    ns = body[0] if body else 0
+    if ns < 1 or len(body) != 1 + 2 * ns + 3:
+        raise ValueError("malformed progressive SOS header")
+    scan_sel = []  # (comp index, dc table id, ac table id)
+    for si in range(ns):
+        cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
+        matches = [i for i, c in enumerate(comps) if c[0] == cid]
+        if not matches:
+            raise ValueError("SOS references unknown component id")
+        scan_sel.append((matches[0], tabs >> 4, tabs & 0x0F))
+    ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if ss > 63 or se > 63 or ss > se or al > 13 or ah > 13:
+        raise ValueError("invalid progressive scan parameters")
+    if ah != 0 and ah != al + 1:
+        raise ValueError("successive approximation must refine one bit")
+    reader = _BitReader(entropy)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se = 0")
+        _decode_dc_scan(reader, scan_sel, ah, al, frame, comps, coefs, huff_dc)
+    else:
+        if ns != 1:
+            raise ValueError("AC scans must be single-component")
+        idx, _, act = scan_sel[0]
+        if act not in huff_ac:
+            raise ValueError("SOS references undefined Huffman table")
+        _decode_ac_scan(
+            reader, idx, huff_ac[act], ss, se, ah, al, frame, comps, coefs
+        )
+
+
+def _decode_dc_scan(reader, scan_sel, ah, al, frame, comps, coefs, huff_dc):
+    refine = ah != 0
+    if not refine:
+        for _, dct, _ in scan_sel:
+            if dct not in huff_dc:
+                raise ValueError("SOS references undefined Huffman table")
+
+    def one_block(blk, pred, dct):
+        if refine:
+            if reader.read_bits(1):
+                blk[0] |= 1 << al
+            return pred
+        size = reader.read_symbol(huff_dc[dct])
+        pred += _extend(reader.read_bits(size), size)
+        blk[0] = pred << al
+        return pred
+
+    if len(scan_sel) > 1:
+        # interleaved MCU order over the padded grid
+        mcus_y, mcus_x = _mcu_dims(frame, comps)
+        preds = [0] * len(scan_sel)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for si, (idx, dct, _) in enumerate(scan_sel):
+                    _, hs, vs, _ = comps[idx]
+                    for v in range(vs):
+                        for hh in range(hs):
+                            blk = coefs[idx][my * vs + v, mx * hs + hh]
+                            preds[si] = one_block(blk, preds[si], dct)
+    else:
+        # single component: raster order over its REAL block grid
+        idx, dct, _ = scan_sel[0]
+        bh, bw = _comp_block_dims(frame, comps, idx)
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                pred = one_block(coefs[idx][by, bx], pred, dct)
+
+
+def _decode_ac_scan(reader, idx, ac_table, ss, se, ah, al, frame, comps, coefs):
+    bh, bw = _comp_block_dims(frame, comps, idx)
+    arr = coefs[idx]
+    eobrun = 0
+    if ah == 0:
+        # first pass for this band (G.1.2.2): values land at << al
+        for by in range(bh):
+            for bx in range(bw):
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                blk = arr[by, bx]
+                k = ss
+                while k <= se:
+                    rs = reader.read_symbol(ac_table)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run overflows band")
+                    blk[k] = _extend(reader.read_bits(s), s) << al
+                    k += 1
+        return
+    # refinement pass (G.1.2.3): one correction bit per already-nonzero
+    # coefficient; new coefficients appear as ±1 << al
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def correct(blk, k):
+        if reader.read_bits(1):
+            c = int(blk[k])
+            if (c & p1) == 0:
+                blk[k] = c + (p1 if c >= 0 else m1)
+
+    for by in range(bh):
+        for bx in range(bw):
+            blk = arr[by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.read_symbol(ac_table)
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        # ZRL: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid refinement magnitude category"
+                            )
+                        newval = p1 if reader.read_bits(1) else m1
+                    while k <= se:
+                        if blk[k] != 0:
+                            correct(blk, k)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if k > se:
+                        if newval:
+                            raise ValueError("AC refinement run overflows band")
+                        break
+                    if newval:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                # EOB region: correction bits only, for the remaining
+                # nonzero-history coefficients of this block's band
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(blk, k)
+                    k += 1
+                eobrun -= 1
+
+
+def _reconstruct_progressive(frame, comps, quant, coefs):
+    fh, fw, nc = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    full = []
+    for ci, (cid, hs, vs, qid) in enumerate(comps):
+        if qid not in quant:
+            raise ValueError("component references undefined quant table")
+        arr = coefs[ci]
+        bh, bw = arr.shape[:2]
+        natural = arr[..., UNZIGZAG].reshape(bh, bw, 8, 8) * quant[qid]
+        blocks = np.einsum("ij,xyjk,kl->xyil", _T.T, natural, _T) + 128.0
+        p = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        if hs < hmax or vs < vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:fh, :fw])
+    if nc == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    if nc != 3:
+        raise ValueError("unsupported component count %d" % nc)
+    ycc = np.stack(full, axis=-1)
+    return np.round(_ycbcr_to_rgb(ycc)).astype(np.uint8)
+
+
+# -- progressive (SOF2) encode ----------------------------------------------
+#
+# Fixture-grade progressive encoder: spectral selection (bands 1-5 / 6-63)
+# × successive approximation (Al=1 first passes, then the Al=0 refinement
+# passes, then DC refinement) — exercising every scan type the decoder
+# implements, including accumulated EOB runs with buffered correction
+# bits. The on-wire invariant (tested): the quantized coefficients are
+# IDENTICAL to ``encode_jpeg``'s for the same image/quality, so decoding
+# the progressive bytes must reproduce the baseline decode bit-for-bit.
+
+#: AC Huffman table covering all 256 run/size symbols (progressive scans
+#: emit EOBn symbols 0x10..0xE0 that the Annex-K baseline tables lack):
+#: 255 canonical codes at length 9 plus one at length 10.
+_AC_FLAT_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_AC_FLAT_VALS = list(range(256))
+
+
+def _block_zigzag(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """Padded plane → (bh, bw, 64) quantized zigzag coefficients (the same
+    per-block math as ``_encode_plane``, vectorized)."""
+    h, w = plane.shape
+    bh, bw = h // 8, w // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+    coeffs = np.einsum("ij,xyjk,kl->xyil", _T, blocks, _T.T)
+    q = np.round(coeffs / quant).astype(np.int64)
+    return q.reshape(bh, bw, 64)[..., ZIGZAG]
+
+
+class _EobState:
+    """Per-AC-scan EOB-run accumulator with the buffered correction bits
+    (libjpeg's BE buffer) that refinement EOB regions carry."""
+
+    def __init__(self, writer: _BitWriter, ac_codes):
+        self.writer = writer
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: List[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.ac[r << 4]
+            self.writer.write(code, length)
+            if r:
+                self.writer.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.writer.write(b, 1)
+        self.pending = []
+
+    def bump(self) -> None:
+        self.eobrun += 1
+        if self.eobrun == 0x7FFF:
+            self.flush()
+
+
+def _enc_ac_first_block(zz, ss, se, al, st: _EobState) -> None:
+    w, ac = st.writer, st.ac
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        av = abs(v) >> al
+        if av == 0:
+            r += 1
+            continue
+        st.flush()
+        while r > 15:
+            code, length = ac[0xF0]
+            w.write(code, length)
+            r -= 16
+        size, bits = _magnitude(av if v > 0 else -av)
+        code, length = ac[(r << 4) | size]
+        w.write(code, length)
+        w.write(bits, size)
+        r = 0
+    if r:
+        st.bump()
+
+
+def _enc_ac_refine_block(zz, ss, se, al, st: _EobState) -> None:
+    w, ac = st.writer, st.ac
+    seq = []  # ('z'|'n'|'h', bit) per band position
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = abs(v) >> al
+        if a == 0:
+            seq.append(("z", 0))
+        elif a == 1:
+            seq.append(("n", 1 if v > 0 else 0))
+        else:
+            seq.append(("h", a & 1))
+    newly = [i for i, (t, _) in enumerate(seq) if t == "n"]
+    if not newly:
+        # whole band is EOB region: buffer its correction bits
+        st.pending.extend(b for t, b in seq if t == "h")
+        st.bump()
+        return
+    st.flush()  # this block emits symbols → any pending EOB run ends here
+    last_n = newly[-1]
+    r = 0
+    loc: List[int] = []  # correction bits crossed since the last symbol
+    for i in range(last_n + 1):
+        t, b = seq[i]
+        if t == "h":
+            loc.append(b)
+            continue
+        if t == "z":
+            r += 1
+            if r == 16:
+                # safe to emit eagerly: a newly-nonzero coef follows by
+                # construction (i <= last_n), so this is never a trailing run
+                code, length = ac[0xF0]
+                w.write(code, length)
+                for cb in loc:
+                    w.write(cb, 1)
+                loc = []
+                r = 0
+            continue
+        code, length = ac[(r << 4) | 1]
+        w.write(code, length)
+        w.write(b, 1)  # sign of the ±1
+        for cb in loc:
+            w.write(cb, 1)
+        loc = []
+        r = 0
+    if last_n < se - ss:
+        # positions remain after the last newly-nonzero → this block's tail
+        # is an EOB region; its correction bits ride the next EOB flush
+        st.pending.extend(b for t, b in seq[last_n + 1 :] if t == "h")
+        st.bump()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """H×W (grayscale) or H×W×3 (RGB) uint8 → progressive (SOF2) JFIF
+    bytes. Same quantization as ``encode_jpeg`` → decodes bit-identically
+    to the baseline encoding of the same image."""
+    assert pixels.dtype == np.uint8
+    gray = pixels.ndim == 2
+    h, w = pixels.shape[:2]
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    ql = np.clip((QUANT_LUMA * scale + 50) // 100, 1, 255)
+    qc = np.clip((QUANT_CHROMA * scale + 50) // 100, 1, 255)
+
+    mcu = 16 if (subsample and not gray) else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+
+    def pad(plane: np.ndarray) -> np.ndarray:
+        return np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+
+    if gray:
+        planes = [pad(pixels.astype(np.float64))]
+    else:
+        ycc = _rgb_to_ycbcr(pixels)
+        planes = [pad(ycc[..., i]) for i in range(3)]
+        if subsample:
+            for ci in (1, 2):
+                p = planes[ci]
+                planes[ci] = (
+                    p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+                ) / 4.0
+
+    ncomp = 1 if gray else 3
+    samp = [(2, 2), (1, 1), (1, 1)] if (subsample and not gray) else [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    coef = [
+        _block_zigzag(planes[ci], ql if ci == 0 else qc) for ci in range(ncomp)
+    ]
+    # REAL per-component block dims (what single-component scans transmit)
+    real = []
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        real.append((-(-ch // 8), -(-cw // 8)))
+
+    dc_codes = [
+        _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+        if ci == 0
+        else _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        for ci in range(ncomp)
+    ]
+    ac_flat = _build_codes(_AC_FLAT_BITS, _AC_FLAT_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(comps_sel, ss, se, ah, al, entropy: bytes) -> bytes:
+        body = bytes([len(comps_sel)])
+        for ci in comps_sel:
+            td = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (td << 4) | 0])  # AC always flat table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body) + entropy
+
+    AL = 1
+    scans = b""
+
+    # scan 1: DC first, all components interleaved, Al=AL
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    mcus_y, mcus_x = ph // (8 * vmax), pw // (8 * hmax)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                hs, vs = samp[ci]
+                for v in range(vs):
+                    for hh in range(hs):
+                        dc = int(coef[ci][my * vs + v, mx * hs + hh, 0]) >> AL
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        size, bits = _magnitude(diff)
+                        code, length = dc_codes[ci][size]
+                        wtr.write(code, length)
+                        wtr.write(bits, size)
+    scans += sos(list(range(ncomp)), 0, 0, 0, AL, wtr.flush())
+
+    bands = [(1, 5), (6, 63)]
+    # AC first passes at Al=AL, then refinement passes at Ah=AL → Al=0
+    for ah, al, enc in [(0, AL, _enc_ac_first_block), (AL, 0, _enc_ac_refine_block)]:
+        for ss, se in bands:
+            for ci in range(ncomp):
+                wtr = _BitWriter()
+                st = _EobState(wtr, ac_flat)
+                bh, bw = real[ci]
+                for by in range(bh):
+                    for bx in range(bw):
+                        enc(coef[ci][by, bx], ss, se, al, st)
+                st.flush()
+                scans += sos([ci], ss, se, ah, al, wtr.flush())
+
+    # final scan: DC refinement (one bit per block, interleaved)
+    wtr = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                hs, vs = samp[ci]
+                for v in range(vs):
+                    for hh in range(hs):
+                        wtr.write(int(coef[ci][my * vs + v, mx * hs + hh, 0]) & 1, 1)
+    scans += sos(list(range(ncomp)), 0, 0, AL, 0, wtr.flush())
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(
+            0xFFDB, bytes([tid]) + bytes(int(v) for v in table.reshape(-1)[ZIGZAG])
+        )
+
+    def dht(cls: int, tid: int, bits: List[int], vals: List[int]) -> bytes:
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof_comps = b""
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof_comps += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    return (
+        b"\xff\xd8"
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt(0, ql)
+        + (dqt(1, qc) if not gray else b"")
+        + seg(0xFFC2, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+        + dht(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+        + (dht(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS) if not gray else b"")
+        + dht(1, 0, _AC_FLAT_BITS, _AC_FLAT_VALS)
+        + scans
+        + b"\xff\xd9"
+    )

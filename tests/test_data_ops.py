@@ -1193,9 +1193,58 @@ def test_jpeg_real_codec_bounded_error():
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"P6 nope")
     with pytest.raises(ValueError, match="non-baseline"):
-        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+        decode_jpeg(b"\xff\xd8\xff\xc3\x00\x04\x00\x00")  # lossless SOF3
     with pytest.raises(ValueError):
         decode_jpeg(encode_jpeg(img)[:-40])  # truncated entropy data
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Progressive (SOF2) support is REAL: the progressive encoder
+    transmits the SAME quantized coefficients as the baseline encoder
+    (spectral-selection bands × successive-approximation bit planes, DC
+    and AC refinement scans, accumulated EOB runs with buffered
+    correction bits), so the decode must be BIT-IDENTICAL to decoding
+    the baseline bytes — not merely close."""
+    from logstash_filter_geoip_ray.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    sparse = np.full((64, 64), 128, dtype=np.uint8)
+    for _ in range(6):  # a few dots → long cross-block EOB runs
+        yy, xx = rng.integers(0, 64, 2)
+        sparse[yy, xx] = 255
+    cases = [
+        (rng.integers(0, 256, (24, 24), dtype=np.uint8), 85, False),
+        (sparse, 85, False),
+        (rng.integers(0, 256, (23, 19, 3), dtype=np.uint8), 85, False),
+        (rng.integers(0, 256, (40, 40, 3), dtype=np.uint8), 10, False),  # ZRL-heavy
+        (rng.integers(0, 256, (33, 35, 3), dtype=np.uint8), 95, True),  # 4:2:0
+        (np.zeros((24, 24), dtype=np.uint8), 85, False),  # all-EOB scans
+    ]
+    for img, q, sub in cases:
+        base = decode_jpeg(encode_jpeg(img, q, subsample=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, q, subsample=sub))
+        assert np.array_equal(base, prog), (img.shape, q, sub)
+
+
+def test_jpeg_progressive_through_decode_stage(ray_session):
+    """DecodeImageStage strict mode decodes progressive payloads natively."""
+    from logstash_filter_geoip_ray.functions.jpeg import encode_jpeg_progressive
+    from logstash_filter_geoip_ray.stages.multimodal import DecodeImageStage
+
+    y, x = np.mgrid[0:24, 0:32]
+    img = np.stack(
+        [(x * 4) % 256, (y * 5) % 256, (x + y) % 256], axis=-1
+    ).astype(np.uint8)
+    payload = encode_jpeg_progressive(img, quality=92)
+    feats = DecodeImageStage(strict=True)._decode_features(
+        payload, {"format": "jpeg"}
+    )
+    assert feats[0] == 32 and feats[1] == 24
+    assert np.allclose(feats[2:5], img.mean(axis=(0, 1)), atol=3.0)
 
 
 def test_jpeg_decode_stage_features(ray_session):

@@ -221,10 +221,15 @@ def test_fuzz_jpeg_decode_total_contract(seed):
 
     from logstash_filter_geoip_ray.functions.jpeg import decode_jpeg, encode_jpeg
 
+    from logstash_filter_geoip_ray.functions.jpeg import encode_jpeg_progressive
+
     rng = np.random.default_rng(seed)
-    good = bytearray(
-        encode_jpeg(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
-    )
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    # alternate seeds mutate progressive bytes — the multi-scan decode
+    # paths (EOB runs, refinement bits, per-scan entropy bounds) must hold
+    # the same total-ValueError contract as the baseline path
+    enc = encode_jpeg_progressive if seed % 2 else encode_jpeg
+    good = bytearray(enc(img))
     b = bytearray(good)
     for _ in range(int(rng.integers(1, 8))):
         b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))

@@ -305,9 +305,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     _chunk_starts core) stay checked
     #   conv_stats — plain high-cardinality groupby; conv_documents (same
     #     shape, strictly stronger md5-of-ordered-text oracle) stays checked
+    #   video_frames — AVI container walk + DIB/PPM codecs are pixel-exact
+    #     pinned by unit tests and the oracle row runs in tests/ +
+    #     tools/check_oracles.py; the Ray-side plumbing it shares
+    #     (actor-pool map_batches, sort) is exercised by media_features
     demote = [
         n
         for n in (
+            "video_frames",
             "sink_counts_ecs",
             "sample_events",
             "jaccard_pairs",

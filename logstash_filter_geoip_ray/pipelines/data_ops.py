@@ -478,6 +478,67 @@ def q_bloom_dedup(sf_dir: str):
     return bloom_incremental_dedup(new, old)
 
 
+def q_video_frames(sf_dir: str):
+    """End-to-end VIDEO pipeline over real self-decoded AVI containers:
+    each doc id is rendered into a deterministic uncompressed-DIB AVI (6
+    flat 8×8 frames, pixel value = (doc_id*7 + frame*13) mod 256,
+    ``functions/avi.py`` encoder), frame-sampled every 2nd frame by the
+    strict actor-pool FrameSampleStage (RIFF chunk walk → PPM re-encode),
+    decoded back per frame, and reduced to the exact integer frame mean.
+    DIB is lossless, so the whole container → sample → decode path is
+    SQL-reproducible: oracle = docs × (0,2,4) with the same closed-form
+    pixel value."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.multimodal import FrameSampleStage, decode_ppm
+    from ..functions.avi import encode_avi
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for i in ids:
+            frames = [
+                np.full((8, 8, 3), (int(i) * 7 + f * 13) % 256, dtype=np.uint8)
+                for f in range(6)
+            ]
+            payloads.append(encode_avi(frames, fps=10, codec="DIB "))
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "payload": pa.array(payloads, type=pa.binary()),
+            }
+        )
+
+    sampled = docs.map_batches(render, batch_format="pyarrow").map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"every_k": 2, "strict": True},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+    def frame_mean(batch: pa.Table) -> pa.Table:
+        means = [
+            int(decode_ppm(fb.as_py() if hasattr(fb, "as_py") else bytes(fb)).mean())
+            for fb in batch["frame"]
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["media_id"],
+                "frame_idx": batch["frame_idx"].cast(pa.int64()),
+                "mean_val": pa.array(means, type=pa.int64()),
+            }
+        )
+
+    return (
+        sampled.map_batches(frame_mean, batch_format="pyarrow")
+        .sort(["doc_id", "frame_idx"])
+    )
+
+
 def q_media_features(sf_dir: str):
     """Multimodal decode pipeline over REAL self-decoded payloads: each doc
     id is rendered into a deterministic small PNG (pure-Python encoder),
@@ -515,7 +576,7 @@ def q_media_features(sf_dir: str):
         fn_constructor_kwargs={"strict": True},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=4,
+        concurrency=(1, 4),
     )
 
     def to_ints(batch: pa.Table) -> pa.Table:
@@ -1073,6 +1134,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "shared_paragraphs": q_shared_paragraphs,
     "quality_top_decile": q_quality_top_decile,
     "media_features": q_media_features,
+    "video_frames": q_video_frames,
     "inverted_index": q_inverted_index,
     "epoch_shuffle": q_epoch_shuffle,
     "pack_sequences": q_pack_sequences,
@@ -1124,6 +1186,16 @@ _TOKEN_COUNT = f"CASE WHEN {_TRIMMED} = '' THEN 0 ELSE len({_TOKENS}) END"
 
 DATA_ORACLES: Dict[str, str] = {
     "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1",
+    # DIB-AVI is lossless, so the rendered-container → RIFF-walk →
+    # frame-sample → PPM-decode pipeline collapses to a closed form:
+    # every sampled frame of doc i is flat (i*7 + f*13) mod 256
+    "video_frames": """
+SELECT d.doc_id,
+       CAST(f.frame_idx AS BIGINT) AS frame_idx,
+       CAST((d.doc_id * 7 + f.frame_idx * 13) % 256 AS BIGINT) AS mean_val
+FROM documents d CROSS JOIN (VALUES (0), (2), (4)) f(frame_idx)
+ORDER BY d.doc_id, f.frame_idx
+""",
     "doc_stats": f"""
 SELECT doc_id,
        CAST({_TOKEN_COUNT} AS BIGINT) AS token_count,

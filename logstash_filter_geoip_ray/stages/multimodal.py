@@ -15,8 +15,10 @@ Decode kernels come in two tiers:
   ``AudioFeatureStage``). These exercise the full decode → vectorized
   feature path with pixel/sample-exact unit tests.
 - **Stubbed codecs** for formats that need external libraries (codec
-  video — H.264/VP9/AV1 — needs ffmpeg, not in this container). MJPEG
-  video (concatenated baseline JPEGs) gets REAL frame extraction in
+  video — H.264/VP9/AV1 — needs ffmpeg, not in this container). AVI
+  containers (``functions/avi.py`` — RIFF chunk walk, MJPG + uncompressed
+  DIB streams) and raw MJPEG
+  video (concatenated baseline JPEGs) get REAL frame extraction in
   ``FrameSampleStage``; for anything else ``strict=True`` raises
   ``NotImplementedError`` exactly where the codec would plug in, and the
   default deterministic fake derives stats from payload bytes so the
@@ -516,23 +518,62 @@ class FrameSampleStage:
     """Actor-pool stage for video-shaped payloads: emit every k-th frame as
     its own row (flat_map-shaped output).
 
-    Two kernels: MJPEG payloads (leading SOI marker) get REAL frame
-    extraction — SOI/EOI span split, every k-th frame re-emitted as a
+    Three real kernels: MJPEG payloads (leading SOI marker) get frame
+    extraction by SOI/EOI span split — every k-th frame re-emitted as a
     standalone JPEG, decodable by ``functions.jpeg.decode_jpeg`` — since
-    motion-JPEG is just concatenated baseline JPEGs. Codec video
-    (H.264/VP9/AV1) needs ffmpeg, absent in this container:
-    ``strict=True`` raises for non-MJPEG payloads; the default falls back
-    to the deterministic fixed-stride byte chunking so the row-explosion
-    plumbing stays exercised on opaque payloads."""
+    motion-JPEG is just concatenated baseline JPEGs. AVI containers
+    (``RIFF..AVI ``) are walked chunk-by-chunk (``functions/avi.py``):
+    MJPG streams emit their per-frame JPEG chunks as-is; uncompressed DIB
+    streams emit each sampled frame re-encoded as PPM (standalone
+    decodable by :func:`decode_ppm`). Codec video (H.264/VP9/AV1 fourccs)
+    needs ffmpeg, absent in this container: ``strict=True`` raises for
+    such payloads; the default falls back to the deterministic
+    fixed-stride byte chunking so the row-explosion plumbing stays
+    exercised on opaque payloads."""
 
     def __init__(self, every_k: int = 4, frame_bytes: int = 64, strict: bool = False):
         self.every_k = every_k
         self.frame_bytes = frame_bytes
         self.strict = strict
 
+    @staticmethod
+    def _avi_frames(payload: bytes):
+        """AVI container → list of standalone-decodable frame payloads, or
+        None when the stream's codec needs ffmpeg (caller decides strict
+        vs fallback). Raises ValueError for structurally broken AVIs."""
+        from ..functions.avi import parse_avi
+
+        codec, _width, _height, _fps, chunks = parse_avi(payload)
+        if codec.upper() in ("MJPG", "JPEG"):
+            return chunks  # each chunk IS a standalone baseline JPEG
+        if codec == "DIB ":
+            from ..functions.avi import decode_avi
+
+            return [encode_ppm(px) for px in decode_avi(payload)]
+        return None  # real codec video — ffmpeg territory
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frame_idx, frames = [], [], []
         for media_id, payload in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            if payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
+                try:
+                    all_frames = self._avi_frames(payload)
+                except ValueError:
+                    if self.strict:
+                        raise
+                    all_frames = None
+                if all_frames is not None:
+                    for f in range(0, len(all_frames), self.every_k):
+                        ids.append(media_id)
+                        frame_idx.append(f)
+                        frames.append(all_frames[f])
+                    continue
+                if self.strict:
+                    raise NotImplementedError(
+                        "codec video inside AVI requires ffmpeg (only MJPG "
+                        "and uncompressed DIB streams decode natively)"
+                    )
+                # fall through to byte chunking below
             if payload.startswith(b"\xff\xd8"):
                 try:
                     all_frames = split_mjpeg(payload)

@@ -10,7 +10,8 @@ Decode kernels come in two tiers:
   filters reconstructed in numpy, CRC-verified), baseline JPEG
   (``functions/jpeg.py`` — matrix DCT, Annex-K Huffman/quant tables,
   4:4:4 + 4:2:0; lossy, so tests assert bounded error instead of bit
-  equality), and WAV/PCM audio (:func:`decode_wav` via stdlib ``wave`` →
+  equality), GIF (``functions/gif.py`` — real variable-width LZW, global
+  and local color tables, interlace), and WAV/PCM audio (:func:`decode_wav` via stdlib ``wave`` →
   samples, real RMS / zero-crossing / peak features in
   ``AudioFeatureStage``). These exercise the full decode → vectorized
   feature path with pixel/sample-exact unit tests.
@@ -421,12 +422,21 @@ class DecodeImageStage:
                 if self.strict:
                     raise
                 px = None
+        elif payload.startswith((b"GIF87a", b"GIF89a")):
+            from ..functions.gif import decode_gif
+
+            try:
+                px = decode_gif(payload).astype(np.float32)
+            except ValueError:
+                if self.strict:
+                    raise
+                px = None
         if px is not None:
             return self._pixel_features(px)
         if self.strict:
             raise NotImplementedError(
-                "unrecognized image payload (PPM, PNG and baseline JPEG "
-                "decode natively; only video needs external codecs)"
+                "unrecognized image payload (PPM, PNG, GIF and baseline "
+                "JPEG decode natively; only codec video needs ffmpeg)"
             )
         # deterministic fake: 16 bytes of digest → [0,1) floats, scaled by
         # the declared dimensions so metadata plumbing is exercised

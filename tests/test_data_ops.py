@@ -1301,6 +1301,80 @@ def test_mjpeg_frame_extraction_real():
         FrameSampleStage(strict=True)(opaque)
 
 
+def test_gif_round_trip_and_interlace():
+    """functions/gif.py is a REAL LZW codec: pixel-exact round trips across
+    palette sizes (incl. a full 256-color table, which exercises code-size
+    growth), interlaced row order, and the DecodeImageStage integration."""
+    import struct
+
+    from logstash_filter_geoip_ray.functions.gif import (
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (17, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 17, (33, 47))]
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+    full_pal = np.unique(rng.integers(0, 256, (256, 3), dtype=np.uint8), axis=0)
+    big = full_pal[rng.integers(0, len(full_pal), (120, 160))]
+    assert (decode_gif(encode_gif(big)) == big).all()
+
+    # hand-built interlaced frame: rows permuted into the four-pass order,
+    # interlace bit set in the image descriptor
+    h, w = 16, 8
+    idx = np.arange(h, dtype=np.uint8)[:, None].repeat(w, axis=1)  # row = its index
+    passes = np.concatenate(
+        [np.arange(s, h, k) for s, k in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+    table = np.zeros((256, 3), dtype=np.uint8)
+    table[:, 0] = np.arange(256)  # palette i -> (i, 0, 0)
+    lzw = _lzw_encode(idx[passes].reshape(-1).astype(np.int64), 8)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)
+    gif += table.tobytes()
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40) + bytes([8])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        gif += bytes([len(chunk)]) + chunk
+    gif += b"\x00\x3b"
+    out = decode_gif(bytes(gif))
+    assert (out[:, :, 0] == idx).all() and (out[:, :, 1:] == 0).all()
+
+    for bad in (b"GIF89a", b"nope", encode_gif(img)[:-10]):
+        with pytest.raises(ValueError):
+            decode_gif(bad)
+
+
+def test_decode_image_stage_gif():
+    """Strict DecodeImageStage decodes GIF payloads natively — the feature
+    vector carries real dimensions and channel means."""
+    from logstash_filter_geoip_ray.functions.gif import encode_gif
+    from logstash_filter_geoip_ray.stages.multimodal import (
+        IMAGE_META_TYPE,
+        DecodeImageStage,
+    )
+
+    img = np.zeros((12, 10, 3), dtype=np.uint8)
+    img[:, :, 0] = 200
+    img[:, :, 1] = 50
+    batch = pa.table(
+        {
+            "media_id": pa.array([7], type=pa.int64()),
+            "payload": pa.array([encode_gif(img)], type=pa.binary()),
+            "meta": pa.array(
+                [{"width": 10, "height": 12, "format": "gif"}], type=IMAGE_META_TYPE
+            ),
+        }
+    )
+    out = DecodeImageStage(strict=True)(batch)
+    feats = np.asarray(out["features"][0].as_py())
+    assert feats[0] == 10 and feats[1] == 12  # real decoded dims
+    assert abs(feats[2] - 200) < 1 and abs(feats[3] - 50) < 1 and abs(feats[4]) < 1
+
+
 def test_avi_container_round_trip():
     """functions/avi.py is a REAL RIFF walker: DIB streams round-trip
     pixel-exact, MJPG streams round-trip within JPEG tolerance, and the

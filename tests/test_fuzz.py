@@ -172,6 +172,28 @@ def test_fuzz_png_roundtrip(h, w, channels, ftype, seed):
 
 
 @given(
+    h=st.integers(min_value=1, max_value=16),
+    w=st.integers(min_value=1, max_value=16),
+    n_colors=st.integers(min_value=1, max_value=256),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_fuzz_gif_roundtrip(h, w, n_colors, seed):
+    """encode_gif → decode_gif is the identity for every shape × palette
+    size (LZW code growth, 1-pixel images, 1-color palettes)."""
+    import numpy as np
+
+    from logstash_filter_geoip_ray.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    px = pal[rng.integers(0, n_colors, size=(h, w))]
+    got = decode_gif(encode_gif(px))
+    assert got.shape == px.shape
+    assert (got == px).all()
+
+
+@given(
     texts=st.lists(
         st.one_of(
             st.none(),

@@ -188,6 +188,13 @@ def parse_avi(payload: bytes) -> Tuple[str, int, int, int, List[bytes]]:
     frame_chunks). ``frame_chunks`` are the raw per-frame payloads from the
     movi list ('00dc'/'00db' of stream 0), in order. Raises ValueError for
     anything that is not a structurally valid single-video-stream AVI."""
+    codec, width, height, fps, frames = _parse_avi_signed(payload)
+    return codec, width, abs(height), fps, frames
+
+
+def _parse_avi_signed(payload: bytes) -> Tuple[str, int, int, int, List[bytes]]:
+    """One container walk, keeping biHeight's SIGN (negative = top-down DIB
+    rows) so decode needs no second pass."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI (RIFF/'AVI ') payload")
     (riff_size,) = struct.unpack_from("<I", payload, 4)
@@ -230,7 +237,7 @@ def parse_avi(payload: bytes) -> Tuple[str, int, int, int, List[bytes]]:
         raise ValueError("AVI has no video stream header (strh/strf)")
     if not frames:
         raise ValueError("AVI movi list has no stream-0 frames")
-    return codec, width, abs(height), fps, frames
+    return codec, width, height, fps, frames
 
 
 def avi_frame_chunks(payload: bytes) -> List[bytes]:
@@ -254,8 +261,13 @@ def _decode_dib_frame(chunk: bytes, width: int, height: int, top_down: bool) -> 
 def decode_avi(payload: bytes) -> List[np.ndarray]:
     """AVI bytes → list of H×W×3 uint8 RGB frames. Handles MJPG and
     uncompressed DIB streams; codec video raises NotImplementedError at the
-    ffmpeg plug-in point."""
-    codec, width, height, _fps, chunks = parse_avi(payload)
+    ffmpeg plug-in point. ONE container walk (signed biHeight carries the
+    top-down flag)."""
+    codec, width, height, _fps, chunks = _parse_avi_signed(payload)
+    return _decode_frames(codec, width, height, chunks)
+
+
+def _decode_frames(codec, width, height, chunks) -> List[np.ndarray]:
     if codec.upper() in ("MJPG", "JPEG"):
         from .jpeg import decode_jpeg
 
@@ -267,24 +279,11 @@ def decode_avi(payload: bytes) -> List[np.ndarray]:
             out.append(px)
         return out
     if codec == "DIB " or codec == "\x00\x00\x00\x00":
-        # recover top-down flag from the sign of biHeight in strf
-        top_down = _strf_height_sign(payload) < 0
-        return [_decode_dib_frame(c, width, height, top_down) for c in chunks]
+        return [
+            _decode_dib_frame(c, width, abs(height), top_down=height < 0)
+            for c in chunks
+        ]
     raise NotImplementedError(
         f"AVI codec {codec!r} needs ffmpeg (only MJPG and uncompressed DIB "
         "decode natively)"
     )
-
-
-def _strf_height_sign(payload: bytes) -> int:
-    (riff_size,) = struct.unpack_from("<I", payload, 4)
-    end = min(len(payload), 8 + riff_size)
-    for tag, body, size in _iter_chunks(payload, 12, end):
-        if tag == b"LIST" and payload[body : body + 4] == b"hdrl":
-            for t2, b2, s2 in _iter_chunks(payload, body + 4, body + size):
-                if t2 == b"LIST" and payload[b2 : b2 + 4] == b"strl":
-                    for t3, b3, s3 in _iter_chunks(payload, b2 + 4, b2 + s2):
-                        if t3 == b"strf" and s3 >= 40:
-                            (_, _, bi_h) = struct.unpack_from("<Iii", payload, b3)
-                            return -1 if bi_h < 0 else 1
-    return 1

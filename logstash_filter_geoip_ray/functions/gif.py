@@ -174,7 +174,18 @@ def _skip_subblocks(payload: bytes, pos: int) -> int:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """GIF bytes → H×W×3 uint8 RGB of the first image frame."""
+    """GIF bytes → H×W×3 uint8 RGB of the first image frame.
+
+    Total ValueError contract (like ``jpeg.decode_jpeg``): any malformed or
+    truncated payload raises ValueError, never struct.error/IndexError —
+    DecodeImageStage's non-strict degrade path catches exactly ValueError."""
+    try:
+        return _decode_gif_inner(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt GIF payload: {e}") from e
+
+
+def _decode_gif_inner(payload: bytes) -> np.ndarray:
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
@@ -230,6 +241,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 break
             chunks.append(payload[pos : pos + ln])
             pos += ln
+        if payload[-1] != 0x3B:
+            # part of the total-ValueError contract: a payload cut between
+            # the image data and the trailer must still read as truncated
+            raise ValueError("GIF missing trailer")
         idx = _lzw_decode(b"".join(chunks), min_code, w * h)
         if idx.max(initial=0) >= len(ct):
             raise ValueError("GIF pixel index outside color table")

@@ -463,6 +463,8 @@ def _decode_jpeg_checked(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad marker alignment")
+        while pos + 2 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # T.81 B.1.1.2 fill bytes before a marker
         marker = struct.unpack(">H", payload[pos : pos + 2])[0]
         if marker == 0xFFD9:
             if progressive and scans_seen:
@@ -552,6 +554,8 @@ def _decode_jpeg_checked(payload: bytes) -> np.ndarray:
         pos += 2 + ln
     if progressive and scans_seen:
         # EOI as the final two bytes falls out of the 4-byte loop window
+        while pos + 2 < len(payload) and payload[pos : pos + 2] == b"\xff\xff":
+            pos += 1  # fill bytes before the trailing EOI
         if payload[pos : pos + 2] != b"\xff\xd9":
             raise ValueError("truncated progressive JPEG: missing EOI")
         return _reconstruct_progressive(frame, comps, quant, coefs)
@@ -564,10 +568,11 @@ def _decode_scan(payload, pos, frame, comps, scan_sel, quant, huff_dc, huff_ac):
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2:
         raise ValueError("subsampling beyond 2x not supported")
-    # find EOI to bound the entropy segment
-    end = payload.rfind(b"\xff\xd9")
-    if end < 0:
-        end = len(payload)
+    # bound the entropy segment at the first unstuffed marker prefix —
+    # every literal 0xFF inside entropy data is stuffed (FF 00), so this
+    # is exact, and it excludes T.81 B.1.1.2 fill bytes before the EOI
+    # (an rfind of FFD9 would hand those to the bit reader)
+    end = _entropy_end(payload, pos)
     for idx, dct, act in scan_sel:
         if dct not in huff_dc or act not in huff_ac:
             raise ValueError("SOS references undefined Huffman table")
@@ -625,7 +630,13 @@ def _entropy_end(payload: bytes, pos: int) -> int:
     n = len(payload)
     while i + 1 < n:
         if payload[i] == 0xFF and payload[i + 1] != 0x00:
-            if 0xD0 <= payload[i + 1] <= 0xD7:
+            # entropy ends HERE, at the first 0xFF of the run — T.81
+            # B.1.1.2 allows any number of 0xFF fill bytes before the
+            # marker byte proper; the caller's marker loop skips them
+            j = i
+            while j + 1 < n and payload[j + 1] == 0xFF:
+                j += 1
+            if j + 1 < n and 0xD0 <= payload[j + 1] <= 0xD7:
                 raise ValueError("restart markers not supported")
             return i
         i += 1

@@ -31,11 +31,17 @@ import pyarrow.compute as pc
 KMEANS_MILLI = 1000
 
 
-def _milli_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
-    vecs = batch[vec_col]
-    if isinstance(vecs, pa.ChunkedArray):
-        vecs = vecs.combine_chunks()
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs.to_pylist()])
+def _milli_matrix(batch: pa.Table, vec_col: str) -> Optional[np.ndarray]:
+    """Int64 milli matrix via similarity's zero-copy flat-reshape fast path
+    (this runs once per batch per Lloyd AND init round — the hot path of
+    the whole operator). None for empty blocks: Ray Data can hand
+    map_batches a 0-row block (repartition beyond row count, emptied
+    filters) and np.stack on an empty list raises."""
+    if batch.num_rows == 0:
+        return None
+    from .similarity import list_column_to_matrix
+
+    mat = list_column_to_matrix(batch[vec_col])
     return np.floor(mat * KMEANS_MILLI).astype(np.int64)
 
 
@@ -91,6 +97,14 @@ def kmeans_fit(
         def far_partial(batch: pa.Table) -> pa.Table:
             cents = ray.get(seed_ref)
             mat = _milli_matrix(batch, vec_col)
+            if mat is None:
+                return pa.table(
+                    {
+                        "d2": pa.array([], type=pa.int64()),
+                        id_col: pa.array([], type=pa.int64()),
+                        vec_col: pa.array([], type=pa.list_(pa.int64())),
+                    }
+                )
             ids = pc.cast(batch[id_col], pa.int64()).to_numpy(
                 zero_copy_only=False
             )
@@ -124,6 +138,14 @@ def kmeans_fit(
         def partials(batch: pa.Table) -> pa.Table:
             cents = ray.get(cent_ref)
             mat = _milli_matrix(batch, vec_col)
+            if mat is None:
+                return pa.table(
+                    {
+                        "c": pa.array([], type=pa.int64()),
+                        "s": pa.array([], type=pa.list_(pa.int64())),
+                        "n": pa.array([], type=pa.int64()),
+                    }
+                )
             assign = _assign(mat, cents)
             rows_c, rows_s, rows_n = [], [], []
             for c in np.unique(assign):
@@ -170,10 +192,17 @@ def kmeans_assign(
     def assign_batch(batch: pa.Table) -> pa.Table:
         cents = ray.get(cent_ref)
         mat = _milli_matrix(batch, vec_col)
+        if mat is None:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                }
+            )
         return pa.table(
             {
                 id_col: pc.cast(batch[id_col], pa.int64()),
-                "cluster": pa.array(_assign(mat, cents)),
+                "cluster": pa.array(_assign(mat, cents).astype(np.int64)),
             }
         )
 

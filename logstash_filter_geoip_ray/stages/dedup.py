@@ -467,7 +467,10 @@ def bloom_incremental_dedup(
             h = pc.unique(pa.array(_hashes_of(batch[text_col])))
             return pa.table(
                 {
-                    id_col: pa.nulls(len(h), type=pa.int64()),
+                    # sentinel 0, NOT null: a nullable int64 column turns
+                    # float64 in the pandas map_groups block, and float64
+                    # rounds ids above 2^53 (the hash_join int64 hazard)
+                    id_col: pa.array(np.zeros(len(h), dtype=np.int64)),
                     "_h": h,
                     "_side": pa.array(["o"] * len(h), type=pa.string()),
                     "_bucket": stable_key_hash(h, num_buckets),

@@ -551,15 +551,17 @@ class FrameSampleStage:
         """AVI container → list of standalone-decodable frame payloads, or
         None when the stream's codec needs ffmpeg (caller decides strict
         vs fallback). Raises ValueError for structurally broken AVIs."""
-        from ..functions.avi import parse_avi
+        from ..functions.avi import _decode_frames, _parse_avi_signed
 
-        codec, _width, _height, _fps, chunks = parse_avi(payload)
+        codec, width, height, _fps, chunks = _parse_avi_signed(payload)
         if codec.upper() in ("MJPG", "JPEG"):
             return chunks  # each chunk IS a standalone baseline JPEG
         if codec == "DIB ":
-            from ..functions.avi import decode_avi
-
-            return [encode_ppm(px) for px in decode_avi(payload)]
+            # one walk total: decode the already-collected chunks directly
+            return [
+                encode_ppm(px)
+                for px in _decode_frames(codec, width, height, chunks)
+            ]
         return None  # real codec video — ffmpeg territory
 
     def __call__(self, batch: pa.Table) -> pa.Table:

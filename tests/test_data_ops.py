@@ -1343,7 +1343,14 @@ def test_gif_round_trip_and_interlace():
     out = decode_gif(bytes(gif))
     assert (out[:, :, 0] == idx).all() and (out[:, :, 1:] == 0).all()
 
-    for bad in (b"GIF89a", b"nope", encode_gif(img)[:-10]):
+    # total-ValueError contract: truncation at EVERY offset plus the two
+    # spots that used to leak struct.error / IndexError (image-descriptor
+    # header, LZW min-code byte)
+    g = encode_gif(img)
+    for cut in list(range(0, len(g), 7)) + [len(g) - 1]:
+        with pytest.raises(ValueError):
+            decode_gif(g[:cut])
+    for bad in (b"nope", b"GIF89a" + bytes(7) + b"\x2c", b"GIF89a" + bytes(7)):
         with pytest.raises(ValueError):
             decode_gif(bad)
 

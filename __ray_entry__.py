@@ -309,10 +309,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     pinned by unit tests and the oracle row runs in tests/ +
     #     tools/check_oracles.py; the Ray-side plumbing it shares
     #     (actor-pool map_batches, sort) is exercised by media_features
+    #   word_rarity — same distinct-(doc,word) bucket-df machinery as
+    #     shared_paragraphs (checked); oracle row in tests + check_oracles
+    #   bpe_pairs — same bucketed vocabulary top-k shape as vocab_top
+    #     (checked); oracle row in tests + check_oracles
+    #   customers_without_events — same bucketed key exchange as
+    #     orders_per_nation's hash_join (checked); oracle row in tests +
+    #     check_oracles
     demote = [
         n
         for n in (
             "video_frames",
+            "word_rarity",
+            "bpe_pairs",
+            "customers_without_events",
             "sink_counts_ecs",
             "sample_events",
             "jaccard_pairs",

@@ -1116,7 +1116,46 @@ def q_conv_stats(sf_dir: str):
     return out.map_batches(fix_types, batch_format="pyarrow").sort("conv_id")
 
 
+def q_word_rarity(sf_dir: str):
+    """Per-doc word-rarity score (mean/min corpus df of the doc's distinct
+    words) — the cheap perplexity proxy for curation ranking."""
+    from ..stages.textops import word_rarity_scores
+
+    return word_rarity_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_bpe_pairs(sf_dir: str):
+    """One BPE-trainer merge round: top-50 adjacent codepoint pairs inside
+    words, corpus-wide."""
+    from ..stages.textops import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(sf_dir, ["text"]))
+
+
+def q_customers_without_events(sf_dir: str):
+    """Bucketed anti semi-join with BOTH sides large (no broadcast, no
+    driver set): customers that never emitted an event, counted per market
+    segment. The right side ships only its per-batch-distinct keys."""
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts
+    from ..stages.joins import hash_anti_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    left = hash_anti_join(cust, events, "c_custkey", "user_id", num_buckets=16)
+    return grouped_counts(left, ["c_mktsegment"], "n", sort_result=True)
+
+
 DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
+    "word_rarity": q_word_rarity,
+    "bpe_pairs": q_bpe_pairs,
+    "customers_without_events": q_customers_without_events,
     "dedup_exact": q_dedup_exact,
     "doc_stats": q_doc_stats,
     "doc_analysis": q_doc_analysis,
@@ -1185,6 +1224,37 @@ _TOKENS = rf"regexp_split_to_array({_TRIMMED}, '\s+')"
 _TOKEN_COUNT = f"CASE WHEN {_TRIMMED} = '' THEN 0 ELSE len({_TOKENS}) END"
 
 DATA_ORACLES: Dict[str, str] = {
+    "word_rarity": f"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, lower(unnest(regexp_split_to_array({_TRIMMED}, '\\s+'))) AS w
+  FROM documents WHERE {_TRIMMED} <> ''
+), p AS (SELECT * FROM pairs WHERE w <> ''),
+df AS (SELECT w, count(*) AS df FROM p GROUP BY w)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(df.df) AS BIGINT) AS df_sum,
+       CAST((1000 * sum(df.df)) // count(*) AS BIGINT) AS mean_df_milli,
+       CAST(min(df.df) AS BIGINT) AS min_df
+FROM p JOIN df USING (w)
+GROUP BY 1 ORDER BY 1
+""",
+    "bpe_pairs": f"""
+WITH words AS (
+  SELECT lower(unnest(regexp_split_to_array({_TRIMMED}, '\\s+'))) AS w
+  FROM documents WHERE {_TRIMMED} <> ''
+), adj AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair
+  FROM (SELECT w, unnest(range(1, length(w))) AS i FROM words WHERE w <> '')
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM adj GROUP BY 1 ORDER BY n DESC, pair LIMIT 50
+""",
+    "customers_without_events": """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+GROUP BY 1 ORDER BY 1
+""",
     "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1",
     # DIB-AVI is lossless, so the rendered-container → RIFF-walk →
     # frame-sample → PPM-decode pipeline collapses to a closed form:

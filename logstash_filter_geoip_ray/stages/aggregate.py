@@ -102,6 +102,16 @@ def stable_key_hash(values: pa.Array, num_buckets: int) -> pa.Array:
     # different declared widths into different partitions
     if pa.types.is_integer(values.type):
         values = values.cast(pa.int64())
+        if values.null_count:
+            # a null-carrying int64 column turns float64 in to_pandas(),
+            # and float64(2.0) hashes differently than int64(2) — the same
+            # key would land in different buckets depending on whether its
+            # COLUMN happens to contain a null elsewhere. Null keys only
+            # need a deterministic bucket (they equal nothing), so fold
+            # them onto 0's bucket and keep the column integer.
+            import pyarrow.compute as pc
+
+            values = pc.fill_null(values, 0)
     s = values.to_pandas()
     h = pd.util.hash_pandas_object(s, index=False).to_numpy()
     return pa.array((h % num_buckets).astype("int32"))

@@ -119,3 +119,72 @@ def hash_join(
 
     unioned = left_tagged.union(right_tagged)
     return unioned.groupby("_bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
+def hash_anti_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    num_buckets: int = 32,
+):
+    """Bucketed anti semi-join: left rows whose key matches NO right row
+    (the "customers without orders" / "docs not in the dedup keeper set"
+    shape when BOTH sides are large). The right side is projected to its
+    key column and deduplicated per batch BEFORE the exchange, so the
+    shuffle moves the left table plus only the right side's distinct keys —
+    unlike the broadcast variant (``dedup.filter_non_keepers``), nothing
+    has to fit in driver or single-task memory beyond one bucket.
+
+    Null left keys match nothing and are therefore KEPT (SQL
+    ``NOT EXISTS`` semantics, not ``NOT IN`` — a null never equals any
+    right key)."""
+    import pyarrow.compute as pc
+
+    left_schema = left_ds.schema()
+    left_cols = list(left_schema.names)
+    key_type = left_schema.types[left_cols.index(left_key)]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        col = batch[left_key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = batch.append_column("_bucket", stable_key_hash(col, num_buckets))
+        return out.append_column(
+            "_side", pa.array(["l"] * batch.num_rows, type=pa.string())
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        # distinct non-null keys only, reshaped into the LEFT schema (all
+        # other columns typed-null) so union needs no schema merge
+        col = batch[right_key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        keys = pc.unique(pc.cast(col, key_type).drop_null())
+        n = len(keys)
+        arrays = [
+            keys if name == left_key else pa.nulls(n, type=typ)
+            for name, typ in zip(left_schema.names, left_schema.types)
+        ]
+        out = pa.Table.from_arrays(arrays, names=left_cols)
+        out = out.append_column("_bucket", stable_key_hash(keys, num_buckets))
+        return out.append_column("_side", pa.array(["r"] * n, type=pa.string()))
+
+    def filter_bucket(tbl: pa.Table) -> pa.Table:
+        lmask = pc.equal(tbl["_side"], "l")
+        left = tbl.filter(lmask)
+        rkeys = tbl.filter(pc.invert(lmask))[left_key]
+        if isinstance(rkeys, pa.ChunkedArray):
+            rkeys = rkeys.combine_chunks()
+        rkeys = pc.unique(rkeys)
+        # null left key → is_in yields null → fill_null(False): no match,
+        # row survives the anti filter
+        hit = pc.fill_null(pc.is_in(left[left_key], value_set=rkeys), False)
+        return left.filter(pc.invert(hit)).select(left_cols)
+
+    left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    right_tagged = right_ds.map_batches(tag_right, batch_format="pyarrow")
+    unioned = left_tagged.union(right_tagged)
+    return unioned.groupby("_bucket").map_groups(
+        filter_bucket, batch_format="pyarrow"
+    )

@@ -651,3 +651,155 @@ def inverted_index(
         .map_groups(build_bucket, batch_format="pandas")
         .sort("w")
     )
+
+
+def word_rarity_scores(
+    ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64
+):
+    """Per-document word-rarity score — the cheap perplexity proxy used to
+    rank docs for curation without a language model: over each doc's
+    DISTINCT lowercase words, the mean and minimum corpus document
+    frequency. Low mean-df = rare/technical/noisy vocabulary; min-df = 1
+    means the doc contains a corpus-unique token. Rows:
+    (doc_id, n_words, df_sum, mean_df_milli, min_df) for docs with ≥ 1
+    token. Integer milli arithmetic → exact oracle.
+
+    Scale shape (same class as ``shared_paragraphs``): one explode to
+    distinct (doc, word) rows → words co-locate by hash bucket, so each
+    word's document frequency is computable inside its one bucket — no
+    separate df table and NO join back to the pairs (the pairs are already
+    in the bucket that owns their word's df) → per-bucket vectorized
+    per-doc partials (count, df sum, df min) → docs-sized final aggregate.
+    Shuffle volume = distinct (doc, word) pairs, exactly the inverted-index
+    exchange."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min, Sum
+
+    from .aggregate import bucket_by_key
+    from .contamination import _flat_words
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, idx = _flat_words(text)
+        ids = pc.take(pc.cast(batch[id_col], pa.int64()), pa.array(idx))
+        pairs = pa.table({"w": flat, id_col: ids})
+        pairs = pairs.filter(pc.not_equal(pairs["w"], ""))
+        # per-batch distinct IS the global distinct: a doc's rows never
+        # split across batches at explode time (one input row = one doc)
+        return pairs.group_by(["w", id_col]).aggregate([])
+
+    def bucket_partial(block: pd.DataFrame) -> pd.DataFrame:
+        # rows are globally distinct (doc, word) pairs and this bucket owns
+        # every row of each of its words, so per-word group size == global df
+        df_per_word = block.groupby("w", sort=False)["w"].transform("size")
+        g = block.assign(_df=df_per_word.astype("int64")).groupby(
+            id_col, sort=False
+        )["_df"]
+        out = g.agg(["count", "sum", "min"]).reset_index()
+        out.columns = [id_col, "n_words", "df_sum", "min_df"]
+        return out
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow")
+    bucketed = bucket_by_key(pairs, "w", num_buckets)
+    partials = bucketed.groupby("_bucket").map_groups(
+        bucket_partial, batch_format="pandas"
+    )
+    summed = partials.groupby(id_col).aggregate(
+        Sum("n_words", alias_name="n_words"),
+        Sum("df_sum", alias_name="df_sum"),
+        Min("min_df", alias_name="min_df"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_words"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["df_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "n_words": pa.array(n, type=pa.int64()),
+                "df_sum": pa.array(s, type=pa.int64()),
+                "mean_df_milli": pa.array((1000 * s) // n, type=pa.int64()),
+                "min_df": pc.cast(batch["min_df"], pa.int64()),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow").sort(id_col)
+
+
+def bpe_pair_counts(ds, text_col: str = "text", top_k: int = 50, num_buckets: int = 32):
+    """One BPE-training merge step: the ``top_k`` most frequent ADJACENT
+    codepoint pairs inside whitespace words (lowercased), ties broken by
+    pair ascending — exactly the statistic a byte-pair-encoding tokenizer
+    trainer computes per merge round. Rows: (pair, n).
+
+    Scale shape: per batch, ONE utf-8 decode of the batch's concatenated
+    words + ONE utf-32 re-encode give a flat codepoint array; adjacent
+    pairs become int64 codes ``(c1 << 21) | c2`` (codepoints < 2^21) with
+    word-boundary positions masked out, and ``np.unique`` yields the
+    batch-partial counts — no Python loop touches a word. Pair codes
+    hash-bucket like any vocabulary key (a bucket owns its pairs' global
+    counts), each bucket emits its local top-k, and the global sort+limit
+    sees only buckets × top_k rows. Code order == UTF-8 string order for
+    equal-length 2-char strings, so integer tie-breaks match the SQL
+    oracle's ``ORDER BY pair``."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .aggregate import bucket_by_key
+    from .contamination import _flat_words
+
+    empty = pa.table(
+        {"code": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+    )
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, _ = _flat_words(text)
+        if len(flat) == 0:
+            return empty
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array([0, len(flat)], type=pa.int32()), flat
+            ),
+            "",
+        )[0].as_py()
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        if len(cp) < 2:
+            return empty
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        ends = np.cumsum(lens)
+        codes = (cp[:-1].astype(np.int64) << 21) | cp[1:].astype(np.int64)
+        mask = np.ones(len(cp) - 1, dtype=bool)
+        mask[ends[:-1] - 1] = False  # last char of word k never pairs into k+1
+        u, c = np.unique(codes[mask], return_counts=True)
+        return pa.table(
+            {"code": pa.array(u), "n": pa.array(c.astype(np.int64))}
+        )
+
+    def bucket_top(block: pd.DataFrame) -> pd.DataFrame:
+        g = block.groupby("code", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "code"], ascending=[False, True]).head(top_k)
+        return g[["code", "n"]]
+
+    def decode(batch: pa.Table) -> pa.Table:
+        codes = batch["code"].to_numpy(zero_copy_only=False)
+        pairs = [chr(int(c) >> 21) + chr(int(c) & 0x1FFFFF) for c in codes]
+        return pa.table(
+            {"pair": pa.array(pairs, type=pa.string()), "n": batch["n"]}
+        )
+
+    partials = ds.map_batches(pair_partials, batch_format="pyarrow")
+    bucketed = bucket_by_key(partials, "code", num_buckets)
+    topped = bucketed.groupby("_bucket").map_groups(
+        bucket_top, batch_format="pandas"
+    )
+    final = topped.sort(["n", "code"], descending=[True, False]).limit(top_k)
+    return final.map_batches(decode, batch_format="pyarrow")

@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.01"
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events", "customer", "orders"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -43,7 +43,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "top_terms", "collocations", "repetition_filter", "simhash_pairs",
      "shared_paragraphs", "quality_top_decile", "bloom_dedup",
      "dedup_filtered_embeddings", "rag_chunks", "freq_spectrum",
-     "dup_ngram_spans", "top_docs_per_lang", "video_frames"],
+     "dup_ngram_spans", "top_docs_per_lang", "video_frames",
+     "word_rarity", "bpe_pairs", "customers_without_events"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()
@@ -1601,3 +1602,182 @@ def test_simhash_band_skew_guard(ray_session):
         ray.data.from_arrow(docs), max_band_members=1000
     ).to_pandas()
     assert len(out) == 40 * 39 // 2 and (out["hamming"] == 0).all()
+
+
+def test_hash_anti_join_semantics(ray_session):
+    """Bucketed anti-join vs a pandas NOT-EXISTS reference: duplicate right
+    keys collapse, right-side nulls match nothing, and a NULL left key is
+    KEPT (NOT EXISTS semantics — null equals no key)."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.joins import hash_anti_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3, None, 5, 6, 7, 8], type=pa.int64()),
+            "v": ["a", "b", "c", "d", "e", "f", "g", "h"],
+        }
+    )
+    right = pa.table(
+        {"rk": pa.array([2, 2, 5, None, 9, 9, 9], type=pa.int64())}
+    )
+    out = (
+        hash_anti_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            "k",
+            "rk",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["k", "v"]
+    assert list(out["v"]) == ["a", "c", "d", "f", "g", "h"]  # null-k row kept
+    # int32 right key against int64 left key still matches (width-normalized)
+    right32 = pa.table({"rk": pa.array([2, 5], type=pa.int32())})
+    out32 = (
+        hash_anti_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right32), "k", "rk", 4
+        )
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert list(out32["v"]) == ["a", "c", "d", "f", "g", "h"]
+
+
+def test_bpe_pairs_unicode_bruteforce(ray_session):
+    """bpe_pair_counts' utf-32 vectorized kernel vs a per-word Python brute
+    force — multibyte codepoints (é, ω, CJK) exercise the byte/codepoint
+    offset split, and whitespace-only / null docs must contribute nothing."""
+    from collections import Counter
+
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.textops import bpe_pair_counts
+
+    texts = [
+        "héllo héllo wörld",
+        "ωmega ωmega ωmega 漢字漢字",
+        "The THE the tHe",
+        "a bb ccc dddd",
+        "   \t\n  ",
+        None,
+        "x",
+    ]
+    ref = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in t.lower().split():
+            for i in range(len(w) - 1):
+                ref[w[i : i + 2]] += 1
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    docs = pa.table({"text": pa.array(texts, type=pa.string())})
+    got = bpe_pair_counts(
+        ray.data.from_arrow(docs), top_k=50, num_buckets=4
+    ).to_pandas()
+    assert list(zip(got["pair"], got["n"])) == expect
+
+
+def test_word_rarity_tiny(ray_session):
+    """Hand-checked df arithmetic on a 3-doc corpus (distinct words per doc;
+    'shared' has df 3, 'pair' df 2, the rest df 1)."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.textops import word_rarity_scores
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "text": [
+                "shared pair unique1 shared",  # distinct: shared, pair, unique1
+                "shared pair",
+                "shared solo",
+                "   ",  # tokenless: no output row
+            ],
+        }
+    )
+    out = word_rarity_scores(ray.data.from_arrow(docs), num_buckets=4).to_pandas()
+    assert list(out["doc_id"]) == [1, 2, 3]
+    # doc1: dfs {shared:3, pair:2, unique1:1} → sum 6, n 3, mean 2000, min 1
+    # doc2: {3, 2} → sum 5, n 2, mean 2500, min 2
+    # doc3: {3, 1} → sum 4, n 2, mean 2000, min 1
+    assert list(out["n_words"]) == [3, 2, 2]
+    assert list(out["df_sum"]) == [6, 5, 4]
+    assert list(out["mean_df_milli"]) == [2000, 2500, 2000]
+    assert list(out["min_df"]) == [1, 2, 1]
+
+
+def test_gif_animation_compositing():
+    """Animated GIF round trip vs an inline numpy reference of the GIF89a
+    rendering model: GCE transparency leaves the canvas untouched, disposal
+    2 restores the frame rect to background, disposal 3 restores the
+    pre-frame canvas, and the Netscape looping extension is skipped."""
+    from logstash_filter_geoip_ray.functions.gif import (
+        decode_gif_frames,
+        encode_gif_animation,
+    )
+
+    bg = (9, 9, 9)
+    base = np.full((6, 8, 3), (10, 20, 30), dtype=np.uint8)
+    p1 = np.full((2, 3, 3), (200, 0, 0), dtype=np.uint8)
+    p1[0, 1] = (1, 2, 3)  # the transparent color
+    p2 = np.full((3, 3, 3), (0, 200, 0), dtype=np.uint8)
+    p3 = np.full((2, 2, 3), (0, 0, 200), dtype=np.uint8)
+    gif = encode_gif_animation(
+        (6, 8),
+        [
+            {"pixels": base, "disposal": 0},
+            {"pixels": p1, "top": 1, "left": 2, "disposal": 3,
+             "transparent": (1, 2, 3)},
+            {"pixels": p2, "top": 2, "left": 3, "disposal": 2},
+            {"pixels": p3, "disposal": 0},
+        ],
+        bg_color=bg,
+    )
+    frames = decode_gif_frames(gif)
+    assert len(frames) == 4
+    f0 = base.copy()
+    f1 = f0.copy()
+    f1[1:3, 2:5] = p1
+    f1[1, 3] = f0[1, 3]  # transparent pixel kept the canvas value
+    f2 = f0.copy()  # disposal 3 restored the pre-p1 canvas
+    f2[2:5, 3:6] = p2
+    f3 = f0.copy()
+    f3[2:5, 3:6] = bg  # disposal 2 blanked p2's rect to background
+    f3[0:2, 0:2] = p3
+    for got, want in zip(frames, (f0, f1, f2, f3)):
+        assert (got == want).all()
+    # total-ValueError contract for the animation path too
+    for cut in list(range(0, len(gif), 11)) + [len(gif) - 1]:
+        with pytest.raises(ValueError):
+            decode_gif_frames(gif[:cut])
+
+
+def test_gif_frame_sampling_stage():
+    """FrameSampleStage's third video tier: animated GIFs composite to
+    screen-size frames, every k-th re-emitted as standalone PPM."""
+    from logstash_filter_geoip_ray.functions.gif import encode_gif_animation
+    from logstash_filter_geoip_ray.stages.multimodal import (
+        FrameSampleStage,
+        decode_ppm,
+    )
+
+    patches = [
+        {"pixels": np.full((5, 7, 3), (40 * i, 10, 255 - 40 * i), np.uint8)}
+        for i in range(5)
+    ]
+    gif = encode_gif_animation((5, 7), patches, bg_color=(0, 0, 0))
+    batch = pa.table(
+        {
+            "media_id": pa.array([7], type=pa.int64()),
+            "payload": pa.array([gif], type=pa.binary()),
+        }
+    )
+    out = FrameSampleStage(every_k=2, strict=True)(batch).to_pandas()
+    assert list(out["frame_idx"]) == [0, 2, 4]
+    for fi, fb in zip(out["frame_idx"], out["frame"]):
+        assert (decode_ppm(bytes(fb)) == patches[fi]["pixels"]).all()

@@ -528,18 +528,20 @@ class FrameSampleStage:
     """Actor-pool stage for video-shaped payloads: emit every k-th frame as
     its own row (flat_map-shaped output).
 
-    Three real kernels: MJPEG payloads (leading SOI marker) get frame
+    Four real kernels: MJPEG payloads (leading SOI marker) get frame
     extraction by SOI/EOI span split — every k-th frame re-emitted as a
     standalone JPEG, decodable by ``functions.jpeg.decode_jpeg`` — since
     motion-JPEG is just concatenated baseline JPEGs. AVI containers
     (``RIFF..AVI ``) are walked chunk-by-chunk (``functions/avi.py``):
     MJPG streams emit their per-frame JPEG chunks as-is; uncompressed DIB
     streams emit each sampled frame re-encoded as PPM (standalone
-    decodable by :func:`decode_ppm`). Codec video (H.264/VP9/AV1 fourccs)
-    needs ffmpeg, absent in this container: ``strict=True`` raises for
-    such payloads; the default falls back to the deterministic
-    fixed-stride byte chunking so the row-explosion plumbing stays
-    exercised on opaque payloads."""
+    decodable by :func:`decode_ppm`). Animated GIFs composite every
+    frame onto the logical screen (GCE transparency + disposal methods,
+    ``functions/gif.py decode_gif_frames``) and emit sampled frames as
+    PPM. Codec video (H.264/VP9/AV1 fourccs) needs ffmpeg, absent in
+    this container: ``strict=True`` raises for such payloads; the
+    default falls back to the deterministic fixed-stride byte chunking
+    so the row-explosion plumbing stays exercised on opaque payloads."""
 
     def __init__(self, every_k: int = 4, frame_bytes: int = 64, strict: bool = False):
         self.every_k = every_k
@@ -589,6 +591,23 @@ class FrameSampleStage:
             if payload.startswith(b"\xff\xd8"):
                 try:
                     all_frames = split_mjpeg(payload)
+                except ValueError:
+                    if self.strict:
+                        raise
+                    all_frames = None
+                if all_frames is not None:
+                    for f in range(0, len(all_frames), self.every_k):
+                        ids.append(media_id)
+                        frame_idx.append(f)
+                        frames.append(all_frames[f])
+                    continue
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                from ..functions.gif import decode_gif_frames
+
+                try:
+                    all_frames = [
+                        encode_ppm(px) for px in decode_gif_frames(payload)
+                    ]
                 except ValueError:
                     if self.strict:
                         raise

@@ -316,9 +316,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   customers_without_events — same bucketed key exchange as
     #     orders_per_nation's hash_join (checked); oracle row in tests +
     #     check_oracles
+    #   sessions — same bucket_by_key + vectorized segmented pass as
+    #     asof_last_signup / event_deltas / rolling_windows (all checked);
+    #     oracle row in tests + check_oracles
+    #   exact_value_quantiles — validation-grade complement of the KLL
+    #     sketch (documented); the quantile machinery is pinned by tests
+    #   customers_per_region / orders_per_nation — broadcast_join and
+    #     hash_join machinery are strict subsets of revenue_rollup
+    #     (checked, all three join shapes in one chain); oracle rows in
+    #     tests + check_oracles
+    #   sample_stratified — same per-batch partial top-n machinery as
+    #     grouped_topk behind top_docs_per_lang (checked)
+    #   inverted_index — same word-bucketed vectorized reduce as vocab_top
+    #     and word_rarity; oracle row in tests + check_oracles
+    #   freq_spectrum — shares _bucketed_word_counts with vocab_top
+    #     (checked); oracle row in tests + check_oracles
     demote = [
         n
         for n in (
+            "sessions",
+            "exact_value_quantiles",
+            "customers_per_region",
+            "orders_per_nation",
+            "sample_stratified",
+            "inverted_index",
+            "freq_spectrum",
             "video_frames",
             "word_rarity",
             "bpe_pairs",

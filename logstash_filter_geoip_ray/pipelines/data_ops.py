@@ -1152,7 +1152,75 @@ def q_customers_without_events(sf_dir: str):
     return grouped_counts(left, ["c_mktsegment"], "n", sort_result=True)
 
 
+def q_latest_events(sf_dir: str):
+    """Last-write-wins compaction over the event log: per user the event
+    with the greatest (ts, event_id) — the CDC / state-snapshot shape."""
+    from ..stages.windows import latest_events
+
+    return latest_events(
+        _events(sf_dir, ["user_id", "event_id", "ts", "event_type", "value"])
+    )
+
+
+def q_event_deltas(sf_dir: str):
+    """Per-key lag: µs gap from each event to the same user's previous
+    event (-1 for the first) — SQL LAG() re-expressed as one vectorized
+    pass per key bucket."""
+    from ..stages.windows import event_deltas
+
+    return event_deltas(_events(sf_dir, ["user_id", "event_id", "ts"]))
+
+
+def q_rolling_windows(sf_dir: str):
+    """Trailing range window per event: count + integer-milli value sum of
+    the same user's events in the last hour (RANGE frame, peers included)."""
+    from ..stages.windows import rolling_window_sums
+
+    return rolling_window_sums(
+        _events(sf_dir, ["user_id", "event_id", "ts", "value"]), window_sec=WINDOW_SEC
+    )
+
+
+def q_hourly_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: events per hour-of-day with one
+    count column per event type plus the hour total."""
+    from ..stages.relational import hourly_type_pivot
+
+    return hourly_type_pivot(_events(sf_dir, ["ts", "event_type"]))
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style wide aggregate over lineitem (integer milli sums,
+    shipdate predicate pushed into the parquet read)."""
+    from ..stages.relational import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
+def q_revenue_rollup(sf_dir: str):
+    """Multiway join chain lineitem ⋈ orders ⋈ customer ⋈ (nation × region
+    broadcast): revenue (integer micro) + item count per (region, nation)."""
+    from ..stages.relational import revenue_rollup
+
+    return revenue_rollup(sf_dir)
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25-style retrieval: top-20 docs for a fixed query-term set under
+    an integer-exact BM25 variant (two corpus streams, no shuffle)."""
+    from ..stages.textops import bm25_topk
+
+    return bm25_topk(_docs(sf_dir, ["doc_id", "text"]))
+
+
 DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
+    "latest_events": q_latest_events,
+    "event_deltas": q_event_deltas,
+    "rolling_windows": q_rolling_windows,
+    "hourly_pivot": q_hourly_pivot,
+    "pricing_summary": q_pricing_summary,
+    "revenue_rollup": q_revenue_rollup,
+    "bm25_topk": q_bm25_topk,
     "word_rarity": q_word_rarity,
     "bpe_pairs": q_bpe_pairs,
     "customers_without_events": q_customers_without_events,
@@ -1223,7 +1291,98 @@ _TRIMMED = f"trim(text, {_WS})"
 _TOKENS = rf"regexp_split_to_array({_TRIMMED}, '\s+')"
 _TOKEN_COUNT = f"CASE WHEN {_TRIMMED} = '' THEN 0 ELSE len({_TOKENS}) END"
 
+#: BM25 oracle shares the exact integer formula with stages/textops.bm25_topk
+_BM25_TERMS_SQL = "('hash', 'join', 'vector', 'slow')"
+
 DATA_ORACLES: Dict[str, str] = {
+    "latest_events": """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+       CAST(floor(value * 1000) AS BIGINT) AS value_milli
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1 ORDER BY user_id
+""",
+    "event_deltas": """
+SELECT event_id,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+FROM events ORDER BY event_id
+""",
+    "rolling_windows": """
+SELECT event_id,
+       CAST(count(*) OVER win AS BIGINT) AS n_win,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER win AS BIGINT)
+         AS v_milli_win
+FROM events
+WINDOW win AS (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+    "hourly_pivot": """
+SELECT CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    "pricing_summary": """
+WITH m AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(floor(l_quantity * 1000) AS BIGINT) AS qty_milli,
+         CAST(floor(l_extendedprice * 1000) AS BIGINT) AS price_milli,
+         CAST(floor(l_discount * 1000) AS BIGINT) AS disc_milli,
+         CAST(floor(l_tax * 1000) AS BIGINT) AS tax_milli
+  FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty_milli) AS BIGINT) AS sum_qty_milli,
+       CAST(sum(price_milli) AS BIGINT) AS sum_base_milli,
+       CAST(sum((price_milli * (1000 - disc_milli)) // 1000) AS BIGINT) AS sum_disc_milli,
+       CAST(sum((price_milli * (1000 - disc_milli) * (1000 + tax_milli)) // 1000000) AS BIGINT) AS sum_charge_milli,
+       CAST(count(*) AS BIGINT) AS n
+FROM m GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "revenue_rollup": """
+SELECT r_name, n_name,
+       CAST(sum(CAST(floor(l_extendedprice * 1000) AS BIGINT)
+                * (1000 - CAST(floor(l_discount * 1000) AS BIGINT))) AS BIGINT)
+         AS rev_micro,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "bm25_topk": f"""
+WITH tok AS (
+  SELECT doc_id, lower(unnest(regexp_split_to_array({_TRIMMED}, '\\s+'))) AS w
+  FROM documents WHERE {_TRIMMED} <> ''
+), tk AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS n_tokens FROM dl),
+tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+       FROM tk WHERE w IN {_BM25_TERMS_SQL} GROUP BY 1, 2),
+df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ((1000 * s.n_docs) // df.df) *
+         ((tf.tf * 2200000) //
+          (tf.tf * 1000 +
+           (1200 * (250 + (750 * ((1000000 * dl.dl) //
+                                  ((1000 * s.n_tokens) // s.n_docs))) // 1000)) // 1000))
+           AS contrib
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score
+FROM scored GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20
+""",
     "word_rarity": f"""
 WITH pairs AS (
   SELECT DISTINCT doc_id, lower(unnest(regexp_split_to_array({_TRIMMED}, '\\s+'))) AS w

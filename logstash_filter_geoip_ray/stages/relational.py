@@ -1,0 +1,248 @@
+"""Relational rollup operators over the TPC-H-ish tables: conditional
+aggregation (pivot), the wide Q1-style pricing summary, and a multiway-join
+revenue rollup (fact → fact join chain → dimension broadcast).
+
+All money/quantity arithmetic runs in integer milli/micro units with
+per-row floor division, so every result is hash-exact against the DuckDB
+oracle (float summation order never enters). Partitioning assumptions are
+the repo's standard ones: partial aggregation inside ``map_batches`` before
+any exchange, ``hash_join`` buckets sized so one bucket fits a task, and
+dimension tables (nation × region, ≤ a few hundred rows) broadcast once."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: fixed event-type vocabulary of the synthetic events table — the pivot's
+#: output columns. A type outside this list still counts toward n_total
+#: (both engines), it just gets no dedicated column.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+#: TPC-H Q1's cutoff: shipdate <= 1998-12-01 - 90 days
+PRICING_CUTOFF = "1998-09-02"
+
+
+def hourly_type_pivot(ds, ts_col: str = "ts", type_col: str = "event_type"):
+    """Conditional aggregation / pivot: events per (hour-of-day × type),
+    one row per hour with one count column per event type plus the total.
+
+    Scale shape: the tall (hour, type) partial count is built per batch (a
+    batch collapses to ≤ 24 × |types| rows map-side), tree-combined, and
+    only the ≤ 24 × |types| aggregate ever pivots — the wide layout is a
+    final single-block reshape, never a shuffle."""
+    from .aggregate import _partial_counts, tree_sum
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        epoch_us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        h_all = pc.divide(epoch_us, pa.scalar(3_600_000_000, type=pa.int64()))
+        hour = pc.subtract(
+            h_all, pc.multiply(pc.divide(h_all, pa.scalar(24, type=pa.int64())), 24)
+        )
+        return pa.table({"hour": hour, type_col: batch[type_col]})
+
+    tall = ds.map_batches(add_hour, batch_format="pyarrow").map_batches(
+        _partial_counts(["hour", type_col], "n"), batch_format="pyarrow"
+    )
+    agg = tree_sum(tall, ["hour", type_col], ["n"], sort_result=False)
+
+    def pivot(block: pd.DataFrame) -> pd.DataFrame:
+        wide = block.pivot_table(
+            index="hour", columns=type_col, values="n", aggfunc="sum", fill_value=0
+        ).reindex(columns=list(EVENT_TYPES), fill_value=0)
+        out = pd.DataFrame({"hour": wide.index.to_numpy()})
+        for t in EVENT_TYPES:
+            out[f"n_{t}"] = wide[t].to_numpy().astype(np.int64)
+        # n_total counts EVERY event in the hour, listed type or not
+        totals = block.groupby("hour", sort=True)["n"].sum()
+        out["n_total"] = totals.loc[wide.index].to_numpy().astype(np.int64)
+        return out.sort_values("hour").reset_index(drop=True)
+
+    # tree_sum ends in repartition(1): the aggregate is one small block, so
+    # the pivot is a single-task reshape
+    return agg.map_batches(pivot, batch_format="pandas", batch_size=None)
+
+
+def _milli(col, scale: float = 1000.0) -> pa.Array:
+    return pc.cast(pc.floor(pc.multiply(col, scale)), pa.int64())
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style wide aggregate over lineitem: per (returnflag,
+    linestatus) the qty / base-price / discounted-price / charge sums and
+    the row count, at shipdate <= PRICING_CUTOFF.
+
+    Exactness: qty/price/disc/tax become integer milli at the first map;
+    disc_price = price_milli·(1000-disc_milli) // 1000 and charge =
+    price_milli·(1000-disc_milli)·(1000+tax_milli) // 10^6 floor per ROW
+    (mirrored verbatim in the oracle), so sums are int64-exact. Per-row
+    intermediates stay ≤ ~10^14, far inside int64.
+
+    Scale shape: the shipdate predicate is pushed into the parquet read
+    (row-group pruning); only 6 columns leave storage; a batch collapses to
+    ≤ |rf×ls| = 6 partial rows before the tree combine."""
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from .aggregate import tree_sum
+
+    cutoff = np.datetime64(PRICING_CUTOFF).astype("datetime64[us]")
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ],
+        filter=(pads.field("l_shipdate") <= pa.scalar(cutoff)),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = _milli(batch["l_quantity"])
+        price = _milli(batch["l_extendedprice"]).to_numpy()
+        disc = _milli(batch["l_discount"]).to_numpy()
+        tax = _milli(batch["l_tax"]).to_numpy()
+        disc_price_micro = price * (1000 - disc)
+        work = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty_milli": qty,
+                "sum_base_milli": pa.array(price, type=pa.int64()),
+                "sum_disc_milli": pa.array(disc_price_micro // 1000, type=pa.int64()),
+                "sum_charge_milli": pa.array(
+                    (disc_price_micro * (1000 + tax)) // 1_000_000, type=pa.int64()
+                ),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = work.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("sum_qty_milli", "sum"),
+                ("sum_base_milli", "sum"),
+                ("sum_disc_milli", "sum"),
+                ("sum_charge_milli", "sum"),
+                ("n", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty_milli",
+                "sum_base_milli",
+                "sum_disc_milli",
+                "sum_charge_milli",
+                "n",
+            ]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return tree_sum(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        ["sum_qty_milli", "sum_base_milli", "sum_disc_milli", "sum_charge_milli", "n"],
+        sort_result=True,
+    )
+
+
+def revenue_rollup(sf_dir: str, num_buckets: int = 32):
+    """Multiway-join revenue rollup: lineitem ⋈ orders ⋈ customer ⋈ nation
+    ⋈ region → revenue (Σ extendedprice·(1-discount), integer micro) and
+    item count per (region, nation).
+
+    Scale shape — the canonical star-ish join chain at 100 TB:
+      - lineitem (largest fact) pre-aggregates per l_orderkey inside each
+        batch BEFORE anything moves: the exchange ships (orderkey,
+        rev_micro, n_items) partials, never raw line items.
+      - two partitioned ``hash_join``s co-locate orderkey then custkey
+        buckets (both sides large — no broadcast); partial re-aggregation
+        between them keeps shuffle volume at |orders| then |customers|.
+      - nation × region (≤ a few hundred rows for any real deployment) is
+        pre-merged driver-side and broadcast once via ``ray.put``.
+      - the final (region, nation) aggregate is a tiny tree combine."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .aggregate import tree_sum
+    from .joins import broadcast_join, hash_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price = _milli(batch["l_extendedprice"]).to_numpy()
+        disc = _milli(batch["l_discount"]).to_numpy()
+        work = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "rev_micro": pa.array(price * (1000 - disc), type=pa.int64()),
+                "n_items": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = work.group_by(["l_orderkey"]).aggregate(
+            [("rev_micro", "sum"), ("n_items", "sum")]
+        )
+        return g.rename_columns(["l_orderkey", "rev_micro", "n_items"])
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    with_cust = hash_join(
+        orders, li_agg, "o_orderkey", "l_orderkey", num_buckets=num_buckets
+    )
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_custkey"]).aggregate(
+            [("rev_micro", "sum"), ("n_items", "sum")]
+        )
+        return g.rename_columns(["o_custkey", "rev_micro", "n_items"])
+
+    cust_agg = with_cust.map_batches(cust_partial, batch_format="pyarrow")
+
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    with_nation = hash_join(
+        customer, cust_agg, "c_custkey", "o_custkey", num_buckets=num_buckets
+    )
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    dim = pa.Table.from_pandas(
+        nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+            ["n_nationkey", "n_name", "r_name"]
+        ],
+        preserve_index=False,
+    )
+    named = broadcast_join(
+        with_nation.select_columns(["c_nationkey", "rev_micro", "n_items"]),
+        dim,
+        "c_nationkey",
+        "n_nationkey",
+        how="inner",
+    )
+    return tree_sum(
+        named.select_columns(["r_name", "n_name", "rev_micro", "n_items"]),
+        ["r_name", "n_name"],
+        ["rev_micro", "n_items"],
+        sort_result=True,
+    )

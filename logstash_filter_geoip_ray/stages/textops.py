@@ -803,3 +803,96 @@ def bpe_pair_counts(ds, text_col: str = "text", top_k: int = 50, num_buckets: in
     )
     final = topped.sort(["n", "code"], descending=[True, False]).limit(top_k)
     return final.map_batches(decode, batch_format="pyarrow")
+
+
+#: BM25 constants in integer milli: k1 = 1.2, b = 0.75. The idf is the same
+#: integer proxy top_terms uses ((1000·N) // df) — a float ln() idf would be
+#: hash-fragile across engines.
+BM25_TERMS = ("hash", "join", "vector", "slow")
+BM25_TOP_K = 20
+
+
+def bm25_topk(
+    ds,
+    terms=BM25_TERMS,
+    top_k: int = BM25_TOP_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """BM25-style retrieval over the corpus for a fixed query-term set:
+    top-k docs by an integer-exact BM25 variant
+
+        score(d) = Σ_t idf(t) · (tf·(k1+1)·1000) // (tf·1000 + k1·norm(d))
+        idf(t)   = (1000·N) // df(t)
+        norm(d)  = (1000 - b) + (b · ((10^6·dl) // avgdl_milli)) // 1000
+
+    with every division a floor over positive ints, mirrored verbatim in
+    the DuckDB oracle — no float enters either engine.
+
+    Scale shape: pass 1 streams the corpus once to three bounded scalars
+    (N docs, total tokens, df per query term — |terms| values, reduced via
+    ``Dataset.sum`` over one partial row per batch). Pass 2 streams again:
+    each batch scores its own docs fully in numpy (docs are rows, so a
+    doc never spans batches) and emits only its local top-k; the global
+    sort sees blocks×k rows. No shuffle touches the corpus."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .contamination import _flat_words
+
+    terms = tuple(terms)
+    terms_arr = pa.array(list(terms), type=pa.string())
+    n_terms = len(terms)
+
+    def tf_matrix(batch: pa.Table):
+        """(dl per row, tf matrix rows×terms) for one batch."""
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, idx = _flat_words(text)
+        n_rows = batch.num_rows
+        dl = np.bincount(idx, minlength=n_rows).astype(np.int64)
+        sel = pc.is_in(flat, value_set=terms_arr)
+        keep = sel.to_numpy(zero_copy_only=False)
+        codes = pc.index_in(flat.filter(sel), value_set=terms_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        combo = idx[keep] * n_terms + codes
+        tf = np.bincount(combo, minlength=n_rows * n_terms).astype(np.int64)
+        return dl, tf.reshape(n_rows, n_terms)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        dl, tf = tf_matrix(batch)
+        row = {
+            "n_docs": pa.array([int((dl > 0).sum())], type=pa.int64()),
+            "n_tokens": pa.array([int(dl.sum())], type=pa.int64()),
+        }
+        for j, t in enumerate(terms):
+            row[f"df_{j}"] = pa.array([int((tf[:, j] > 0).sum())], type=pa.int64())
+        return pa.table(row)
+
+    stat_cols = ["n_docs", "n_tokens"] + [f"df_{j}" for j in range(n_terms)]
+    sums = ds.map_batches(stats_partial, batch_format="pyarrow").sum(stat_cols)
+    n_docs = int(sums["sum(n_docs)"])
+    n_tokens = int(sums["sum(n_tokens)"])
+    df = np.array([int(sums[f"sum(df_{j})"]) for j in range(n_terms)], dtype=np.int64)
+    avgdl_milli = (1000 * n_tokens) // max(n_docs, 1)
+    idf = (1000 * n_docs) // np.maximum(df, 1)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        dl, tf = tf_matrix(batch)
+        ratio_milli = (1_000_000 * dl) // avgdl_milli
+        norm = 250 + (750 * ratio_milli) // 1000
+        k1norm = (1200 * norm) // 1000  # per-row
+        denom = tf * 1000 + k1norm[:, None]
+        tfpart = (tf * 2_200_000) // denom  # tf==0 → 0 contribution
+        score = (tfpart * idf[None, :]).sum(axis=1)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = score > 0
+        out = pd.DataFrame({id_col: ids[hit], "score": score[hit]})
+        out = out.sort_values(["score", id_col], ascending=[False, True]).head(top_k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow")
+    return scored.sort(["score", id_col], descending=[True, False]).limit(top_k)

@@ -157,6 +157,167 @@ def asof_last_event(
     )
 
 
+def latest_events(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    num_buckets: int = 64,
+):
+    """Last-write-wins compaction (the CDC / upsert-log / state-snapshot
+    shape): one row per key — the event with the greatest (ts, id). Values
+    are normalized to integer µs / milli at the partial stage so the result
+    is hash-exact against the SQL ``row_number() = 1`` oracle.
+
+    Scale shape: per-batch partial keep-max first (a batch collapses to at
+    most its distinct-key count BEFORE any exchange), then key-hash buckets
+    and the same keep-max per bucket — the shuffle moves per-batch winners,
+    never raw events. This is the compaction pattern a 100 TB changelog
+    needs: each wave of input shrinks to |keys| rows map-side."""
+    from .aggregate import bucket_by_key
+
+    def to_ints(batch: pa.Table) -> pa.Table:
+        ts_us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        v_milli = pc.cast(pc.floor(pc.multiply(batch[value_col], 1000.0)), pa.int64())
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                id_col: batch[id_col],
+                "ts_us": ts_us,
+                type_col: batch[type_col],
+                "value_milli": v_milli,
+            }
+        )
+
+    def keep_max(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, "ts_us", id_col])
+        return b.groupby(key_col, sort=False).tail(1)[
+            [key_col, id_col, "ts_us", type_col, "value_milli"]
+        ]
+
+    partials = ds.map_batches(to_ints, batch_format="pyarrow").map_batches(
+        keep_max, batch_format="pandas"
+    )
+    bucketed = bucket_by_key(partials, key_col, num_buckets)
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(keep_max, batch_format="pandas")
+        .sort(key_col)
+    )
+
+
+def event_deltas(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+):
+    """Per-key lag delta: for every event, the µs gap to the same key's
+    previous event in (ts, id) order (-1 for a key's first event) — the
+    inter-arrival-time feature of every sessionization / bot-detection
+    pipeline, and the LAG() window shape in SQL.
+
+    Scale shape: key-hash buckets co-locate a key's events; inside a bucket
+    ONE vectorized pass (sort + np.diff + segment mask) computes every key's
+    deltas — no per-key Python."""
+    from .aggregate import bucket_by_key
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, ts_col, id_col])
+        ts_us = b[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        keys = b[key_col].to_numpy()
+        gap = np.empty(len(b), dtype=np.int64)
+        gap[0:1] = -1
+        if len(b) > 1:
+            gap[1:] = np.where(keys[1:] != keys[:-1], -1, np.diff(ts_us))
+        return pd.DataFrame({id_col: b[id_col].to_numpy(), "gap_us": gap})
+
+    bucketed = bucket_by_key(
+        ds.select_columns([key_col, ts_col, id_col]), key_col, num_buckets
+    )
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(id_col)
+    )
+
+
+def rolling_window_sums(
+    ds,
+    window_sec: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int = 64,
+):
+    """Per-event trailing range window: count + sum(value_milli) of the same
+    key's events with ts in [ts_i - window, ts_i] — SQL's ``RANGE BETWEEN
+    INTERVAL w PRECEDING AND CURRENT ROW`` (boundary inclusive, and ALL
+    peer rows sharing the current ts are included, exactly as SQL RANGE
+    frames do).
+
+    Scale shape: key-hash buckets; inside a bucket a single vectorized pass
+    over ALL keys — timestamps are lifted onto disjoint per-segment integer
+    bands (seg_id · OFFSET + ts_rel with OFFSET > range + window), making
+    the whole bucket monotone so TWO np.searchsorted calls find every row's
+    frame bounds at once; prefix sums turn the bounds into counts/sums. If
+    segments × OFFSET would overflow int64 (astronomical key counts per
+    bucket × multi-century spans), a per-segment loop with the same
+    searchsorted math takes over — same answer, Python cost O(keys)."""
+    from .aggregate import bucket_by_key
+
+    w_us = np.int64(window_sec) * 1_000_000
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, ts_col, id_col])
+        ts_us = b[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        v_milli = np.floor(b[value_col].to_numpy() * 1000.0).astype(np.int64)
+        keys = b[key_col].to_numpy()
+        n = len(b)
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = keys[1:] != keys[:-1]
+        seg_id = np.cumsum(new_seg) - 1  # 0-based
+        ts_rel = ts_us - ts_us.min()
+        span = np.int64(ts_rel.max()) if n else np.int64(0)
+        offset = span + w_us + 2
+        n_segs = int(seg_id[-1]) + 1 if n else 0
+        if n and n_segs * offset < (1 << 62):
+            adj = seg_id * offset + ts_rel
+            lo = np.searchsorted(adj, adj - w_us, side="left")
+            hi = np.searchsorted(adj, adj, side="right")
+        else:  # overflow fallback: per-segment searchsorted, same bounds
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            starts = np.flatnonzero(new_seg)
+            ends = np.append(starts[1:], n)
+            for s, e in zip(starts, ends):
+                seg = ts_rel[s:e]
+                lo[s:e] = s + np.searchsorted(seg, seg - w_us, side="left")
+                hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+        csum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(v_milli, out=csum[1:])
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "n_win": hi - lo,
+                "v_milli_win": csum[hi] - csum[lo],
+            }
+        )
+
+    bucketed = bucket_by_key(
+        ds.select_columns([key_col, ts_col, id_col, value_col]), key_col, num_buckets
+    )
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(id_col)
+    )
+
+
 def sessionize(
     ds,
     gap_sec: int = 1800,

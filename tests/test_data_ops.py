@@ -44,7 +44,9 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "shared_paragraphs", "quality_top_decile", "bloom_dedup",
      "dedup_filtered_embeddings", "rag_chunks", "freq_spectrum",
      "dup_ngram_spans", "top_docs_per_lang", "video_frames",
-     "word_rarity", "bpe_pairs", "customers_without_events"],
+     "word_rarity", "bpe_pairs", "customers_without_events",
+     "sample_stratified", "latest_events", "event_deltas",
+     "rolling_windows", "hourly_pivot", "bm25_topk"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()
@@ -573,7 +575,8 @@ def tpch_con():
 
 
 @pytest.mark.parametrize(
-    "name", ["customers_per_region", "orders_per_nation", "pagerank_nodes"]
+    "name", ["customers_per_region", "orders_per_nation", "pagerank_nodes",
+             "pricing_summary", "revenue_rollup"]
 )
 def test_join_queries_match_oracle(ray_session, tpch_con, name):
     df = DATA_QUERIES[name](SF).to_pandas().reset_index(drop=True)
@@ -1781,3 +1784,53 @@ def test_gif_frame_sampling_stage():
     assert list(out["frame_idx"]) == [0, 2, 4]
     for fi, fb in zip(out["frame_idx"], out["frame"]):
         assert (decode_ppm(bytes(fb)) == patches[fi]["pixels"]).all()
+
+
+def test_rolling_window_overflow_fallback(ray_session):
+    """A multi-millennium ts span forces rolling_window_sums onto the
+    per-segment searchsorted fallback (seg_count × band offset would
+    overflow int64); answers must equal the brute-force frame definition,
+    including RANGE-peer ties."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.windows import rolling_window_sums
+
+    w = 3600
+    far = 4_800_000_000_000_000_000  # ~152k years in µs: offset > 2^62
+    rows = [  # (user, ts_us, value)
+        (1, 0, 1.0),
+        (1, 1_800_000_000, 2.0),
+        (1, 3_600_000_000, 3.0),
+        (1, 3_600_000_000, 4.0),  # peer tie at the same ts
+        (1, 7_201_000_000, 5.0),
+        (2, 10_000_000, 6.0),
+        (2, 20_000_000, 7.0),
+        (3, far, 8.0),
+        (3, far + 1_000_000, 9.0),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_id": pa.array(list(range(len(rows))), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "value": pa.array([r[2] for r in rows], type=pa.float64()),
+        }
+    )
+    got = (
+        rolling_window_sums(ray.data.from_arrow(tbl), window_sec=w, num_buckets=4)
+        .to_pandas()
+        .set_index("event_id")
+    )
+    w_us = w * 1_000_000
+    for i, (u, ts, _) in enumerate(rows):
+        frame = [
+            j
+            for j, (u2, ts2, _) in enumerate(rows)
+            if u2 == u and ts - w_us <= ts2 <= ts
+        ]
+        assert got.loc[i, "n_win"] == len(frame), i
+        assert got.loc[i, "v_milli_win"] == sum(
+            int(rows[j][2] * 1000) for j in frame
+        ), i

@@ -331,9 +331,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     and word_rarity; oracle row in tests + check_oracles
     #   freq_spectrum — shares _bucketed_word_counts with vocab_top
     #     (checked); oracle row in tests + check_oracles
+    #   top_users — plain sort+limit; strictly subsumed by grouped_topk /
+    #     top_docs_per_lang and value_ranks (checked); test row remains
+    #   lang_stats — low-cardinality groupby-sum, same partial+combine
+    #     machinery as sink_counts / log_field_counts (checked)
+    #   masked_docs — pure pc.replace_substring_regex kernels, pinned
+    #     row-for-row by its pytest oracle row
+    #   ngram_jaccard — skew-guarded all-pairs validator; the MinHash
+    #     scale path (dedup_filtered_docs_minhash) stays checked; test
+    #     row remains
+    #   parse_tokens — log_field_counts is the strict multi-field superset
+    #     of the same regex-extraction machinery and frequent_tokens runs
+    #     the same token stream (both checked); check_oracles row remains
+    #   dup_ngram_spans — same distinct-(doc, key) bucketed reduce as
+    #     shared_paragraphs (checked); test row remains
     demote = [
         n
         for n in (
+            "parse_tokens",
+            "dup_ngram_spans",
+            "top_users",
+            "lang_stats",
+            "masked_docs",
+            "ngram_jaccard",
             "sessions",
             "exact_value_quantiles",
             "customers_per_region",

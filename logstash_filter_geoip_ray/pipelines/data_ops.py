@@ -1213,8 +1213,62 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_running_totals(sf_dir: str):
+    """Per-user cumulative count + value sum at every event (ROWS frame) —
+    one rebased cumsum per bucket, no per-key work."""
+    from ..stages.windows import running_totals
+
+    return running_totals(_events(sf_dir, ["user_id", "event_id", "ts", "value"]))
+
+
+def q_value_ranks(sf_dir: str):
+    """Dense rank of each event's integer-milli value within its event
+    type (SQL dense_rank window)."""
+    from ..stages.windows import value_ranks
+
+    return value_ranks(_events(sf_dir, ["event_type", "event_id", "value"]))
+
+
+def q_type_transitions(sf_dir: str):
+    """Markov transition matrix of the per-user event stream: (prev type →
+    next type) counts — the funnel/session-flow aggregate."""
+    from ..stages.windows import type_transitions
+
+    return type_transitions(_events(sf_dir, ["user_id", "event_id", "ts", "event_type"]))
+
+
+def q_stopword_filter(sf_dir: str):
+    """Gopher stopword-band quality filter: docs whose integer-milli
+    stopword fraction lies in [50, 400], with their stats."""
+    from ..stages.textops import stopword_filter
+
+    return stopword_filter(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_promo_revenue(sf_dir: str):
+    """Q14-flavored revenue mix per part type: lineitem partials ⋈ part
+    (partitioned hash join, both sides large at fleet scale)."""
+    from ..stages.relational import promo_revenue
+
+    return promo_revenue(sf_dir)
+
+
+def q_supplier_revenue(sf_dir: str):
+    """Q15-flavored top-10 suppliers by revenue: lineitem partials ⋈
+    supplier, per-supplier combine, sort+limit over |suppliers| rows."""
+    from ..stages.relational import supplier_revenue
+
+    return supplier_revenue(sf_dir)
+
+
 DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "latest_events": q_latest_events,
+    "promo_revenue": q_promo_revenue,
+    "supplier_revenue": q_supplier_revenue,
+    "running_totals": q_running_totals,
+    "value_ranks": q_value_ranks,
+    "type_transitions": q_type_transitions,
+    "stopword_filter": q_stopword_filter,
     "event_deltas": q_event_deltas,
     "rolling_windows": q_rolling_windows,
     "hourly_pivot": q_hourly_pivot,
@@ -1295,6 +1349,68 @@ _TOKEN_COUNT = f"CASE WHEN {_TRIMMED} = '' THEN 0 ELSE len({_TOKENS}) END"
 _BM25_TERMS_SQL = "('hash', 'join', 'vector', 'slow')"
 
 DATA_ORACLES: Dict[str, str] = {
+    "promo_revenue": """
+SELECT p_type,
+       CAST(sum(CAST(floor(l_extendedprice * 1000) AS BIGINT)
+                * (1000 - CAST(floor(l_discount * 1000) AS BIGINT))) AS BIGINT)
+         AS rev_micro,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1
+""",
+    "supplier_revenue": """
+SELECT s_suppkey, s_name,
+       CAST(sum(CAST(floor(l_extendedprice * 1000) AS BIGINT)
+                * (1000 - CAST(floor(l_discount * 1000) AS BIGINT))) AS BIGINT)
+         AS rev_micro,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1, 2 ORDER BY rev_micro DESC, s_suppkey LIMIT 10
+""",
+    "running_totals": """
+SELECT event_id,
+       CAST(count(*) OVER win AS BIGINT) AS run_n,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER win AS BIGINT)
+         AS run_v_milli
+FROM events
+WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+    "value_ranks": """
+SELECT event_id,
+       CAST(floor(value * 1000) AS BIGINT) AS value_milli,
+       CAST(dense_rank() OVER (
+         PARTITION BY event_type
+         ORDER BY CAST(floor(value * 1000) AS BIGINT) DESC) AS BIGINT) AS rnk
+FROM events ORDER BY event_id
+""",
+    "type_transitions": """
+WITH s AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+)
+SELECT prev AS prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM s WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "stopword_filter": f"""
+WITH w AS (
+  SELECT doc_id, lower(unnest(regexp_split_to_array({_TRIMMED}, '\\s+'))) AS w
+  FROM documents WHERE {_TRIMMED} <> ''
+), t AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN w IN ('a','the','and','of','to','in','is')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+  FROM w WHERE w <> '' GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       CAST((1000 * n_stop) // n_tokens AS BIGINT) AS stop_milli
+FROM t WHERE (1000 * n_stop) // n_tokens BETWEEN 50 AND 400
+ORDER BY doc_id
+""",
     "latest_events": """
 SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
        CAST(floor(value * 1000) AS BIGINT) AS value_milli

@@ -431,11 +431,22 @@ class DecodeImageStage:
                 if self.strict:
                     raise
                 px = None
+        elif payload.startswith(b"BM"):
+            from ..functions.bmp import decode_bmp
+
+            try:
+                px = decode_bmp(payload).astype(np.float32)
+            except ValueError:
+                # 2-byte magic: ~2^-16 of opaque binaries start with "BM";
+                # the header validation inside decode_bmp rejects them here
+                if self.strict:
+                    raise
+                px = None
         if px is not None:
             return self._pixel_features(px)
         if self.strict:
             raise NotImplementedError(
-                "unrecognized image payload (PPM, PNG, GIF and baseline "
+                "unrecognized image payload (PPM, PNG, GIF, BMP and baseline "
                 "JPEG decode natively; only codec video needs ffmpeg)"
             )
         # deterministic fake: 16 bytes of digest → [0,1) floats, scaled by

@@ -246,3 +246,87 @@ def revenue_rollup(sf_dir: str, num_buckets: int = 32):
         ["rev_micro", "n_items"],
         sort_result=True,
     )
+
+
+def _lineitem_rev_partials(sf_dir: str, key: str):
+    """lineitem pre-aggregated per ``key`` inside each batch: (key,
+    rev_micro, n_items) partials — the map-side combiner every fact-table
+    join in this module starts from (the exchange never ships raw line
+    items)."""
+    import os
+
+    import ray.data
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[key, "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = _milli(batch["l_extendedprice"]).to_numpy()
+        disc = _milli(batch["l_discount"]).to_numpy()
+        work = pa.table(
+            {
+                key: batch[key],
+                "rev_micro": pa.array(price * (1000 - disc), type=pa.int64()),
+                "n_items": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = work.group_by([key]).aggregate([("rev_micro", "sum"), ("n_items", "sum")])
+        return g.rename_columns([key, "rev_micro", "n_items"])
+
+    return li.map_batches(partial, batch_format="pyarrow")
+
+
+def promo_revenue(sf_dir: str, num_buckets: int = 32):
+    """Q14-flavored revenue mix: revenue + item count per part type
+    (PROMO vs the rest). lineitem pre-aggregates per partkey map-side,
+    then ONE partitioned hash_join against part (both sides large at fleet
+    scale — part is a 200M-row table at TPC-H SF100k, no broadcast) and a
+    tiny per-type tree combine."""
+    import os
+
+    import ray.data
+
+    from .aggregate import tree_sum
+    from .joins import hash_join
+
+    li_agg = _lineitem_rev_partials(sf_dir, "l_partkey")
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    joined = hash_join(part, li_agg, "p_partkey", "l_partkey", num_buckets=num_buckets)
+    return tree_sum(
+        joined.select_columns(["p_type", "rev_micro", "n_items"]),
+        ["p_type"],
+        ["rev_micro", "n_items"],
+        sort_result=True,
+    )
+
+
+def supplier_revenue(sf_dir: str, top_k: int = 10, num_buckets: int = 16):
+    """Q15-flavored top suppliers: the ``top_k`` suppliers by lineitem
+    revenue (ties broken by s_suppkey asc). Same shape as promo_revenue
+    with a supplier join, a per-supplier combine, and a final sort+limit
+    over only |suppliers| rows."""
+    import os
+
+    import ray.data
+
+    from .aggregate import tree_sum
+    from .joins import hash_join
+
+    li_agg = _lineitem_rev_partials(sf_dir, "l_suppkey")
+    supp = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    joined = hash_join(supp, li_agg, "s_suppkey", "l_suppkey", num_buckets=num_buckets)
+    per_supp = tree_sum(
+        joined.select_columns(["s_suppkey", "s_name", "rev_micro", "n_items"]),
+        ["s_suppkey", "s_name"],
+        ["rev_micro", "n_items"],
+        sort_result=False,
+    )
+    return per_supp.sort(["rev_micro", "s_suppkey"], descending=[True, False]).limit(
+        top_k
+    )

@@ -896,3 +896,56 @@ def bm25_topk(
 
     scored = ds.map_batches(score_batch, batch_format="pyarrow")
     return scored.sort(["score", id_col], descending=[True, False]).limit(top_k)
+
+
+#: Gopher-style stopword band: a natural-language doc carries SOME glue
+#: words; too few → keyword spam / non-language, too many → boilerplate.
+STOPWORD_SET = ("a", "the", "and", "of", "to", "in", "is")
+STOPWORD_MIN_MILLI = 50
+STOPWORD_MAX_MILLI = 400
+
+
+def stopword_filter(
+    ds,
+    stopwords=STOPWORD_SET,
+    lo_milli: int = STOPWORD_MIN_MILLI,
+    hi_milli: int = STOPWORD_MAX_MILLI,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Stopword-ratio quality filter (the Gopher stopword criterion as an
+    oracle-exact operator): keep docs whose integer-milli stopword fraction
+    (1000·n_stop // n_tokens) lies in [lo, hi]. Rows: (doc_id, n_tokens,
+    stop_milli) for surviving docs.
+
+    The float ``stopword_ratio`` in ``quality_features`` (rows-only
+    doc_analysis) is the exploratory twin; this is the hash-exact filter.
+    Scale shape: one vectorized pass per batch (explode → is_in → bincount),
+    no shuffle."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .contamination import _flat_words
+
+    stop_arr = pa.array(list(stopwords), type=pa.string())
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, idx = _flat_words(text)
+        n_rows = batch.num_rows
+        n_tok = np.bincount(idx, minlength=n_rows).astype(np.int64)
+        hits = pc.is_in(flat, value_set=stop_arr).to_numpy(zero_copy_only=False)
+        n_stop = np.bincount(idx[hits], minlength=n_rows).astype(np.int64)
+        stop_milli = np.where(n_tok > 0, (1000 * n_stop) // np.maximum(n_tok, 1), 0)
+        keep = (n_tok > 0) & (stop_milli >= lo_milli) & (stop_milli <= hi_milli)
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()).filter(pa.array(keep)),
+                "n_tokens": pa.array(n_tok[keep], type=pa.int64()),
+                "stop_milli": pa.array(stop_milli[keep], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow").sort(id_col)

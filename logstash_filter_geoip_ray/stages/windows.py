@@ -318,6 +318,146 @@ def rolling_window_sums(
     )
 
 
+def running_totals(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int = 64,
+):
+    """Per-key running totals (SQL ``ROWS UNBOUNDED PRECEDING`` frame): for
+    every event, the count and integer-milli value sum of the same key's
+    events at-or-before it in (ts, id) order — the cumulative-spend /
+    events-so-far feature.
+
+    Scale shape: key-hash buckets; inside a bucket ONE global cumsum with
+    per-segment rebasing (subtract the segment-start prefix) computes every
+    key's running totals — no per-key work of any kind."""
+    from .aggregate import bucket_by_key
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, ts_col, id_col])
+        v_milli = np.floor(b[value_col].to_numpy() * 1000.0).astype(np.int64)
+        keys = b[key_col].to_numpy()
+        n = len(b)
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = keys[1:] != keys[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_seg, pos, 0))
+        cs = np.cumsum(v_milli)
+        base = cs[seg_start] - v_milli[seg_start]
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(),
+                "run_n": pos - seg_start + 1,
+                "run_v_milli": cs - base,
+            }
+        )
+
+    bucketed = bucket_by_key(
+        ds.select_columns([key_col, ts_col, id_col, value_col]), key_col, num_buckets
+    )
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(id_col)
+    )
+
+
+def value_ranks(
+    ds,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int = 8,
+):
+    """Dense rank of every event's value within its partition key (SQL
+    ``dense_rank() OVER (PARTITION BY key ORDER BY value DESC)``), on the
+    integer-milli value so ties are exact in both engines.
+
+    Partitioning assumption: ranking within a key needs that key's values
+    co-located, so keys hash-bucket and one vectorized pandas
+    ``groupby.rank`` runs per bucket. For a low-cardinality key column
+    (event types here) a hot key = one task's worth of that key's rows —
+    at unbounded per-key cardinality use a sort-based two-pass rank
+    instead."""
+    from .aggregate import bucket_by_key
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.multiply(batch[value_col], 1000.0)), pa.int64())
+        return pa.table(
+            {key_col: batch[key_col], id_col: batch[id_col], "value_milli": v}
+        )
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        rnk = (
+            block.groupby(key_col, sort=False)["value_milli"]
+            .rank(method="dense", ascending=False)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        return pd.DataFrame(
+            {
+                id_col: block[id_col].to_numpy(),
+                "value_milli": block["value_milli"].to_numpy(),
+                "rnk": rnk,
+            }
+        )
+
+    milli = ds.map_batches(to_milli, batch_format="pyarrow")
+    bucketed = bucket_by_key(milli, key_col, num_buckets)
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(id_col)
+    )
+
+
+def type_transitions(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+):
+    """Markov transition counts over the per-key event stream: how often
+    type A is immediately followed by type B within the same key's (ts, id)
+    order — the session-flow / funnel matrix. A key's first event has no
+    predecessor and contributes nothing.
+
+    Scale shape: key-hash buckets; per bucket one vectorized shift builds
+    the (prev, next) pairs and a pandas groupby counts them; the global
+    combine is a tiny |types|² tree sum."""
+    from .aggregate import bucket_by_key, tree_sum
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, ts_col, id_col])
+        keys = b[key_col].to_numpy()
+        types = b[type_col].to_numpy()
+        if len(b) < 2:
+            return pd.DataFrame(
+                {"prev_type": [], "next_type": [], "n": []}
+            ).astype({"prev_type": str, "next_type": str, "n": np.int64})
+        same = keys[1:] == keys[:-1]
+        pairs = pd.DataFrame(
+            {"prev_type": types[:-1][same], "next_type": types[1:][same]}
+        )
+        g = pairs.groupby(["prev_type", "next_type"], sort=False).size().reset_index()
+        g.columns = ["prev_type", "next_type", "n"]
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    bucketed = bucket_by_key(
+        ds.select_columns([key_col, ts_col, id_col, type_col]), key_col, num_buckets
+    )
+    partials = bucketed.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+    return tree_sum(partials, ["prev_type", "next_type"], ["n"], sort_result=True)
+
+
 def sessionize(
     ds,
     gap_sec: int = 1800,

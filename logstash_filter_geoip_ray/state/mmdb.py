@@ -89,6 +89,11 @@ class _Decoder:
         # decode cache keyed by data-section offset; records are shared by
         # many networks, so this is the highest-leverage cache (CHMCache analog)
         self._cache: dict[int, Any] = {}
+        # pointer targets currently being resolved: a corrupt file whose
+        # pointer (transitively) targets itself would otherwise recurse
+        # forever — the cache can't break the cycle because it is only
+        # written AFTER resolution completes
+        self._resolving: set = set()
 
     def decode(self, offset: int) -> Tuple[Any, int]:
         """Decode the value at data-section offset; returns (value, next_offset)."""
@@ -127,7 +132,16 @@ class _Decoder:
                 pos += 4
             if target in self._cache:
                 return self._cache[target], pos - self._base
-            value, _ = self.decode(target)
+            if target in self._resolving or len(self._resolving) > 512:
+                raise InvalidDatabaseError(
+                    "pointer cycle or over-deep pointer chain at offset %d"
+                    % target
+                )
+            self._resolving.add(target)
+            try:
+                value, _ = self.decode(target)
+            finally:
+                self._resolving.discard(target)
             self._cache[target] = value
             return value, pos - self._base
 

@@ -46,7 +46,9 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "dup_ngram_spans", "top_docs_per_lang", "video_frames",
      "word_rarity", "bpe_pairs", "customers_without_events",
      "sample_stratified", "latest_events", "event_deltas",
-     "rolling_windows", "hourly_pivot", "bm25_topk"],
+     "rolling_windows", "hourly_pivot", "bm25_topk",
+     "running_totals", "value_ranks", "type_transitions",
+     "stopword_filter"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()
@@ -567,7 +569,8 @@ def test_value_quantiles_close_to_exact(ray_session, oracle_con):
 @pytest.fixture(scope="module")
 def tpch_con():
     con = duckdb.connect()
-    for t in ("customer", "nation", "region", "orders", "lineitem"):
+    for t in ("customer", "nation", "region", "orders", "lineitem", "part",
+              "supplier"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -576,7 +579,8 @@ def tpch_con():
 
 @pytest.mark.parametrize(
     "name", ["customers_per_region", "orders_per_nation", "pagerank_nodes",
-             "pricing_summary", "revenue_rollup"]
+             "pricing_summary", "revenue_rollup", "promo_revenue",
+             "supplier_revenue"]
 )
 def test_join_queries_match_oracle(ray_session, tpch_con, name):
     df = DATA_QUERIES[name](SF).to_pandas().reset_index(drop=True)
@@ -1834,3 +1838,44 @@ def test_rolling_window_overflow_fallback(ray_session):
         assert got.loc[i, "v_milli_win"] == sum(
             int(rows[j][2] * 1000) for j in frame
         ), i
+
+
+def test_bmp_round_trip_and_stage():
+    """functions/bmp.py: 24-bit BI_RGB round-trips pixel-exact in both row
+    orders, rejects unsupported variants with ValueError, and the strict
+    DecodeImageStage decodes BMP payloads natively."""
+    from logstash_filter_geoip_ray.functions.bmp import decode_bmp, encode_bmp
+    from logstash_filter_geoip_ray.stages.multimodal import (
+        IMAGE_META_TYPE,
+        DecodeImageStage,
+    )
+
+    rng = np.random.default_rng(3)
+    # odd width exercises the 4-byte row padding
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    for top_down in (False, True):
+        assert (decode_bmp(encode_bmp(img, top_down=top_down)) == img).all()
+    with pytest.raises(ValueError):
+        decode_bmp(b"BMgarbage")
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp(img)[:30])  # truncated header
+    # 8-bit / compressed variants are declared unsupported, not mis-decoded
+    bad = bytearray(encode_bmp(img))
+    bad[28] = 8  # biBitCount
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_bmp(bytes(bad))
+
+    flat = np.zeros((5, 6, 3), dtype=np.uint8)
+    flat[:, :, 1] = 77
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], type=pa.int64()),
+            "payload": pa.array([encode_bmp(flat)], type=pa.binary()),
+            "meta": pa.array(
+                [{"width": 6, "height": 5, "format": "bmp"}], type=IMAGE_META_TYPE
+            ),
+        }
+    )
+    feats = np.asarray(DecodeImageStage(strict=True)(batch)["features"][0].as_py())
+    assert feats[0] == 6 and feats[1] == 5
+    assert abs(feats[2]) < 1 and abs(feats[3] - 77) < 1 and abs(feats[4]) < 1

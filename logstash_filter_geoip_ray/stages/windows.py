@@ -370,48 +370,79 @@ def value_ranks(
     key_col: str = "event_type",
     id_col: str = "event_id",
     value_col: str = "value",
-    num_buckets: int = 8,
+    num_buckets: int = 32,
 ):
     """Dense rank of every event's value within its partition key (SQL
     ``dense_rank() OVER (PARTITION BY key ORDER BY value DESC)``), on the
     integer-milli value so ties are exact in both engines.
 
-    Partitioning assumption: ranking within a key needs that key's values
-    co-located, so keys hash-bucket and one vectorized pandas
-    ``groupby.rank`` runs per bucket. For a low-cardinality key column
-    (event types here) a hot key = one task's worth of that key's rows —
-    at unbounded per-key cardinality use a sort-based two-pass rank
-    instead."""
+    Scale shape — dense rank depends only on the DISTINCT (key, value)
+    pairs, so the rows themselves never co-locate by key:
+      1. per-batch distinct (key, value) pairs → global distinct via one
+         groupby (shuffle volume = distinct pairs, not rows);
+      2. ranks computed per KEY bucket over distinct pairs only — a hot
+         key costs one task |distinct values|, not |rows|;
+      3. the rank table hash-joins back to the rows on a composite
+         (key, value) string key — both sides large, partitioned join.
+    A per-key-rows groupby.rank would put one event type's entire row set
+    in a single task — the anti-pattern this formulation avoids."""
     from .aggregate import bucket_by_key
+    from .joins import hash_join
 
     def to_milli(batch: pa.Table) -> pa.Table:
         v = pc.cast(pc.floor(pc.multiply(batch[value_col], 1000.0)), pa.int64())
+        combo = pc.binary_join_element_wise(
+            pc.cast(batch[key_col], pa.string()),
+            pc.cast(v, pa.string()),
+            "\x1f",
+        )
         return pa.table(
-            {key_col: batch[key_col], id_col: batch[id_col], "value_milli": v}
+            {id_col: batch[id_col], "value_milli": v, "_kv": combo}
         )
 
-    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
-        rnk = (
-            block.groupby(key_col, sort=False)["value_milli"]
-            .rank(method="dense", ascending=False)
-            .to_numpy()
-            .astype(np.int64)
+    rows = ds.map_batches(to_milli, batch_format="pyarrow")
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.multiply(batch[value_col], 1000.0)), pa.int64())
+        return (
+            pa.table({key_col: batch[key_col], "v": v})
+            .group_by([key_col, "v"])
+            .aggregate([])
         )
-        return pd.DataFrame(
+
+    pairs = (
+        ds.map_batches(batch_distinct, batch_format="pyarrow")
+        .groupby([key_col, "v"])
+        .count()
+        .select_columns([key_col, "v"])
+    )
+
+    def rank_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, "v"], ascending=[True, False])
+        keys = b[key_col].to_numpy()
+        new_seg = np.ones(len(b), dtype=bool)
+        new_seg[1:] = keys[1:] != keys[:-1]
+        pos = np.arange(len(b), dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_seg, pos, 0))
+        kv = (
+            b[key_col].astype(str) + "\x1f" + b["v"].astype(np.int64).astype(str)
+        ).to_numpy()
+        # Arrow output: hash_join reads .schema() of both sides and needs
+        # real Arrow types (a pandas block would surface numpy dtypes)
+        return pa.table(
             {
-                id_col: block[id_col].to_numpy(),
-                "value_milli": block["value_milli"].to_numpy(),
-                "rnk": rnk,
+                "kv": pa.array(kv, type=pa.string()),
+                "rnk": pa.array(pos - seg_start + 1, type=pa.int64()),
             }
         )
 
-    milli = ds.map_batches(to_milli, batch_format="pyarrow")
-    bucketed = bucket_by_key(milli, key_col, num_buckets)
-    return (
-        bucketed.groupby("_bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-        .sort(id_col)
+    ranked = (
+        bucket_by_key(pairs, key_col, num_buckets)
+        .groupby("_bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
     )
+    joined = hash_join(rows, ranked, "_kv", "kv", num_buckets=num_buckets)
+    return joined.select_columns([id_col, "value_milli", "rnk"]).sort(id_col)
 
 
 def type_transitions(

@@ -1879,3 +1879,69 @@ def test_bmp_round_trip_and_stage():
     feats = np.asarray(DecodeImageStage(strict=True)(batch)["features"][0].as_py())
     assert feats[0] == 6 and feats[1] == 5
     assert abs(feats[2]) < 1 and abs(feats[3] - 77) < 1 and abs(feats[4]) < 1
+
+
+def test_stream_ops_partition_invariant(ray_session):
+    """latest_events / event_deltas / running_totals / type_transitions must
+    be batching-invariant: a 16-partition synthetic stream (interleaved
+    keys, duplicate timestamps) equals the single-frame pandas reference."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.windows import (
+        event_deltas,
+        latest_events,
+        running_totals,
+        type_transitions,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    users = rng.integers(0, 40, n)
+    ts_us = rng.integers(0, 10_000, n) * 1_000_000  # duplicate ts guaranteed
+    types = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    vals = rng.integers(0, 5000, n) / 100.0
+    tbl = pa.table(
+        {
+            "user_id": pa.array(users, type=pa.int64()),
+            "event_id": pa.array(np.arange(n), type=pa.int64()),
+            "ts": pa.array(ts_us, type=pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(types, type=pa.string()),
+            "value": pa.array(vals, type=pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(16)
+
+    ref = tbl.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    ref["ts_us"] = ref["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+    ref["v_milli"] = np.floor(ref["value"].to_numpy() * 1000.0).astype(np.int64)
+
+    lw = latest_events(ds, num_buckets=8).to_pandas()
+    exp_lw = ref.groupby("user_id", sort=True).tail(1).sort_values("user_id")
+    assert (lw["event_id"].to_numpy() == exp_lw["event_id"].to_numpy()).all()
+    assert (lw["ts_us"].to_numpy() == exp_lw["ts_us"].to_numpy()).all()
+
+    ed = event_deltas(ds, num_buckets=8).to_pandas().set_index("event_id")
+    g = ref.groupby("user_id", sort=False)
+    exp_gap = ref["ts_us"] - g["ts_us"].shift(1)
+    exp_gap = exp_gap.fillna(-1).astype(np.int64)
+    assert (ed.loc[ref["event_id"], "gap_us"].to_numpy() == exp_gap.to_numpy()).all()
+
+    rt = running_totals(ds, num_buckets=8).to_pandas().set_index("event_id")
+    exp_n = g.cumcount().to_numpy() + 1
+    exp_v = g["v_milli"].cumsum().to_numpy()
+    assert (rt.loc[ref["event_id"], "run_n"].to_numpy() == exp_n).all()
+    assert (rt.loc[ref["event_id"], "run_v_milli"].to_numpy() == exp_v).all()
+
+    tt = type_transitions(ds, num_buckets=8).to_pandas()
+    prev = g["event_type"].shift(1)
+    mask = prev.notna()
+    exp_tt = (
+        pd.DataFrame({"prev_type": prev[mask], "next_type": ref["event_type"][mask]})
+        .groupby(["prev_type", "next_type"], sort=True)
+        .size()
+        .reset_index(name="n")
+    )
+    got = tt.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype(str), exp_tt.astype(str), check_dtype=False
+    )

@@ -345,9 +345,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     the same token stream (both checked); check_oracles row remains
     #   dup_ngram_spans — same distinct-(doc, key) bucketed reduce as
     #     shared_paragraphs (checked); test row remains
+    #   quality_top_decile — corpus-filter output shape shared with
+    #     quality_filter / stopword_filter (both checked); the histogram
+    #     quantile-threshold mechanism is pinned by its pytest row
     demote = [
         n
         for n in (
+            "quality_top_decile",
             "parse_tokens",
             "dup_ngram_spans",
             "top_users",

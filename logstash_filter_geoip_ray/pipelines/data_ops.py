@@ -1152,6 +1152,26 @@ def q_customers_without_events(sf_dir: str):
     return grouped_counts(left, ["c_mktsegment"], "n", sort_result=True)
 
 
+def q_active_customers(sf_dir: str):
+    """Bucketed positive semi-join (SQL EXISTS, both sides large): customers
+    that emitted at least one event, counted per market segment — the
+    complement of customers_without_events on the same exchange shape."""
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts
+    from ..stages.joins import hash_semi_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    events = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+    left = hash_semi_join(cust, events, "c_custkey", "user_id", num_buckets=16)
+    return grouped_counts(left, ["c_mktsegment"], "n", sort_result=True)
+
+
 def q_latest_events(sf_dir: str):
     """Last-write-wins compaction over the event log: per user the event
     with the greatest (ts, event_id) — the CDC / state-snapshot shape."""
@@ -1263,6 +1283,7 @@ def q_supplier_revenue(sf_dir: str):
 
 DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "latest_events": q_latest_events,
+    "active_customers": q_active_customers,
     "promo_revenue": q_promo_revenue,
     "supplier_revenue": q_supplier_revenue,
     "running_totals": q_running_totals,
@@ -1349,6 +1370,12 @@ _TOKEN_COUNT = f"CASE WHEN {_TRIMMED} = '' THEN 0 ELSE len({_TOKENS}) END"
 _BM25_TERMS_SQL = "('hash', 'join', 'vector', 'slow')"
 
 DATA_ORACLES: Dict[str, str] = {
+    "active_customers": """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+GROUP BY 1 ORDER BY 1
+""",
     "promo_revenue": """
 SELECT p_type,
        CAST(sum(CAST(floor(l_extendedprice * 1000) AS BIGINT)

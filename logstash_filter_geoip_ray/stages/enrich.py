@@ -697,8 +697,13 @@ def append_tags(
     arithmetic — no Python per-row list building.
 
     ``existing=None`` is the no-pre-existing-tags fast path: offsets advance
-    by ``len(tag_list)`` on failure rows, success rows are null entries."""
+    by ``len(tag_list)`` on failure rows, success rows are null entries.
+    A null-typed column (parquet schema inference over an all-null ``tags``
+    field) takes the same path — every entry is null, so the semantics are
+    identical and ``list_value_length`` (no null kernel) is never called."""
     k = len(tag_list)
+    if existing is not None and pa.types.is_null(existing.type):
+        existing = None
     if existing is None:
         counts = failure.astype(np.int32) * k
         offsets_np = np.zeros(n + 1, dtype=np.int32)

@@ -139,6 +139,36 @@ def hash_anti_join(
     Null left keys match nothing and are therefore KEPT (SQL
     ``NOT EXISTS`` semantics, not ``NOT IN`` — a null never equals any
     right key)."""
+    return _hash_exists_join(
+        left_ds, right_ds, left_key, right_key, num_buckets, anti=True
+    )
+
+
+def hash_semi_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    num_buckets: int = 32,
+):
+    """Bucketed positive semi-join: left rows whose key matches AT LEAST
+    ONE right row (SQL ``EXISTS``), without duplicating the left row per
+    match the way an inner join would. Same exchange shape as
+    :func:`hash_anti_join` — the right side ships only per-batch-distinct
+    keys. Null left keys match nothing and are dropped."""
+    return _hash_exists_join(
+        left_ds, right_ds, left_key, right_key, num_buckets, anti=False
+    )
+
+
+def _hash_exists_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    num_buckets: int,
+    anti: bool,
+):
     import pyarrow.compute as pc
 
     left_schema = left_ds.schema()
@@ -177,10 +207,10 @@ def hash_anti_join(
         if isinstance(rkeys, pa.ChunkedArray):
             rkeys = rkeys.combine_chunks()
         rkeys = pc.unique(rkeys)
-        # null left key → is_in yields null → fill_null(False): no match,
-        # row survives the anti filter
+        # null left key → is_in yields null → fill_null(False): no match —
+        # the row survives the anti filter / drops from the semi filter
         hit = pc.fill_null(pc.is_in(left[left_key], value_set=rkeys), False)
-        return left.filter(pc.invert(hit)).select(left_cols)
+        return left.filter(pc.invert(hit) if anti else hit).select(left_cols)
 
     left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
     right_tagged = right_ds.map_batches(tag_right, batch_format="pyarrow")

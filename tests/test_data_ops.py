@@ -48,7 +48,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "sample_stratified", "latest_events", "event_deltas",
      "rolling_windows", "hourly_pivot", "bm25_topk",
      "running_totals", "value_ranks", "type_transitions",
-     "stopword_filter"],
+     "stopword_filter", "active_customers"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()
@@ -1944,4 +1944,29 @@ def test_stream_ops_partition_invariant(ray_session):
     got = tt.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         got.astype(str), exp_tt.astype(str), check_dtype=False
+    )
+
+
+def test_hash_semi_join_semantics(ray_session):
+    """Positive semi-join (EXISTS): a matched left row appears EXACTLY once
+    regardless of right-side duplicates; null left keys drop; semi + anti
+    partition the left table."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.joins import hash_anti_join, hash_semi_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3, None, 5, 6], type=pa.int64()),
+            "v": ["a", "b", "c", "d", "e", "f"],
+        }
+    )
+    right = pa.table({"rk": pa.array([2, 2, 5, None, 9], type=pa.int64())})
+    lds = ray.data.from_arrow(left)
+    rds = ray.data.from_arrow(right)
+    semi = hash_semi_join(lds, rds, "k", "rk", num_buckets=4).to_pandas()
+    anti = hash_anti_join(lds, rds, "k", "rk", num_buckets=4).to_pandas()
+    assert sorted(semi["v"]) == ["b", "e"]
+    assert sorted(list(semi["v"]) + list(anti["v"])) == sorted(
+        left["v"].to_pylist()
     )

@@ -264,6 +264,21 @@ class TestFailureMatrix:
         assert rows[0]["tags"] == ["pre", "_geoip_lookup_failure"]
         assert rows[1]["tags"] is None
 
+    def test_null_typed_tags_column(self, db_paths):
+        """An all-null ``tags`` column read from parquet infers as pa.null()
+        (no list kernel exists for it) — must behave exactly like absent
+        tags: failure rows get the tag list, success rows stay null."""
+        cfg = GeoIPConfig(source="message", database=db_paths["city"])
+        table = pa.table(
+            {
+                "message": ["N/A", "216.160.83.58"],
+                "tags": pa.nulls(2),
+            }
+        )
+        rows = GeoIPEnricher(cfg)(table).to_pylist()
+        assert rows[0]["tags"] == ["_geoip_lookup_failure"]
+        assert rows[1]["tags"] is None
+
     def test_custom_tag_on_failure(self, db_paths):
         cfg = GeoIPConfig(
             source="message", database=db_paths["city"], tag_on_failure=("t1", "t2")

@@ -346,11 +346,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   dup_ngram_spans — same distinct-(doc, key) bucketed reduce as
     #     shared_paragraphs (checked); test row remains
     #   quality_top_decile — corpus-filter output shape shared with
-    #     quality_filter / stopword_filter (both checked); the histogram
-    #     quantile-threshold mechanism is pinned by its pytest row
+    #     quality_filter (checked); the histogram quantile-threshold
+    #     mechanism is pinned by its pytest row
+    #   running_totals — same bucket_by_key + per-segment vectorized pass
+    #     as rolling_windows / event_deltas (both checked); test row remains
+    #   type_transitions — same per-bucket shift machinery as event_deltas
+    #     (checked); test row remains
+    #   stopword_filter — same explode→is_in→threshold filter shape as
+    #     quality_filter (checked); test row remains
+    #   supplier_revenue — same _lineitem_rev_partials ⋈ dimension shape as
+    #     promo_revenue and revenue_rollup (both checked); test row remains
+    #   mix_sample — modular-coin arithmetic pinned by its pytest oracle row
+    #     and the graded-rates test
     demote = [
         n
         for n in (
+            "running_totals",
+            "type_transitions",
+            "stopword_filter",
+            "supplier_revenue",
+            "mix_sample",
             "quality_top_decile",
             "parse_tokens",
             "dup_ngram_spans",

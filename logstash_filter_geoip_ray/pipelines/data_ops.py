@@ -1281,9 +1281,99 @@ def q_supplier_revenue(sf_dir: str):
     return supplier_revenue(sf_dir)
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Retention cohorts (INTERSECT/EXCEPT classify): every (user,
+    event_type) entity labeled retained / churned / new around a fixed
+    cutoff, counted per (type, cohort)."""
+    from ..stages.relational import retention_cohorts
+
+    return retention_cohorts(sf_dir)
+
+
+def q_above_avg_orders(sf_dir: str):
+    """Correlated scalar subquery: orders priced above their customer's own
+    average, count + revenue per priority (integer cross-multiplied — the
+    average never materializes)."""
+    from ..stages.relational import above_average_orders
+
+    return above_average_orders(sf_dir)
+
+
+def q_priority_rollup(sf_dir: str):
+    """ROLLUP grouping sets over orders: (priority, status) + per-priority
+    subtotals + grand total, 'ALL' markers."""
+    from ..stages.relational import priority_rollup
+
+    return priority_rollup(sf_dir)
+
+
+def q_quartile_stats(sf_dir: str):
+    """NTILE(4) per event_type ordered by (value, event_id): count +
+    integer-milli value sum per (type, quartile) — exact SQL remainder
+    semantics."""
+    from ..stages.windows import ntile_stats
+
+    return ntile_stats(_events(sf_dir, ["event_type", "value", "event_id"]), k=4)
+
+
+#: click-attribution band: clicks in the 24h up to (and including) each
+#: purchase — µs units shared verbatim with the SQL oracle
+ATTRIBUTION_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def q_click_attribution(sf_dir: str):
+    """Banded interval join (attribution): per purchase event, the number
+    of clicks by the same user in the trailing 24 hours. Pairs are never
+    materialized — searchsorted counts per key band."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from ..stages.joins import band_join_counts
+
+    def read_side(event_type: str, columns):
+        # type predicate pushed into the parquet read (row-group pruning);
+        # only (key, time[, id]) columns ever leave storage
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=columns,
+            filter=(pads.field("event_type") == event_type),
+        )
+
+        def to_us(batch):
+            import pyarrow as _pa
+
+            i = batch.column_names.index("ts")
+            return batch.set_column(
+                i, "ts", batch["ts"].cast(_pa.timestamp("us")).cast(_pa.int64())
+            )
+
+        return ds.map_batches(to_us, batch_format="pyarrow")
+
+    purchases = read_side("purchase", ["event_id", "user_id", "ts"])
+    clicks = read_side("click", ["user_id", "ts"])
+    out = band_join_counts(
+        purchases,
+        clicks,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="ts",
+        id_col="event_id",
+        before=ATTRIBUTION_WINDOW_US,
+        after=0,
+        count_alias="n_clicks",
+    )
+    return out.sort("event_id")
+
+
 DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "latest_events": q_latest_events,
     "active_customers": q_active_customers,
+    "retention_cohorts": q_retention_cohorts,
+    "above_avg_orders": q_above_avg_orders,
+    "priority_rollup": q_priority_rollup,
+    "quartile_stats": q_quartile_stats,
+    "click_attribution": q_click_attribution,
     "promo_revenue": q_promo_revenue,
     "supplier_revenue": q_supplier_revenue,
     "running_totals": q_running_totals,
@@ -1370,6 +1460,54 @@ _TOKEN_COUNT = f"CASE WHEN {_TRIMMED} = '' THEN 0 ELSE len({_TOKENS}) END"
 _BM25_TERMS_SQL = "('hash', 'join', 'vector', 'slow')"
 
 DATA_ORACLES: Dict[str, str] = {
+    "retention_cohorts": """
+SELECT event_type, cohort, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT user_id, event_type,
+    CASE WHEN max(CASE WHEN ts < TIMESTAMP '2024-01-29' THEN 1 ELSE 0 END) = 1
+          AND max(CASE WHEN ts >= TIMESTAMP '2024-01-29' THEN 1 ELSE 0 END) = 1
+         THEN 'retained'
+         WHEN max(CASE WHEN ts < TIMESTAMP '2024-01-29' THEN 1 ELSE 0 END) = 1
+         THEN 'churned' ELSE 'new' END AS cohort
+  FROM events GROUP BY 1, 2)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "above_avg_orders": """
+WITH ca AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(CAST(floor(o_totalprice * 1000) AS BIGINT)) AS BIGINT) AS s
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 1000) AS BIGINT)) AS BIGINT)
+         AS sum_price_milli
+FROM orders JOIN ca ON o_custkey = ca.k
+WHERE CAST(floor(o_totalprice * 1000) AS BIGINT) * ca.c > ca.s
+GROUP BY 1 ORDER BY 1
+""",
+    "priority_rollup": """
+SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 1000) AS BIGINT)) AS BIGINT)
+         AS sum_price_milli
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus) ORDER BY 1, 2
+""",
+    "quartile_stats": """
+SELECT event_type, CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v_milli) AS BIGINT) AS sum_v_milli FROM (
+  SELECT event_type,
+         NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS tile,
+         CAST(floor(value * 1000) AS BIGINT) AS v_milli
+  FROM events)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "click_attribution": """
+SELECT p.event_id, CAST(count(c.user_id) AS BIGINT) AS n_clicks
+FROM events p LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 86400000000 AND epoch_us(p.ts)
+WHERE p.event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+""",
     "active_customers": """
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
 FROM customer c

@@ -330,3 +330,232 @@ def supplier_revenue(sf_dir: str, top_k: int = 10, num_buckets: int = 16):
     return per_supp.sort(["rev_micro", "s_suppkey"], descending=[True, False]).limit(
         top_k
     )
+
+
+#: retention split point for the synthetic January-2024 events table — late
+#: enough in the month that a real churned cohort exists at every SF
+RETENTION_CUTOFF = "2024-01-29"
+
+
+def retention_cohorts(sf_dir: str, cutoff: str = RETENTION_CUTOFF,
+                      num_buckets: int = 32):
+    """Retention / set-op cohort classify: every (user, event_type) entity
+    becomes 'retained' (active on both sides of ``cutoff``), 'churned'
+    (before only) or 'new' (after only) — INTERSECT / EXCEPT over two
+    activity sets, computed as one grouped flag-OR instead of three
+    distinct-shuffles.
+
+    Scale shape: a batch collapses to distinct (user, type, f_before,
+    f_after) flag rows map-side (group_by max); user-hash buckets combine
+    the flags — the only exchange, sized by |entities|, never |events| —
+    then classify vectorized and count per (event_type, cohort); the final
+    combine is ≤ |types|·3 rows."""
+    import os
+
+    import ray.data
+
+    from .aggregate import bucket_by_key, tree_sum
+
+    cutoff_us = int(
+        np.datetime64(cutoff).astype("datetime64[us]").astype("int64")
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+
+    def flag_partial(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        before = pc.cast(pc.less(ts_us, cutoff_us), pa.int64())
+        work = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "f_before": before,
+                "f_after": pc.subtract(pa.scalar(1, type=pa.int64()), before),
+            }
+        )
+        g = work.group_by(["user_id", "event_type"]).aggregate(
+            [("f_before", "max"), ("f_after", "max")]
+        )
+        return g.rename_columns(["user_id", "event_type", "f_before", "f_after"])
+
+    partials = ds.map_batches(flag_partial, batch_format="pyarrow")
+    bucketed = bucket_by_key(partials, "user_id", num_buckets)
+
+    def classify(block: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            block.groupby(["user_id", "event_type"], sort=False)
+            .agg(f_before=("f_before", "max"), f_after=("f_after", "max"))
+            .reset_index()
+        )
+        fb = g["f_before"].to_numpy() > 0
+        fa = g["f_after"].to_numpy() > 0
+        cohort = np.where(fb & fa, "retained", np.where(fb, "churned", "new"))
+        out = pd.DataFrame({"event_type": g["event_type"], "cohort": cohort})
+        c = out.groupby(["event_type", "cohort"], sort=False).size().reset_index(
+            name="n"
+        )
+        c["n"] = c["n"].astype(np.int64)
+        return c
+
+    counts = bucketed.groupby("_bucket").map_groups(
+        classify, batch_format="pandas"
+    )
+    return tree_sum(counts, ["event_type", "cohort"], ["n"], sort_result=True)
+
+
+def above_average_orders(sf_dir: str, num_buckets: int = 16):
+    """Correlated-scalar-subquery filter (SQL ``WHERE price > (SELECT
+    avg(...) FROM orders o2 WHERE o2.custkey = o.custkey)``): orders priced
+    above their own customer's average, counted + revenue-summed per order
+    priority.
+
+    Exactness: the average never materializes — the filter cross-multiplies
+    (price_milli · n_cust > sum_milli), so both engines compare integers.
+
+    Scale shape: per-custkey (n, sum) partials combine inside each batch,
+    finalize in custkey-hash buckets (exchange = |customers| rows), then
+    ONE partitioned hash_join back to orders (both sides large — no
+    broadcast) feeds a vectorized filter and a tiny per-priority combine."""
+    import os
+
+    import ray.data
+
+    from .aggregate import bucket_by_key, tree_sum
+    from .joins import hash_join
+
+    orders_cols = ["o_custkey", "o_totalprice", "o_orderpriority"]
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        work = pa.table(
+            {
+                "ac_custkey": batch["o_custkey"],
+                "c_n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "c_s": _milli(batch["o_totalprice"]),
+            }
+        )
+        g = work.group_by(["ac_custkey"]).aggregate(
+            [("c_n", "sum"), ("c_s", "sum")]
+        )
+        return g.rename_columns(["ac_custkey", "c_n", "c_s"])
+
+    def cust_final(block: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            block.groupby("ac_custkey", sort=False)
+            .agg(c_n=("c_n", "sum"), c_s=("c_s", "sum"))
+            .reset_index()
+        )
+        return g
+
+    cust_agg = (
+        bucket_by_key(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "orders.parquet"),
+                columns=["o_custkey", "o_totalprice"],
+            ).map_batches(cust_partial, batch_format="pyarrow"),
+            "ac_custkey",
+            num_buckets,
+        )
+        .groupby("_bucket")
+        .map_groups(cust_final, batch_format="pandas")
+    )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=orders_cols
+    )
+    joined = hash_join(
+        orders, cust_agg, "o_custkey", "ac_custkey", num_buckets=num_buckets
+    )
+
+    def filter_partial(batch: pa.Table) -> pa.Table:
+        price_milli = _milli(batch["o_totalprice"]).to_numpy()
+        c_n = batch["c_n"].to_numpy()
+        c_s = batch["c_s"].to_numpy()
+        keep = price_milli * c_n > c_s
+        work = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "_pm": pa.array(price_milli, type=pa.int64()),
+                "_one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        ).filter(pa.array(keep))
+        g = work.group_by(["o_orderpriority"]).aggregate(
+            [("_one", "sum"), ("_pm", "sum")]
+        )
+        return g.rename_columns(["o_orderpriority", "n", "sum_price_milli"])
+
+    partials = joined.map_batches(filter_partial, batch_format="pyarrow")
+    return tree_sum(
+        partials, ["o_orderpriority"], ["n", "sum_price_milli"], sort_result=True
+    )
+
+
+def priority_rollup(sf_dir: str):
+    """Grouping-sets / ROLLUP aggregate: order count + price sum per
+    (priority, status), per priority subtotal, and grand total — subtotal
+    rows marked 'ALL' (SQL ``GROUP BY ROLLUP(priority, status)`` with
+    COALESCE markers).
+
+    Scale shape: only the FINEST level ever aggregates distributed (a batch
+    collapses to ≤ |priorities|·|statuses| partial rows); the coarser
+    rollup levels derive from that tiny table in the one final block —
+    never a second pass over the data."""
+    import os
+
+    import ray.data
+
+    from .aggregate import tree_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        work = pa.table(
+            {
+                "pri": batch["o_orderpriority"],
+                "status": batch["o_orderstatus"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "sum_price_milli": _milli(batch["o_totalprice"]),
+            }
+        )
+        g = work.group_by(["pri", "status"]).aggregate(
+            [("n", "sum"), ("sum_price_milli", "sum")]
+        )
+        return g.rename_columns(["pri", "status", "n", "sum_price_milli"])
+
+    finest = tree_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["pri", "status"],
+        ["n", "sum_price_milli"],
+        sort_result=False,
+    )
+
+    def rollup(block: pd.DataFrame) -> pd.DataFrame:
+        lvl1 = (
+            block.groupby("pri", sort=False)
+            .agg(n=("n", "sum"), sum_price_milli=("sum_price_milli", "sum"))
+            .reset_index()
+        )
+        lvl1["status"] = "ALL"
+        lvl2 = pd.DataFrame(
+            {
+                "pri": ["ALL"],
+                "status": ["ALL"],
+                "n": [block["n"].sum()],
+                "sum_price_milli": [block["sum_price_milli"].sum()],
+            }
+        )
+        out = pd.concat(
+            [block, lvl1[["pri", "status", "n", "sum_price_milli"]], lvl2],
+            ignore_index=True,
+        )
+        out["n"] = out["n"].astype(np.int64)
+        out["sum_price_milli"] = out["sum_price_milli"].astype(np.int64)
+        return out.sort_values(["pri", "status"]).reset_index(drop=True)
+
+    # tree_sum ends in repartition(1): the rollup is a single-block reshape
+    return finest.map_batches(rollup, batch_format="pandas", batch_size=None)

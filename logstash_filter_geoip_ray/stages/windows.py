@@ -534,3 +534,67 @@ def sessionize(
         .map_groups(per_bucket, batch_format="pandas")
         .sort(key_col)
     )
+
+
+def ntile_stats(
+    ds,
+    k: int = 4,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    num_buckets: int = 16,
+):
+    """SQL ``NTILE(k)`` per partition with exact remainder semantics (the
+    first ``n % k`` tiles get the extra row), order = (value, id), reduced
+    to per-(key, tile) count + integer-milli value sum — the
+    quartile-profile shape.
+
+    Partitioning assumption (documented, inherent to exact row-number
+    NTILE): ONE key's rows must fit one task — the tile of a row depends on
+    its exact rank among ALL of its key's rows, so a key cannot split.
+    Keys hash into buckets; inside a bucket one vectorized pass computes
+    every key's tiles at once (per-segment positions + the divmod tile
+    formula — no per-key Python). For hot-key-safe ranking over values use
+    ``value_ranks`` (dense rank over distinct values) instead."""
+    import numpy as np
+
+    from .aggregate import bucket_by_key, tree_sum
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, value_col, id_col], kind="mergesort")
+        keys = b[key_col].to_numpy()
+        v_milli = np.floor(b[value_col].to_numpy() * 1000.0).astype(np.int64)
+        n = len(b)
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new_seg)
+        sizes = np.diff(np.append(starts, n))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+        m = np.repeat(sizes, sizes).astype(np.int64)  # per-row segment size
+        q, r = m // k, m % k  # tile base size / number of size-(q+1) tiles
+        boundary = r * (q + 1)
+        qsafe = np.maximum(q, 1)  # q=0 rows all sit below boundary (= m)
+        tile = np.where(
+            pos < boundary, pos // (q + 1), r + (pos - boundary) // qsafe
+        ) + 1
+        out = pd.DataFrame(
+            {key_col: keys, "tile": tile.astype(np.int64), "v_milli": v_milli}
+        )
+        g = (
+            out.groupby([key_col, "tile"], sort=False)
+            .agg(n=("v_milli", "size"), sum_v_milli=("v_milli", "sum"))
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    bucketed = bucket_by_key(
+        ds.select_columns([key_col, value_col, id_col]), key_col, num_buckets
+    )
+    per_key = bucketed.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+    # each (key, tile) lives in exactly one bucket — the tree combine here
+    # only bundles the tiny per-bucket outputs and sorts
+    return tree_sum(per_key, [key_col, "tile"], ["n", "sum_v_milli"],
+                    sort_result=True)

@@ -48,7 +48,9 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "sample_stratified", "latest_events", "event_deltas",
      "rolling_windows", "hourly_pivot", "bm25_topk",
      "running_totals", "value_ranks", "type_transitions",
-     "stopword_filter", "active_customers"],
+     "stopword_filter", "active_customers", "retention_cohorts",
+     "above_avg_orders", "priority_rollup", "quartile_stats",
+     "click_attribution"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()
@@ -1969,4 +1971,141 @@ def test_hash_semi_join_semantics(ray_session):
     assert sorted(semi["v"]) == ["b", "e"]
     assert sorted(list(semi["v"]) + list(anti["v"])) == sorted(
         left["v"].to_pylist()
+    )
+
+
+def _band_counts_naive(lk, lt, rk, rt, before, after):
+    out = []
+    for k, t in zip(lk, lt):
+        if k is None or t is None:
+            out.append(0)
+            continue
+        out.append(
+            sum(
+                1
+                for k2, t2 in zip(rk, rt)
+                if k2 == k and t - before <= t2 <= t + after
+            )
+        )
+    return out
+
+
+def test_band_join_counts_vs_bruteforce(ray_session):
+    """Banded interval join: inclusive band endpoints, keys missing from the
+    right count 0, null left keys/times count 0, right-side nulls ignored."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.joins import band_join_counts
+
+    rng = np.random.RandomState(7)
+    n_l, n_r = 200, 300
+    lk = rng.randint(0, 12, n_l).tolist()
+    lt = rng.randint(0, 1000, n_l).tolist()
+    lk[5] = None
+    lt[9] = None
+    rk = rng.randint(0, 15, n_r).tolist()
+    rt = rng.randint(0, 1000, n_r).tolist()
+    rk[3] = None
+    rt[7] = None
+    left = pa.table(
+        {
+            "k": pa.array(lk, type=pa.int64()),
+            "t": pa.array(lt, type=pa.int64()),
+            "id": pa.array(range(n_l), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {"k": pa.array(rk, type=pa.int64()), "t": pa.array(rt, type=pa.int64())}
+    )
+    got = (
+        band_join_counts(
+            ray.data.from_arrow(left).repartition(4),
+            ray.data.from_arrow(right).repartition(3),
+            "k", "k", "t", "t", "id", before=50, after=25, num_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    rk_c = [k for k, t in zip(rk, rt) if k is not None and t is not None]
+    rt_c = [t for k, t in zip(rk, rt) if k is not None and t is not None]
+    exp = _band_counts_naive(lk, lt, rk_c, rt_c, 50, 25)
+    assert got["n_matches"].tolist() == exp
+    assert got["id"].tolist() == list(range(n_l))
+
+
+def test_band_join_counts_overflow_fallback(ray_session):
+    """Times spanning ~2^61 force the per-segment searchsorted fallback —
+    same counts as the banded fast path computes on small spans."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.joins import band_join_counts
+
+    big = 1 << 61
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 2], type=pa.int64()),
+            "t": pa.array([big, 100, big], type=pa.int64()),
+            "id": pa.array([0, 1, 2], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2], type=pa.int64()),
+            "t": pa.array([big - 5, big + 5, 90, 0], type=pa.int64()),
+        }
+    )
+    got = (
+        band_join_counts(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "k", "k", "t", "t", "id", before=10, after=10, num_buckets=1,
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert got["n_matches"].tolist() == [2, 1, 0]
+
+
+def test_ntile_exact_remainder_semantics(ray_session):
+    """NTILE(k) remainder rule: with n = q·k + r rows the first r tiles get
+    q+1 rows — checked against a naive per-key reference on ragged sizes."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.windows import ntile_stats
+
+    rows = []
+    sizes = {"a": 7, "b": 4, "c": 3, "d": 1, "e": 9}
+    i = 0
+    for key, m in sizes.items():
+        for _ in range(m):
+            rows.append((key, float(np.random.RandomState(i).rand()), i))
+            i += 1
+    tbl = pa.table(
+        {
+            "event_type": [r[0] for r in rows],
+            "value": [r[1] for r in rows],
+            "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+    got = ntile_stats(
+        ray.data.from_arrow(tbl).repartition(3), k=4, num_buckets=3
+    ).to_pandas()
+    # naive reference
+    exp_rows = {}
+    for key, m in sizes.items():
+        seg = sorted((r for r in rows if r[0] == key), key=lambda r: (r[1], r[2]))
+        q, r_ = divmod(m, 4)
+        tiles = []
+        for tile in range(1, 5):
+            tiles += [tile] * ((q + 1) if tile <= r_ else q)
+        for (k2, v, _id), t in zip(seg, tiles):
+            nk = (key, t)
+            n, s = exp_rows.get(nk, (0, 0))
+            exp_rows[nk] = (n + 1, s + int(np.floor(v * 1000.0)))
+    exp = pd.DataFrame(
+        [(k[0], k[1], n, s) for k, (n, s) in sorted(exp_rows.items())],
+        columns=["event_type", "tile", "n", "sum_v_milli"],
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype(str), exp.astype(str), check_dtype=False
     )

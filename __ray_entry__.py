@@ -358,9 +358,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     promo_revenue and revenue_rollup (both checked); test row remains
     #   mix_sample — modular-coin arithmetic pinned by its pytest oracle row
     #     and the graded-rates test
+    #   exact_distinct_users — same distinct-pairs shuffle as the
+    #     inverted_index / word_rarity family; check_oracles row remains
+    #   hopping_windows — np.repeat window explosion pinned by its pytest
+    #     oracle row and test_hopping_windows_cover_tumbling; rolling /
+    #     tumbling-family machinery stays covered via rolling_windows
+    #     (checked)
     demote = [
         n
         for n in (
+            "exact_distinct_users",
+            "hopping_windows",
             "running_totals",
             "type_transitions",
             "stopword_filter",

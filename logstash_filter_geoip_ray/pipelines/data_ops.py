@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 from typing import Any, Callable, Dict
 
+import pyarrow as pa
+
 ANN_QUERY_IDS = [0, 7, 42, 99, 123, 250, 333, 499]
 ANN_K = 10
 EMB_DUP_TAU = 0.4
@@ -1366,9 +1368,81 @@ def q_click_attribution(sf_dir: str):
     return out.sort("event_id")
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-class centroid sums over the embedding corpus: (label, dim) →
+    int64 milli sum + class count, one vectorized np.add.at pass per batch,
+    tree combine over |labels|·dim rows."""
+    from ..stages.clustering import label_centroids
+
+    return label_centroids(_emb(sf_dir, ["embedding", "label"]))
+
+
+#: left-side row-count threshold above which a key takes the broadcast
+#: path in segment_activity — sized so the synthetic events table (≈67
+#: events/user at every SF) exercises BOTH the hot and the cold path
+SEGMENT_HOT_THRESHOLD = 70
+
+
+def q_segment_activity(sf_dir: str):
+    """Skew-aware join demo: events (hot, repeated user keys) ⋈ customer
+    (unique per key) → count + value sum per market segment. Keys at ≥
+    SEGMENT_HOT_THRESHOLD left rows join via broadcast, the rest through
+    the bucketed hash join — both paths exercised at every SF."""
+    import numpy as np
+    import ray.data
+
+    from ..stages.aggregate import tree_sum
+    from ..stages.joins import skew_aware_hash_join
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.cast(
+            pc.floor(pc.multiply(batch["value"], 1000.0)), pa.int64()
+        )
+        return pa.table({"user_id": batch["user_id"], "v_milli": v})
+
+    ev = _events(sf_dir, ["user_id", "value"]).map_batches(
+        to_milli, batch_format="pyarrow"
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    joined = skew_aware_hash_join(
+        ev, cust, "user_id", "c_custkey",
+        hot_count_threshold=SEGMENT_HOT_THRESHOLD,
+        num_buckets=16,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        work = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+                "sum_v_milli": batch["v_milli"],
+            }
+        )
+        g = work.group_by(["c_mktsegment"]).aggregate(
+            [("n", "sum"), ("sum_v_milli", "sum")]
+        )
+        return g.rename_columns(["c_mktsegment", "n", "sum_v_milli"])
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    return tree_sum(
+        partials, ["c_mktsegment"], ["n", "sum_v_milli"], sort_result=True
+    )
+
+
 DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "latest_events": q_latest_events,
     "active_customers": q_active_customers,
+    "label_centroids": q_label_centroids,
+    "segment_activity": q_segment_activity,
     "retention_cohorts": q_retention_cohorts,
     "above_avg_orders": q_above_avg_orders,
     "priority_rollup": q_priority_rollup,
@@ -1460,6 +1534,22 @@ _TOKEN_COUNT = f"CASE WHEN {_TRIMMED} = '' THEN 0 ELSE len({_TOKENS}) END"
 _BM25_TERMS_SQL = "('hash', 'join', 'vector', 'slow')"
 
 DATA_ORACLES: Dict[str, str] = {
+    "label_centroids": """
+SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(sum(CAST(floor(v * 1000) AS BIGINT)) AS BIGINT) AS sum_milli,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS v
+      FROM embeddings)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "segment_activity": """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(e.value * 1000) AS BIGINT)) AS BIGINT)
+         AS sum_v_milli
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1 ORDER BY 1
+""",
     "retention_cohorts": """
 SELECT event_type, cohort, CAST(count(*) AS BIGINT) AS n FROM (
   SELECT user_id, event_type,

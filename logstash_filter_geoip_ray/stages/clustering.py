@@ -207,3 +207,50 @@ def kmeans_assign(
         )
 
     return ds.map_batches(assign_batch, batch_format="pyarrow").sort(id_col)
+
+
+def label_centroids(ds, vec_col: str = "embedding", label_col: str = "label"):
+    """Per-class centroid sums (the classifier-prototype / SemDeDup-prep
+    aggregate): for every (label, dim) the int64 milli sum of that
+    dimension plus the class count. ``sum_milli // n`` is the quantized
+    centroid — left to the caller so the aggregate stays mergeable.
+
+    Scale shape: one vectorized pass per batch (``np.add.at`` over the
+    label inverse) collapses a batch to |labels|·dim tall rows; the tree
+    combine only ever sees those partials. The corpus never shuffles."""
+    from .aggregate import tree_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _milli_matrix(batch, vec_col)
+        if mat is None:
+            return pa.table(
+                {
+                    label_col: pa.array([], type=pa.int64()),
+                    "dim": pa.array([], type=pa.int64()),
+                    "sum_milli": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        labels = pc.cast(batch[label_col], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        uniq, inv, counts = np.unique(
+            labels, return_inverse=True, return_counts=True
+        )
+        dim = mat.shape[1]
+        acc = np.zeros((len(uniq), dim), dtype=np.int64)
+        np.add.at(acc, inv, mat)
+        return pa.table(
+            {
+                label_col: pa.array(np.repeat(uniq, dim), type=pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(dim, dtype=np.int64), len(uniq))
+                ),
+                "sum_milli": pa.array(acc.reshape(-1), type=pa.int64()),
+                "n": pa.array(np.repeat(counts.astype(np.int64), dim)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return tree_sum(partials, [label_col, "dim"], ["sum_milli", "n"],
+                    sort_result=True)

@@ -344,3 +344,98 @@ def band_join_counts(
     return unioned.groupby("_bucket").map_groups(
         per_bucket, batch_format="pandas"
     )
+
+
+def skew_aware_hash_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    num_buckets: int = 32,
+    hot_count_threshold: int = 1_000_000,
+    max_hot_rows: int = 1_000_000,
+):
+    """Partitioned hash join with hot-key mitigation: keys whose LEFT-side
+    row count reaches ``hot_count_threshold`` never enter the exchange —
+    their (provably few) right-side rows broadcast once via ``ray.put`` and
+    the hot left rows join map-side; only the cold remainder flows through
+    the bucketed :func:`hash_join`. The standard fix for the one-hot-key-=
+    -one-giant-task failure mode of any co-partitioned join.
+
+    Guard: the broadcast side is bounded — if the hot keys' right rows
+    exceed ``max_hot_rows`` this raises instead of silently shipping an
+    unbounded table to every task (pick a higher threshold, or salt).
+    Inner-join semantics, same output columns as ``hash_join``."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from .aggregate import grouped_counts
+
+    # exact per-key left counts: |distinct keys| rows, the same partial-
+    # count machinery every aggregate uses (never the raw rows)
+    counts = grouped_counts(
+        left_ds.select_columns([left_key]), [left_key], "_cnt"
+    )
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch["_cnt"], hot_count_threshold)
+        )
+
+    hot_tbl = counts.map_batches(only_hot, batch_format="pyarrow").to_pandas()
+    if not len(hot_tbl):
+        return hash_join(
+            left_ds, right_ds, left_key, right_key, num_buckets=num_buckets
+        )
+    hot_keys = np.sort(hot_tbl[left_key].to_numpy())
+    hot_ref = ray.put(hot_keys)
+
+    def split(key_name: str, keep_hot: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            hot = ray.get(hot_ref)
+            mask = pc.fill_null(
+                pc.is_in(batch[key_name], value_set=pa.array(hot)), False
+            )
+            return batch.filter(mask if keep_hot else pc.invert(mask))
+
+        return fn
+
+    right_hot_df = (
+        right_ds.map_batches(split(right_key, True), batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(right_hot_df) > max_hot_rows:
+        raise ValueError(
+            "skew_aware_hash_join: %d right-side rows for %d hot keys exceed "
+            "max_hot_rows=%d — raise hot_count_threshold or salt the key"
+            % (len(right_hot_df), len(hot_keys), max_hot_rows)
+        )
+    right_hot_ref = ray.put(right_hot_df)
+
+    # output column contract must match hash_join: left cols + right-only
+    left_names = list(left_ds.schema().names)
+    right_names = list(right_ds.schema().names)
+    out_cols = left_names + [n for n in right_names if n not in set(left_names)]
+
+    def join_hot(batch: pa.Table) -> pa.Table:
+        rh = ray.get(right_hot_ref)
+        out = batch.to_pandas().merge(
+            rh, how="inner", left_on=left_key, right_on=right_key
+        )
+        return pa.Table.from_pandas(out[out_cols], preserve_index=False)
+
+    hot_joined = left_ds.map_batches(
+        split(left_key, True), batch_format="pyarrow"
+    ).map_batches(join_hot, batch_format="pyarrow")
+
+    cold_joined = hash_join(
+        left_ds.map_batches(split(left_key, False), batch_format="pyarrow"),
+        right_ds.map_batches(split(right_key, False), batch_format="pyarrow"),
+        left_key,
+        right_key,
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda b: b.select(out_cols), batch_format="pyarrow"
+    )
+    return hot_joined.union(cold_joined)

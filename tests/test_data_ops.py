@@ -50,7 +50,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "running_totals", "value_ranks", "type_transitions",
      "stopword_filter", "active_customers", "retention_cohorts",
      "above_avg_orders", "priority_rollup", "quartile_stats",
-     "click_attribution"],
+     "click_attribution", "label_centroids", "segment_activity"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     ray_df = DATA_QUERIES[name](SF).to_pandas()
@@ -2109,3 +2109,56 @@ def test_ntile_exact_remainder_semantics(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True).astype(str), exp.astype(str), check_dtype=False
     )
+
+
+def test_skew_aware_hash_join_matches_plain(ray_session):
+    """Planted hot key: the skew-aware join (hot keys broadcast, cold keys
+    bucketed) returns exactly the plain hash_join rows; both paths carry
+    rows; the broadcast-side cap raises."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.joins import (
+        hash_join,
+        skew_aware_hash_join,
+    )
+
+    rng = np.random.RandomState(3)
+    # key 7 is hot (500 rows), keys 0..19 cold (~10 each)
+    keys = np.concatenate([np.full(500, 7), rng.randint(0, 20, 200)])
+    left = pa.table(
+        {
+            "k": pa.array(keys, type=pa.int64()),
+            "x": pa.array(np.arange(len(keys)), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "rk": pa.array(np.arange(0, 25), type=pa.int64()),
+            "name": [f"r{i}" for i in range(25)],
+        }
+    )
+    lds = ray.data.from_arrow(left).repartition(4)
+    rds = ray.data.from_arrow(right).repartition(2)
+    got = (
+        skew_aware_hash_join(lds, rds, "k", "rk", num_buckets=4,
+                             hot_count_threshold=100)
+        .to_pandas()
+        .sort_values(["x"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        hash_join(lds, rds, "k", "rk", num_buckets=4)
+        .to_pandas()
+        .sort_values(["x"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)], check_dtype=False
+    )
+    assert (got["k"] == 7).sum() == int((keys == 7).sum())  # hot path ran
+    assert (got["k"] != 7).sum() > 0  # and so did the cold path
+
+    with pytest.raises(ValueError, match="max_hot_rows"):
+        skew_aware_hash_join(
+            lds, rds, "k", "rk", hot_count_threshold=100, max_hot_rows=0
+        ).to_pandas()

@@ -1368,6 +1368,16 @@ def q_click_attribution(sf_dir: str):
     return out.sort("event_id")
 
 
+def q_bpe_merges(sf_dir: str):
+    """Iterative BPE tokenizer training over documents: the first 10 learned
+    merge rules (rank, left, right, weighted count). Iterative state → no
+    SQL oracle (rows-only); the merge sequence is pinned exactly against a
+    sequential reference in pytest."""
+    from ..stages.textops import bpe_train
+
+    return bpe_train(_docs(sf_dir, ["text"]), n_merges=10)
+
+
 def q_label_centroids(sf_dir: str):
     """Per-class centroid sums over the embedding corpus: (label, dim) →
     int64 milli sum + class count, one vectorized np.add.at pass per batch,
@@ -1443,6 +1453,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "active_customers": q_active_customers,
     "label_centroids": q_label_centroids,
     "segment_activity": q_segment_activity,
+    "bpe_merges": q_bpe_merges,
     "retention_cohorts": q_retention_cohorts,
     "above_avg_orders": q_above_avg_orders,
     "priority_rollup": q_priority_rollup,

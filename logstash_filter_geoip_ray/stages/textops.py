@@ -949,3 +949,219 @@ def stopword_filter(
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow").sort(id_col)
+
+
+#: merged BPE symbols get ids above the Unicode plane cap; (a << 21) | b
+#: packing stays collision-free while ids < 2^21
+BPE_NEW_ID_BASE = 0x110000
+
+
+def bpe_train(
+    ds,
+    n_merges: int = 10,
+    text_col: str = "text",
+    num_buckets: int = 32,
+    min_pair_count: int = 2,
+):
+    """Iterative BPE tokenizer TRAINING (Sennrich-style): learn ``n_merges``
+    merge rules over the corpus, returning the merge table
+    (rank, left, right, n) with symbols rendered as strings.
+
+    Scale shape — the classic trick that makes distributed BPE feasible:
+    the iteration never touches the corpus. ONE pass reduces it to the
+    distinct (word, count) VOCABULARY (word-hash bucketed exact counts —
+    vocab ≪ corpus at any scale); each merge round then runs two vectorized
+    passes over the vocab only: (1) weighted adjacent-pair counts per batch
+    (int64 ``(a << 21) | b`` codes, np.add.at over np.unique inverse) →
+    pair-hash bucket combine → ONE candidate row per bucket → the driver
+    picks the global best from ≤ num_buckets rows (max count, ties to the
+    smaller pair — fully deterministic); (2) the winning pair applies
+    everywhere with a greedy non-overlapping left-to-right replace (run-
+    parity rule, exact for a == b chains) — pure numpy on the flat value
+    buffer. The vocab materializes between rounds so round r+1's lineage
+    does not replay round r.
+
+    Stops early when no pair reaches ``min_pair_count``. Iterative state →
+    no SQL oracle; pinned by an exact naive-reference pytest."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .aggregate import bucket_by_key
+    from .contamination import _flat_words
+
+    # ---- phase 1: corpus → distinct (word, cnt) vocabulary ----------------
+    def word_partials(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, _ = _flat_words(text)
+        if len(flat) == 0:
+            return pa.table(
+                {"w": pa.array([], type=pa.string()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        u, c = np.unique(flat.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"w": pa.array(u, type=pa.string()),
+             "cnt": pa.array(c.astype(np.int64))}
+        )
+
+    def vocab_final(block: pd.DataFrame) -> pd.DataFrame:
+        g = block.groupby("w", sort=False)["cnt"].sum().reset_index()
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    vocab_words = (
+        bucket_by_key(
+            ds.map_batches(word_partials, batch_format="pyarrow"), "w",
+            num_buckets,
+        )
+        .groupby("_bucket")
+        .map_groups(vocab_final, batch_format="pandas")
+    )
+
+    # distinct words → codepoint sequences (one utf-32 re-encode per batch)
+    def to_seqs(batch: pa.Table) -> pa.Table:
+        w = batch["w"]
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        w = w.cast(pa.string())
+        if batch.num_rows == 0 or len(w) == 0:
+            return pa.table(
+                {"seq": pa.array([], type=pa.list_(pa.int64())),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array([0, len(w)], type=pa.int32()), w
+            ),
+            "",
+        )[0].as_py()
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        lens = pc.utf8_length(w).to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets = np.zeros(len(w) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        seq = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()).cast(pa.int32()),
+            pa.array(cp.astype(np.int64)),
+        )
+        return pa.table({"seq": seq, "cnt": batch["cnt"]})
+
+    cur = vocab_words.map_batches(to_seqs, batch_format="pyarrow").materialize()
+
+    # ---- phase 2: merge rounds over the vocab only -------------------------
+    def _flat(batch: pa.Table):
+        lists = batch["seq"]
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lens = lists.value_lengths().to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype("float64")).astype(np.int64)
+        vals = lists.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = np.repeat(np.arange(len(lists), dtype=np.int64), lens)
+        return vals, rid, lens
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"code": pa.array([], type=pa.int64()),
+             "n": pa.array([], type=pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        vals, rid, _ = _flat(batch)
+        if len(vals) < 2:
+            return empty
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        same = rid[:-1] == rid[1:]
+        codes = (vals[:-1] << 21) | vals[1:]
+        codes = codes[same]
+        w = cnt[rid[:-1][same]]
+        if not len(codes):
+            return empty
+        u, inv = np.unique(codes, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, w)
+        return pa.table({"code": pa.array(u), "n": pa.array(acc)})
+
+    def bucket_best(block: pd.DataFrame) -> pd.DataFrame:
+        g = block.groupby("code", sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["n", "code"], ascending=[False, True]).head(1)
+        g["n"] = g["n"].astype(np.int64)
+        return g[["code", "n"]]
+
+    def make_apply(a: int, b: int, new_id: int):
+        def apply_merge(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            vals, rid, lens = _flat(batch)
+            if len(vals) < 2:
+                return batch
+            match = (vals[:-1] == a) & (vals[1:] == b) & (rid[:-1] == rid[1:])
+            idx = np.flatnonzero(match)
+            if not len(idx):
+                return batch
+            # greedy left-to-right non-overlap: within a run of consecutive
+            # matches (only possible when a == b) keep even positions
+            run_start = np.ones(len(idx), dtype=bool)
+            run_start[1:] = np.diff(idx) > 1
+            run_id = np.cumsum(run_start) - 1
+            pos = idx - idx[run_start][run_id]
+            kept = idx[pos % 2 == 0]
+            out_vals = vals.copy()
+            out_vals[kept] = new_id
+            drop = np.zeros(len(vals), dtype=bool)
+            drop[kept + 1] = True
+            new_vals = out_vals[~drop]
+            removed = np.bincount(rid[kept], minlength=len(lens)).astype(
+                np.int64
+            )
+            new_lens = lens - removed
+            offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(new_lens, out=offsets[1:])
+            seq = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int64()).cast(pa.int32()),
+                pa.array(new_vals),
+            )
+            return pa.table({"seq": seq, "cnt": batch["cnt"]})
+
+        return apply_merge
+
+    symbols: dict = {}
+
+    def render(sym: int) -> str:
+        if sym < BPE_NEW_ID_BASE:
+            return chr(sym)
+        return symbols[sym]
+
+    merges = []
+    for r in range(n_merges):
+        partials = cur.map_batches(pair_partials, batch_format="pyarrow")
+        cands = (
+            bucket_by_key(partials, "code", num_buckets)
+            .groupby("_bucket")
+            .map_groups(bucket_best, batch_format="pandas")
+            .to_pandas()  # ≤ num_buckets rows by construction
+        )
+        if not len(cands):
+            break
+        cands = cands.sort_values(["n", "code"], ascending=[False, True])
+        best_code = int(cands.iloc[0]["code"])
+        best_n = int(cands.iloc[0]["n"])
+        if best_n < min_pair_count:
+            break
+        a, b = best_code >> 21, best_code & 0x1FFFFF
+        new_id = BPE_NEW_ID_BASE + r
+        symbols[new_id] = render(a) + render(b)
+        merges.append((r, render(a), render(b), best_n))
+        cur = cur.map_batches(
+            make_apply(a, b, new_id), batch_format="pyarrow"
+        ).materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array([m[0] for m in merges], type=pa.int64()),
+            "left": pa.array([m[1] for m in merges], type=pa.string()),
+            "right": pa.array([m[2] for m in merges], type=pa.string()),
+            "n": pa.array([m[3] for m in merges], type=pa.int64()),
+        }
+    )

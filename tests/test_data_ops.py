@@ -2162,3 +2162,78 @@ def test_skew_aware_hash_join_matches_plain(ray_session):
         skew_aware_hash_join(
             lds, rds, "k", "rk", hot_count_threshold=100, max_hot_rows=0
         ).to_pandas()
+
+
+def _naive_bpe(texts, n_merges, min_pair_count=2):
+    """Pure-Python reference BPE: word-frequency vocab, weighted adjacent
+    pair counts (overlaps included), greedy left-to-right non-overlapping
+    merge, ties to the smaller (left, right) pair."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            vocab[w] += 1
+    seqs = {w: [ord(c) for c in w] for w in vocab}
+    sym = {}
+
+    def render(s):
+        return sym[s] if s >= 0x110000 else chr(s)
+
+    merges = []
+    for r in range(n_merges):
+        pairs = Counter()
+        for w, seq in seqs.items():
+            c = vocab[w]
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < min_pair_count:
+            break
+        new_id = 0x110000 + r
+        sym[new_id] = render(a) + render(b)
+        merges.append((r, render(a), render(b), n))
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(new_id)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_naive_reference(ray_session):
+    """Distributed BPE training learns the exact same merge sequence (rules,
+    order, weighted counts) as the sequential reference — including a==b
+    chain merges and early stopping."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.textops import bpe_train
+
+    texts = [
+        "the theme of the thesis is the theory",
+        "aaaa aaa aa the theater",
+        "low lower lowest newest newer new",
+        "the the the theme",
+        "",
+        "   ",
+    ]
+    tbl = pa.table({"text": texts})
+    got = bpe_train(
+        ray.data.from_arrow(tbl).repartition(3), n_merges=12, num_buckets=4
+    ).to_pandas()
+    exp = pd.DataFrame(
+        _naive_bpe(texts, 12), columns=["rank", "left", "right", "n"]
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False
+    )
+    # 'th'+'e' style stacked merges must appear for this corpus
+    assert len(got) > 3

@@ -1378,6 +1378,18 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train(_docs(sf_dir, ["text"]), n_merges=10)
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """Train-then-apply tokenizer pipeline: learn 10 BPE merges over the
+    corpus, then re-tokenize every document with them (per-doc BPE token
+    count + milli compression ratio). Rows-only — iterative + replay state
+    has no SQL oracle; both halves are pinned exactly by pytest."""
+    from ..stages.textops import bpe_encode, bpe_train
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=10)
+    return bpe_encode(docs, merges).sort("doc_id")
+
+
 def q_label_centroids(sf_dir: str):
     """Per-class centroid sums over the embedding corpus: (label, dim) →
     int64 milli sum + class count, one vectorized np.add.at pass per batch,
@@ -1454,6 +1466,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "label_centroids": q_label_centroids,
     "segment_activity": q_segment_activity,
     "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
     "retention_cohorts": q_retention_cohorts,
     "above_avg_orders": q_above_avg_orders,
     "priority_rollup": q_priority_rollup,

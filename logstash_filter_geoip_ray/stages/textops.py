@@ -1165,3 +1165,117 @@ def bpe_train(
             "n": pa.array([m[3] for m in merges], type=pa.int64()),
         }
     )
+
+
+def bpe_encode(
+    ds,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Apply learned BPE merges (the table :func:`bpe_train` returns, or an
+    equivalent (left, right) rank-ordered list) to the corpus: per document,
+    the BPE token count and the byte-ish compression ratio in integer milli
+    (1000 · tokens // chars; 0 for empty docs) — the
+    train-tokenizer-then-measure step of a data pipeline.
+
+    Scale shape: the merge table is tiny (ranks) and ships inside the
+    closure; each batch explodes to the flat codepoint array ONCE and
+    replays the merges in rank order with the same vectorized run-parity
+    kernel ``bpe_train`` uses — cost = n_merges numpy passes per batch, no
+    shuffle anywhere (per-doc outputs)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .contamination import _flat_words
+
+    if isinstance(merges, pa.Table):
+        pairs = list(zip(merges["left"].to_pylist(), merges["right"].to_pylist()))
+    else:
+        pairs = [(l, r) for l, r in merges]
+    # rebuild the symbol ids exactly as bpe_train assigned them: rank r's
+    # output symbol is BPE_NEW_ID_BASE + r; its inputs render from earlier
+    # rows, so map strings back to ids by first-seen rank
+    sym_of: dict = {}
+    rules = []
+    for r, (left, right) in enumerate(pairs):
+        a = sym_of.get(left, ord(left) if len(left) == 1 else None)
+        b = sym_of.get(right, ord(right) if len(right) == 1 else None)
+        if a is None or b is None:
+            raise ValueError(
+                "bpe_encode: merge %d (%r,%r) references a symbol no earlier "
+                "rule produced" % (r, left, right)
+            )
+        new_id = BPE_NEW_ID_BASE + r
+        if left + right in sym_of:
+            # two merge paths rendering the same surface string would make
+            # the string→id replay ambiguous — refuse loudly
+            raise ValueError(
+                "bpe_encode: duplicate surface form %r at rank %d"
+                % (left + right, r)
+            )
+        sym_of[left + right] = new_id
+        rules.append((a, b, new_id))
+
+    def _apply_rule(vals, rid, a, b, new_id):
+        if len(vals) < 2:
+            return vals, rid
+        match = (vals[:-1] == a) & (vals[1:] == b) & (rid[:-1] == rid[1:])
+        idx = np.flatnonzero(match)
+        if not len(idx):
+            return vals, rid
+        run_start = np.ones(len(idx), dtype=bool)
+        run_start[1:] = np.diff(idx) > 1
+        run_id = np.cumsum(run_start) - 1
+        pos = idx - idx[run_start][run_id]
+        kept = idx[pos % 2 == 0]
+        vals = vals.copy()
+        vals[kept] = new_id
+        drop = np.zeros(len(vals), dtype=bool)
+        drop[kept + 1] = True
+        return vals[~drop], rid[~drop]
+
+    def encode(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ids = batch[id_col]
+        n_rows = batch.num_rows
+        flat, widx = _flat_words(text)
+        if len(flat):
+            joined = pc.binary_join(
+                pa.ListArray.from_arrays(
+                    pa.array([0, len(flat)], type=pa.int32()), flat
+                ),
+                "",
+            )[0].as_py()
+            cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+            vals = cp.astype(np.int64)
+            lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            # merges never cross word boundaries: the row id here is the
+            # WORD index (unique per word), not the doc index
+            wid = np.repeat(np.arange(len(flat), dtype=np.int64), lens)
+            for a, b, new_id in rules:
+                vals, wid = _apply_rule(vals, wid, a, b, new_id)
+            # tokens per word → tokens per doc
+            per_word = np.bincount(wid, minlength=len(flat)).astype(np.int64)
+            n_tokens = np.bincount(
+                widx, weights=per_word, minlength=n_rows
+            ).astype(np.int64)
+        else:
+            n_tokens = np.zeros(n_rows, dtype=np.int64)
+        n_chars = pc.utf8_length(
+            pc.fill_null(text.cast(pa.string()), "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        ratio = np.where(n_chars > 0, (1000 * n_tokens) // np.maximum(n_chars, 1), 0)
+        return pa.table(
+            {
+                id_col: ids,
+                "n_bpe_tokens": pa.array(n_tokens),
+                "ratio_milli": pa.array(ratio.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -2237,3 +2237,62 @@ def test_bpe_train_matches_naive_reference(ray_session):
     )
     # 'th'+'e' style stacked merges must appear for this corpus
     assert len(got) > 3
+
+
+def test_bpe_encode_matches_naive(ray_session):
+    """Applying the learned merges reproduces the sequential tokenizer's
+    per-doc token counts exactly."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.textops import bpe_encode, bpe_train
+
+    texts = [
+        "the theme of the thesis is the theory",
+        "aaaa aaa aa the theater",
+        "low lower lowest newest newer new",
+        "the the the theme",
+        "",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": texts})
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    merges = bpe_train(ds, n_merges=8, num_buckets=4)
+    got = (
+        bpe_encode(ds, merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # sequential replay with the same greedy non-overlap rule
+    rules = list(zip(merges["left"].to_pylist(), merges["right"].to_pylist()))
+    sym = {}
+    rid_rules = []
+    for r, (l, rgt) in enumerate(rules):
+        a = sym.get(l, ord(l) if len(l) == 1 else None)
+        b = sym.get(rgt, ord(rgt) if len(rgt) == 1 else None)
+        nid = 0x110000 + r
+        sym[l + rgt] = nid
+        rid_rules.append((a, b, nid))
+
+    def tok_count(word):
+        seq = [ord(c) for c in word]
+        for a, b, nid in rid_rules:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(nid)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return len(seq)
+
+    for _, row in got.iterrows():
+        t = texts[int(row["doc_id"])]
+        exp_tokens = sum(tok_count(w) for w in t.strip().lower().split())
+        assert row["n_bpe_tokens"] == exp_tokens, (row, exp_tokens)
+        n_chars = len(t)
+        exp_ratio = (1000 * exp_tokens) // n_chars if n_chars else 0
+        assert row["ratio_milli"] == exp_ratio

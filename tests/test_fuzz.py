@@ -1,6 +1,7 @@
 """Property/fuzz tests: hostile bytes and hostile strings must never crash
 the engine — only clean errors (build time) or tagged failures (row level)."""
 
+import numpy as np
 import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -260,3 +261,100 @@ def test_fuzz_jpeg_decode_total_contract(seed):
         assert out.dtype == np.uint8
     except ValueError:
         pass
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_l=st.integers(1, 60),
+    n_r=st.integers(0, 80),
+    n_keys=st.integers(1, 8),
+    span=st.integers(1, 200),
+    before=st.integers(0, 50),
+    after=st.integers(0, 50),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_fuzz_band_join_counts(ray_session, n_l, n_r, n_keys, span, before,
+                               after, seed):
+    """band_join_counts == per-row brute force for random keys/times/bands."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.joins import band_join_counts
+
+    rng = np.random.RandomState(seed)
+    lk = rng.randint(0, n_keys, n_l)
+    lt = rng.randint(0, span, n_l)
+    rk = rng.randint(0, n_keys, n_r)
+    rt = rng.randint(0, span, n_r)
+    left = pa.table(
+        {
+            "k": pa.array(lk, type=pa.int64()),
+            "t": pa.array(lt, type=pa.int64()),
+            "id": pa.array(range(n_l), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {"k": pa.array(rk, type=pa.int64()), "t": pa.array(rt, type=pa.int64())}
+    )
+    got = (
+        band_join_counts(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            "k", "k", "t", "t", "id",
+            before=before, after=after, num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    exp = [
+        int(((rk == k) & (rt >= t - before) & (rt <= t + after)).sum())
+        for k, t in zip(lk, lt)
+    ]
+    assert got["n_matches"].tolist() == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 23), min_size=1, max_size=6),
+    k=st.integers(1, 7),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_fuzz_ntile_matches_sql_rule(ray_session, sizes, k, seed):
+    """ntile_stats tile sizes follow SQL's remainder rule for every
+    (segment size, k) and the per-tile sums match a naive assignment."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.windows import ntile_stats
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    i = 0
+    for s_idx, m in enumerate(sizes):
+        for _ in range(m):
+            rows.append((f"k{s_idx}", float(rng.rand()), i))
+            i += 1
+    tbl = pa.table(
+        {
+            "event_type": [r[0] for r in rows],
+            "value": [r[1] for r in rows],
+            "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
+    got = ntile_stats(
+        ray.data.from_arrow(tbl), k=k, num_buckets=2
+    ).to_pandas()
+    exp = {}
+    for s_idx, m in enumerate(sizes):
+        key = f"k{s_idx}"
+        seg = sorted((r for r in rows if r[0] == key), key=lambda r: (r[1], r[2]))
+        q, r_ = divmod(m, k)
+        tiles = []
+        for tile in range(1, k + 1):
+            tiles += [tile] * ((q + 1) if tile <= r_ else q)
+        for (kk, v, _id), t in zip(seg, tiles):
+            n, s = exp.get((kk, t), (0, 0))
+            exp[(kk, t)] = (n + 1, s + int(np.floor(v * 1000.0)))
+    got_map = {
+        (r["event_type"], int(r["tile"])): (int(r["n"]), int(r["sum_v_milli"]))
+        for _, r in got.iterrows()
+    }
+    assert got_map == exp

@@ -370,20 +370,27 @@ def skew_aware_hash_join(
     import pyarrow.compute as pc
     import ray
 
-    from .aggregate import grouped_counts
+    from .aggregate import _partial_counts, bucket_by_key
 
-    # exact per-key left counts: |distinct keys| rows, the same partial-
-    # count machinery every aggregate uses (never the raw rows)
-    counts = grouped_counts(
-        left_ds.select_columns([left_key]), [left_key], "_cnt"
+    # exact per-key left counts, finalized in key-hash buckets with the hot
+    # filter applied INSIDE each bucket task — the key space can be
+    # arbitrarily large (it's a join key), so the |keys|-sized table must
+    # never coalesce into one block (tree_sum/grouped_counts would) and
+    # only the hot rows may reach the driver
+    partials = left_ds.select_columns([left_key]).map_batches(
+        _partial_counts([left_key], "_cnt"), batch_format="pyarrow"
     )
 
-    def only_hot(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.greater_equal(batch["_cnt"], hot_count_threshold)
-        )
+    def bucket_hot(block: pd.DataFrame) -> pd.DataFrame:
+        g = block.groupby(left_key, sort=False)["_cnt"].sum().reset_index()
+        return g[g["_cnt"] >= hot_count_threshold]
 
-    hot_tbl = counts.map_batches(only_hot, batch_format="pyarrow").to_pandas()
+    hot_tbl = (
+        bucket_by_key(partials, left_key, num_buckets)
+        .groupby("_bucket")
+        .map_groups(bucket_hot, batch_format="pandas")
+        .to_pandas()
+    )
     if not len(hot_tbl):
         return hash_join(
             left_ds, right_ds, left_key, right_key, num_buckets=num_buckets

@@ -231,18 +231,35 @@ def label_centroids(ds, vec_col: str = "embedding", label_col: str = "label"):
                     "n": pa.array([], type=pa.int64()),
                 }
             )
-        labels = pc.cast(batch[label_col], pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
+        label_arr = pc.cast(batch[label_col], pa.int64())
+        if isinstance(label_arr, pa.ChunkedArray):
+            label_arr = label_arr.combine_chunks()
+        # null labels form their own group (SQL GROUP BY keeps nulls): a
+        # plain to_numpy would turn a null-carrying int64 column float64
+        # (NaN survives np.unique, then the int64 cast raises / rounds),
+        # so fold nulls onto a sentinel and restore them in the output
+        null_mask = np.asarray(pc.is_null(label_arr))
+        labels = pc.fill_null(label_arr, 0).to_numpy(zero_copy_only=False)
+        has_null = bool(null_mask.any())
+        if has_null:
+            sentinel = labels[~null_mask].min() - 1 if (~null_mask).any() else 0
+            labels = np.where(null_mask, sentinel, labels)
         uniq, inv, counts = np.unique(
             labels, return_inverse=True, return_counts=True
         )
         dim = mat.shape[1]
         acc = np.zeros((len(uniq), dim), dtype=np.int64)
         np.add.at(acc, inv, mat)
+        out_labels = pa.array(np.repeat(uniq, dim), type=pa.int64())
+        if has_null:
+            null_rows = np.repeat(uniq == sentinel, dim)
+            out_labels = pc.if_else(
+                pa.array(null_rows), pa.scalar(None, type=pa.int64()),
+                out_labels,
+            )
         return pa.table(
             {
-                label_col: pa.array(np.repeat(uniq, dim), type=pa.int64()),
+                label_col: out_labels,
                 "dim": pa.array(
                     np.tile(np.arange(dim, dtype=np.int64), len(uniq))
                 ),

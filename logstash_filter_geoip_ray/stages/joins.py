@@ -287,29 +287,41 @@ def band_join_counts(
             "_side", pa.array(["r"] * batch.num_rows, type=pa.string())
         )
 
-    id_np_dtype = np.int64 if pa.types.is_integer(id_type) else object
-
-    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
-        l = block[block["_side"] == "l"]
-        if not len(l):
-            return pd.DataFrame(
-                {
-                    id_col: pd.Series([], dtype=id_np_dtype),
-                    count_alias: pd.Series([], dtype=np.int64),
-                }
+    # the whole bucket stays ARROW: a pandas conversion would degrade the
+    # null-filled union id column (and null-carrying _k/_t) to float64 —
+    # lossy above 2^53 — exactly the hazard hash_join's merge_bucket
+    # documents. Left ids carry no union-introduced nulls, so slicing them
+    # out of the Arrow block keeps them exact at any magnitude.
+    def per_bucket(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=id_type),
+                count_alias: pa.array([], type=pa.int64()),
+            }
+        )
+        lmask = pc.equal(block["_side"], "l")
+        l = block.filter(lmask)
+        if l.num_rows == 0:
+            return empty
+        ids = l[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        lnull = np.asarray(
+            pc.or_(pc.is_null(l["_k"]), pc.is_null(l["_t"]))
+        )
+        lk = pc.fill_null(l["_k"], -1).to_numpy(zero_copy_only=False)
+        lt = pc.fill_null(l["_t"], 0).to_numpy(zero_copy_only=False)
+        r = block.filter(pc.invert(lmask))
+        rvalid = pc.and_(pc.is_valid(r["_k"]), pc.is_valid(r["_t"]))
+        r = r.filter(rvalid)
+        if r.num_rows == 0:
+            return pa.table(
+                {id_col: ids,
+                 count_alias: pa.array(np.zeros(len(lk), dtype=np.int64))}
             )
-        lnull = (l["_k"].isna() | l["_t"].isna()).to_numpy()
-        lk = l["_k"].to_numpy(dtype=np.int64, na_value=-1)
-        lt = l["_t"].to_numpy(dtype=np.int64, na_value=0)
-        r = block[block["_side"] == "r"].dropna(subset=["_k", "_t"])
-        if not len(r):
-            return pd.DataFrame(
-                {id_col: l[id_col].to_numpy(dtype=id_np_dtype),
-                 count_alias: np.zeros(len(l), dtype=np.int64)}
-            )
-        r = r.sort_values(["_k", "_t"], kind="mergesort")
-        rk = r["_k"].to_numpy(dtype=np.int64)
-        rt = r["_t"].to_numpy(dtype=np.int64)
+        r = r.sort_by([("_k", "ascending"), ("_t", "ascending")])
+        rk = r["_k"].to_numpy(zero_copy_only=False)
+        rt = r["_t"].to_numpy(zero_copy_only=False)
         ru, r_counts = np.unique(rk, return_counts=True)
         t0 = min(int(rt.min()), int(lt.min()))
         span = max(int(rt.max()), int(lt.max())) - t0
@@ -327,22 +339,20 @@ def band_join_counts(
         else:  # overflow fallback: per-right-key-segment searchsorted
             seg_starts = np.zeros(len(ru) + 1, dtype=np.int64)
             np.cumsum(r_counts, out=seg_starts[1:])
-            n = np.zeros(len(l), dtype=np.int64)
+            n = np.zeros(len(lk), dtype=np.int64)
             for j in np.nonzero(valid)[0]:
                 s, e = seg_starts[lidx_c[j]], seg_starts[lidx_c[j] + 1]
                 seg = rt[s:e]
                 n[j] = np.searchsorted(
                     seg, lt[j] + after, side="right"
                 ) - np.searchsorted(seg, lt[j] - before, side="left")
-        return pd.DataFrame(
-            {id_col: l[id_col].to_numpy(dtype=id_np_dtype), count_alias: n}
-        )
+        return pa.table({id_col: ids, count_alias: pa.array(n)})
 
     left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
     right_tagged = right_ds.map_batches(tag_right, batch_format="pyarrow")
     unioned = left_tagged.union(right_tagged)
     return unioned.groupby("_bucket").map_groups(
-        per_bucket, batch_format="pandas"
+        per_bucket, batch_format="pyarrow"
     )
 
 
@@ -396,13 +406,19 @@ def skew_aware_hash_join(
             left_ds, right_ds, left_key, right_key, num_buckets=num_buckets
         )
     hot_keys = np.sort(hot_tbl[left_key].to_numpy())
-    hot_ref = ray.put(hot_keys)
+    # hot keys are FEW by definition — ship them in the task closure (built
+    # once here, not per batch). NOTE the deliberate re-scan trade: the left
+    # lineage executes once for detection and once per split; at fleet
+    # scale re-reading a streaming source beats materializing it in the
+    # object store (same argument as clustering.kmeans_fit's per-round
+    # re-read) — callers with an expensive upstream chain should
+    # materialize() it themselves before calling this.
+    hot_value_set = pa.array(hot_keys)
 
     def split(key_name: str, keep_hot: bool):
         def fn(batch: pa.Table) -> pa.Table:
-            hot = ray.get(hot_ref)
             mask = pc.fill_null(
-                pc.is_in(batch[key_name], value_set=pa.array(hot)), False
+                pc.is_in(batch[key_name], value_set=hot_value_set), False
             )
             return batch.filter(mask if keep_hot else pc.invert(mask))
 
@@ -420,17 +436,25 @@ def skew_aware_hash_join(
         )
     right_hot_ref = ray.put(right_hot_df)
 
-    # output column contract must match hash_join: left cols + right-only
-    left_names = list(left_ds.schema().names)
-    right_names = list(right_ds.schema().names)
-    out_cols = left_names + [n for n in right_names if n not in set(left_names)]
+    # output column contract must match hash_join: left cols + right-only.
+    # The explicit schema matters: from_pandas on an EMPTY merged batch
+    # would infer null type for string columns and poison the hot∪cold
+    # union with inconsistent block schemas.
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    type_of = dict(zip(rsch.names, rsch.types))
+    type_of.update(dict(zip(lsch.names, lsch.types)))
+    left_names = list(lsch.names)
+    out_cols = left_names + [n for n in rsch.names if n not in set(left_names)]
+    out_schema = pa.schema([(n, type_of[n]) for n in out_cols])
 
     def join_hot(batch: pa.Table) -> pa.Table:
         rh = ray.get(right_hot_ref)
         out = batch.to_pandas().merge(
             rh, how="inner", left_on=left_key, right_on=right_key
         )
-        return pa.Table.from_pandas(out[out_cols], preserve_index=False)
+        return pa.Table.from_pandas(
+            out[out_cols], schema=out_schema, preserve_index=False
+        )
 
     hot_joined = left_ds.map_batches(
         split(left_key, True), batch_format="pyarrow"

@@ -385,8 +385,10 @@ def retention_cohorts(sf_dir: str, cutoff: str = RETENTION_CUTOFF,
     bucketed = bucket_by_key(partials, "user_id", num_buckets)
 
     def classify(block: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: a null user/type is a real entity — the Arrow-side
+        # flag partial and the SQL oracle's GROUP BY both keep null groups
         g = (
-            block.groupby(["user_id", "event_type"], sort=False)
+            block.groupby(["user_id", "event_type"], sort=False, dropna=False)
             .agg(f_before=("f_before", "max"), f_after=("f_after", "max"))
             .reset_index()
         )

@@ -956,6 +956,51 @@ def stopword_filter(
 BPE_NEW_ID_BASE = 0x110000
 
 
+def _bpe_flat_codepoints(words: pa.Array):
+    """(int64 codepoint values, per-word codepoint lengths) for a flat word
+    array — ONE utf-8 decode + utf-32 re-encode per batch. The shared
+    explode of bpe_train's vocab build and bpe_encode's corpus pass."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(
+            pa.array([0, len(words)], type=pa.int32()), words
+        ),
+        "",
+    )[0].as_py()
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = pc.utf8_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    return cp.astype(np.int64), lens
+
+
+def _bpe_run_parity_merge(vals, rid, a: int, b: int, new_id: int):
+    """THE greedy non-overlapping left-to-right (a, b) → new_id replace —
+    the single kernel both bpe_train (per merge round) and bpe_encode (per
+    replayed rule) run, so training and encoding can never disagree. Within
+    a run of consecutive matches (only possible when a == b) even positions
+    win — exactly the sequential scan-and-skip rule. Returns the filtered
+    (vals, rid) pair; unchanged inputs return as-is."""
+    import numpy as np
+
+    if len(vals) < 2:
+        return vals, rid
+    match = (vals[:-1] == a) & (vals[1:] == b) & (rid[:-1] == rid[1:])
+    idx = np.flatnonzero(match)
+    if not len(idx):
+        return vals, rid
+    run_start = np.ones(len(idx), dtype=bool)
+    run_start[1:] = np.diff(idx) > 1
+    run_id = np.cumsum(run_start) - 1
+    pos = idx - idx[run_start][run_id]
+    kept = idx[pos % 2 == 0]
+    out = vals.copy()
+    out[kept] = new_id
+    drop = np.zeros(len(vals), dtype=bool)
+    drop[kept + 1] = True
+    return out[~drop], rid[~drop]
+
+
 def bpe_train(
     ds,
     n_merges: int = 10,
@@ -1032,19 +1077,11 @@ def bpe_train(
                 {"seq": pa.array([], type=pa.list_(pa.int64())),
                  "cnt": pa.array([], type=pa.int64())}
             )
-        joined = pc.binary_join(
-            pa.ListArray.from_arrays(
-                pa.array([0, len(w)], type=pa.int32()), w
-            ),
-            "",
-        )[0].as_py()
-        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
-        lens = pc.utf8_length(w).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, lens = _bpe_flat_codepoints(w)
         offsets = np.zeros(len(w) + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
         seq = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()).cast(pa.int32()),
-            pa.array(cp.astype(np.int64)),
+            pa.array(offsets, type=pa.int32()), pa.array(vals)
         )
         return pa.table({"seq": seq, "cnt": batch["cnt"]})
 
@@ -1094,33 +1131,16 @@ def bpe_train(
             if batch.num_rows == 0:
                 return batch
             vals, rid, lens = _flat(batch)
-            if len(vals) < 2:
+            new_vals, new_rid = _bpe_run_parity_merge(vals, rid, a, b, new_id)
+            if len(new_vals) == len(vals):
                 return batch
-            match = (vals[:-1] == a) & (vals[1:] == b) & (rid[:-1] == rid[1:])
-            idx = np.flatnonzero(match)
-            if not len(idx):
-                return batch
-            # greedy left-to-right non-overlap: within a run of consecutive
-            # matches (only possible when a == b) keep even positions
-            run_start = np.ones(len(idx), dtype=bool)
-            run_start[1:] = np.diff(idx) > 1
-            run_id = np.cumsum(run_start) - 1
-            pos = idx - idx[run_start][run_id]
-            kept = idx[pos % 2 == 0]
-            out_vals = vals.copy()
-            out_vals[kept] = new_id
-            drop = np.zeros(len(vals), dtype=bool)
-            drop[kept + 1] = True
-            new_vals = out_vals[~drop]
-            removed = np.bincount(rid[kept], minlength=len(lens)).astype(
+            new_lens = np.bincount(new_rid, minlength=len(lens)).astype(
                 np.int64
             )
-            new_lens = lens - removed
             offsets = np.zeros(len(lens) + 1, dtype=np.int64)
             np.cumsum(new_lens, out=offsets[1:])
             seq = pa.ListArray.from_arrays(
-                pa.array(offsets, type=pa.int64()).cast(pa.int32()),
-                pa.array(new_vals),
+                pa.array(offsets, type=pa.int32()), pa.array(new_vals)
             )
             return pa.table({"seq": seq, "cnt": batch["cnt"]})
 
@@ -1217,24 +1237,6 @@ def bpe_encode(
         sym_of[left + right] = new_id
         rules.append((a, b, new_id))
 
-    def _apply_rule(vals, rid, a, b, new_id):
-        if len(vals) < 2:
-            return vals, rid
-        match = (vals[:-1] == a) & (vals[1:] == b) & (rid[:-1] == rid[1:])
-        idx = np.flatnonzero(match)
-        if not len(idx):
-            return vals, rid
-        run_start = np.ones(len(idx), dtype=bool)
-        run_start[1:] = np.diff(idx) > 1
-        run_id = np.cumsum(run_start) - 1
-        pos = idx - idx[run_start][run_id]
-        kept = idx[pos % 2 == 0]
-        vals = vals.copy()
-        vals[kept] = new_id
-        drop = np.zeros(len(vals), dtype=bool)
-        drop[kept + 1] = True
-        return vals[~drop], rid[~drop]
-
     def encode(batch: pa.Table) -> pa.Table:
         text = batch[text_col]
         if isinstance(text, pa.ChunkedArray):
@@ -1243,22 +1245,12 @@ def bpe_encode(
         n_rows = batch.num_rows
         flat, widx = _flat_words(text)
         if len(flat):
-            joined = pc.binary_join(
-                pa.ListArray.from_arrays(
-                    pa.array([0, len(flat)], type=pa.int32()), flat
-                ),
-                "",
-            )[0].as_py()
-            cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
-            vals = cp.astype(np.int64)
-            lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
+            vals, lens = _bpe_flat_codepoints(flat)
             # merges never cross word boundaries: the row id here is the
             # WORD index (unique per word), not the doc index
             wid = np.repeat(np.arange(len(flat), dtype=np.int64), lens)
             for a, b, new_id in rules:
-                vals, wid = _apply_rule(vals, wid, a, b, new_id)
+                vals, wid = _bpe_run_parity_merge(vals, wid, a, b, new_id)
             # tokens per word → tokens per doc
             per_word = np.bincount(wid, minlength=len(flat)).astype(np.int64)
             n_tokens = np.bincount(

@@ -2296,3 +2296,120 @@ def test_bpe_encode_matches_naive(ray_session):
         n_chars = len(t)
         exp_ratio = (1000 * exp_tokens) // n_chars if n_chars else 0
         assert row["ratio_milli"] == exp_ratio
+
+
+def test_band_join_counts_preserves_large_ids(ray_session):
+    """Ids above 2^53 survive exactly (the bucket never converts to pandas,
+    so the null-filled union cannot degrade the id column to float64)."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.joins import band_join_counts
+
+    big = (1 << 53) + 1
+    left = pa.table(
+        {
+            "k": pa.array([1, 1], type=pa.int64()),
+            "t": pa.array([10, 500], type=pa.int64()),
+            "id": pa.array([big, big + 2], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {"k": pa.array([1, 1], type=pa.int64()),
+         "t": pa.array([9, 11], type=pa.int64())}
+    )
+    got = (
+        band_join_counts(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            "k", "k", "t", "t", "id", before=2, after=2, num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("id")
+    )
+    assert got["id"].tolist() == [big, big + 2]
+    assert got["n_matches"].tolist() == [2, 0]
+
+
+def test_label_centroids_null_labels(ray_session):
+    """A null label is its own group (SQL GROUP BY semantics), not a crash
+    and not folded into label 0."""
+    import duckdb
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.clustering import label_centroids
+
+    tbl = pa.table(
+        {
+            "embedding": pa.array(
+                [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, None, 0, None], type=pa.int32()),
+        }
+    )
+    got = label_centroids(ray.data.from_arrow(tbl)).to_pandas()
+    con = duckdb.connect()
+    con.register("embeddings", tbl)
+    exp = con.sql(
+        """
+        SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
+               CAST(sum(CAST(floor(v * 1000) AS BIGINT)) AS BIGINT) AS sum_milli,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
+                     unnest(embedding) AS v FROM embeddings)
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        _norm(got), _norm(exp), check_dtype=False
+    )
+
+
+def test_retention_cohorts_null_user(ray_session, tmp_path):
+    """A null user_id is a real entity — counted like the SQL oracle counts
+    it, not dropped by the pandas combine."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data  # noqa: F401
+
+    from logstash_filter_geoip_ray.stages.relational import retention_cohorts
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, None, None, 2], type=pa.int64()),
+            "event_type": ["click", "click", "view", "view", "click"],
+            "ts": pa.array(
+                [
+                    np.datetime64("2024-01-05", "us"),
+                    np.datetime64("2024-01-30", "us"),
+                    np.datetime64("2024-01-05", "us"),
+                    np.datetime64("2024-01-30", "us"),
+                    np.datetime64("2024-01-05", "us"),
+                ]
+            ),
+            "event_id": pa.array(range(5), type=pa.int64()),
+            "value": pa.array([0.0] * 5),
+            "props": [""] * 5,
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet")
+    got = retention_cohorts(str(sf)).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    exp = con.sql(
+        """
+        SELECT event_type, cohort, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT user_id, event_type,
+            CASE WHEN max(CASE WHEN ts < TIMESTAMP '2024-01-29' THEN 1 ELSE 0 END) = 1
+                  AND max(CASE WHEN ts >= TIMESTAMP '2024-01-29' THEN 1 ELSE 0 END) = 1
+                 THEN 'retained'
+                 WHEN max(CASE WHEN ts < TIMESTAMP '2024-01-29' THEN 1 ELSE 0 END) = 1
+                 THEN 'churned' ELSE 'new' END AS cohort
+          FROM events GROUP BY 1, 2)
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp), check_dtype=False)

@@ -17,12 +17,23 @@ import sys
 
 
 def _ray_init(num_cpus=None):
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
+        # RAY_ADDRESS=local (the default here) starts a fresh single-node
+        # instance; under `ray job submit` the job runtime exports the
+        # cluster address and this connects to it instead — the same CLI is
+        # the job entrypoint on a real cluster:
+        #   ray job submit --working-dir . -- \
+        #     python -m logstash_filter_geoip_ray pipeline --sf-dir s3://...
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(address=addr, logging_level="ERROR")
+        if addr == "local":
+            kwargs["include_dashboard"] = False
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     import ray.data
 

@@ -359,7 +359,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   mix_sample — modular-coin arithmetic pinned by its pytest oracle row
     #     and the graded-rates test
     #   exact_distinct_users — same distinct-pairs shuffle as the
-    #     inverted_index / word_rarity family; check_oracles row remains
+    #     inverted_index / word_rarity family; check_oracles row remains;
+    #     window_distinct_users (checked) runs the same dedup machinery
+    #     keyed by (type, window)
+    #   event_deltas — same bucket_by_key + vectorized segmented pass as
+    #     rolling_windows (checked); np.diff kernel pinned by its pytest
+    #     oracle row
+    #   top_docs_per_lang — grouped_topk pinned by its tie/order pytest and
+    #     check_oracles row; value_ranks (checked) covers the ranking
+    #     family in the driver window
     #   hopping_windows — np.repeat window explosion pinned by its pytest
     #     oracle row and test_hopping_windows_cover_tumbling; rolling /
     #     tumbling-family machinery stays covered via rolling_windows
@@ -369,6 +377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         for n in (
             "exact_distinct_users",
             "hopping_windows",
+            "event_deltas",
+            "top_docs_per_lang",
             "running_totals",
             "type_transitions",
             "stopword_filter",

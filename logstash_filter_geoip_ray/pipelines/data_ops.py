@@ -1399,6 +1399,70 @@ def q_label_centroids(sf_dir: str):
     return label_centroids(_emb(sf_dir, ["embedding", "label"]))
 
 
+def q_window_distinct_users(sf_dir: str):
+    """Windowed COUNT(DISTINCT): unique users per (event_type, 1h tumbling
+    window). Per-batch distinct triples → user-hash buckets (a triple's
+    copies share the user, so per-bucket dedup is global) → per-(type,
+    window) partial counts → tiny tree combine. The shuffle ships distinct
+    triples, never events."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.aggregate import bucket_by_key, tree_sum
+
+    w_us = 3_600_000_000
+
+    def triples(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        epoch = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        win = pc.multiply(pc.divide(epoch, w_us), w_us)
+        work = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_us": win,
+                "user_id": batch["user_id"],
+            }
+        )
+        g = work.group_by(["event_type", "window_us", "user_id"]).aggregate([])
+        return g
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        d = block.drop_duplicates(["event_type", "window_us", "user_id"])
+        g = (
+            d.groupby(["event_type", "window_us"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    ev = _events(sf_dir, ["event_type", "user_id", "ts"])
+    bucketed = bucket_by_key(
+        ev.map_batches(triples, batch_format="pyarrow"), "user_id", 32
+    )
+    partials = bucketed.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+    return tree_sum(
+        partials, ["event_type", "window_us"], ["n_users"], sort_result=True
+    )
+
+
+def q_lang_centroids(sf_dir: str):
+    """Cross-table centroid rollup: embeddings ⋈ documents on id, then
+    per-LANGUAGE centroid sums — label_centroids with a string label that
+    arrives via a partitioned hash join (both tables large at fleet scale;
+    the embedding payload moves exactly once, as any engine's join must)."""
+    from ..stages.clustering import label_centroids
+    from ..stages.joins import hash_join
+
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+    joined = hash_join(emb, docs, "vec_id", "doc_id", num_buckets=8)
+    return label_centroids(joined, label_col="lang")
+
+
 #: left-side row-count threshold above which a key takes the broadcast
 #: path in segment_activity — sized so the synthetic events table (≈67
 #: events/user at every SF) exercises BOTH the hot and the cold path
@@ -1465,6 +1529,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "active_customers": q_active_customers,
     "label_centroids": q_label_centroids,
     "segment_activity": q_segment_activity,
+    "window_distinct_users": q_window_distinct_users,
+    "lang_centroids": q_lang_centroids,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
     "retention_cohorts": q_retention_cohorts,
@@ -1565,6 +1631,21 @@ SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
 FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
              unnest(embedding) AS v
       FROM embeddings)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "window_distinct_users": """
+SELECT event_type,
+       CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT) AS window_us,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "lang_centroids": """
+SELECT lang, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(sum(CAST(floor(v * 1000) AS BIGINT)) AS BIGINT) AS sum_milli,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT d.lang, generate_subscripts(e.embedding, 1) AS i,
+             unnest(e.embedding) AS v
+      FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "segment_activity": """

@@ -213,53 +213,64 @@ def label_centroids(ds, vec_col: str = "embedding", label_col: str = "label"):
     """Per-class centroid sums (the classifier-prototype / SemDeDup-prep
     aggregate): for every (label, dim) the int64 milli sum of that
     dimension plus the class count. ``sum_milli // n`` is the quantized
-    centroid — left to the caller so the aggregate stays mergeable.
+    centroid — left to the caller so the aggregate stays mergeable. The
+    label column may be any hashable Arrow type (int class ids, language
+    strings, …); integer labels normalize to int64. Null labels form
+    their own group (SQL GROUP BY semantics).
 
-    Scale shape: one vectorized pass per batch (``np.add.at`` over the
-    label inverse) collapses a batch to |labels|·dim tall rows; the tree
-    combine only ever sees those partials. The corpus never shuffles."""
+    Scale shape: one vectorized pass per batch (dictionary-encode the
+    label column, ``np.add.at`` over the code inverse) collapses a batch
+    to |labels|·dim tall rows; the tree combine only ever sees those
+    partials. The corpus never shuffles."""
     from .aggregate import tree_sum
+
+    schema = ds.schema()
+    label_type = schema.types[schema.names.index(label_col)]
+    if pa.types.is_integer(label_type):
+        label_type = pa.int64()
 
     def partial(batch: pa.Table) -> pa.Table:
         mat = _milli_matrix(batch, vec_col)
         if mat is None:
             return pa.table(
                 {
-                    label_col: pa.array([], type=pa.int64()),
+                    label_col: pa.array([], type=label_type),
                     "dim": pa.array([], type=pa.int64()),
                     "sum_milli": pa.array([], type=pa.int64()),
                     "n": pa.array([], type=pa.int64()),
                 }
             )
-        label_arr = pc.cast(batch[label_col], pa.int64())
+        label_arr = pc.cast(batch[label_col], label_type)
         if isinstance(label_arr, pa.ChunkedArray):
             label_arr = label_arr.combine_chunks()
-        # null labels form their own group (SQL GROUP BY keeps nulls): a
-        # plain to_numpy would turn a null-carrying int64 column float64
-        # (NaN survives np.unique, then the int64 cast raises / rounds),
-        # so fold nulls onto a sentinel and restore them in the output
-        null_mask = np.asarray(pc.is_null(label_arr))
-        labels = pc.fill_null(label_arr, 0).to_numpy(zero_copy_only=False)
-        has_null = bool(null_mask.any())
-        if has_null:
-            sentinel = labels[~null_mask].min() - 1 if (~null_mask).any() else 0
-            labels = np.where(null_mask, sentinel, labels)
+        # dictionary-encode: codes are small ints for ANY label type, and
+        # a null label keeps a null code — no float64 degradation, no
+        # sentinel bookkeeping
+        enc = label_arr.dictionary_encode()
+        codes = pc.fill_null(enc.indices.cast(pa.int64()), -1).to_numpy(
+            zero_copy_only=False
+        )
         uniq, inv, counts = np.unique(
-            labels, return_inverse=True, return_counts=True
+            codes, return_inverse=True, return_counts=True
         )
         dim = mat.shape[1]
         acc = np.zeros((len(uniq), dim), dtype=np.int64)
         np.add.at(acc, inv, mat)
-        out_labels = pa.array(np.repeat(uniq, dim), type=pa.int64())
-        if has_null:
-            null_rows = np.repeat(uniq == sentinel, dim)
-            out_labels = pc.if_else(
-                pa.array(null_rows), pa.scalar(None, type=pa.int64()),
-                out_labels,
-            )
+        # code -1 (null label) → null output row; others look up the
+        # batch-local dictionary
+        take_idx = pa.array(
+            np.repeat(uniq, dim), type=pa.int64()
+        )
+        out_labels = pc.take(
+            enc.dictionary,
+            pc.if_else(
+                pc.less(take_idx, 0), pa.scalar(None, type=pa.int64()),
+                take_idx,
+            ),
+        )
         return pa.table(
             {
-                label_col: out_labels,
+                label_col: out_labels.cast(label_type),
                 "dim": pa.array(
                     np.tile(np.arange(dim, dtype=np.int64), len(uniq))
                 ),

@@ -49,6 +49,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "rolling_windows", "hourly_pivot", "bm25_topk",
      "running_totals", "value_ranks", "type_transitions",
      "stopword_filter", "active_customers", "retention_cohorts",
+     "window_distinct_users", "lang_centroids",
      "above_avg_orders", "priority_rollup", "quartile_stats",
      "click_attribution", "label_centroids", "segment_activity"],
 )

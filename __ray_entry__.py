@@ -368,6 +368,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   top_docs_per_lang — grouped_topk pinned by its tie/order pytest and
     #     check_oracles row; value_ranks (checked) covers the ranking
     #     family in the driver window
+    #   epoch_shuffle — md5 ordering pinned by its pytest oracle row and
+    #     the hash_shuffle_fast contract test; packed_chunks/pack_sequences
+    #     consume the same ordering machinery
     #   hopping_windows — np.repeat window explosion pinned by its pytest
     #     oracle row and test_hopping_windows_cover_tumbling; rolling /
     #     tumbling-family machinery stays covered via rolling_windows
@@ -379,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "hopping_windows",
             "event_deltas",
             "top_docs_per_lang",
+            "epoch_shuffle",
             "running_totals",
             "type_transitions",
             "stopword_filter",

@@ -1399,6 +1399,85 @@ def q_label_centroids(sf_dir: str):
     return label_centroids(_emb(sf_dir, ["embedding", "label"]))
 
 
+def q_customer_order_profile(sf_dir: str):
+    """LEFT OUTER join end-to-end: every customer keeps a row whether or
+    not they have orders — per market segment the customer count, total
+    orders (0-filled) and the zero-order customer count. Exercises
+    hash_join(how='left') with the null-introducing merge."""
+    import numpy as np
+
+    from ..stages.aggregate import bucket_by_key, tree_sum
+    from ..stages.joins import hash_join
+    import ray.data
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        work = pa.table(
+            {
+                "oc_custkey": batch["o_custkey"],
+                "n_ord": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = work.group_by(["oc_custkey"]).aggregate([("n_ord", "sum")])
+        return g.rename_columns(["oc_custkey", "n_ord"])
+
+    def order_final(block):
+        g = block.groupby("oc_custkey", sort=False)["n_ord"].sum().reset_index()
+        g["n_ord"] = g["n_ord"].astype(np.int64)
+        return g
+
+    ord_counts = (
+        bucket_by_key(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+            ).map_batches(order_partial, batch_format="pyarrow"),
+            "oc_custkey",
+            16,
+        )
+        .groupby("_bucket")
+        .map_groups(order_final, batch_format="pandas")
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    joined = hash_join(
+        cust, ord_counts, "c_custkey", "oc_custkey", num_buckets=16,
+        how="left",
+    )
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # hash_join(how='left') guarantees int64-with-nulls (schema cast
+        # inside merge_bucket), so a plain 0-fill suffices
+        n_ord = pc.fill_null(batch["n_ord"], 0)
+        inactive = pc.cast(pc.equal(n_ord, 0), pa.int64())
+        work = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_customers": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+                "n_orders": n_ord,
+                "n_inactive": inactive,
+            }
+        )
+        g = work.group_by(["c_mktsegment"]).aggregate(
+            [("n_customers", "sum"), ("n_orders", "sum"), ("n_inactive", "sum")]
+        )
+        return g.rename_columns(
+            ["c_mktsegment", "n_customers", "n_orders", "n_inactive"]
+        )
+
+    partials = joined.map_batches(seg_partial, batch_format="pyarrow")
+    return tree_sum(
+        partials,
+        ["c_mktsegment"],
+        ["n_customers", "n_orders", "n_inactive"],
+        sort_result=True,
+    )
+
+
 def q_window_distinct_users(sf_dir: str):
     """Windowed COUNT(DISTINCT): unique users per (event_type, 1h tumbling
     window). Per-batch distinct triples → user-hash buckets (a triple's
@@ -1531,6 +1610,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "segment_activity": q_segment_activity,
     "window_distinct_users": q_window_distinct_users,
     "lang_centroids": q_lang_centroids,
+    "customer_order_profile": q_customer_order_profile,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
     "retention_cohorts": q_retention_cohorts,
@@ -1632,6 +1712,17 @@ FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
              unnest(embedding) AS v
       FROM embeddings)
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "customer_order_profile": """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(COALESCE(oc.n_ord, 0)) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN oc.n_ord IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inactive
+FROM customer c
+LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_ord
+           FROM orders GROUP BY 1) oc ON oc.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
 """,
     "window_distinct_users": """
 SELECT event_type,

@@ -115,7 +115,20 @@ def hash_join(
         lrows = tbl.filter(lmask).select(left_cols).to_pandas()
         rrows = tbl.filter(pc.invert(lmask)).select(right_cols).to_pandas()
         out = lrows.merge(rrows, how=how, left_on=left_key, right_on=right_key)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        res = pa.Table.from_pandas(out, preserve_index=False)
+        if how != "inner":
+            # an outer merge null-fills the unmatched side, degrading its
+            # int columns to float64 IN SOME BUCKETS ONLY (full-match
+            # buckets keep int64) — cast back to the declared schema so
+            # every block agrees; from_pandas already turned the NaNs into
+            # nulls. Known residual: in a bucket with ≥1 unmatched row,
+            # MATCHED right-side ints transit float64 too, so values above
+            # 2^53 would round — use inner + explicit fill upstream if the
+            # unmatched-side columns carry ids of that magnitude
+            res = res.select([n for n, _ in all_fields]).cast(
+                pa.schema(all_fields)
+            )
+        return res
 
     unioned = left_tagged.union(right_tagged)
     return unioned.groupby("_bucket").map_groups(merge_bucket, batch_format="pyarrow")

@@ -49,7 +49,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "rolling_windows", "hourly_pivot", "bm25_topk",
      "running_totals", "value_ranks", "type_transitions",
      "stopword_filter", "active_customers", "retention_cohorts",
-     "window_distinct_users", "lang_centroids",
+     "window_distinct_users", "lang_centroids", "customer_order_profile",
      "above_avg_orders", "priority_rollup", "quartile_stats",
      "click_attribution", "label_centroids", "segment_activity"],
 )
@@ -2414,3 +2414,29 @@ def test_retention_cohorts_null_user(ray_session, tmp_path):
         """
     ).df()
     pd.testing.assert_frame_equal(_norm(got), _norm(exp), check_dtype=False)
+
+
+def test_hash_join_left_outer_schema_stable(ray_session):
+    """how='left': unmatched rows get typed nulls and every bucket block
+    agrees on int64 for the right-side count column (no float64 drift in
+    full-match buckets)."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.joins import hash_join
+
+    left = pa.table(
+        {"k": pa.array([1, 2, 3, 4], type=pa.int64()), "v": ["a", "b", "c", "d"]}
+    )
+    right = pa.table(
+        {"rk": pa.array([2, 4], type=pa.int64()),
+         "cnt": pa.array([20, 40], type=pa.int64())}
+    )
+    out = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "k", "rk", num_buckets=3, how="left",
+    )
+    assert str(out.schema().types[out.schema().names.index("cnt")]) == "int64"
+    df = out.to_pandas().sort_values("k").reset_index(drop=True)
+    assert len(df) == 4
+    assert df.loc[df["k"] == 2, "cnt"].iloc[0] == 20
+    assert pd.isna(df.loc[df["k"] == 1, "cnt"].iloc[0])

@@ -371,6 +371,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   epoch_shuffle — md5 ordering pinned by its pytest oracle row and
     #     the hash_shuffle_fast contract test; packed_chunks/pack_sequences
     #     consume the same ordering machinery
+    #   sink_counts_checkpointed — IDENTICAL oracle to sink_counts
+    #     (checked); the resume machinery is pinned by test_checkpoint.py
+    #     and the BASELINE SIGKILL proof
+    #   domain_counts — same end-to-end pipeline shape as isp/enterprise/
+    #     anonymous_counts (all checked); the DOMAIN projection is pinned
+    #     by the JUnit golden vectors + the corrupt-custom-field test and
+    #     its check_oracles row
     #   hopping_windows — np.repeat window explosion pinned by its pytest
     #     oracle row and test_hopping_windows_cover_tumbling; rolling /
     #     tumbling-family machinery stays covered via rolling_windows
@@ -383,6 +390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_deltas",
             "top_docs_per_lang",
             "epoch_shuffle",
+            "sink_counts_checkpointed",
+            "domain_counts",
             "running_totals",
             "type_transitions",
             "stopword_filter",

@@ -1399,6 +1399,113 @@ def q_label_centroids(sf_dir: str):
     return label_centroids(_emb(sf_dir, ["embedding", "label"]))
 
 
+def q_events_last_order(sf_dir: str):
+    """Two-table AS-OF join: for every event, the latest order date (epoch
+    µs) at-or-before the event by the same user — the state-at-event-time
+    enrichment. Returns per-event rows; ties are impossible in the output
+    because the operator returns the matched TIME, not an arbitrary row."""
+    import ray.data
+
+    from ..stages.joins import asof_join_time
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def ev_us(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("ts")
+        return batch.set_column(
+            i, "ts", batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        )
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    )
+
+    def ord_us(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("o_orderdate")
+        return batch.set_column(
+            i,
+            "o_orderdate",
+            batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+        )
+
+    out = asof_join_time(
+        ev.map_batches(ev_us, batch_format="pyarrow"),
+        orders.map_batches(ord_us, batch_format="pyarrow"),
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        id_col="event_id",
+        matched_alias="matched_t",
+    )
+    return out.sort("event_id")
+
+
+def q_user_reconciliation(sf_dir: str):
+    """FULL OUTER join reconciliation: distinct event users vs the customer
+    table — how many ids appear in both, only in events, only in customer.
+    Exercises hash_join(how='outer') with typed-null schema stability on
+    BOTH sides."""
+    import numpy as np
+    import ray.data
+
+    from ..stages.aggregate import bucket_by_key, tree_sum
+    from ..stages.joins import hash_join
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["eu_user"]).aggregate([])
+        return g
+
+    def distinct_final(block):
+        # select before dedup: the _bucket column must not leak into the
+        # join input (hash_join adds its own)
+        return block[["eu_user"]].drop_duplicates()
+
+    users = (
+        bucket_by_key(
+            _events(sf_dir, ["user_id"])
+            .map_batches(
+                lambda b: pa.table({"eu_user": b["user_id"]}),
+                batch_format="pyarrow",
+            )
+            .map_batches(distinct_partial, batch_format="pyarrow"),
+            "eu_user",
+            16,
+        )
+        .groupby("_bucket")
+        .map_groups(distinct_final, batch_format="pandas")
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    joined = hash_join(
+        users, cust, "eu_user", "c_custkey", num_buckets=16, how="outer"
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        enull = pc.is_null(batch["eu_user"])
+        cnull = pc.is_null(batch["c_custkey"])
+        status = pc.if_else(
+            enull,
+            pa.scalar("customer_only"),
+            pc.if_else(cnull, pa.scalar("events_only"), pa.scalar("both")),
+        )
+        work = pa.table(
+            {
+                "status": status,
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = work.group_by(["status"]).aggregate([("n", "sum")])
+        return g.rename_columns(["status", "n"])
+
+    partials = joined.map_batches(classify, batch_format="pyarrow")
+    return tree_sum(partials, ["status"], ["n"], sort_result=True)
+
+
 def q_customer_order_profile(sf_dir: str):
     """LEFT OUTER join end-to-end: every customer keeps a row whether or
     not they have orders — per market segment the customer count, total
@@ -1611,6 +1718,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "window_distinct_users": q_window_distinct_users,
     "lang_centroids": q_lang_centroids,
     "customer_order_profile": q_customer_order_profile,
+    "events_last_order": q_events_last_order,
+    "user_reconciliation": q_user_reconciliation,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
     "retention_cohorts": q_retention_cohorts,
@@ -1712,6 +1821,22 @@ FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
              unnest(embedding) AS v
       FROM embeddings)
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "events_last_order": """
+SELECT e.event_id,
+       (SELECT CAST(epoch_us(max(o.o_orderdate)) AS BIGINT) FROM orders o
+         WHERE o.o_custkey = e.user_id
+           AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)) AS matched_t
+FROM events e ORDER BY 1
+""",
+    "user_reconciliation": """
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT CASE WHEN e.user_id IS NULL THEN 'customer_only'
+              WHEN c.c_custkey IS NULL THEN 'events_only'
+              ELSE 'both' END AS status
+  FROM (SELECT DISTINCT user_id FROM events) e
+  FULL OUTER JOIN customer c ON c.c_custkey = e.user_id)
+GROUP BY 1 ORDER BY 1
 """,
     "customer_order_profile": """
 SELECT c_mktsegment,

@@ -483,3 +483,132 @@ def skew_aware_hash_join(
         lambda b: b.select(out_cols), batch_format="pyarrow"
     )
     return hot_joined.union(cold_joined)
+
+
+def asof_join_time(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    id_col: str,
+    matched_alias: str = "matched_t",
+    num_buckets: int = 32,
+):
+    """Two-table AS-OF join, time form: for every left row the GREATEST
+    right time ≤ its own time among rows sharing the key (null when none) —
+    SQL's ``ASOF JOIN`` / correlated ``max(t2) WHERE t2 <= t1``. Unlike the
+    same-table :func:`~.windows.asof_last_event` carry-forward, the two
+    sides are different relations.
+
+    Same exchange and kernel family as :func:`band_join_counts`: key-hash
+    co-partition ships only (key, time[, id]); per bucket the right side
+    sorts by (key, time), keys dense-factorize, times lift onto disjoint
+    per-key integer bands, and ONE ``np.searchsorted(side='right') - 1``
+    finds every left row's predecessor. Returning the matched TIME (not an
+    arbitrary matching row) keeps the operator deterministic under ties —
+    exactly what a hash-stable oracle needs. Null keys/times match null.
+    Arrow end-to-end (no pandas), so times above 2^53 stay exact."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    left_schema = left_ds.schema()
+    id_type = left_schema.types[left_schema.names.index(id_col)]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        key = batch[left_key].combine_chunks() if isinstance(
+            batch[left_key], pa.ChunkedArray) else batch[left_key]
+        out = pa.table(
+            {
+                "_k": pc.cast(key, pa.int64()),
+                "_t": pc.cast(batch[left_time], pa.int64()),
+                id_col: pc.cast(batch[id_col], id_type),
+            }
+        )
+        out = out.append_column("_bucket", stable_key_hash(key, num_buckets))
+        return out.append_column(
+            "_side", pa.array(["l"] * batch.num_rows, type=pa.string())
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        key = batch[right_key].combine_chunks() if isinstance(
+            batch[right_key], pa.ChunkedArray) else batch[right_key]
+        out = pa.table(
+            {
+                "_k": pc.cast(key, pa.int64()),
+                "_t": pc.cast(batch[right_time], pa.int64()),
+                id_col: pa.nulls(batch.num_rows, type=id_type),
+            }
+        )
+        out = out.append_column("_bucket", stable_key_hash(key, num_buckets))
+        return out.append_column(
+            "_side", pa.array(["r"] * batch.num_rows, type=pa.string())
+        )
+
+    def per_bucket(block: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=id_type),
+                matched_alias: pa.array([], type=pa.int64()),
+            }
+        )
+        lmask = pc.equal(block["_side"], "l")
+        l = block.filter(lmask)
+        if l.num_rows == 0:
+            return empty
+        ids = l[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        lnull = np.asarray(pc.or_(pc.is_null(l["_k"]), pc.is_null(l["_t"])))
+        lk = pc.fill_null(l["_k"], -1).to_numpy(zero_copy_only=False)
+        lt = pc.fill_null(l["_t"], 0).to_numpy(zero_copy_only=False)
+        no_match = pa.nulls(len(lk), type=pa.int64())
+        r = block.filter(pc.invert(lmask))
+        r = r.filter(pc.and_(pc.is_valid(r["_k"]), pc.is_valid(r["_t"])))
+        if r.num_rows == 0:
+            return pa.table({id_col: ids, matched_alias: no_match})
+        r = r.sort_by([("_k", "ascending"), ("_t", "ascending")])
+        rk = r["_k"].to_numpy(zero_copy_only=False)
+        rt = r["_t"].to_numpy(zero_copy_only=False)
+        ru, r_counts = np.unique(rk, return_counts=True)
+        seg_starts = np.zeros(len(ru) + 1, dtype=np.int64)
+        np.cumsum(r_counts, out=seg_starts[1:])
+        t0 = min(int(rt.min()), int(lt.min()))
+        span = max(int(rt.max()), int(lt.max())) - t0
+        offset = np.int64(span + 2)
+        lidx = np.searchsorted(ru, lk)
+        lidx_c = np.minimum(lidx, len(ru) - 1)
+        valid = (ru[lidx_c] == lk) & ~lnull
+        if len(ru) * int(offset) < (1 << 62):
+            ridx = np.repeat(np.arange(len(ru), dtype=np.int64), r_counts)
+            comp_r = ridx * offset + (rt - t0)
+            pos = np.searchsorted(
+                comp_r, lidx_c * offset + (lt - t0), side="right"
+            ) - 1
+            # predecessor must exist INSIDE the key's own segment
+            in_seg = pos >= seg_starts[lidx_c]
+            ok = valid & in_seg
+            pos_c = np.maximum(pos, 0)
+            matched = np.where(ok, rt[pos_c], 0)
+        else:  # overflow fallback: per-segment searchsorted
+            ok = np.zeros(len(lk), dtype=bool)
+            matched = np.zeros(len(lk), dtype=np.int64)
+            for j in np.nonzero(valid)[0]:
+                s, e = seg_starts[lidx_c[j]], seg_starts[lidx_c[j] + 1]
+                p = s + np.searchsorted(rt[s:e], lt[j], side="right") - 1
+                if p >= s:
+                    ok[j] = True
+                    matched[j] = rt[p]
+        out_t = pc.if_else(
+            pa.array(ok), pa.array(matched), pa.scalar(None, type=pa.int64())
+        )
+        return pa.table({id_col: ids, matched_alias: out_t})
+
+    left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    right_tagged = right_ds.map_batches(tag_right, batch_format="pyarrow")
+    return (
+        left_tagged.union(right_tagged)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

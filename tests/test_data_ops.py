@@ -50,6 +50,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "running_totals", "value_ranks", "type_transitions",
      "stopword_filter", "active_customers", "retention_cohorts",
      "window_distinct_users", "lang_centroids", "customer_order_profile",
+     "events_last_order", "user_reconciliation",
      "above_avg_orders", "priority_rollup", "quartile_stats",
      "click_attribution", "label_centroids", "segment_activity"],
 )
@@ -2440,3 +2441,58 @@ def test_hash_join_left_outer_schema_stable(ray_session):
     assert len(df) == 4
     assert df.loc[df["k"] == 2, "cnt"].iloc[0] == 20
     assert pd.isna(df.loc[df["k"] == 1, "cnt"].iloc[0])
+
+
+def test_asof_join_time_vs_bruteforce(ray_session):
+    """asof_join_time == per-row max(right_t <= left_t) brute force,
+    including ties at the boundary, keys absent from the right, nulls, and
+    large (>2^53) times surviving exactly."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.joins import asof_join_time
+
+    rng = np.random.RandomState(11)
+    n_l, n_r = 150, 200
+    lk = rng.randint(0, 10, n_l).tolist()
+    lt = rng.randint(0, 100, n_l).tolist()
+    lk[3] = None
+    rk = rng.randint(0, 12, n_r).tolist()
+    rt = rng.randint(0, 100, n_r).tolist()
+    big = (1 << 53) + 7
+    lk.append(5)
+    lt.append(big + 1)
+    rk.append(5)
+    rt.append(big)
+    left = pa.table(
+        {
+            "k": pa.array(lk, type=pa.int64()),
+            "t": pa.array(lt, type=pa.int64()),
+            "id": pa.array(range(len(lk)), type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {"k": pa.array(rk, type=pa.int64()), "t": pa.array(rt, type=pa.int64())}
+    )
+    out = asof_join_time(
+        ray.data.from_arrow(left).repartition(3),
+        ray.data.from_arrow(right).repartition(2),
+        "k", "k", "t", "t", "id", num_buckets=4,
+    )
+    # read ARROW, not pandas: a nullable int64 column through to_pandas
+    # becomes float64 and would round the >2^53 value in the TEST itself
+    blocks = [
+        t.select(["id", "matched_t"])
+        for t in ray.get(out.to_arrow_refs())
+        if t.num_rows  # Ray's groupby can emit empty zero-column blocks
+    ]
+    got_tbl = pa.concat_tables(blocks, promote_options="default").sort_by("id")
+    got_vals = got_tbl["matched_t"].to_pylist()
+    exp = []
+    for k, t in zip(lk, lt):
+        if k is None:
+            exp.append(None)
+            continue
+        cands = [t2 for k2, t2 in zip(rk, rt) if k2 == k and t2 <= t]
+        exp.append(max(cands) if cands else None)
+    assert got_vals == exp
+    assert got_vals[-1] == big  # >2^53 matched time survives exactly

@@ -34,6 +34,12 @@ def _ray_init(num_cpus=None):
             kwargs["include_dashboard"] = False
             if num_cpus:
                 kwargs["num_cpus"] = num_cpus
+        elif num_cpus:
+            print(
+                "warning: --num-cpus ignored when connecting to an existing "
+                "cluster (RAY_ADDRESS=%s); size the cluster instead" % addr,
+                file=sys.stderr,
+            )
         ray.init(**kwargs)
     import ray.data
 

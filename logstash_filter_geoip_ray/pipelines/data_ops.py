@@ -329,7 +329,11 @@ def q_top_terms(sf_dir: str):
     tf = docs.map_batches(tf_explode, batch_format="pyarrow").materialize()
     from ray.data.aggregate import Count, Sum
 
-    df_tbl = tf.groupby("w").aggregate(Count(alias_name="df"))
+    # materialized for the same reason as tf: hash_join's schema() peek
+    # would execute the df aggregate once for the schema and again for the
+    # tag stage (Ray 2.49); size = |vocab|, the same volume the join
+    # shuffles anyway (object store spills if needed)
+    df_tbl = tf.groupby("w").aggregate(Count(alias_name="df")).materialize()
     # N: docs with ≥1 word — exactly the distinct doc_ids of tf, counted as
     # a GLOBAL distinct (per-batch dedup → groupby → row count). A per-batch
     # count_distinct sum would double-count any doc whose rows Ray's dynamic
@@ -1341,15 +1345,7 @@ def q_click_attribution(sf_dir: str):
             filter=(pads.field("event_type") == event_type),
         )
 
-        def to_us(batch):
-            import pyarrow as _pa
-
-            i = batch.column_names.index("ts")
-            return batch.set_column(
-                i, "ts", batch["ts"].cast(_pa.timestamp("us")).cast(_pa.int64())
-            )
-
-        return ds.map_batches(to_us, batch_format="pyarrow")
+        return ds.map_batches(_to_epoch_us("ts"), batch_format="pyarrow")
 
     purchases = read_side("purchase", ["event_id", "user_id", "ts"])
     clicks = read_side("click", ["user_id", "ts"])
@@ -1399,6 +1395,19 @@ def q_label_centroids(sf_dir: str):
     return label_centroids(_emb(sf_dir, ["embedding", "label"]))
 
 
+def _to_epoch_us(col: str):
+    """Batch transform factory: cast a timestamp column to epoch-µs int64 in
+    place — the shared prologue of every time-keyed join/window query."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index(col)
+        return batch.set_column(
+            i, col, batch[col].cast(pa.timestamp("us")).cast(pa.int64())
+        )
+
+    return fn
+
+
 def q_events_last_order(sf_dir: str):
     """Two-table AS-OF join: for every event, the latest order date (epoch
     µs) at-or-before the event by the same user — the state-at-event-time
@@ -1409,29 +1418,13 @@ def q_events_last_order(sf_dir: str):
     from ..stages.joins import asof_join_time
 
     ev = _events(sf_dir, ["event_id", "user_id", "ts"])
-
-    def ev_us(batch: pa.Table) -> pa.Table:
-        i = batch.column_names.index("ts")
-        return batch.set_column(
-            i, "ts", batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
-        )
-
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderdate"],
     )
-
-    def ord_us(batch: pa.Table) -> pa.Table:
-        i = batch.column_names.index("o_orderdate")
-        return batch.set_column(
-            i,
-            "o_orderdate",
-            batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
-        )
-
     out = asof_join_time(
-        ev.map_batches(ev_us, batch_format="pyarrow"),
-        orders.map_batches(ord_us, batch_format="pyarrow"),
+        ev.map_batches(_to_epoch_us("ts"), batch_format="pyarrow"),
+        orders.map_batches(_to_epoch_us("o_orderdate"), batch_format="pyarrow"),
         left_key="user_id",
         right_key="o_custkey",
         left_time="ts",
@@ -1475,6 +1468,9 @@ def q_user_reconciliation(sf_dir: str):
         )
         .groupby("_bucket")
         .map_groups(distinct_final, batch_format="pandas")
+        # |distinct users|-sized: materialize so hash_join's schema() peek
+        # does not execute the distinct shuffle twice (Ray 2.49)
+        .materialize()
     )
     cust = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
@@ -1542,6 +1538,9 @@ def q_customer_order_profile(sf_dir: str):
         )
         .groupby("_bucket")
         .map_groups(order_final, batch_format="pandas")
+        # |customers|-sized: materialize so hash_join's schema() peek does
+        # not execute the count shuffle twice (Ray 2.49)
+        .materialize()
     )
     cust = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
@@ -1646,7 +1645,9 @@ def q_lang_centroids(sf_dir: str):
     emb = _emb(sf_dir, ["vec_id", "embedding"])
     docs = _docs(sf_dir, ["doc_id", "lang"])
     joined = hash_join(emb, docs, "vec_id", "doc_id", num_buckets=8)
-    return label_centroids(joined, label_col="lang")
+    # explicit label_type: a schema() peek on the shuffle-backed join would
+    # execute the whole embeddings⋈documents exchange twice (Ray 2.49)
+    return label_centroids(joined, label_col="lang", label_type=pa.string())
 
 
 #: left-side row-count threshold above which a key takes the broadcast

@@ -209,7 +209,12 @@ def kmeans_assign(
     return ds.map_batches(assign_batch, batch_format="pyarrow").sort(id_col)
 
 
-def label_centroids(ds, vec_col: str = "embedding", label_col: str = "label"):
+def label_centroids(
+    ds,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    label_type: Optional[pa.DataType] = None,
+):
     """Per-class centroid sums (the classifier-prototype / SemDeDup-prep
     aggregate): for every (label, dim) the int64 milli sum of that
     dimension plus the class count. ``sum_milli // n`` is the quantized
@@ -224,8 +229,13 @@ def label_centroids(ds, vec_col: str = "embedding", label_col: str = "label"):
     partials. The corpus never shuffles."""
     from .aggregate import tree_sum
 
-    schema = ds.schema()
-    label_type = schema.types[schema.names.index(label_col)]
+    # pass label_type explicitly when ds is shuffle-backed: Ray 2.49's
+    # schema() peek EXECUTES a shuffle plan once and the consumption runs it
+    # again — for a parquet-backed ds the peek is a cheap metadata read and
+    # None is fine
+    if label_type is None:
+        schema = ds.schema()
+        label_type = schema.types[schema.names.index(label_col)]
     if pa.types.is_integer(label_type):
         label_type = pa.int64()
 

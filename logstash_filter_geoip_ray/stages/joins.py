@@ -233,6 +233,97 @@ def _hash_exists_join(
     )
 
 
+def _tag_time_sides(
+    left_ds, right_ds, left_key, right_key, left_time, right_time,
+    id_col, id_type, num_buckets,
+):
+    """Shared exchange prologue of the time-keyed joins (band / as-of):
+    both sides reduce to (_k, _t[, id]) int64 columns plus bucket/side
+    tags, so the co-partition ships keys and times only — never payloads."""
+    import pyarrow.compute as pc
+
+    def tag(side, key_col, time_col):
+        def fn(batch: pa.Table) -> pa.Table:
+            key = batch[key_col].combine_chunks() if isinstance(
+                batch[key_col], pa.ChunkedArray) else batch[key_col]
+            out = pa.table(
+                {
+                    "_k": pc.cast(key, pa.int64()),
+                    "_t": pc.cast(batch[time_col], pa.int64()),
+                    id_col: pc.cast(batch[id_col], id_type)
+                    if side == "l"
+                    else pa.nulls(batch.num_rows, type=id_type),
+                }
+            )
+            out = out.append_column(
+                "_bucket", stable_key_hash(key, num_buckets)
+            )
+            return out.append_column(
+                "_side", pa.array([side] * batch.num_rows, type=pa.string())
+            )
+
+        return fn
+
+    return (
+        left_ds.map_batches(tag("l", left_key, left_time),
+                            batch_format="pyarrow"),
+        right_ds.map_batches(tag("r", right_key, right_time),
+                             batch_format="pyarrow"),
+    )
+
+
+def _prep_time_bucket(block: pa.Table, id_col: str, pad: int):
+    """Shared per-bucket prologue of the time-keyed joins: split sides
+    (staying ARROW — a pandas conversion would degrade the null-filled id
+    column to float64, lossy above 2^53), extract int64 key/time arrays
+    with null masks, sort + dense-factorize the right side and lift times
+    onto disjoint per-key integer bands (``offset > span + pad``). Returns
+    None when the bucket has no left rows; ``ru`` is None when it has no
+    usable right rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    lmask = pc.equal(block["_side"], "l")
+    l = block.filter(lmask)
+    if l.num_rows == 0:
+        return None
+    ids = l[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    p = {
+        "ids": ids,
+        "lnull": np.asarray(pc.or_(pc.is_null(l["_k"]), pc.is_null(l["_t"]))),
+        "lk": pc.fill_null(l["_k"], -1).to_numpy(zero_copy_only=False),
+        "lt": pc.fill_null(l["_t"], 0).to_numpy(zero_copy_only=False),
+        "ru": None,
+    }
+    r = block.filter(pc.invert(lmask))
+    r = r.filter(pc.and_(pc.is_valid(r["_k"]), pc.is_valid(r["_t"])))
+    if r.num_rows == 0:
+        return p
+    r = r.sort_by([("_k", "ascending"), ("_t", "ascending")])
+    rk = r["_k"].to_numpy(zero_copy_only=False)
+    rt = r["_t"].to_numpy(zero_copy_only=False)
+    ru, r_counts = np.unique(rk, return_counts=True)
+    seg_starts = np.zeros(len(ru) + 1, dtype=np.int64)
+    np.cumsum(r_counts, out=seg_starts[1:])
+    t0 = min(int(rt.min()), int(p["lt"].min()))
+    span = max(int(rt.max()), int(p["lt"].max())) - t0
+    lidx = np.searchsorted(ru, p["lk"])
+    lidx_c = np.minimum(lidx, len(ru) - 1)
+    p.update(
+        ru=ru,
+        r_counts=r_counts,
+        rt=rt,
+        seg_starts=seg_starts,
+        t0=t0,
+        offset=np.int64(span + pad + 2),
+        lidx_c=lidx_c,
+        valid=(ru[lidx_c] == p["lk"]) & ~p["lnull"],
+    )
+    return p
+
+
 def band_join_counts(
     left_ds,
     right_ds,
@@ -265,107 +356,53 @@ def band_join_counts(
     same answer, Python cost O(keys in bucket). Left rows whose key has no
     right rows count 0; null keys/times count 0."""
     import numpy as np
-    import pyarrow.compute as pc
 
     left_schema = left_ds.schema()  # Ray schema wrapper: .names / .types
     id_type = left_schema.types[left_schema.names.index(id_col)]
 
-    def tag_left(batch: pa.Table) -> pa.Table:
-        key = batch[left_key].combine_chunks() if isinstance(
-            batch[left_key], pa.ChunkedArray) else batch[left_key]
-        out = pa.table(
-            {
-                "_k": pc.cast(key, pa.int64()),
-                "_t": pc.cast(batch[left_time], pa.int64()),
-                id_col: pc.cast(batch[id_col], id_type),
-            }
-        )
-        out = out.append_column("_bucket", stable_key_hash(key, num_buckets))
-        return out.append_column(
-            "_side", pa.array(["l"] * batch.num_rows, type=pa.string())
-        )
-
-    def tag_right(batch: pa.Table) -> pa.Table:
-        key = batch[right_key].combine_chunks() if isinstance(
-            batch[right_key], pa.ChunkedArray) else batch[right_key]
-        out = pa.table(
-            {
-                "_k": pc.cast(key, pa.int64()),
-                "_t": pc.cast(batch[right_time], pa.int64()),
-                id_col: pa.nulls(batch.num_rows, type=id_type),
-            }
-        )
-        out = out.append_column("_bucket", stable_key_hash(key, num_buckets))
-        return out.append_column(
-            "_side", pa.array(["r"] * batch.num_rows, type=pa.string())
-        )
-
-    # the whole bucket stays ARROW: a pandas conversion would degrade the
-    # null-filled union id column (and null-carrying _k/_t) to float64 —
-    # lossy above 2^53 — exactly the hazard hash_join's merge_bucket
-    # documents. Left ids carry no union-introduced nulls, so slicing them
-    # out of the Arrow block keeps them exact at any magnitude.
     def per_bucket(block: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                id_col: pa.array([], type=id_type),
-                count_alias: pa.array([], type=pa.int64()),
-            }
-        )
-        lmask = pc.equal(block["_side"], "l")
-        l = block.filter(lmask)
-        if l.num_rows == 0:
-            return empty
-        ids = l[id_col]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        lnull = np.asarray(
-            pc.or_(pc.is_null(l["_k"]), pc.is_null(l["_t"]))
-        )
-        lk = pc.fill_null(l["_k"], -1).to_numpy(zero_copy_only=False)
-        lt = pc.fill_null(l["_t"], 0).to_numpy(zero_copy_only=False)
-        r = block.filter(pc.invert(lmask))
-        rvalid = pc.and_(pc.is_valid(r["_k"]), pc.is_valid(r["_t"]))
-        r = r.filter(rvalid)
-        if r.num_rows == 0:
+        p = _prep_time_bucket(block, id_col, pad=before + after)
+        if p is None:
             return pa.table(
-                {id_col: ids,
-                 count_alias: pa.array(np.zeros(len(lk), dtype=np.int64))}
+                {
+                    id_col: pa.array([], type=id_type),
+                    count_alias: pa.array([], type=pa.int64()),
+                }
             )
-        r = r.sort_by([("_k", "ascending"), ("_t", "ascending")])
-        rk = r["_k"].to_numpy(zero_copy_only=False)
-        rt = r["_t"].to_numpy(zero_copy_only=False)
-        ru, r_counts = np.unique(rk, return_counts=True)
-        t0 = min(int(rt.min()), int(lt.min()))
-        span = max(int(rt.max()), int(lt.max())) - t0
-        offset = np.int64(span + before + after + 2)
-        lidx = np.searchsorted(ru, lk)
-        lidx_c = np.minimum(lidx, len(ru) - 1)
-        valid = (ru[lidx_c] == lk) & ~lnull
-        if len(ru) * int(offset) < (1 << 62):
-            ridx = np.repeat(np.arange(len(ru), dtype=np.int64), r_counts)
+        if p["ru"] is None:
+            return pa.table(
+                {id_col: p["ids"],
+                 count_alias: pa.array(np.zeros(len(p["lk"]), dtype=np.int64))}
+            )
+        lt, rt, offset, t0 = p["lt"], p["rt"], p["offset"], p["t0"]
+        lidx_c, valid, seg_starts = p["lidx_c"], p["valid"], p["seg_starts"]
+        if len(p["ru"]) * int(offset) < (1 << 62):
+            ridx = np.repeat(
+                np.arange(len(p["ru"]), dtype=np.int64), p["r_counts"]
+            )
             comp_r = ridx * offset + (rt - t0)
             base = lidx_c * offset + (lt - t0)
             lo = np.searchsorted(comp_r, base - before, side="left")
             hi = np.searchsorted(comp_r, base + after, side="right")
             n = np.where(valid, hi - lo, 0).astype(np.int64)
         else:  # overflow fallback: per-right-key-segment searchsorted
-            seg_starts = np.zeros(len(ru) + 1, dtype=np.int64)
-            np.cumsum(r_counts, out=seg_starts[1:])
-            n = np.zeros(len(lk), dtype=np.int64)
+            n = np.zeros(len(p["lk"]), dtype=np.int64)
             for j in np.nonzero(valid)[0]:
                 s, e = seg_starts[lidx_c[j]], seg_starts[lidx_c[j] + 1]
                 seg = rt[s:e]
                 n[j] = np.searchsorted(
                     seg, lt[j] + after, side="right"
                 ) - np.searchsorted(seg, lt[j] - before, side="left")
-        return pa.table({id_col: ids, count_alias: pa.array(n)})
+        return pa.table({id_col: p["ids"], count_alias: pa.array(n)})
 
-    left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
-    right_tagged = right_ds.map_batches(tag_right, batch_format="pyarrow")
-    unioned = left_tagged.union(right_tagged)
-    return unioned.groupby("_bucket").map_groups(
-        per_bucket, batch_format="pyarrow"
+    left_tagged, right_tagged = _tag_time_sides(
+        left_ds, right_ds, left_key, right_key, left_time, right_time,
+        id_col, id_type, num_buckets,
+    )
+    return (
+        left_tagged.union(right_tagged)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -516,72 +553,26 @@ def asof_join_time(
     left_schema = left_ds.schema()
     id_type = left_schema.types[left_schema.names.index(id_col)]
 
-    def tag_left(batch: pa.Table) -> pa.Table:
-        key = batch[left_key].combine_chunks() if isinstance(
-            batch[left_key], pa.ChunkedArray) else batch[left_key]
-        out = pa.table(
-            {
-                "_k": pc.cast(key, pa.int64()),
-                "_t": pc.cast(batch[left_time], pa.int64()),
-                id_col: pc.cast(batch[id_col], id_type),
-            }
-        )
-        out = out.append_column("_bucket", stable_key_hash(key, num_buckets))
-        return out.append_column(
-            "_side", pa.array(["l"] * batch.num_rows, type=pa.string())
-        )
-
-    def tag_right(batch: pa.Table) -> pa.Table:
-        key = batch[right_key].combine_chunks() if isinstance(
-            batch[right_key], pa.ChunkedArray) else batch[right_key]
-        out = pa.table(
-            {
-                "_k": pc.cast(key, pa.int64()),
-                "_t": pc.cast(batch[right_time], pa.int64()),
-                id_col: pa.nulls(batch.num_rows, type=id_type),
-            }
-        )
-        out = out.append_column("_bucket", stable_key_hash(key, num_buckets))
-        return out.append_column(
-            "_side", pa.array(["r"] * batch.num_rows, type=pa.string())
-        )
-
     def per_bucket(block: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                id_col: pa.array([], type=id_type),
-                matched_alias: pa.array([], type=pa.int64()),
-            }
-        )
-        lmask = pc.equal(block["_side"], "l")
-        l = block.filter(lmask)
-        if l.num_rows == 0:
-            return empty
-        ids = l[id_col]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        lnull = np.asarray(pc.or_(pc.is_null(l["_k"]), pc.is_null(l["_t"])))
-        lk = pc.fill_null(l["_k"], -1).to_numpy(zero_copy_only=False)
-        lt = pc.fill_null(l["_t"], 0).to_numpy(zero_copy_only=False)
-        no_match = pa.nulls(len(lk), type=pa.int64())
-        r = block.filter(pc.invert(lmask))
-        r = r.filter(pc.and_(pc.is_valid(r["_k"]), pc.is_valid(r["_t"])))
-        if r.num_rows == 0:
-            return pa.table({id_col: ids, matched_alias: no_match})
-        r = r.sort_by([("_k", "ascending"), ("_t", "ascending")])
-        rk = r["_k"].to_numpy(zero_copy_only=False)
-        rt = r["_t"].to_numpy(zero_copy_only=False)
-        ru, r_counts = np.unique(rk, return_counts=True)
-        seg_starts = np.zeros(len(ru) + 1, dtype=np.int64)
-        np.cumsum(r_counts, out=seg_starts[1:])
-        t0 = min(int(rt.min()), int(lt.min()))
-        span = max(int(rt.max()), int(lt.max())) - t0
-        offset = np.int64(span + 2)
-        lidx = np.searchsorted(ru, lk)
-        lidx_c = np.minimum(lidx, len(ru) - 1)
-        valid = (ru[lidx_c] == lk) & ~lnull
-        if len(ru) * int(offset) < (1 << 62):
-            ridx = np.repeat(np.arange(len(ru), dtype=np.int64), r_counts)
+        p = _prep_time_bucket(block, id_col, pad=0)
+        if p is None:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=id_type),
+                    matched_alias: pa.array([], type=pa.int64()),
+                }
+            )
+        if p["ru"] is None:
+            return pa.table(
+                {id_col: p["ids"],
+                 matched_alias: pa.nulls(len(p["lk"]), type=pa.int64())}
+            )
+        lt, rt, offset, t0 = p["lt"], p["rt"], p["offset"], p["t0"]
+        lidx_c, valid, seg_starts = p["lidx_c"], p["valid"], p["seg_starts"]
+        if len(p["ru"]) * int(offset) < (1 << 62):
+            ridx = np.repeat(
+                np.arange(len(p["ru"]), dtype=np.int64), p["r_counts"]
+            )
             comp_r = ridx * offset + (rt - t0)
             pos = np.searchsorted(
                 comp_r, lidx_c * offset + (lt - t0), side="right"
@@ -592,21 +583,23 @@ def asof_join_time(
             pos_c = np.maximum(pos, 0)
             matched = np.where(ok, rt[pos_c], 0)
         else:  # overflow fallback: per-segment searchsorted
-            ok = np.zeros(len(lk), dtype=bool)
-            matched = np.zeros(len(lk), dtype=np.int64)
+            ok = np.zeros(len(p["lk"]), dtype=bool)
+            matched = np.zeros(len(p["lk"]), dtype=np.int64)
             for j in np.nonzero(valid)[0]:
                 s, e = seg_starts[lidx_c[j]], seg_starts[lidx_c[j] + 1]
-                p = s + np.searchsorted(rt[s:e], lt[j], side="right") - 1
-                if p >= s:
+                pred = s + np.searchsorted(rt[s:e], lt[j], side="right") - 1
+                if pred >= s:
                     ok[j] = True
-                    matched[j] = rt[p]
+                    matched[j] = rt[pred]
         out_t = pc.if_else(
             pa.array(ok), pa.array(matched), pa.scalar(None, type=pa.int64())
         )
-        return pa.table({id_col: ids, matched_alias: out_t})
+        return pa.table({id_col: p["ids"], matched_alias: out_t})
 
-    left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow")
-    right_tagged = right_ds.map_batches(tag_right, batch_format="pyarrow")
+    left_tagged, right_tagged = _tag_time_sides(
+        left_ds, right_ds, left_key, right_key, left_time, right_time,
+        id_col, id_type, num_buckets,
+    )
     return (
         left_tagged.union(right_tagged)
         .groupby("_bucket")

@@ -211,7 +211,12 @@ def revenue_rollup(sf_dir: str, num_buckets: int = 32):
         )
         return g.rename_columns(["o_custkey", "rev_micro", "n_items"])
 
-    cust_agg = with_cust.map_batches(cust_partial, batch_format="pyarrow")
+    # materialize: the next hash_join's schema() peek would otherwise
+    # EXECUTE the orders⋈lineitem exchange once for the schema and the tag
+    # stage would run it again (Ray 2.49 does not cache peeked plans)
+    cust_agg = with_cust.map_batches(
+        cust_partial, batch_format="pyarrow"
+    ).materialize()
 
     customer = ray.data.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
@@ -396,8 +401,10 @@ def retention_cohorts(sf_dir: str, cutoff: str = RETENTION_CUTOFF,
         fa = g["f_after"].to_numpy() > 0
         cohort = np.where(fb & fa, "retained", np.where(fb, "churned", "new"))
         out = pd.DataFrame({"event_type": g["event_type"], "cohort": cohort})
-        c = out.groupby(["event_type", "cohort"], sort=False).size().reset_index(
-            name="n"
+        c = (
+            out.groupby(["event_type", "cohort"], sort=False, dropna=False)
+            .size()
+            .reset_index(name="n")
         )
         c["n"] = c["n"].astype(np.int64)
         return c
@@ -451,6 +458,9 @@ def above_average_orders(sf_dir: str, num_buckets: int = 16):
         )
         return g
 
+    # materialize the |customers|-sized aggregate: hash_join's schema()
+    # peek would otherwise EXECUTE this shuffle once for the schema and the
+    # tag stage would run it again (Ray 2.49 does not cache peeked plans)
     cust_agg = (
         bucket_by_key(
             ray.data.read_parquet(
@@ -462,6 +472,7 @@ def above_average_orders(sf_dir: str, num_buckets: int = 16):
         )
         .groupby("_bucket")
         .map_groups(cust_final, batch_format="pandas")
+        .materialize()
     )
 
     orders = ray.data.read_parquet(

@@ -436,10 +436,14 @@ def value_ranks(
             }
         )
 
+    # materialize the |distinct (key,value)|-sized rank table: hash_join's
+    # schema() peek would otherwise execute the distinct+rank shuffle once
+    # for the schema and again for the tag stage (Ray 2.49)
     ranked = (
         bucket_by_key(pairs, key_col, num_buckets)
         .groupby("_bucket")
         .map_groups(rank_bucket, batch_format="pandas")
+        .materialize()
     )
     joined = hash_join(rows, ranked, "_kv", "kv", num_buckets=num_buckets)
     return joined.select_columns([id_col, "value_milli", "rnk"]).sort(id_col)

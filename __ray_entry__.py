@@ -378,6 +378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     anonymous_counts (all checked); the DOMAIN projection is pinned
     #     by the JUnit golden vectors + the corrupt-custom-field test and
     #     its check_oracles row
+    #   anonymous_counts — same pipeline shape as isp/enterprise_counts
+    #     (both still checked); the ANONYMOUS_IP projection is pinned by
+    #     the JUnit golden vectors and its check_oracles row
     #   hopping_windows — np.repeat window explosion pinned by its pytest
     #     oracle row and test_hopping_windows_cover_tumbling; rolling /
     #     tumbling-family machinery stays covered via rolling_windows
@@ -392,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "epoch_shuffle",
             "sink_counts_checkpointed",
             "domain_counts",
+            "anonymous_counts",
             "running_totals",
             "type_transitions",
             "stopword_filter",

@@ -1313,6 +1313,15 @@ def q_priority_rollup(sf_dir: str):
     return priority_rollup(sf_dir)
 
 
+def q_priority_cube(sf_dir: str):
+    """Full CUBE grouping sets over orders: all 2² levels of (priority,
+    status) with 'ALL' markers — the rollup plus the per-status subtotals,
+    derived from the same single finest-level distributed aggregate."""
+    from ..stages.relational import priority_rollup
+
+    return priority_rollup(sf_dir, cube=True)
+
+
 def q_quartile_stats(sf_dir: str):
     """NTILE(4) per event_type ordered by (value, event_id): count +
     integer-milli value sum per (type, quartile) — exact SQL remainder
@@ -1726,6 +1735,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "retention_cohorts": q_retention_cohorts,
     "above_avg_orders": q_above_avg_orders,
     "priority_rollup": q_priority_rollup,
+    "priority_cube": q_priority_cube,
     "quartile_stats": q_quartile_stats,
     "click_attribution": q_click_attribution,
     "promo_revenue": q_promo_revenue,
@@ -1902,6 +1912,14 @@ SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
        CAST(sum(CAST(floor(o_totalprice * 1000) AS BIGINT)) AS BIGINT)
          AS sum_price_milli
 FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus) ORDER BY 1, 2
+""",
+    "priority_cube": """
+SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 1000) AS BIGINT)) AS BIGINT)
+         AS sum_price_milli
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus) ORDER BY 1, 2
 """,
     "quartile_stats": """
 SELECT event_type, CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n,

@@ -505,15 +505,16 @@ def above_average_orders(sf_dir: str, num_buckets: int = 16):
     )
 
 
-def priority_rollup(sf_dir: str):
-    """Grouping-sets / ROLLUP aggregate: order count + price sum per
-    (priority, status), per priority subtotal, and grand total — subtotal
-    rows marked 'ALL' (SQL ``GROUP BY ROLLUP(priority, status)`` with
-    COALESCE markers).
+def priority_rollup(sf_dir: str, cube: bool = False):
+    """Grouping-sets aggregate: order count + price sum per (priority,
+    status), per priority subtotal, and grand total — subtotal rows marked
+    'ALL' (SQL ``GROUP BY ROLLUP(priority, status)`` with COALESCE
+    markers). ``cube=True`` adds the per-STATUS subtotal level too —
+    ``GROUP BY CUBE``, all 2² grouping sets.
 
     Scale shape: only the FINEST level ever aggregates distributed (a batch
     collapses to ≤ |priorities|·|statuses| partial rows); the coarser
-    rollup levels derive from that tiny table in the one final block —
+    rollup/cube levels derive from that tiny table in the one final block —
     never a second pass over the data."""
     import os
 
@@ -562,10 +563,16 @@ def priority_rollup(sf_dir: str):
                 "sum_price_milli": [block["sum_price_milli"].sum()],
             }
         )
-        out = pd.concat(
-            [block, lvl1[["pri", "status", "n", "sum_price_milli"]], lvl2],
-            ignore_index=True,
-        )
+        pieces = [block, lvl1[["pri", "status", "n", "sum_price_milli"]], lvl2]
+        if cube:  # the (ALL, status) grouping set completes the 2² cube
+            lvl_s = (
+                block.groupby("status", sort=False)
+                .agg(n=("n", "sum"), sum_price_milli=("sum_price_milli", "sum"))
+                .reset_index()
+            )
+            lvl_s["pri"] = "ALL"
+            pieces.append(lvl_s[["pri", "status", "n", "sum_price_milli"]])
+        out = pd.concat(pieces, ignore_index=True)
         out["n"] = out["n"].astype(np.int64)
         out["sum_price_milli"] = out["sum_price_milli"].astype(np.int64)
         return out.sort_values(["pri", "status"]).reset_index(drop=True)

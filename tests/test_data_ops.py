@@ -51,7 +51,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "stopword_filter", "active_customers", "retention_cohorts",
      "window_distinct_users", "lang_centroids", "customer_order_profile",
      "events_last_order", "user_reconciliation",
-     "above_avg_orders", "priority_rollup", "quartile_stats",
+     "above_avg_orders", "priority_rollup", "priority_cube", "quartile_stats",
      "click_attribution", "label_centroids", "segment_activity"],
 )
 def test_oracle_match(ray_session, oracle_con, name):

@@ -385,9 +385,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     oracle row and test_hopping_windows_cover_tumbling; rolling /
     #     tumbling-family machinery stays covered via rolling_windows
     #     (checked)
+    #   enterprise_counts — same end-to-end pipeline shape as isp_counts
+    #     (checked); the ENTERPRISE projection is pinned by the JUnit
+    #     golden vectors and its check_oracles row (precedent: domain /
+    #     anonymous_counts above)
+    #   priority_cube — derives all grouping sets from the SAME finest
+    #     aggregate as priority_rollup (checked); the cube expansion is
+    #     pinned by its pytest oracle row
+    #   repetition_filter — same exploded-words per-batch groupby family
+    #     as quality_filter (checked); pinned by its planted-doc pytest
+    #     and check_oracles row
     demote = [
         n
         for n in (
+            "enterprise_counts",
+            "priority_cube",
+            "repetition_filter",
             "exact_distinct_users",
             "hopping_windows",
             "event_deltas",

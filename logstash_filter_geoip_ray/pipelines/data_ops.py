@@ -1720,6 +1720,44 @@ def q_segment_activity(sf_dir: str):
     )
 
 
+def q_user_top_event(sf_dir: str):
+    """Exact per-user mode of event_type (most frequent; ties broken by
+    smallest type) — the per-entity categorical profile aggregate. Shuffle
+    = distinct (user, type) partial counts, never events."""
+    from ..stages.aggregate import grouped_mode
+
+    return grouped_mode(
+        _events(sf_dir, ["user_id", "event_type"]),
+        key_col="user_id",
+        value_col="event_type",
+        mode_alias="mode_type",
+    )
+
+
+def q_value_percent_ranks(sf_dir: str):
+    """Integer-exact percent_rank() of every event's milli value within its
+    event type: (rank-1, n-1) numerator/denominator columns — the float
+    quotient never materializes, so the SQL window oracle hash-matches."""
+    from ..stages.windows import percent_ranks
+
+    return percent_ranks(_events(sf_dir, ["event_type", "event_id", "value"]))
+
+
+def q_value_outliers(sf_dir: str):
+    """Per-event-type 3-sigma outlier events, integer-exact: cross-
+    multiplied population-variance inequality over milli values, evaluated
+    with Python big-int moments and closed isqrt bounds — hash-matches a
+    HUGEINT SQL oracle with no float sigma in either engine."""
+    from ..stages.aggregate import sigma_outliers
+
+    return sigma_outliers(
+        _events(sf_dir, ["event_id", "event_type", "value"]),
+        key_col="event_type",
+        id_col="event_id",
+        value_col="value",
+    )
+
+
 DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "latest_events": q_latest_events,
     "active_customers": q_active_customers,
@@ -1742,6 +1780,9 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "supplier_revenue": q_supplier_revenue,
     "running_totals": q_running_totals,
     "value_ranks": q_value_ranks,
+    "user_top_event": q_user_top_event,
+    "value_percent_ranks": q_value_percent_ranks,
+    "value_outliers": q_value_outliers,
     "type_transitions": q_type_transitions,
     "stopword_filter": q_stopword_filter,
     "event_deltas": q_event_deltas,
@@ -1979,6 +2020,43 @@ SELECT event_id,
          PARTITION BY event_type
          ORDER BY CAST(floor(value * 1000) AS BIGINT) DESC) AS BIGINT) AS rnk
 FROM events ORDER BY event_id
+""",
+    "user_top_event": """
+SELECT user_id, event_type AS mode_type, n FROM (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1 ORDER BY user_id
+""",
+    "value_percent_ranks": """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS x
+  FROM events
+)
+SELECT event_id,
+       CAST(rank() OVER (PARTITION BY event_type ORDER BY x) - 1 AS BIGINT)
+         AS pr_num,
+       CAST(count(*) OVER (PARTITION BY event_type) - 1 AS BIGINT) AS pr_den
+FROM v ORDER BY event_id
+""",
+    "value_outliers": """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS x
+  FROM events
+), a AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS s,
+         sum(CAST(x AS HUGEINT) * x) AS q
+  FROM v GROUP BY event_type
+)
+SELECT event_id, v.event_type, x AS value_milli
+FROM v JOIN a USING (event_type)
+WHERE (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+ORDER BY event_id
 """,
     "type_transitions": """
 WITH s AS (

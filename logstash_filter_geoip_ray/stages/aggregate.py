@@ -522,3 +522,149 @@ def turn_histogram(
     return grouped_counts(
         bucketed, [country_col, "turn_bucket"], count_alias, sort_result=sort_result
     )
+
+
+def grouped_mode(
+    ds,
+    key_col: str,
+    value_col: str,
+    num_buckets: int = 32,
+    mode_alias: str = "mode_value",
+    count_alias: str = "n",
+):
+    """Exact per-key mode (most frequent value; ties broken by smallest
+    value — SQL ``row_number() OVER (ORDER BY count DESC, value)``
+    reproducible).
+
+    Scale shape: each batch collapses to its distinct (key, value) partial
+    counts map-side, the partials co-locate by stable key-hash bucket, and
+    each bucket resolves its keys' argmax in one vectorized pass. Shuffle
+    volume = distinct (key, value) pairs across batches, never rows; a hot
+    key costs one task |distinct values for that key|."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([key_col, value_col])
+            .group_by([key_col, value_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([key_col, value_col, count_alias])
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    bucketed = bucket_by_key(partials, key_col, num_buckets)
+
+    def final_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        g = block.groupby([key_col, value_col], as_index=False)[count_alias].sum()
+        g = g.sort_values(
+            [key_col, count_alias, value_col], ascending=[True, False, True]
+        )
+        top = g.groupby(key_col, sort=False).head(1)
+        return top.rename(columns={value_col: mode_alias})[
+            [key_col, mode_alias, count_alias]
+        ]
+
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(final_bucket, batch_format="pandas")
+        .sort(key_col)
+    )
+
+
+def sigma_outliers(
+    ds,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    k_sigma: int = 3,
+    num_buckets: int = 16,
+):
+    """Per-key k-sigma outlier rows, integer-exact at any scale: flag row x
+    iff (n*x - s)^2 > k^2 * (n*q - s^2) over the key's integer-milli values
+    (population variance cross-multiplied — the mean and sigma never
+    materialize as floats, so the result is bit-identical to a HUGEINT SQL
+    oracle).
+
+    Scale shape:
+      1. each batch collapses to per-key (n, sum, sumsq) partials map-side;
+      2. partials combine per key-hash bucket in PYTHON-INT arithmetic
+         (object dtype) — sum-of-squares at fleet scale overflows int64,
+         the exchange is only #batches x #keys rows so the big-int combine
+         is free;
+      3. the tiny per-key moment table reaches the driver, which derives
+         closed integer bounds via isqrt: flag iff x >= hi or x <= lo where
+         hi = (s + r)//n + 1, lo = (s - r - 1)//n, r = isqrt(k^2*(n*q - s^2))
+         (exact: for integers, d^2 > R  <=>  |d| > isqrt(R));
+      4. the bounds broadcast into one vectorized compare per batch — the
+         corpus itself never shuffles."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.multiply(batch[value_col], 1000.0)), pa.int64())
+        return pa.table(
+            {id_col: batch[id_col], key_col: batch[key_col], "value_milli": v}
+        )
+
+    milli = ds.map_batches(to_milli, batch_format="pyarrow").materialize()
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, "value_milli"]).to_pandas()
+        # object dtype BEFORE squaring: v^2 alone can overflow int64
+        v = df["value_milli"].astype(object)
+        g = pd.DataFrame(
+            {key_col: df[key_col], "v": v, "v2": v * v}
+        ).groupby(key_col, as_index=False)
+        out = g.agg(n=("v", "size"), s=("v", "sum"), q=("v2", "sum"))
+        return pa.table(
+            {
+                key_col: pa.array(out[key_col]),
+                "n": pa.array(out["n"].astype(np.int64), type=pa.int64()),
+                # strings carry the unbounded ints through the exchange
+                "s": pa.array(out["s"].map(str), type=pa.string()),
+                "q": pa.array(out["q"].map(str), type=pa.string()),
+            }
+        )
+
+    partials = milli.map_batches(moment_partial, batch_format="pyarrow")
+    bucketed = bucket_by_key(partials, key_col, num_buckets)
+
+    def combine_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        g = block.groupby(key_col, as_index=False)
+        out = g.agg(
+            n=("n", "sum"),
+            s=("s", lambda c: str(sum(int(x) for x in c))),
+            q=("q", lambda c: str(sum(int(x) for x in c))),
+        )
+        return out
+
+    moments = (
+        bucketed.groupby("_bucket")
+        .map_groups(combine_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+
+    bounds = {}
+    for _, row in moments.iterrows():
+        n, s, q = int(row["n"]), int(row["s"]), int(row["q"])
+        r = math.isqrt(k_sigma * k_sigma * (n * q - s * s))
+        hi = (s + r) // n + 1          # x >= hi  <=>  n*x - s >  r
+        lo = (s - r - 1) // n          # x <= lo  <=>  n*x - s < -r
+        bounds[row[key_col]] = (lo, hi)
+
+    keys = list(bounds)
+    key_set = pa.array(keys)
+    lo_arr = np.array([bounds[k][0] for k in keys], dtype=np.int64)
+    hi_arr = np.array([bounds[k][1] for k in keys], dtype=np.int64)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        kidx_arr = pc.index_in(batch[key_col], value_set=key_set)
+        seen = pc.is_valid(kidx_arr).to_numpy(zero_copy_only=False)
+        kidx = pc.fill_null(kidx_arr, 0).to_numpy(zero_copy_only=False)
+        x = batch["value_milli"].to_numpy(zero_copy_only=False)
+        mask = seen & ((x <= lo_arr[kidx]) | (x >= hi_arr[kidx]))
+        return batch.filter(pa.array(mask))
+
+    return milli.map_batches(flag, batch_format="pyarrow").sort(id_col)

@@ -602,3 +602,95 @@ def ntile_stats(
     # only bundles the tiny per-bucket outputs and sorts
     return tree_sum(per_key, [key_col, "tile"], ["n", "sum_v_milli"],
                     sort_result=True)
+
+
+def percent_ranks(
+    ds,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int = 32,
+):
+    """Integer-exact SQL ``percent_rank()`` per partition key: emits the
+    numerator (rank - 1, rank = RANK so ties share) and denominator (n - 1)
+    as int64 columns — the quotient never materializes as a float, so the
+    result hash-matches a SQL window oracle exactly.
+
+    Scale shape — the same two-phase formulation as :func:`value_ranks`,
+    extended with counts:
+      1. per-batch (key, value) partial COUNTS (not just distincts) — the
+         rank of a value needs how many rows precede it, so the partials
+         carry n per pair; shuffle volume = distinct pairs across batches;
+      2. per key-hash bucket, one rebased-cumsum pass over the sorted
+         distinct pairs yields every value's rank-1 (rows strictly below)
+         and the key's total n — a hot key costs |distinct values|;
+      3. the per-(key,value) rank table hash-joins back to the rows on the
+         composite key. The rows themselves never co-locate by key."""
+    from .aggregate import bucket_by_key
+    from .joins import hash_join
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.multiply(batch[value_col], 1000.0)), pa.int64())
+        combo = pc.binary_join_element_wise(
+            pc.cast(batch[key_col], pa.string()),
+            pc.cast(v, pa.string()),
+            "\x1f",
+        )
+        return pa.table({id_col: batch[id_col], "_kv": combo})
+
+    rows = ds.map_batches(to_milli, batch_format="pyarrow")
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.multiply(batch[value_col], 1000.0)), pa.int64())
+        return (
+            pa.table({key_col: batch[key_col], "v": v})
+            .group_by([key_col, "v"])
+            .aggregate([([], "count_all")])
+            .rename_columns([key_col, "v", "cnt"])
+        )
+
+    pairs = (
+        ds.map_batches(pair_counts, batch_format="pyarrow")
+        .groupby([key_col, "v"])
+        .sum("cnt")
+        .rename_columns({"sum(cnt)": "cnt"})
+    )
+
+    def rank_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, "v"])
+        keys = b[key_col].to_numpy()
+        cnt = b["cnt"].to_numpy(dtype=np.int64)
+        new_seg = np.ones(len(b), dtype=bool)
+        new_seg[1:] = keys[1:] != keys[:-1]
+        pos = np.arange(len(b), dtype=np.int64)
+        seg_id = np.cumsum(new_seg) - 1
+        # rows strictly below this value within its key = rebased exclusive
+        # prefix sum of the counts
+        cs = np.cumsum(cnt)
+        before = cs - cnt
+        seg_base = before[new_seg][seg_id]
+        pr_num = before - seg_base
+        # key total = segment's last inclusive cumsum minus its base
+        seg_last = np.zeros(len(b), dtype=np.int64)
+        last_idx = np.append(np.nonzero(new_seg)[0][1:] - 1, len(b) - 1)
+        seg_last = cs[last_idx][seg_id]
+        pr_den = seg_last - seg_base - 1
+        kv = (
+            b[key_col].astype(str) + "\x1f" + b["v"].astype(np.int64).astype(str)
+        ).to_numpy()
+        return pa.table(
+            {
+                "kv": pa.array(kv, type=pa.string()),
+                "pr_num": pa.array(pr_num, type=pa.int64()),
+                "pr_den": pa.array(pr_den, type=pa.int64()),
+            }
+        )
+
+    ranked = (
+        bucket_by_key(pairs, key_col, num_buckets)
+        .groupby("_bucket")
+        .map_groups(rank_bucket, batch_format="pandas")
+        .materialize()  # see value_ranks: avoid double-executed shuffle
+    )
+    joined = hash_join(rows, ranked, "_kv", "kv", num_buckets=num_buckets)
+    return joined.select_columns([id_col, "pr_num", "pr_den"]).sort(id_col)

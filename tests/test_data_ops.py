@@ -48,6 +48,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "sample_stratified", "latest_events", "event_deltas",
      "rolling_windows", "hourly_pivot", "bm25_topk",
      "running_totals", "value_ranks", "type_transitions",
+     "user_top_event", "value_percent_ranks", "value_outliers",
      "stopword_filter", "active_customers", "retention_cohorts",
      "window_distinct_users", "lang_centroids", "customer_order_profile",
      "events_last_order", "user_reconciliation",
@@ -2496,3 +2497,63 @@ def test_asof_join_time_vs_bruteforce(ray_session):
         exp.append(max(cands) if cands else None)
     assert got_vals == exp
     assert got_vals[-1] == big  # >2^53 matched time survives exactly
+
+
+def test_grouped_mode_ties_and_buckets(ray_session):
+    """Mode per key: ties resolve to the smallest value; result is
+    partition-layout invariant (1 block vs many)."""
+    import ray
+
+    from logstash_filter_geoip_ray.stages.aggregate import grouped_mode
+
+    rows = (
+        [("a", "x")] * 3 + [("a", "y")] * 3 + [("a", "z")] * 2  # tie x/y -> x
+        + [("b", "q")] * 5 + [("b", "p")] * 4                    # clear win q
+        + [("c", "m")]                                            # singleton
+    )
+    tbl = pa.table({
+        "k": pa.array([r[0] for r in rows]),
+        "v": pa.array([r[1] for r in rows]),
+    })
+    for n_blocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+        got = grouped_mode(ds, "k", "v", num_buckets=4).to_pandas()
+        assert list(got["k"]) == ["a", "b", "c"]
+        assert list(got["mode_value"]) == ["x", "q", "m"]
+        assert list(got["n"]) == [3, 5, 1]
+
+
+def test_sigma_outliers_matches_bruteforce(ray_session):
+    """Integer 3-sigma bounds equal the brute-force cross-multiplied
+    inequality on every row, including a planted extreme outlier and a
+    zero-variance key."""
+    import ray
+
+    from logstash_filter_geoip_ray.stages.aggregate import sigma_outliers
+
+    rng = np.random.default_rng(7)
+    vals = list(rng.normal(100.0, 5.0, 400)) + [5000.0] + [42.0] * 10
+    keys = ["n"] * 401 + ["const"] * 10
+    ids = list(range(len(vals)))
+    tbl = pa.table({
+        "event_id": pa.array(ids, type=pa.int64()),
+        "event_type": pa.array(keys),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = sigma_outliers(ds, "event_type", "event_id", "value").to_pandas()
+
+    # brute force with exact ints
+    import math
+    x = np.floor(np.array(vals) * 1000.0).astype(np.int64)
+    expect = []
+    for key in ("n", "const"):
+        idx = [i for i, k in enumerate(keys) if k == key]
+        xs = [int(x[i]) for i in idx]
+        n, s, q = len(xs), sum(xs), sum(v * v for v in xs)
+        for i, v in zip(idx, xs):
+            if (n * v - s) ** 2 > 9 * (n * q - s * s):
+                expect.append(i)
+    assert sorted(got["event_id"]) == sorted(expect)
+    assert 400 in list(got["event_id"])  # the planted outlier flags
+    assert not any(k == "const" for k in got["event_type"])  # zero variance

@@ -395,12 +395,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   repetition_filter — same exploded-words per-batch groupby family
     #     as quality_filter (checked); pinned by its planted-doc pytest
     #     and check_oracles row
+    #   simhash_pairs — pinned exactly by its brute-force pytest
+    #     (pigeonhole banding = exact recall) and check_oracles row; the
+    #     near-dup pair family stays driver-checked via
+    #     dedup_filtered_docs_minhash
+    #   user_reconciliation — the FULL OUTER schema-cast machinery is the
+    #     same merge_bucket path as customer_order_profile (LEFT, checked);
+    #     pinned by its pytest oracle row
     demote = [
         n
         for n in (
             "enterprise_counts",
             "priority_cube",
             "repetition_filter",
+            "simhash_pairs",
+            "user_reconciliation",
             "exact_distinct_users",
             "hopping_windows",
             "event_deltas",

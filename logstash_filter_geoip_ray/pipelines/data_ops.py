@@ -1720,6 +1720,130 @@ def q_segment_activity(sf_dir: str):
     )
 
 
+#: loud-failure cap on a (event_type, hour) co-occurrence group — one hot
+#: group would otherwise generate |group|² pairs in a single task
+TRIANGLE_GROUP_CAP = 100_000
+
+
+def q_user_triangles(sf_dir: str):
+    """Per-user triangle participation counts over the co-occurrence graph
+    (edge = two users active in the same event_type within the same hour).
+    Graph build: distinct (type, hour, user) triples → per-group ordered
+    pairs (group-size capped, vectorized self-merge per bucket) → distinct
+    edges; triangle counting is the degree-oriented wedge-check pipeline in
+    ``stages.graph.triangle_counts``."""
+    import numpy as np
+
+    from ..stages.aggregate import bucket_by_key
+    from ..stages.graph import triangle_counts
+
+    ev = _events(sf_dir, ["event_type", "ts", "user_id"])
+
+    def occ_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hr = pc.divide(
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            pa.scalar(3_600_000_000, type=pa.int64()),
+        )
+        g = pc.binary_join_element_wise(
+            pc.cast(batch["event_type"], pa.string()),
+            pc.cast(hr, pa.string()),
+            "\x1f",
+        )
+        return (
+            pa.table({"g": g, "user_id": batch["user_id"]})
+            .group_by(["g", "user_id"])
+            .aggregate([])
+        )
+
+    occ = (
+        ev.map_batches(occ_partial, batch_format="pyarrow")
+        .groupby(["g", "user_id"])
+        .count()
+        .select_columns(["g", "user_id"])
+    )
+
+    def pairs_bucket(block) -> pa.Table:
+        sizes = block.groupby("g")["user_id"].transform("size")
+        if len(sizes) and int(sizes.max()) > TRIANGLE_GROUP_CAP:
+            raise ValueError(
+                "co-occurrence group exceeds TRIANGLE_GROUP_CAP=%d — a hot "
+                "(type, hour) key would square inside one task; shrink the "
+                "window or pre-sample the group" % TRIANGLE_GROUP_CAP
+            )
+        m = block.merge(block, on="g", suffixes=("_a", "_b"))
+        m = m[m["user_id_a"] < m["user_id_b"]]
+        return pa.table(
+            {
+                "a": pa.array(m["user_id_a"].to_numpy(dtype=np.int64)),
+                "b": pa.array(m["user_id_b"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    edges = (
+        bucket_by_key(occ, "g", 32)
+        .groupby("_bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()  # schema peeks in the degree joins must not re-shuffle
+    )
+    tri = triangle_counts(edges)
+    return tri.rename_columns({"node": "user_id"})
+
+
+#: profiled events columns → the VARCHAR-normal form both engines compare
+#: (ints verbatim, timestamps as epoch-µs, floats as integer millis)
+PROFILE_EXPRS = {
+    "event_id": "CAST(event_id AS VARCHAR)",
+    "ts_us": "CAST(epoch_us(ts) AS VARCHAR)",
+    "user_id": "CAST(user_id AS VARCHAR)",
+    "event_type": "CAST(event_type AS VARCHAR)",
+    "value_milli": "CAST(CAST(floor(value * 1000) AS BIGINT) AS VARCHAR)",
+    "props": "props",
+}
+
+
+def _profile_oracle_sql() -> str:
+    parts = [
+        f"SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows,"
+        f" CAST(count(*) - count({e}) AS BIGINT) AS n_null,"
+        f" CAST(count(DISTINCT {e}) AS BIGINT) AS n_distinct,"
+        f" min({e}) AS min_val, max({e}) AS max_val FROM events"
+        for c, e in PROFILE_EXPRS.items()
+    ]
+    return "SELECT * FROM (" + " UNION ALL ".join(parts) + ") ORDER BY col"
+
+
+def q_events_profile(sf_dir: str):
+    """Column profiler over the events table: per-column row count, null
+    count, EXACT distinct cardinality, and lexicographic min/max on the
+    normalized string form (``stages.profile.profile_columns``) — the
+    data-quality sweep that runs before any training-data job."""
+    from ..stages.profile import profile_columns
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "value_milli": pc.cast(
+                    pc.floor(pc.multiply(batch["value"], 1000.0)), pa.int64()
+                ),
+                "props": batch["props"],
+            }
+        )
+
+    ds = _events(sf_dir).map_batches(normalize, batch_format="pyarrow")
+    return profile_columns(ds, list(PROFILE_EXPRS))
+
+
 def q_user_top_event(sf_dir: str):
     """Exact per-user mode of event_type (most frequent; ties broken by
     smallest type) — the per-entity categorical profile aggregate. Shuffle
@@ -1783,6 +1907,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "user_top_event": q_user_top_event,
     "value_percent_ranks": q_value_percent_ranks,
     "value_outliers": q_value_outliers,
+    "user_triangles": q_user_triangles,
+    "events_profile": q_events_profile,
     "type_transitions": q_type_transitions,
     "stopword_filter": q_stopword_filter,
     "event_deltas": q_event_deltas,
@@ -2057,6 +2183,29 @@ SELECT event_id, v.event_type, x AS value_milli
 FROM v JOIN a USING (event_type)
 WHERE (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
 ORDER BY event_id
+""",
+    "events_profile": _profile_oracle_sql(),
+    "user_triangles": """
+WITH occ AS (
+  SELECT DISTINCT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr, user_id
+  FROM events
+), e AS (
+  SELECT DISTINCT o1.user_id AS a, o2.user_id AS b
+  FROM occ o1
+  JOIN occ o2 ON o1.event_type = o2.event_type AND o1.hr = o2.hr
+             AND o1.user_id < o2.user_id
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node AS user_id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) GROUP BY node ORDER BY node
 """,
     "type_transitions": """
 WITH s AS (

@@ -49,6 +49,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "rolling_windows", "hourly_pivot", "bm25_topk",
      "running_totals", "value_ranks", "type_transitions",
      "user_top_event", "value_percent_ranks", "value_outliers",
+     "user_triangles", "events_profile",
      "stopword_filter", "active_customers", "retention_cohorts",
      "window_distinct_users", "lang_centroids", "customer_order_profile",
      "events_last_order", "user_reconciliation",
@@ -56,7 +57,9 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "click_attribution", "label_centroids", "segment_activity"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
-    ray_df = DATA_QUERIES[name](SF).to_pandas()
+    res = DATA_QUERIES[name](SF)
+    # queries may return a Dataset OR a pandas DataFrame (driver contract)
+    ray_df = res.to_pandas() if hasattr(res, "to_pandas") else res
     oracle_df = oracle_con.sql(DATA_ORACLES[name]).df()
     a, b = _norm(ray_df), _norm(oracle_df)
     assert list(a.columns) == list(b.columns)
@@ -2557,3 +2560,74 @@ def test_sigma_outliers_matches_bruteforce(ray_session):
     assert sorted(got["event_id"]) == sorted(expect)
     assert 400 in list(got["event_id"])  # the planted outlier flags
     assert not any(k == "const" for k in got["event_type"])  # zero variance
+
+
+def test_triangle_counts_vs_bruteforce(ray_session):
+    """Degree-oriented wedge-check equals brute-force per-node triangle
+    counts on a random graph plus a planted clique, at 1 and many blocks."""
+    import itertools
+
+    import ray
+
+    from logstash_filter_geoip_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(11)
+    n = 40
+    edge_set = set()
+    for _ in range(160):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            edge_set.add((min(int(a), int(b)), max(int(a), int(b))))
+    # planted 5-clique on high ids (distinct from the random mass)
+    for a, b in itertools.combinations(range(100, 105), 2):
+        edge_set.add((a, b))
+    edges = sorted(edge_set)
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:  # count each triangle once at its ordered corners
+                for node in (a, b, c):
+                    expect[node] = expect.get(node, 0) + 1
+
+    tbl = pa.table({
+        "a": pa.array([e[0] for e in edges], type=pa.int64()),
+        "b": pa.array([e[1] for e in edges], type=pa.int64()),
+    })
+    for n_blocks in (1, 6):
+        ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+        got = triangle_counts(ds, num_buckets=4).to_pandas()
+        got_map = dict(zip(got["node"], got["n_tri"]))
+        assert got_map == expect
+    # the planted clique participates in C(4,2)=6 triangles per corner
+    assert all(expect[v] >= 6 for v in range(100, 105))
+
+
+def test_profile_columns_nulls_and_blocks(ray_session):
+    """Profiler counts nulls per column, excludes them from distinct and
+    min/max, survives an all-null column, and is block-layout invariant."""
+    import ray
+
+    from logstash_filter_geoip_ray.stages.profile import profile_columns
+
+    tbl = pa.table({
+        "a": pa.array([1, 2, 2, None, 10], type=pa.int64()),
+        "b": pa.array(["x", None, None, "y", "x"]),
+        "c": pa.array([None] * 5, type=pa.string()),
+    })
+    for n_blocks in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+        got = profile_columns(ds, ["a", "b", "c"])
+        rows = {r["col"]: r for _, r in got.iterrows()}
+        assert rows["a"]["n_rows"] == 5 and rows["a"]["n_null"] == 1
+        assert rows["a"]["n_distinct"] == 3
+        # lexicographic on the string form: "10" < "2"
+        assert rows["a"]["min_val"] == "1" and rows["a"]["max_val"] == "2"
+        assert rows["b"]["n_null"] == 2 and rows["b"]["n_distinct"] == 2
+        assert rows["b"]["min_val"] == "x" and rows["b"]["max_val"] == "y"
+        assert rows["c"]["n_null"] == 5 and rows["c"]["n_distinct"] == 0
+        assert rows["c"]["min_val"] is None or pd.isna(rows["c"]["min_val"])

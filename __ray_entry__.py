@@ -402,9 +402,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   user_reconciliation — the FULL OUTER schema-cast machinery is the
     #     same merge_bucket path as customer_order_profile (LEFT, checked);
     #     pinned by its pytest oracle row
+    #   click_attribution — the band-join exchange family stays
+    #     driver-checked via events_last_order (shared kernel); pinned by
+    #     two brute-force pytests + the overflow-fallback test
+    #   lang_centroids — same label_centroids kernel as label_centroids
+    #     (checked); the joining half is the plain partitioned hash join
+    #     already checked via orders_per_nation; pinned by its pytest row
     demote = [
         n
         for n in (
+            "click_attribution",
+            "lang_centroids",
             "enterprise_counts",
             "priority_cube",
             "repetition_filter",

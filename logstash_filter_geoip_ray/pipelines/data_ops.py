@@ -1794,6 +1794,68 @@ def q_user_triangles(sf_dir: str):
     return tri.rename_columns({"node": "user_id"})
 
 
+def q_edit_distance_pairs(sf_dir: str):
+    """Blocked Levenshtein near-dup pairs: same-(lang, source) docs whose
+    64-char-prefix BYTE edit distance is ≤ 40 (DuckDB levenshtein is
+    byte-based — matched exactly). Vectorized all-pairs DP per block, skew
+    cap raises on hot blocks (``stages.dedup.edit_distance_pairs``)."""
+    from ..stages.dedup import edit_distance_pairs
+
+    return edit_distance_pairs(
+        _docs(sf_dir, ["doc_id", "lang", "source", "text"])
+    )
+
+
+def q_cust_order_distribution(sf_dir: str):
+    """TPC-H Q13 flavor: distribution of per-customer order counts,
+    INCLUDING zero-order customers (the LEFT JOIN is the point). Orders
+    collapse to per-custkey counts first (native high-cardinality
+    groupby), the count table left-joins the customer keys, and the tiny
+    count-of-counts histogram tree-combines."""
+    import ray.data
+
+    from ..stages.aggregate import tree_sum
+    from ..stages.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(["o_custkey"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["o_custkey", "n"])
+        )
+
+    counts = (
+        orders.map_batches(order_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+        .materialize()  # schema peek in hash_join must not re-run the shuffle
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    joined = hash_join(cust, counts, "c_custkey", "o_custkey", how="left",
+                       num_buckets=16)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c_count = pc.fill_null(pc.cast(batch["n"], pa.int64()), 0)
+        return (
+            pa.table({"c_count": c_count})
+            .group_by(["c_count"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["c_count", "n_custs"])
+        )
+
+    partials = joined.map_batches(hist_partial, batch_format="pyarrow")
+    return tree_sum(partials, ["c_count"], ["n_custs"], sort_result=True)
+
+
 #: profiled events columns → the VARCHAR-normal form both engines compare
 #: (ints verbatim, timestamps as epoch-µs, floats as integer millis)
 PROFILE_EXPRS = {
@@ -1909,6 +1971,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "value_outliers": q_value_outliers,
     "user_triangles": q_user_triangles,
     "events_profile": q_events_profile,
+    "edit_distance_pairs": q_edit_distance_pairs,
+    "cust_order_distribution": q_cust_order_distribution,
     "type_transitions": q_type_transitions,
     "stopword_filter": q_stopword_filter,
     "event_deltas": q_event_deltas,
@@ -2185,6 +2249,25 @@ WHERE (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
 ORDER BY event_id
 """,
     "events_profile": _profile_oracle_sql(),
+    "edit_distance_pairs": """
+WITH d AS (
+  SELECT doc_id, lang, source, substr(text, 1, 64) AS p
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= 40
+ORDER BY a, b
+""",
+    "cust_order_distribution": """
+SELECT c_count, CAST(count(*) AS BIGINT) AS n_custs FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY c_count
+""",
     "user_triangles": """
 WITH occ AS (
   SELECT DISTINCT event_type,

@@ -1222,3 +1222,94 @@ def embedding_dup_pairs_broadcast(
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
     return ds.map_batches(batch_pairs, batch_format="pyarrow").sort(["a", "b"])
+
+
+def edit_distance_pairs(
+    ds,
+    block_cols=("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_chars: int = 64,
+    max_dist: int = 40,
+    max_block_rows: int = JACCARD_MAX_BLOCK_ROWS,
+):
+    """Levenshtein near-dup pairs within blocks: (a, b, dist) for every
+    same-block pair whose edit distance over the UTF-8 BYTES of the first
+    ``prefix_chars`` characters is ≤ ``max_dist`` (a < b).
+
+    Byte-based on purpose: DuckDB's ``levenshtein()`` edits bytes, not
+    codepoints (levenshtein('héllo','hello') = 2), so the oracle matches
+    exactly for any input. The prefix bound makes the kernel O(prefix²)
+    per pair regardless of document length — this is a validation-grade
+    near-dup signal like the blocked Jaccard family (same skew cap; the
+    MinHash path remains the unbounded-scale default).
+
+    The DP is vectorized across ALL of a block's pairs at once — no
+    Python pair loop: one (pairs × bytes) row per DP step, with the
+    in-row dependency resolved by the classic min-accumulate carry
+    (cur[j] = j + running-min of (t[k] − k))."""
+    import numpy as np
+
+    cols = list(block_cols)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        _check_block_cap(
+            len(group),
+            tuple(group[c].iloc[0] for c in cols) if len(group) else None,
+            max_block_rows,
+            "edit_distance_pairs",
+        )
+        g = group[group[text_col].notna()].sort_values(id_col)
+        n = len(g)
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series(dtype="int64"),
+                "b": pd.Series(dtype="int64"),
+                "dist": pd.Series(dtype="int64"),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = g[id_col].to_numpy()
+        texts = [t[:prefix_chars].encode("utf-8") for t in g[text_col]]
+        lens = np.array([len(t) for t in texts], dtype=np.int16)
+        L = int(lens.max())
+        enc = np.full((n, L), -1, dtype=np.int16)
+        for i, t in enumerate(texts):  # per-DOC fill, not per pair
+            enc[i, : len(t)] = np.frombuffer(t, dtype=np.uint8)
+
+        ia, ib = np.triu_indices(n, k=1)
+        A, B = enc[ia], enc[ib]
+        la, lb = lens[ia].astype(np.int64), lens[ib].astype(np.int64)
+        P = len(ia)
+        idx = np.arange(L + 1, dtype=np.int16)
+        prev = np.broadcast_to(idx, (P, L + 1)).astype(np.int16)
+        res = np.zeros(P, dtype=np.int16)
+        m0 = la == 0
+        res[m0] = lb[m0]
+        rows = np.arange(P)
+        for i in range(1, int(la.max()) + 1 if P else 1):
+            cost = (A[:, i - 1][:, None] != B).astype(np.int16)
+            t = np.empty((P, L + 1), dtype=np.int16)
+            t[:, 0] = i
+            np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=t[:, 1:])
+            cur = np.minimum.accumulate(t - idx, axis=1) + idx
+            snap = la == i
+            if snap.any():
+                res[snap] = cur[rows[snap], lb[snap]]
+            prev = cur
+        keep = res <= max_dist
+        return pd.DataFrame(
+            {
+                "a": ids[ia[keep]].astype(np.int64),
+                "b": ids[ib[keep]].astype(np.int64),
+                "dist": res[keep].astype(np.int64),
+            }
+        )
+
+    return (
+        ds.select_columns(cols + [id_col, text_col])
+        .groupby(cols)
+        .map_groups(pairs, batch_format="pandas")
+        .sort(["a", "b"])
+    )

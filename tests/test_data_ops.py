@@ -49,7 +49,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "rolling_windows", "hourly_pivot", "bm25_topk",
      "running_totals", "value_ranks", "type_transitions",
      "user_top_event", "value_percent_ranks", "value_outliers",
-     "user_triangles", "events_profile",
+     "user_triangles", "events_profile", "edit_distance_pairs",
+     "cust_order_distribution",
      "stopword_filter", "active_customers", "retention_cohorts",
      "window_distinct_users", "lang_centroids", "customer_order_profile",
      "events_last_order", "user_reconciliation",
@@ -2631,3 +2632,43 @@ def test_profile_columns_nulls_and_blocks(ray_session):
         assert rows["b"]["min_val"] == "x" and rows["b"]["max_val"] == "y"
         assert rows["c"]["n_null"] == 5 and rows["c"]["n_distinct"] == 0
         assert rows["c"]["min_val"] is None or pd.isna(rows["c"]["min_val"])
+
+
+def test_edit_distance_pairs_vs_bruteforce(ray_session):
+    """Vectorized all-pairs byte DP equals a classic per-pair reference,
+    including unicode (byte semantics), empty and null texts."""
+    import ray
+
+    from logstash_filter_geoip_ray.stages.dedup import edit_distance_pairs
+
+    def lev_bytes(s, t):
+        a, b = s.encode("utf-8"), t.encode("utf-8")
+        prev = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            cur = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[len(b)]
+
+    texts = ["hello world", "hello wrld", "héllo world", "", "abc",
+             "zzzz totally different content here", None, "hello world"]
+    n = len(texts)
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["web"] * n),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = edit_distance_pairs(ds, prefix_chars=64, max_dist=100).to_pandas()
+    got_pairs = {(r.a, r.b): r.dist for r in got.itertuples()}
+    expect = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if texts[i] is None or texts[j] is None:
+                continue
+            expect[(i, j)] = lev_bytes(texts[i][:64], texts[j][:64])
+    assert got_pairs == expect
+    assert got_pairs[(2, 7)] == 2  # héllo vs hello: 2 BYTE edits

@@ -408,11 +408,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   lang_centroids — same label_centroids kernel as label_centroids
     #     (checked); the joining half is the plain partitioned hash join
     #     already checked via orders_per_nation; pinned by its pytest row
+    #   hourly_pivot — the tall-partials-then-pivot derives from the same
+    #     partial-count family as sink_counts / tumbling_windows (both
+    #     checked); pinned by its pytest oracle row
+    #   bm25_topk — two-scalar-pass + batch-local top-k, no shuffle to
+    #     protect; the verbatim integer formula is pinned by its pytest
+    #     oracle row
     demote = [
         n
         for n in (
             "click_attribution",
             "lang_centroids",
+            "hourly_pivot",
+            "bm25_topk",
             "enterprise_counts",
             "priority_cube",
             "repetition_filter",

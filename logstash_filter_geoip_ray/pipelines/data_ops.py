@@ -1794,6 +1794,26 @@ def q_user_triangles(sf_dir: str):
     return tri.rename_columns({"node": "user_id"})
 
 
+def q_late_events(sf_dir: str):
+    """Watermark / allowed-lateness classification (streaming semantics as
+    a batch operator): events re-ordered by a deterministic md5 arrival
+    permutation, per-user running-max event time = the watermark, emit
+    events arriving > 14 days behind it (``stages.windows.late_events``)."""
+    from ..stages.windows import late_events
+
+    return late_events(_events(sf_dir, ["event_id", "user_id", "ts"]))
+
+
+def q_quantized_embeddings(sf_dir: str):
+    """Int8-style linear quantization of the embedding corpus: per-dim
+    milli (min, max) from one streaming pass, then exploded (vec_id, dim,
+    q) codes — integer floor-division exact vs the SQL oracle
+    (``stages.clustering.quantize_embeddings``)."""
+    from ..stages.clustering import quantize_embeddings
+
+    return quantize_embeddings(_emb(sf_dir, ["vec_id", "embedding"]))
+
+
 def q_edit_distance_pairs(sf_dir: str):
     """Blocked Levenshtein near-dup pairs: same-(lang, source) docs whose
     64-char-prefix BYTE edit distance is ≤ 40 (DuckDB levenshtein is
@@ -1973,6 +1993,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "events_profile": q_events_profile,
     "edit_distance_pairs": q_edit_distance_pairs,
     "cust_order_distribution": q_cust_order_distribution,
+    "late_events": q_late_events,
+    "quantized_embeddings": q_quantized_embeddings,
     "type_transitions": q_type_transitions,
     "stopword_filter": q_stopword_filter,
     "event_deltas": q_event_deltas,
@@ -2260,6 +2282,30 @@ FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
                  AND a.doc_id < b.doc_id
 WHERE levenshtein(a.p, b.p) <= 40
 ORDER BY a, b
+""",
+    "late_events": """
+WITH w AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (PARTITION BY user_id
+            ORDER BY md5('arr:' || CAST(event_id AS VARCHAR)), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+  FROM events
+)
+SELECT event_id, ts_us, wm_us, wm_us - ts_us AS late_by_us
+FROM w WHERE wm_us - ts_us > 1209600000000 ORDER BY event_id
+""",
+    "quantized_embeddings": """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(unnest(embedding) * 1000) AS BIGINT) AS x
+  FROM embeddings
+), mm AS (
+  SELECT dim, min(x) AS mn, max(x) AS mx FROM e GROUP BY dim
+)
+SELECT vec_id, e.dim,
+       CAST(CASE WHEN mx = mn THEN 0
+            ELSE ((x - mn) * 254) // (mx - mn) END AS BIGINT) AS q
+FROM e JOIN mm USING (dim) ORDER BY vec_id, e.dim
 """,
     "cust_order_distribution": """
 SELECT c_count, CAST(count(*) AS BIGINT) AS n_custs FROM (

@@ -292,3 +292,89 @@ def label_centroids(
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return tree_sum(partials, [label_col, "dim"], ["sum_milli", "n"],
                     sort_result=True)
+
+
+def quantize_embeddings(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+):
+    """Linear int8-style quantization of an embedding column — the
+    compression step before shipping vectors to an ANN index at fleet
+    scale. Integer-exact end to end: embeddings become int64 millis
+    (KMEANS_MILLI), per-dimension (min, max) bounds come from one
+    streaming pass, and the code is ``((x - mn) * (levels-1)) // (mx -
+    mn)`` — floor division on non-negative operands, bit-identical to a
+    SQL oracle.
+
+    Scale shape: pass 1 collapses every batch to |dims| (dim, mn, mx)
+    rows (bundled combine, one final task — the only exchange); the tiny
+    per-dim bounds broadcast into pass 2, where the corpus streams again
+    and quantizes vectorized. Output is exploded (id, dim 1-based, q)
+    rows — the join/aggregate-friendly layout (generate_subscripts
+    parity)."""
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        mat = _milli_matrix(batch, vec_col)
+        if mat is None:
+            return pa.table(
+                {
+                    "dim": pa.array([], type=pa.int64()),
+                    "mn": pa.array([], type=pa.int64()),
+                    "mx": pa.array([], type=pa.int64()),
+                }
+            )
+        d = mat.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "mn": pa.array(mat.min(axis=0)),
+                "mx": pa.array(mat.max(axis=0)),
+            }
+        )
+
+    def mm_combine(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("dim", as_index=False).agg(
+            mn=("mn", "min"), mx=("mx", "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    mm = (
+        ds.map_batches(mm_partial, batch_format="pyarrow")
+        .map_batches(
+            mm_combine, batch_format="pyarrow", batch_size=1 << 20,
+            num_cpus=0.9,
+        )
+        .repartition(1)
+        .map_batches(mm_combine, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("dim")
+    )
+    mn = mm["mn"].to_numpy(dtype=np.int64)
+    span = mm["mx"].to_numpy(dtype=np.int64) - mn
+    safe_span = np.where(span == 0, 1, span)
+
+    def quant(batch: pa.Table) -> pa.Table:
+        mat = _milli_matrix(batch, vec_col)
+        if mat is None:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "dim": pa.array([], type=pa.int64()),
+                    "q": pa.array([], type=pa.int64()),
+                }
+            )
+        n, d = mat.shape
+        q = np.where(span > 0, ((mat - mn) * (levels - 1)) // safe_span, 0)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+                "q": pa.array(q.reshape(-1)),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow").sort([id_col, "dim"])

@@ -694,3 +694,70 @@ def percent_ranks(
     )
     joined = hash_join(rows, ranked, "_kv", "kv", num_buckets=num_buckets)
     return joined.select_columns([id_col, "pr_num", "pr_den"]).sort(id_col)
+
+
+def late_events(
+    ds,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    lateness_us: int = 14 * 86_400_000_000,
+    arrival_seed: str = "arr",
+    num_buckets: int = 32,
+):
+    """Watermark / late-data classification — the streaming-engine
+    semantics (Beam/Flink allowed-lateness) expressed as a batch operator:
+    process each key's events in ARRIVAL order, carry the running max
+    event time seen so far (the watermark), and emit every event whose
+    own timestamp trails the watermark by more than ``lateness_us``.
+
+    The synthetic log is perfectly time-ordered, so a reproducible
+    adversarial arrival order is synthesized with the md5 permutation the
+    epoch-shuffle oracle already uses (``md5(seed:id)`` — a pure function
+    of the id, identical in DuckDB). Per key-hash bucket, the watermark
+    is ONE pandas C-speed groupby cummax + shift — no per-key Python."""
+    import hashlib
+
+    from .aggregate import bucket_by_key
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        arr = [
+            hashlib.md5(f"{arrival_seed}:{int(v)}".encode()).hexdigest()
+            for v in ids
+        ]
+        ts_us = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: batch[key_col],
+                "ts_us": ts_us,
+                "_arr": pa.array(arr, type=pa.string()),
+            }
+        )
+
+    prepped = bucket_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"), key_col, num_buckets
+    )
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, "_arr", id_col])
+        g = b.groupby(key_col, sort=False)
+        wm = g["ts_us"].cummax().groupby(b[key_col], sort=False).shift(1)
+        late_by = wm - b["ts_us"]
+        keep = late_by > lateness_us
+        out = pd.DataFrame(
+            {
+                id_col: b.loc[keep, id_col],
+                "ts_us": b.loc[keep, "ts_us"],
+                "wm_us": wm[keep].astype(np.int64),
+                "late_by_us": late_by[keep].astype(np.int64),
+            }
+        )
+        return out
+
+    return (
+        prepped.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(id_col)
+    )

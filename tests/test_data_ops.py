@@ -50,7 +50,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "running_totals", "value_ranks", "type_transitions",
      "user_top_event", "value_percent_ranks", "value_outliers",
      "user_triangles", "events_profile", "edit_distance_pairs",
-     "cust_order_distribution",
+     "cust_order_distribution", "late_events", "quantized_embeddings",
      "stopword_filter", "active_customers", "retention_cohorts",
      "window_distinct_users", "lang_centroids", "customer_order_profile",
      "events_last_order", "user_reconciliation",
@@ -2672,3 +2672,70 @@ def test_edit_distance_pairs_vs_bruteforce(ray_session):
             expect[(i, j)] = lev_bytes(texts[i][:64], texts[j][:64])
     assert got_pairs == expect
     assert got_pairs[(2, 7)] == 2  # héllo vs hello: 2 BYTE edits
+
+
+def test_late_events_vs_naive(ray_session):
+    """Watermark classification equals a per-key sequential replay of the
+    md5 arrival order, including the never-late first arrival per key."""
+    import hashlib
+
+    import ray
+
+    from logstash_filter_geoip_ray.stages.windows import late_events
+
+    rng = np.random.default_rng(3)
+    n = 300
+    base = 1_700_000_000_000_000
+    ids = np.arange(n, dtype=np.int64)
+    keys = rng.integers(0, 7, n).astype(np.int64)
+    ts = base + rng.integers(0, 10**9, n).astype(np.int64)
+    tbl = pa.table({
+        "event_id": pa.array(ids),
+        "user_id": pa.array(keys),
+        "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    lateness = 10**8
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = late_events(ds, lateness_us=lateness, num_buckets=3).to_pandas()
+
+    order = sorted(range(n), key=lambda i: (
+        hashlib.md5(f"arr:{ids[i]}".encode()).hexdigest(), ids[i]))
+    wm = {}
+    expect = {}
+    for i in order:
+        k = keys[i]
+        if k in wm and wm[k] - ts[i] > lateness:
+            expect[ids[i]] = (wm[k], wm[k] - ts[i])
+        wm[k] = max(wm.get(k, ts[i]), ts[i])
+    got_map = {r.event_id: (r.wm_us, r.late_by_us) for r in got.itertuples()}
+    assert got_map == expect
+    assert len(expect) > 0  # the permutation must actually create lateness
+
+
+def test_quantize_embeddings_reference(ray_session):
+    """Quantization codes equal the closed-form numpy reference; constant
+    dimensions map to 0; codes span [0, 254]."""
+    import ray
+
+    from logstash_filter_geoip_ray.stages.clustering import quantize_embeddings
+
+    rng = np.random.default_rng(5)
+    n, d = 50, 6
+    mat = rng.normal(0, 1, (n, d))
+    mat[:, 3] = 0.42  # constant dim
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, row)) for row in mat],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = quantize_embeddings(ds).to_pandas()
+
+    milli = np.floor(mat.astype(np.float32).astype(np.float64) * 1000).astype(np.int64)
+    mn, mx = milli.min(0), milli.max(0)
+    span = mx - mn
+    ref = np.where(span > 0, ((milli - mn) * 254) // np.where(span == 0, 1, span), 0)
+    got_q = got.sort_values(["vec_id", "dim"])["q"].to_numpy().reshape(n, d)
+    assert (got_q == ref).all()
+    assert (got_q[:, 3] == 0).all()
+    assert got_q.min() >= 0 and got_q.max() <= 254

@@ -414,6 +414,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   bm25_topk — two-scalar-pass + batch-local top-k, no shuffle to
     #     protect; the verbatim integer formula is pinned by its pytest
     #     oracle row
+    #   vocab_top — the explode → partial-count → top-k family stays
+    #     driver-checked via top_terms and freq-spectrum's pytest rows;
+    #     pinned by its own pytest oracle row
+    #   window_distinct_users — same distinct-triple dedup machinery as
+    #     exact_distinct_users (pytest-pinned); its tumbling-window half is
+    #     driver-checked via tumbling_windows
     demote = [
         n
         for n in (
@@ -421,6 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lang_centroids",
             "hourly_pivot",
             "bm25_topk",
+            "vocab_top",
+            "window_distinct_users",
             "enterprise_counts",
             "priority_cube",
             "repetition_filter",

@@ -1794,6 +1794,47 @@ def q_user_triangles(sf_dir: str):
     return tri.rename_columns({"node": "user_id"})
 
 
+def q_winsorized_values(sf_dir: str):
+    """Per-event-type percentile winsorization: every event's milli value
+    clipped into its type's exact [p05, p95] quantile_disc band — computed
+    from the (value → count) histogram so rows never co-locate by key
+    (``stages.aggregate.winsorize_values``)."""
+    from ..stages.aggregate import winsorize_values
+
+    return winsorize_values(
+        _events(sf_dir, ["event_id", "event_type", "value"]),
+        key_col="event_type",
+        id_col="event_id",
+        value_col="value",
+    )
+
+
+def q_value_trend(sf_dir: str):
+    """Per-event-type OLS slope of value over time as an exact rational
+    (slope_num / slope_den decimal strings) — drift detection with zero
+    float arithmetic, HUGEINT-oracle reproducible
+    (``stages.aggregate.grouped_trend``)."""
+    from ..stages.aggregate import grouped_trend
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "x": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+                "y": pc.cast(
+                    pc.floor(pc.multiply(batch["value"], 1000.0)), pa.int64()
+                ),
+            }
+        )
+
+    ev = _events(sf_dir, ["event_type", "ts", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return grouped_trend(ev, key_col="event_type", x_col="x", y_col="y")
+
+
 def q_late_events(sf_dir: str):
     """Watermark / allowed-lateness classification (streaming semantics as
     a batch operator): events re-ordered by a deterministic md5 arrival
@@ -1995,6 +2036,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "cust_order_distribution": q_cust_order_distribution,
     "late_events": q_late_events,
     "quantized_embeddings": q_quantized_embeddings,
+    "winsorized_values": q_winsorized_values,
+    "value_trend": q_value_trend,
     "type_transitions": q_type_transitions,
     "stopword_filter": q_stopword_filter,
     "event_deltas": q_event_deltas,
@@ -2282,6 +2325,40 @@ FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
                  AND a.doc_id < b.doc_id
 WHERE levenshtein(a.p, b.p) <= 40
 ORDER BY a, b
+""",
+    "winsorized_values": """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS x
+  FROM events
+), q AS (
+  SELECT event_type, quantile_disc(x, 0.05) AS lo,
+         quantile_disc(x, 0.95) AS hi
+  FROM v GROUP BY event_type
+)
+SELECT event_id, v.event_type,
+       LEAST(GREATEST(x, lo), hi) AS x_wins
+FROM v JOIN q USING (event_type) ORDER BY event_id
+""",
+    "value_trend": """
+WITH v AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - 1600000000000000 AS BIGINT) AS x,
+         CAST(floor(value * 1000) AS BIGINT) AS y
+  FROM events
+), a AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         sum(CAST(x AS HUGEINT) * y) AS sxy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx
+  FROM v GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
+       CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den
+FROM a ORDER BY event_type
 """,
     "late_events": """
 WITH w AS (

@@ -668,3 +668,162 @@ def sigma_outliers(
         return batch.filter(pa.array(mask))
 
     return milli.map_batches(flag, batch_format="pyarrow").sort(id_col)
+
+
+def winsorize_values(
+    ds,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    num_buckets: int = 32,
+):
+    """Per-key percentile winsorization (training-data value clipping):
+    every row's integer-milli value clips into its key's exact
+    [quantile_disc(p_lo), quantile_disc(p_hi)] band.
+
+    Exact quantiles WITHOUT co-locating a key's rows: quantile_disc over
+    a multiset is a function of the (value → count) histogram, so
+      1. per-batch (key, value) partial counts → key-bucket combine —
+         shuffle = distinct pairs, a hot key costs |distinct values|;
+      2. per key: cumulative counts + one searchsorted give the element
+         at ceil(n·p)−1 (DuckDB's quantile_disc convention, same as
+         q_exact_value_quantiles);
+      3. the |keys|-sized bounds broadcast into one vectorized clip per
+         batch — rows never shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.multiply(batch[value_col], 1000.0)), pa.int64())
+        return pa.table(
+            {id_col: batch[id_col], key_col: batch[key_col], "value_milli": v}
+        )
+
+    milli = ds.map_batches(to_milli, batch_format="pyarrow").materialize()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([key_col, "value_milli"])
+            .group_by([key_col, "value_milli"])
+            .aggregate([([], "count_all")])
+            .rename_columns([key_col, "v", "cnt"])
+        )
+
+    def bounds_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, g in block.groupby(key_col, sort=False):
+            g = g.groupby("v", as_index=False)["cnt"].sum().sort_values("v")
+            vals = g["v"].to_numpy(dtype=np.int64)
+            cs = np.cumsum(g["cnt"].to_numpy(dtype=np.int64))
+            n = int(cs[-1])
+            row = {key_col: key}
+            for p, name in ((p_lo, "lo"), (p_hi, "hi")):
+                idx = min(n - 1, max(0, int(np.ceil(n * p)) - 1))
+                row[name] = int(vals[np.searchsorted(cs, idx, side="right")])
+            out.append(row)
+        return pd.DataFrame(out, columns=[key_col, "lo", "hi"])
+
+    bounds = (
+        bucket_by_key(
+            milli.map_batches(pair_partial, batch_format="pyarrow"),
+            key_col,
+            num_buckets,
+        )
+        .groupby("_bucket")
+        .map_groups(bounds_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+
+    key_set = pa.array(list(bounds[key_col]))
+    lo_arr = bounds["lo"].to_numpy(dtype=np.int64)
+    hi_arr = bounds["hi"].to_numpy(dtype=np.int64)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        kidx = pc.index_in(batch[key_col], value_set=key_set)
+        kidx = pc.fill_null(kidx, 0).to_numpy(zero_copy_only=False)
+        x = batch["value_milli"].to_numpy(zero_copy_only=False)
+        clipped = np.minimum(np.maximum(x, lo_arr[kidx]), hi_arr[kidx])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                key_col: batch[key_col],
+                "x_wins": pa.array(clipped, type=pa.int64()),
+            }
+        )
+
+    return milli.map_batches(clip, batch_format="pyarrow").sort(id_col)
+
+
+def grouped_trend(
+    ds,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    x_base: int = 1_600_000_000_000_000,
+    num_buckets: int = 16,
+):
+    """Per-key OLS slope of y over x as an EXACT rational: emits
+    slope_num = n·Σxy − Σx·Σy and slope_den = n·Σx² − (Σx)² as decimal
+    strings — drift/trend detection with no float summation anywhere, so
+    a HUGEINT SQL oracle hash-matches. x is rebased by ``x_base`` (both
+    engines) to keep the oracle inside int128; the engine itself is
+    overflow-free (Python ints ride the exchange as strings, exactly the
+    :func:`sigma_outliers` moment discipline)."""
+    import pandas as pd
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        xs = batch[x_col].to_numpy(zero_copy_only=False)
+        ys = batch[y_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                key_col: batch[key_col].to_pandas(),
+                "x": pd.Series(xs - x_base, dtype="object"),
+                "y": pd.Series(ys, dtype="object"),
+            }
+        )
+        df["xy"] = df["x"] * df["y"]
+        df["xx"] = df["x"] * df["x"]
+        g = df.groupby(key_col, as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"),
+        )
+        return pa.table(
+            {
+                key_col: pa.array(g[key_col]),
+                "n": pa.array(g["n"].astype("int64"), type=pa.int64()),
+                "sx": pa.array(g["sx"].map(str), type=pa.string()),
+                "sy": pa.array(g["sy"].map(str), type=pa.string()),
+                "sxy": pa.array(g["sxy"].map(str), type=pa.string()),
+                "sxx": pa.array(g["sxx"].map(str), type=pa.string()),
+            }
+        )
+
+    def combine_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in block.groupby(key_col, sort=False):
+            n = int(g["n"].sum())
+            sx = sum(int(v) for v in g["sx"])
+            sy = sum(int(v) for v in g["sy"])
+            sxy = sum(int(v) for v in g["sxy"])
+            sxx = sum(int(v) for v in g["sxx"])
+            rows.append(
+                {
+                    key_col: key,
+                    "n": n,
+                    "slope_num": str(n * sxy - sx * sy),
+                    "slope_den": str(n * sxx - sx * sx),
+                }
+            )
+        return pd.DataFrame(
+            rows, columns=[key_col, "n", "slope_num", "slope_den"]
+        )
+
+    partials = ds.map_batches(moment_partial, batch_format="pyarrow")
+    return (
+        bucket_by_key(partials, key_col, num_buckets)
+        .groupby("_bucket")
+        .map_groups(combine_bucket, batch_format="pandas")
+        .sort(key_col)
+    )

@@ -51,6 +51,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "user_top_event", "value_percent_ranks", "value_outliers",
      "user_triangles", "events_profile", "edit_distance_pairs",
      "cust_order_distribution", "late_events", "quantized_embeddings",
+     "winsorized_values", "value_trend",
      "stopword_filter", "active_customers", "retention_cohorts",
      "window_distinct_users", "lang_centroids", "customer_order_profile",
      "events_last_order", "user_reconciliation",
@@ -2739,3 +2740,69 @@ def test_quantize_embeddings_reference(ray_session):
     assert (got_q == ref).all()
     assert (got_q[:, 3] == 0).all()
     assert got_q.min() >= 0 and got_q.max() <= 254
+
+
+def test_winsorize_values_vs_numpy(ray_session):
+    """Histogram-derived quantile bounds equal DuckDB's quantile_disc
+    convention and every row clips correctly, multi-block."""
+    import ray
+
+    from logstash_filter_geoip_ray.stages.aggregate import winsorize_values
+
+    rng = np.random.default_rng(9)
+    n = 500
+    keys = rng.choice(["a", "b"], n)
+    vals = np.where(keys == "a", rng.normal(10, 3, n), rng.normal(-5, 1, n))
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "event_type": pa.array(keys),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = winsorize_values(ds, "event_type", "event_id", "value",
+                           p_lo=0.1, p_hi=0.9, num_buckets=4).to_pandas()
+
+    x = np.floor(vals * 1000).astype(np.int64)
+    expect = np.empty(n, dtype=np.int64)
+    for k in ("a", "b"):
+        mask = keys == k
+        s = np.sort(x[mask])
+        m = len(s)
+        lo = s[min(m - 1, max(0, int(np.ceil(m * 0.1)) - 1))]
+        hi = s[min(m - 1, max(0, int(np.ceil(m * 0.9)) - 1))]
+        expect[mask] = np.clip(x[mask], lo, hi)
+    got_sorted = got.sort_values("event_id")["x_wins"].to_numpy()
+    assert (got_sorted == expect).all()
+    assert (got_sorted != x).any()  # clipping actually happened
+
+
+def test_grouped_trend_bigint_exact(ray_session):
+    """OLS slope rationals match a Python big-int reference, including
+    magnitudes that overflow int64 inside the per-key products."""
+    import ray
+
+    from logstash_filter_geoip_ray.stages.aggregate import grouped_trend
+
+    base = 1_600_000_000_000_000
+    xs = np.array([base + i * 10**12 for i in range(8)], dtype=np.int64)
+    ys = np.array([5, 7, 9, 11, 13, 15, 17, 100], dtype=np.int64)
+    keys = ["k"] * 8
+    tbl = pa.table({
+        "event_type": pa.array(keys),
+        "x": pa.array(xs),
+        "y": pa.array(ys),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = grouped_trend(ds, "event_type", "x", "y", x_base=base).to_pandas()
+
+    rx = [int(v) - base for v in xs]
+    ry = [int(v) for v in ys]
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    assert len(got) == 1
+    assert got["n"].iloc[0] == n
+    assert got["slope_num"].iloc[0] == str(n * sxy - sx * sy)
+    assert got["slope_den"].iloc[0] == str(n * sxx - sx * sx)
+    assert n * sxx - sx * sx > 2**63  # the exchange really carried big ints

@@ -420,6 +420,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   window_distinct_users — same distinct-triple dedup machinery as
     #     exact_distinct_users (pytest-pinned); its tumbling-window half is
     #     driver-checked via tumbling_windows
+    #   quartile_stats — NTILE remainder semantics pinned exactly by
+    #     test_ntile_exact_remainder_semantics + its oracle row; the
+    #     bucketed window family stays driver-checked via rolling_windows
     demote = [
         n
         for n in (
@@ -429,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "bm25_topk",
             "vocab_top",
             "window_distinct_users",
+            "quartile_stats",
             "enterprise_counts",
             "priority_cube",
             "repetition_filter",

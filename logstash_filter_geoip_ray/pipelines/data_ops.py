@@ -1794,6 +1794,19 @@ def q_user_triangles(sf_dir: str):
     return tri.rename_columns({"node": "user_id"})
 
 
+def q_knn_labels(sf_dir: str):
+    """k-NN majority-vote labeling of every embedding from its 10 nearest
+    neighbors by integer-milli inner product (weak supervision). Full k-NN
+    graph via the block-grid self-join; integer dots keep even the
+    double-arithmetic SQL oracle exactly aligned
+    (``stages.similarity.knn_majority_labels``)."""
+    from ..stages.similarity import knn_majority_labels
+
+    return knn_majority_labels(
+        _emb(sf_dir, ["vec_id", "embedding", "label"]), k=ANN_K
+    )
+
+
 def q_winsorized_values(sf_dir: str):
     """Per-event-type percentile winsorization: every event's milli value
     clipped into its type's exact [p05, p95] quantile_disc band — computed
@@ -2038,6 +2051,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "quantized_embeddings": q_quantized_embeddings,
     "winsorized_values": q_winsorized_values,
     "value_trend": q_value_trend,
+    "knn_labels": q_knn_labels,
     "type_transitions": q_type_transitions,
     "stopword_filter": q_stopword_filter,
     "event_deltas": q_event_deltas,
@@ -2325,6 +2339,28 @@ FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
                  AND a.doc_id < b.doc_id
 WHERE levenshtein(a.p, b.p) <= 40
 ORDER BY a, b
+""",
+    "knn_labels": """
+WITH m AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         list_transform(embedding,
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+), r AS (
+  SELECT a.vec_id AS q, b.vec_id AS nbr, b.label AS nl,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_dot_product(a.v, b.v) DESC, b.vec_id) AS rn
+  FROM m a JOIN m b ON a.vec_id <> b.vec_id
+), votes AS (
+  SELECT q, nl, CAST(count(*) AS BIGINT) AS c
+  FROM r WHERE rn <= 10 GROUP BY q, nl
+)
+SELECT q AS vec_id, nl AS pred_label, c AS n_votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY q
+                               ORDER BY c DESC, nl) AS rr
+  FROM votes
+) WHERE rr = 1 ORDER BY vec_id
 """,
     "winsorized_values": """
 WITH v AS (

@@ -311,3 +311,165 @@ def lsh_topk(
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
     return _finalize(partials, k)
+
+
+def knn_majority_labels(
+    ds,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    num_blocks: int = 4,
+    num_buckets: int = 16,
+):
+    """k-NN majority-vote labeling of EVERY vector from its k nearest
+    neighbors (weak supervision / label densification): for each vector,
+    the k others with the highest integer-milli INNER PRODUCT (ties →
+    lower neighbor id), then the most frequent neighbor label (ties →
+    smaller label).
+
+    Integer-exact by construction: milli-quantized dot products are ≤
+    dim·10⁶ per term — far inside 2⁵³ — so even a SQL oracle computing
+    them in doubles (list_dot_product) ranks identically.
+
+    Scale shape — the full k-NN graph via the same block-grid self-join as
+    ``dedup.embedding_dup_pairs`` (each unordered pair meets in exactly
+    one cell; shuffle = num_blocks × corpus, per-task memory two blocks):
+    every cell emits each of its vectors' top-k against the OPPOSITE
+    block (both directions; within-block on the diagonal), the ≤
+    num_blocks partial lists per vector merge in one bucketed pass, and
+    the same pass takes the majority vote. The corpus never broadcasts."""
+    import pyarrow.compute as pc
+
+    B = num_blocks
+
+    def to_grid(batch: pa.Table) -> pa.Table:
+        vec_type = batch[vec_col].type
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], type=pa.int64()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    label_col: pa.array([], type=pa.int64()),
+                    vec_col: pa.array([], type=vec_type),
+                }
+            )
+        ids = pc.cast(batch[id_col], pa.int64())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        buckets = np.asarray(ids) % B
+        n = len(buckets)
+        p_rep = np.repeat(buckets, B)
+        other = np.tile(np.arange(B, dtype=np.int64), n)
+        lo = np.minimum(p_rep, other)
+        hi = np.maximum(p_rep, other)
+        cells = lo * B + hi
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), B))
+        vecs = batch[vec_col]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        return pa.table(
+            {
+                "cell": pa.array(cells, type=pa.int64()),
+                "bucket": pa.array(p_rep, type=pa.int64()),
+                id_col: pc.take(ids, idx),
+                label_col: pc.take(
+                    pc.cast(batch[label_col], pa.int64()), idx
+                ),
+                vec_col: pc.take(vecs, idx),
+            }
+        )
+
+    def _side(group: pd.DataFrame, b: int):
+        rows = group[group["bucket"] == b]
+        if len(rows) == 0:
+            return None
+        order = np.argsort(rows[id_col].to_numpy(), kind="stable")
+        rows = rows.iloc[order]
+        ids_ = rows[id_col].to_numpy(dtype=np.int64)
+        labels_ = rows[label_col].to_numpy(dtype=np.int64)
+        mat = np.floor(
+            np.stack(rows[vec_col].to_numpy()).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        return ids_, labels_, mat
+
+    def _topk_rows(qids, dots, nids, nlabels, self_mask=None):
+        # columns pre-sorted by neighbor id; STABLE argsort on -dot keeps
+        # id-ascending order inside dot ties → (dot desc, id asc) exactly
+        if self_mask is not None:
+            dots = dots.copy()
+            dots[self_mask] = np.iinfo(np.int64).min
+        take = min(k, dots.shape[1])
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :take]
+        rows = np.repeat(np.arange(dots.shape[0]), take)
+        cols = order.reshape(-1)
+        sel_dots = dots[rows, cols]
+        keep = sel_dots != np.iinfo(np.int64).min  # masked self-pairs
+        return pd.DataFrame(
+            {
+                "q": np.repeat(qids, take)[keep],
+                "dot": sel_dots[keep],
+                "nbr": nids[cols][keep],
+                "nl": nlabels[cols][keep],
+            }
+        )
+
+    def cell_topk(group: pd.DataFrame) -> pd.DataFrame:
+        cell = int(group["cell"].iloc[0])
+        i, j = divmod(cell, B)
+        group = group.drop_duplicates(subset=["bucket", id_col])
+        empty = pd.DataFrame(
+            {
+                "q": pd.Series(dtype="int64"),
+                "dot": pd.Series(dtype="int64"),
+                "nbr": pd.Series(dtype="int64"),
+                "nl": pd.Series(dtype="int64"),
+            }
+        )
+        if i == j:
+            side = _side(group, i)
+            if side is None or len(side[0]) < 2:
+                return empty
+            ids_, labels_, mat = side
+            dots = mat @ mat.T
+            self_mask = np.eye(len(ids_), dtype=bool)
+            return _topk_rows(ids_, dots, ids_, labels_, self_mask)
+        si, sj = _side(group, i), _side(group, j)
+        if si is None or sj is None:
+            return empty
+        out = [
+            _topk_rows(si[0], si[2] @ sj[2].T, sj[0], sj[1]),
+            _topk_rows(sj[0], sj[2] @ si[2].T, si[0], si[1]),
+        ]
+        return pd.concat(out, ignore_index=True)
+
+    partials = (
+        ds.map_batches(to_grid, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(cell_topk, batch_format="pandas")
+    )
+
+    from .aggregate import bucket_by_key
+
+    def vote_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values(["q", "dot", "nbr"], ascending=[True, False, True])
+        top = b.groupby("q", sort=False).head(k)
+        votes = top.groupby(["q", "nl"], as_index=False).size()
+        votes = votes.sort_values(["q", "size", "nl"],
+                                  ascending=[True, False, True])
+        win = votes.groupby("q", sort=False).head(1)
+        return pd.DataFrame(
+            {
+                "vec_id": win["q"].to_numpy(dtype=np.int64),
+                "pred_label": win["nl"].to_numpy(dtype=np.int64),
+                "n_votes": win["size"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        bucket_by_key(partials, "q", num_buckets)
+        .groupby("_bucket")
+        .map_groups(vote_bucket, batch_format="pandas")
+        .sort("vec_id")
+    )

@@ -51,7 +51,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "user_top_event", "value_percent_ranks", "value_outliers",
      "user_triangles", "events_profile", "edit_distance_pairs",
      "cust_order_distribution", "late_events", "quantized_embeddings",
-     "winsorized_values", "value_trend",
+     "winsorized_values", "value_trend", "knn_labels",
      "stopword_filter", "active_customers", "retention_cohorts",
      "window_distinct_users", "lang_centroids", "customer_order_profile",
      "events_last_order", "user_reconciliation",
@@ -2806,3 +2806,40 @@ def test_grouped_trend_bigint_exact(ray_session):
     assert got["slope_num"].iloc[0] == str(n * sxy - sx * sy)
     assert got["slope_den"].iloc[0] == str(n * sxx - sx * sx)
     assert n * sxx - sx * sx > 2**63  # the exchange really carried big ints
+
+
+def test_knn_majority_labels_vs_bruteforce(ray_session):
+    """Grid k-NN + majority vote equals a naive full-matrix reference,
+    including dot ties (duplicate vectors) and label-vote ties."""
+    import ray
+
+    from logstash_filter_geoip_ray.stages.similarity import knn_majority_labels
+
+    rng = np.random.default_rng(13)
+    n, d, k = 60, 8, 5
+    mat = rng.normal(0, 1, (n, d))
+    mat[7] = mat[3]  # exact duplicate → guaranteed dot ties
+    labels = rng.integers(0, 3, n).astype(np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(labels, type=pa.int32()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = knn_majority_labels(ds, k=k, num_blocks=3, num_buckets=4).to_pandas()
+
+    milli = np.floor(mat.astype(np.float32).astype(np.float64) * 1000).astype(np.int64)
+    dots = milli @ milli.T
+    expect = {}
+    for q in range(n):
+        cand = sorted(
+            (( -dots[q, j], j) for j in range(n) if j != q)
+        )[:k]
+        votes = {}
+        for _, j in cand:
+            votes[labels[j]] = votes.get(labels[j], 0) + 1
+        best = sorted(votes.items(), key=lambda t: (-t[1], t[0]))[0]
+        expect[q] = (best[0], best[1])
+    got_map = {r.vec_id: (r.pred_label, r.n_votes) for r in got.itertuples()}
+    assert got_map == expect

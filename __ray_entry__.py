@@ -423,6 +423,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   quartile_stats — NTILE remainder semantics pinned exactly by
     #     test_ntile_exact_remainder_semantics + its oracle row; the
     #     bucketed window family stays driver-checked via rolling_windows
+    #   active_customers — the shared _hash_exists_join kernel is pinned
+    #     by the semi+anti partition pytest; its anti twin
+    #     (customers_without_events) was demoted on the same grounds
+    #   latest_events — LWW keep-max pinned by its pytest oracle row; the
+    #     bucketed keep-max partial family stays driver-checked via
+    #     sample_stratified's machinery and events_last_order
     demote = [
         n
         for n in (
@@ -433,6 +439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vocab_top",
             "window_distinct_users",
             "quartile_stats",
+            "active_customers",
+            "latest_events",
             "enterprise_counts",
             "priority_cube",
             "repetition_filter",

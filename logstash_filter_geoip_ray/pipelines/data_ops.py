@@ -1794,6 +1794,61 @@ def q_user_triangles(sf_dir: str):
     return tri.rename_columns({"node": "user_id"})
 
 
+def q_trending_types(sf_dir: str):
+    """Streaming-analytics composition: the top-3 event types per hopping
+    window by count (ties → type asc) — ``hopping_window_counts`` feeding
+    ``grouped_topk``, the trending-items dashboard query."""
+    from ..stages.aggregate import grouped_topk
+    from ..stages.windows import hopping_window_counts
+
+    counts = hopping_window_counts(
+        _events(sf_dir, ["ts", "event_type"]),
+        width_sec=WINDOW_SEC,
+        hop_sec=WINDOW_SEC // 4,
+    )
+    return grouped_topk(
+        counts, key_col="window_id", order_col="n", id_col="event_type", k=3
+    )
+
+
+def q_props_k_stats(sf_dir: str):
+    """Log-pipeline JSON field extraction (the reference's world: parse a
+    JSON payload column, then aggregate): props's ``k`` field extracted
+    with one vectorized regex per batch → per-type n/sum/min/max via
+    arrow group_by partials and a bundled combine. No JSON parser in the
+    hot path — the schema-known fast path every log engine ships."""
+    import pyarrow.compute as pc
+
+    ev = _events(sf_dir, ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k})
+        agg = t.group_by(["event_type"]).aggregate(
+            [([], "count_all"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return agg.rename_columns(
+            ["event_type", "n", "sum_k", "min_k", "max_k"]
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sum_k", "sum"), ("min_k", "min"), ("max_k", "max")]
+        )
+        return agg.rename_columns(
+            ["event_type", "n", "sum_k", "min_k", "max_k"]
+        ).sort_by([("event_type", "ascending")])
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .map_batches(combine, batch_format="pyarrow", batch_size=1 << 20,
+                     num_cpus=0.9)
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def q_knn_labels(sf_dir: str):
     """k-NN majority-vote labeling of every embedding from its 10 nearest
     neighbors by integer-milli inner product (weak supervision). Full k-NN
@@ -2052,6 +2107,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "winsorized_values": q_winsorized_values,
     "value_trend": q_value_trend,
     "knn_labels": q_knn_labels,
+    "trending_types": q_trending_types,
+    "props_k_stats": q_props_k_stats,
     "type_transitions": q_type_transitions,
     "stopword_filter": q_stopword_filter,
     "event_deltas": q_event_deltas,
@@ -2339,6 +2396,33 @@ FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
                  AND a.doc_id < b.doc_id
 WHERE levenshtein(a.p, b.p) <= 40
 ORDER BY a, b
+""",
+    "trending_types": f"""
+WITH h AS (
+  SELECT event_type, CAST(w AS BIGINT) AS window_id,
+         CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type,
+           unnest(range(greatest(epoch_us(ts) // {WINDOW_SEC // 4 * 1_000_000} - 3, 0),
+                        epoch_us(ts) // {WINDOW_SEC // 4 * 1_000_000} + 1)) AS w
+    FROM events
+  ) GROUP BY 1, 2
+)
+SELECT window_id, n, event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_id
+                               ORDER BY n DESC, event_type) AS rn
+  FROM h
+) WHERE rn <= 3 ORDER BY window_id, n DESC, event_type
+""",
+    "props_k_stats": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+) GROUP BY event_type ORDER BY event_type
 """,
     "knn_labels": """
 WITH m AS (

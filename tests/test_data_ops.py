@@ -52,6 +52,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "user_triangles", "events_profile", "edit_distance_pairs",
      "cust_order_distribution", "late_events", "quantized_embeddings",
      "winsorized_values", "value_trend", "knn_labels",
+     "trending_types", "props_k_stats",
      "stopword_filter", "active_customers", "retention_cohorts",
      "window_distinct_users", "lang_centroids", "customer_order_profile",
      "events_last_order", "user_reconciliation",

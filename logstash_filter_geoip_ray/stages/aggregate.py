@@ -608,7 +608,10 @@ def sigma_outliers(
             {id_col: batch[id_col], key_col: batch[key_col], "value_milli": v}
         )
 
-    milli = ds.map_batches(to_milli, batch_format="pyarrow").materialize()
+    # two STREAMING passes over the (column-pruned) source — same
+    # discipline as kmeans/quantize: re-reading beats pinning the whole
+    # corpus in the object store with a mid-pipeline materialize()
+    milli = ds.map_batches(to_milli, batch_format="pyarrow")
 
     def moment_partial(batch: pa.Table) -> pa.Table:
         df = batch.select([key_col, "value_milli"]).to_pandas()
@@ -701,7 +704,9 @@ def winsorize_values(
             {id_col: batch[id_col], key_col: batch[key_col], "value_milli": v}
         )
 
-    milli = ds.map_batches(to_milli, batch_format="pyarrow").materialize()
+    # two streaming passes, not a mid-pipeline materialize (see
+    # sigma_outliers)
+    milli = ds.map_batches(to_milli, batch_format="pyarrow")
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         return (

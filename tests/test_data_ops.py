@@ -2844,3 +2844,35 @@ def test_knn_majority_labels_vs_bruteforce(ray_session):
         expect[q] = (best[0], best[1])
     got_map = {r.vec_id: (r.pred_label, r.n_votes) for r in got.itertuples()}
     assert got_map == expect
+
+
+def test_percent_ranks_vs_bruteforce(ray_session):
+    """Integer percent_rank numerator/denominator equal the SQL RANK
+    definition computed naively, with heavy value ties across blocks."""
+    import ray
+
+    from logstash_filter_geoip_ray.stages.windows import percent_ranks
+
+    rng = np.random.default_rng(21)
+    n = 400
+    keys = rng.choice(["a", "b", "c"], n)
+    vals = rng.integers(0, 6, n) / 2.0  # few distinct values → many ties
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "event_type": pa.array(keys),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    got = percent_ranks(ds, num_buckets=4).to_pandas().sort_values("event_id")
+
+    x = np.floor(vals * 1000).astype(np.int64)
+    exp_num = np.empty(n, dtype=np.int64)
+    exp_den = np.empty(n, dtype=np.int64)
+    for k in ("a", "b", "c"):
+        mask = keys == k
+        xs = x[mask]
+        for i in np.nonzero(mask)[0]:
+            exp_num[i] = int((xs < x[i]).sum())  # RANK - 1 = strictly below
+            exp_den[i] = int(mask.sum()) - 1
+    assert (got["pr_num"].to_numpy() == exp_num).all()
+    assert (got["pr_den"].to_numpy() == exp_den).all()

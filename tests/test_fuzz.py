@@ -358,3 +358,49 @@ def test_fuzz_ntile_matches_sql_rule(ray_session, sizes, k, seed):
         for _, r in got.iterrows()
     }
     assert got_map == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("abc日é \t")), min_size=0, max_size=20
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_fuzz_edit_distance_pairs(ray_session, texts):
+    """The vectorized all-pairs byte DP equals the classic sequential DP on
+    arbitrary (incl. multi-byte and whitespace-only) strings."""
+    import ray
+
+    from logstash_filter_geoip_ray.stages.dedup import edit_distance_pairs
+
+    def lev_bytes(s, t):
+        a, b = s.encode("utf-8"), t.encode("utf-8")
+        prev = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            cur = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[len(b)]
+
+    n = len(texts)
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "lang": pa.array(["x"] * n),
+        "source": pa.array(["y"] * n),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    ds = __import__("ray").data.from_arrow(tbl)
+    got = edit_distance_pairs(ds, prefix_chars=16, max_dist=10**6).to_pandas()
+    got_pairs = {(r.a, r.b): r.dist for r in got.itertuples()}
+    expect = {
+        (i, j): lev_bytes(texts[i][:16], texts[j][:16])
+        for i in range(n)
+        for j in range(i + 1, n)
+    }
+    assert got_pairs == expect

@@ -429,6 +429,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   latest_events — LWW keep-max pinned by its pytest oracle row; the
     #     bucketed keep-max partial family stays driver-checked via
     #     sample_stratified's machinery and events_last_order
+    #   asof_last_signup — the per-key ordered carry-forward shares the
+    #     time-join kernel with events_last_order (two-table AS-OF,
+    #     checked); pinned by its pytest oracle row
     demote = [
         n
         for n in (
@@ -441,6 +444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "quartile_stats",
             "active_customers",
             "latest_events",
+            "asof_last_signup",
             "enterprise_counts",
             "priority_cube",
             "repetition_filter",

@@ -2035,6 +2035,105 @@ def q_events_profile(sf_dir: str):
     return profile_columns(ds, list(PROFILE_EXPRS))
 
 
+def q_user_communities(sf_dir: str):
+    """Connected components END-TO-END on the join-based min-label
+    propagation scale path (pointer doubling, O(log diameter) rounds) —
+    the primary consumer of ``dedup.label_propagation_clusters`` rather
+    than its small-set union-find fallback. Graph: users linked by seeing
+    the same props payload ``k`` in the same event_type within the same
+    hour; output = (user_id, community = min user in component, size)."""
+    import numpy as np
+
+    from ..stages.aggregate import bucket_by_key, tree_sum
+    from ..stages.dedup import label_propagation_clusters
+    from ..stages.joins import hash_join
+
+    ev = _events(sf_dir, ["event_type", "ts", "user_id", "props"])
+
+    def occ_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hr = pc.divide(
+            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            pa.scalar(3_600_000_000, type=pa.int64()),
+        )
+        ex = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        g = pc.binary_join_element_wise(
+            pc.cast(batch["event_type"], pa.string()),
+            pc.cast(hr, pa.string()),
+            pc.cast(k, pa.string()),
+            "\x1f",
+        )
+        return (
+            pa.table({"g": g, "user_id": batch["user_id"]})
+            .group_by(["g", "user_id"])
+            .aggregate([])
+        )
+
+    occ = (
+        ev.map_batches(occ_partial, batch_format="pyarrow")
+        .groupby(["g", "user_id"])
+        .count()
+        .select_columns(["g", "user_id"])
+    )
+
+    def pairs_bucket(block) -> pa.Table:
+        sizes = block.groupby("g")["user_id"].transform("size")
+        if len(sizes) and int(sizes.max()) > TRIANGLE_GROUP_CAP:
+            raise ValueError(
+                "co-occurrence group exceeds TRIANGLE_GROUP_CAP — see "
+                "q_user_triangles"
+            )
+        m = block.merge(block, on="g", suffixes=("_a", "_b"))
+        m = m[m["user_id_a"] < m["user_id_b"]]
+        return pa.table(
+            {
+                "a": pa.array(m["user_id_a"].to_numpy(dtype=np.int64)),
+                "b": pa.array(m["user_id_b"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    edges = (
+        bucket_by_key(occ, "g", 32)
+        .groupby("_bucket")
+        .map_groups(pairs_bucket, batch_format="pandas")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+        .materialize()  # LP's first-round schema peek must not re-shuffle
+    )
+    comp = label_propagation_clusters(edges, num_buckets=8)
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["cluster_id"])
+            .group_by(["cluster_id"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["cluster_id", "community_size"])
+        )
+
+    sizes = tree_sum(
+        comp.map_batches(size_partial, batch_format="pyarrow"),
+        ["cluster_id"],
+        ["community_size"],
+        sort_result=False,
+    ).materialize()
+    joined = hash_join(comp, sizes, "cluster_id", "cluster_id",
+                       num_buckets=8)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["doc_id"],
+                "community": batch["cluster_id"],
+                "community_size": batch["community_size"],
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow").sort("user_id")
+
+
 def q_user_top_event(sf_dir: str):
     """Exact per-user mode of event_type (most frequent; ties broken by
     smallest type) — the per-entity categorical profile aggregate. Shuffle
@@ -2099,6 +2198,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "value_percent_ranks": q_value_percent_ranks,
     "value_outliers": q_value_outliers,
     "user_triangles": q_user_triangles,
+    "user_communities": q_user_communities,
     "events_profile": q_events_profile,
     "edit_distance_pairs": q_edit_distance_pairs,
     "cust_order_distribution": q_cust_order_distribution,
@@ -2385,6 +2485,31 @@ WHERE (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
 ORDER BY event_id
 """,
     "events_profile": _profile_oracle_sql(),
+    "user_communities": """
+WITH RECURSIVE occ AS (
+  SELECT DISTINCT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k, user_id
+  FROM events
+), e AS (
+  SELECT DISTINCT o1.user_id AS a, o2.user_id AS b
+  FROM occ o1
+  JOIN occ o2 ON o1.event_type = o2.event_type AND o1.hr = o2.hr
+             AND o1.k = o2.k AND o1.user_id < o2.user_id
+), sym AS (
+  SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e
+), reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.node, s.v FROM reach r JOIN sym s ON r.lab = s.u
+), comp AS (
+  SELECT node, min(lab) AS community FROM reach GROUP BY node
+)
+SELECT node AS user_id, community,
+       CAST(count(*) OVER (PARTITION BY community) AS BIGINT)
+         AS community_size
+FROM comp ORDER BY user_id
+""",
     "edit_distance_pairs": """
 WITH d AS (
   SELECT doc_id, lang, source, substr(text, 1, 64) AS p

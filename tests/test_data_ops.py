@@ -49,7 +49,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "rolling_windows", "hourly_pivot", "bm25_topk",
      "running_totals", "value_ranks", "type_transitions",
      "user_top_event", "value_percent_ranks", "value_outliers",
-     "user_triangles", "events_profile", "edit_distance_pairs",
+     "user_triangles", "user_communities", "events_profile", "edit_distance_pairs",
      "cust_order_distribution", "late_events", "quantized_embeddings",
      "winsorized_values", "value_trend", "knn_labels",
      "trending_types", "props_k_stats",

@@ -432,6 +432,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   asof_last_signup — the per-key ordered carry-forward shares the
     #     time-join kernel with events_last_order (two-table AS-OF,
     #     checked); pinned by its pytest oracle row
+    #   promo_revenue — shares _lineitem_rev_partials with
+    #     supplier_revenue (demoted) and the partitioned-join family stays
+    #     driver-checked via revenue_rollup + pricing_summary; pinned by
+    #     its pytest oracle row
     demote = [
         n
         for n in (
@@ -445,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "active_customers",
             "latest_events",
             "asof_last_signup",
+            "promo_revenue",
             "enterprise_counts",
             "priority_cube",
             "repetition_filter",

@@ -2035,6 +2035,30 @@ def q_events_profile(sf_dir: str):
     return profile_columns(ds, list(PROFILE_EXPRS))
 
 
+def q_table_row_counts(sf_dir: str):
+    """Metadata-only row counts for every testdata table: answered from
+    parquet footers — ZERO data pages read, the degenerate limit of
+    prune-at-the-read (a count(*) that scans is wrong at 100 TB). Pure
+    driver-side footer reads; no Ray stage needed or wanted."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    tables = [
+        "customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "part", "region", "supplier",
+    ]
+    rows = []
+    for t in tables:
+        path = os.path.join(sf_dir, t + ".parquet")
+        if os.path.exists(path):
+            rows.append(
+                {"tbl": t, "n_rows": pq.ParquetFile(path).metadata.num_rows}
+            )
+    out = pd.DataFrame(rows, columns=["tbl", "n_rows"])
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values("tbl").reset_index(drop=True)
+
+
 def q_user_communities(sf_dir: str):
     """Connected components END-TO-END on the join-based min-label
     propagation scale path (pointer doubling, O(log diameter) rounds) —
@@ -2199,6 +2223,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "value_outliers": q_value_outliers,
     "user_triangles": q_user_triangles,
     "user_communities": q_user_communities,
+    "table_row_counts": q_table_row_counts,
     "events_profile": q_events_profile,
     "edit_distance_pairs": q_edit_distance_pairs,
     "cust_order_distribution": q_cust_order_distribution,
@@ -2485,6 +2510,20 @@ WHERE (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
 ORDER BY event_id
 """,
     "events_profile": _profile_oracle_sql(),
+    "table_row_counts": """
+SELECT * FROM (
+  SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows FROM customer
+  UNION ALL SELECT 'documents', count(*) FROM documents
+  UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+  UNION ALL SELECT 'events', count(*) FROM events
+  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+  UNION ALL SELECT 'nation', count(*) FROM nation
+  UNION ALL SELECT 'orders', count(*) FROM orders
+  UNION ALL SELECT 'part', count(*) FROM part
+  UNION ALL SELECT 'region', count(*) FROM region
+  UNION ALL SELECT 'supplier', count(*) FROM supplier
+) ORDER BY tbl
+""",
     "user_communities": """
 WITH RECURSIVE occ AS (
   SELECT DISTINCT event_type,

@@ -20,7 +20,8 @@ SF = "/root/testdata/sf0.01"
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ("documents", "embeddings", "events", "customer", "orders"):
+    for t in ("documents", "embeddings", "events", "customer", "orders",
+              "region", "nation", "supplier", "part", "lineitem"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -49,7 +50,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "rolling_windows", "hourly_pivot", "bm25_topk",
      "running_totals", "value_ranks", "type_transitions",
      "user_top_event", "value_percent_ranks", "value_outliers",
-     "user_triangles", "user_communities", "events_profile", "edit_distance_pairs",
+     "user_triangles", "user_communities", "events_profile", "table_row_counts", "edit_distance_pairs",
      "cust_order_distribution", "late_events", "quantized_embeddings",
      "winsorized_values", "value_trend", "knn_labels",
      "trending_types", "props_k_stats",

@@ -1725,19 +1725,19 @@ def q_segment_activity(sf_dir: str):
 TRIANGLE_GROUP_CAP = 100_000
 
 
-def q_user_triangles(sf_dir: str):
-    """Per-user triangle participation counts over the co-occurrence graph
-    (edge = two users active in the same event_type within the same hour).
-    Graph build: distinct (type, hour, user) triples → per-group ordered
-    pairs (group-size capped, vectorized self-merge per bucket) → distinct
-    edges; triangle counting is the degree-oriented wedge-check pipeline in
-    ``stages.graph.triangle_counts``."""
+def _cooccurrence_edges(sf_dir: str):
+    """Shared graph builder for the graph-family queries: distinct edges
+    (a < b) between users who saw the SAME props payload ``k`` in the same
+    event_type within the same hour. The k match keeps the graph sparse
+    (the plain (type, hour) graph is a near-clique — Θ(n³) triangles, a
+    graph-shape property no exact algorithm escapes). Group-size capped,
+    vectorized self-merge per bucket; returns a materialized Dataset
+    (a, b) so downstream schema peeks never re-run the shuffle."""
     import numpy as np
 
     from ..stages.aggregate import bucket_by_key
-    from ..stages.graph import triangle_counts
 
-    ev = _events(sf_dir, ["event_type", "ts", "user_id"])
+    ev = _events(sf_dir, ["event_type", "ts", "user_id", "props"])
 
     def occ_partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1746,9 +1746,12 @@ def q_user_triangles(sf_dir: str):
             batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
             pa.scalar(3_600_000_000, type=pa.int64()),
         )
+        ex = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
         g = pc.binary_join_element_wise(
             pc.cast(batch["event_type"], pa.string()),
             pc.cast(hr, pa.string()),
+            pc.cast(k, pa.string()),
             "\x1f",
         )
         return (
@@ -1769,8 +1772,8 @@ def q_user_triangles(sf_dir: str):
         if len(sizes) and int(sizes.max()) > TRIANGLE_GROUP_CAP:
             raise ValueError(
                 "co-occurrence group exceeds TRIANGLE_GROUP_CAP=%d — a hot "
-                "(type, hour) key would square inside one task; shrink the "
-                "window or pre-sample the group" % TRIANGLE_GROUP_CAP
+                "(type, hour, k) key would square inside one task; shrink "
+                "the window or pre-sample the group" % TRIANGLE_GROUP_CAP
             )
         m = block.merge(block, on="g", suffixes=("_a", "_b"))
         m = m[m["user_id_a"] < m["user_id_b"]]
@@ -1781,16 +1784,25 @@ def q_user_triangles(sf_dir: str):
             }
         )
 
-    edges = (
+    return (
         bucket_by_key(occ, "g", 32)
         .groupby("_bucket")
         .map_groups(pairs_bucket, batch_format="pandas")
         .groupby(["a", "b"])
         .count()
         .select_columns(["a", "b"])
-        .materialize()  # schema peeks in the degree joins must not re-shuffle
+        .materialize()
     )
-    tri = triangle_counts(edges)
+
+
+def q_user_triangles(sf_dir: str):
+    """Per-user triangle participation counts over the payload-k
+    co-occurrence graph (``_cooccurrence_edges``); counting is the
+    degree-oriented wedge-check pipeline in
+    ``stages.graph.triangle_counts`` (wedge-budget guarded)."""
+    from ..stages.graph import triangle_counts
+
+    tri = triangle_counts(_cooccurrence_edges(sf_dir))
     return tri.rename_columns({"node": "user_id"})
 
 
@@ -2063,71 +2075,14 @@ def q_user_communities(sf_dir: str):
     """Connected components END-TO-END on the join-based min-label
     propagation scale path (pointer doubling, O(log diameter) rounds) —
     the primary consumer of ``dedup.label_propagation_clusters`` rather
-    than its small-set union-find fallback. Graph: users linked by seeing
-    the same props payload ``k`` in the same event_type within the same
-    hour; output = (user_id, community = min user in component, size)."""
-    import numpy as np
-
-    from ..stages.aggregate import bucket_by_key, tree_sum
+    than its small-set union-find fallback. Graph: the shared payload-k
+    co-occurrence edges (``_cooccurrence_edges``); output = (user_id,
+    community = min user in component, size)."""
+    from ..stages.aggregate import tree_sum
     from ..stages.dedup import label_propagation_clusters
     from ..stages.joins import hash_join
 
-    ev = _events(sf_dir, ["event_type", "ts", "user_id", "props"])
-
-    def occ_partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        hr = pc.divide(
-            batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
-            pa.scalar(3_600_000_000, type=pa.int64()),
-        )
-        ex = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)')
-        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
-        g = pc.binary_join_element_wise(
-            pc.cast(batch["event_type"], pa.string()),
-            pc.cast(hr, pa.string()),
-            pc.cast(k, pa.string()),
-            "\x1f",
-        )
-        return (
-            pa.table({"g": g, "user_id": batch["user_id"]})
-            .group_by(["g", "user_id"])
-            .aggregate([])
-        )
-
-    occ = (
-        ev.map_batches(occ_partial, batch_format="pyarrow")
-        .groupby(["g", "user_id"])
-        .count()
-        .select_columns(["g", "user_id"])
-    )
-
-    def pairs_bucket(block) -> pa.Table:
-        sizes = block.groupby("g")["user_id"].transform("size")
-        if len(sizes) and int(sizes.max()) > TRIANGLE_GROUP_CAP:
-            raise ValueError(
-                "co-occurrence group exceeds TRIANGLE_GROUP_CAP — see "
-                "q_user_triangles"
-            )
-        m = block.merge(block, on="g", suffixes=("_a", "_b"))
-        m = m[m["user_id_a"] < m["user_id_b"]]
-        return pa.table(
-            {
-                "a": pa.array(m["user_id_a"].to_numpy(dtype=np.int64)),
-                "b": pa.array(m["user_id_b"].to_numpy(dtype=np.int64)),
-            }
-        )
-
-    edges = (
-        bucket_by_key(occ, "g", 32)
-        .groupby("_bucket")
-        .map_groups(pairs_bucket, batch_format="pandas")
-        .groupby(["a", "b"])
-        .count()
-        .select_columns(["a", "b"])
-        .materialize()  # LP's first-round schema peek must not re-shuffle
-    )
-    comp = label_propagation_clusters(edges, num_buckets=8)
+    comp = label_propagation_clusters(_cooccurrence_edges(sf_dir), num_buckets=8)
 
     def size_partial(batch: pa.Table) -> pa.Table:
         return (
@@ -2678,13 +2633,14 @@ SELECT c_count, CAST(count(*) AS BIGINT) AS n_custs FROM (
     "user_triangles": """
 WITH occ AS (
   SELECT DISTINCT event_type,
-         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr, user_id
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k, user_id
   FROM events
 ), e AS (
   SELECT DISTINCT o1.user_id AS a, o2.user_id AS b
   FROM occ o1
   JOIN occ o2 ON o1.event_type = o2.event_type AND o1.hr = o2.hr
-             AND o1.user_id < o2.user_id
+             AND o1.k = o2.k AND o1.user_id < o2.user_id
 ), tri AS (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM e e1

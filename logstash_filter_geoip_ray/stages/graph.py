@@ -177,6 +177,7 @@ def triangle_counts(
     a_col: str = "a",
     b_col: str = "b",
     num_buckets: int = 32,
+    max_wedges: int = 100_000_000,
 ):
     """Per-node triangle participation counts over an undirected simple
     graph (input: DISTINCT edges with ``a < b``, both int64). Returns
@@ -200,7 +201,14 @@ def triangle_counts(
     The wedge table (Σ out-deg² rows) is the algorithm's intrinsic
     intermediate; it streams through the join exchange and is never
     collected. Wedge/edge tables are materialized before hash_join to keep
-    Ray's schema peek from double-executing the upstream shuffles."""
+    Ray's schema peek from double-executing the upstream shuffles.
+
+    Dense-graph guard: on a near-clique, Σ out-deg² is Θ(n³) — the wedge
+    work is intrinsic to exact counting, not an implementation artifact —
+    so the exact wedge budget is computed from the oriented out-degrees
+    (one cheap aggregate) and the operator RAISES past ``max_wedges``
+    instead of silently launching a billion-row exchange. Orientation
+    keeps sparse real-world graphs (out-deg O(√E)) comfortably inside."""
     import numpy as np
     import pandas as pd
     import pyarrow.compute as pc
@@ -256,6 +264,40 @@ def triangle_counts(
         )
 
     oriented = with_db.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # exact wedge budget needs per-src TOTALS (a per-batch square would
+    # undercount split sources), so aggregate the out-degree table first
+    odeg_tbl = (
+        oriented.groupby("src").count().rename_columns({"count()": "d"})
+    )
+    wedge_budget = int(
+        odeg_tbl.map_batches(
+            lambda b: pa.table(
+                {
+                    "w": pa.array(
+                        [
+                            int(
+                                (
+                                    b["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+                                    ** 2
+                                ).sum()
+                            )
+                        ],
+                        type=pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("w")
+        or 0
+    )
+    if wedge_budget > max_wedges:
+        raise ValueError(
+            "triangle_counts: wedge budget %d exceeds max_wedges=%d — the "
+            "graph is too dense for exact wedge enumeration (Σ out-deg² is "
+            "Θ(n³) on near-cliques); sparsify the edge rule or raise "
+            "max_wedges explicitly" % (wedge_budget, max_wedges)
+        )
 
     def wedge_bucket(block: pd.DataFrame) -> pa.Table:
         b = block[["src", "dst", "ddst"]]

@@ -2877,3 +2877,25 @@ def test_percent_ranks_vs_bruteforce(ray_session):
             exp_den[i] = int(mask.sum()) - 1
     assert (got["pr_num"].to_numpy() == exp_num).all()
     assert (got["pr_den"].to_numpy() == exp_den).all()
+
+
+def test_triangle_counts_dense_graph_guard(ray_session):
+    """A near-clique must raise the wedge-budget guard instead of silently
+    launching a cubic wedge exchange."""
+    import itertools
+
+    import ray
+
+    from logstash_filter_geoip_ray.stages.graph import triangle_counts
+
+    edges = list(itertools.combinations(range(40), 2))  # complete K40
+    tbl = pa.table({
+        "a": pa.array([e[0] for e in edges], type=pa.int64()),
+        "b": pa.array([e[1] for e in edges], type=pa.int64()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError, match="wedge budget"):
+        triangle_counts(ds, num_buckets=2, max_wedges=1000).to_pandas()
+    # and the same graph passes with an adequate budget
+    got = triangle_counts(ds, num_buckets=2, max_wedges=10**6).to_pandas()
+    assert (got["n_tri"] == (39 * 38) // 2).all()  # C(39,2) per corner in K40

@@ -1732,7 +1732,11 @@ def _cooccurrence_edges(sf_dir: str):
     (the plain (type, hour) graph is a near-clique — Θ(n³) triangles, a
     graph-shape property no exact algorithm escapes). Group-size capped,
     vectorized self-merge per bucket; returns a materialized Dataset
-    (a, b) so downstream schema peeks never re-run the shuffle."""
+    (a, b) so downstream schema peeks never re-run the shuffle.
+
+    Payload contract: ``k`` is extracted as a BARE integer (the synthetic
+    schema); quoted/float payloads would diverge from the oracle's
+    json_extract + CAST semantics and are treated as unparseable."""
     import numpy as np
 
     from ..stages.aggregate import bucket_by_key
@@ -1754,11 +1758,13 @@ def _cooccurrence_edges(sf_dir: str):
             pc.cast(k, pa.string()),
             "\x1f",
         )
-        return (
-            pa.table({"g": g, "user_id": batch["user_id"]})
-            .group_by(["g", "user_id"])
-            .aggregate([])
-        )
+        t = pa.table({"g": g, "user_id": batch["user_id"]})
+        # drop unparseable-k rows (g is null): the oracle's o1.k = o2.k
+        # equi-join excludes NULLs, and pandas' merge would otherwise PAIR
+        # NaN keys while its groupby size-guard SKIPS them — an uncapped,
+        # oracle-divergent null group
+        t = t.filter(pc.is_valid(t["g"]))
+        return t.group_by(["g", "user_id"]).aggregate([])
 
     occ = (
         ev.map_batches(occ_partial, batch_format="pyarrow")
@@ -1828,7 +1834,9 @@ def q_props_k_stats(sf_dir: str):
     JSON payload column, then aggregate): props's ``k`` field extracted
     with one vectorized regex per batch → per-type n/sum/min/max via
     arrow group_by partials and a bundled combine. No JSON parser in the
-    hot path — the schema-known fast path every log engine ships."""
+    hot path — the schema-known fast path every log engine ships.
+    Contract: bare-integer payloads (the synthetic schema); quoted or
+    float ``k`` values would diverge from json_extract + CAST."""
     import pyarrow.compute as pc
 
     ev = _events(sf_dir, ["event_type", "props"])
@@ -1852,13 +1860,9 @@ def q_props_k_stats(sf_dir: str):
             ["event_type", "n", "sum_k", "min_k", "max_k"]
         ).sort_by([("event_type", "ascending")])
 
-    return (
-        ev.map_batches(partial, batch_format="pyarrow")
-        .map_batches(combine, batch_format="pyarrow", batch_size=1 << 20,
-                     num_cpus=0.9)
-        .repartition(1)
-        .map_batches(combine, batch_format="pyarrow", batch_size=None)
-    )
+    from ..stages.aggregate import tree_agg
+
+    return tree_agg(ev.map_batches(partial, batch_format="pyarrow"), combine)
 
 
 def q_knn_labels(sf_dir: str):

@@ -72,6 +72,22 @@ def tree_sum(ds, key_cols: Sequence[str], sum_cols: Sequence[str],
     return final
 
 
+def tree_agg(ds, combine_fn):
+    """Generalized :func:`tree_sum` scaffold for arbitrary mergeable
+    combines: bundle many tiny partial blocks per task (large batch_size;
+    num_cpus=0.9 blocks operator fusion — see tree_sum's comment), then
+    one final single-block combine. ``combine_fn`` must be idempotent
+    under re-grouping (pure merge of partial rows)."""
+    return (
+        ds.map_batches(
+            combine_fn, batch_format="pyarrow", batch_size=1 << 20,
+            num_cpus=0.9,
+        )
+        .repartition(1)
+        .map_batches(combine_fn, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def grouped_counts(
     ds,
     key_cols: Sequence[str],
@@ -555,19 +571,34 @@ def grouped_mode(
     bucketed = bucket_by_key(partials, key_col, num_buckets)
 
     def final_bucket(block: pd.DataFrame) -> pd.DataFrame:
-        g = block.groupby([key_col, value_col], as_index=False)[count_alias].sum()
+        # dropna=False: the Arrow partials KEEP null groups (SQL GROUP BY
+        # semantics) — pandas' default would silently drop a key whose
+        # mode is NULL, or a NULL key partition
+        g = block.groupby(
+            [key_col, value_col], as_index=False, dropna=False
+        )[count_alias].sum()
+        # NaN sorts last in pandas, matching DuckDB's ASC NULLS LAST
         g = g.sort_values(
             [key_col, count_alias, value_col], ascending=[True, False, True]
         )
-        top = g.groupby(key_col, sort=False).head(1)
+        top = g.groupby(key_col, sort=False, dropna=False).head(1)
         return top.rename(columns={value_col: mode_alias})[
             [key_col, mode_alias, count_alias]
         ]
 
+    def final_sort(block: pd.DataFrame) -> pd.DataFrame:
+        # pandas masks missing keys before comparing (NULLS LAST, matching
+        # DuckDB ASC); Ray's sort operator would numpy-compare NaN against
+        # strings and raise — and the result is only |keys| rows anyway
+        return block.sort_values(key_col, na_position="last").reset_index(
+            drop=True
+        )
+
     return (
         bucketed.groupby("_bucket")
         .map_groups(final_bucket, batch_format="pandas")
-        .sort(key_col)
+        .repartition(1)
+        .map_batches(final_sort, batch_format="pandas", batch_size=None)
     )
 
 
@@ -746,8 +777,12 @@ def winsorize_values(
     hi_arr = bounds["hi"].to_numpy(dtype=np.int64)
 
     def clip(batch: pa.Table) -> pa.Table:
-        kidx = pc.index_in(batch[key_col], value_set=key_set)
-        kidx = pc.fill_null(kidx, 0).to_numpy(zero_copy_only=False)
+        kidx_arr = pc.index_in(batch[key_col], value_set=key_set)
+        # drop rows whose key has no bounds (null / unseen keys): the SQL
+        # oracle's inner JOIN q USING(key) excludes them too — without
+        # this mask a null-key row would clip into key[0]'s band
+        seen = pc.is_valid(kidx_arr)
+        kidx = pc.fill_null(kidx_arr, 0).to_numpy(zero_copy_only=False)
         x = batch["value_milli"].to_numpy(zero_copy_only=False)
         clipped = np.minimum(np.maximum(x, lo_arr[kidx]), hi_arr[kidx])
         return pa.table(
@@ -756,7 +791,7 @@ def winsorize_values(
                 key_col: batch[key_col],
                 "x_wins": pa.array(clipped, type=pa.int64()),
             }
-        )
+        ).filter(seen)
 
     return milli.map_batches(clip, batch_format="pyarrow").sort(id_col)
 

@@ -341,14 +341,10 @@ def quantize_embeddings(
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    from .aggregate import tree_agg
+
     mm = (
-        ds.map_batches(mm_partial, batch_format="pyarrow")
-        .map_batches(
-            mm_combine, batch_format="pyarrow", batch_size=1 << 20,
-            num_cpus=0.9,
-        )
-        .repartition(1)
-        .map_batches(mm_combine, batch_format="pyarrow", batch_size=None)
+        tree_agg(ds.map_batches(mm_partial, batch_format="pyarrow"), mm_combine)
         .to_pandas()
         .sort_values("dim")
     )

@@ -1307,8 +1307,19 @@ def edit_distance_pairs(
             }
         )
 
+    def drop_null_blocks(batch: pa.Table) -> pa.Table:
+        # a NULL block key never equi-joins in the SQL oracle (NULL = NULL
+        # is not true) — Ray's groupby would otherwise pair such rows
+        import pyarrow.compute as pc
+
+        mask = pc.is_valid(batch[cols[0]])
+        for c in cols[1:]:
+            mask = pc.and_(mask, pc.is_valid(batch[c]))
+        return batch.filter(mask)
+
     return (
         ds.select_columns(cols + [id_col, text_col])
+        .map_batches(drop_null_blocks, batch_format="pyarrow")
         .groupby(cols)
         .map_groups(pairs, batch_format="pandas")
         .sort(["a", "b"])

@@ -76,17 +76,12 @@ def profile_columns(ds, cols: Sequence[str]):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    scalars = (
-        ds.map_batches(scalar_partial, batch_format="pyarrow")
-        # bundle many tiny partial blocks per combine task (see tree_sum)
-        .map_batches(
-            scalar_combine, batch_format="pyarrow", batch_size=1 << 20,
-            num_cpus=0.9,
-        )
-        .repartition(1)
-        .map_batches(scalar_combine, batch_format="pyarrow", batch_size=None)
-        .to_pandas()
-    )
+    from .aggregate import tree_agg
+
+    scalars = tree_agg(
+        ds.map_batches(scalar_partial, batch_format="pyarrow"),
+        scalar_combine,
+    ).to_pandas()
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
         parts = []

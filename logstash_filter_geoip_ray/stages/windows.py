@@ -671,7 +671,6 @@ def percent_ranks(
         seg_base = before[new_seg][seg_id]
         pr_num = before - seg_base
         # key total = segment's last inclusive cumsum minus its base
-        seg_last = np.zeros(len(b), dtype=np.int64)
         last_idx = np.append(np.nonzero(new_seg)[0][1:] - 1, len(b) - 1)
         seg_last = cs[last_idx][seg_id]
         pr_den = seg_last - seg_base - 1
@@ -742,19 +741,30 @@ def late_events(
 
     def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
         b = block.sort_values([key_col, "_arr", id_col])
-        g = b.groupby(key_col, sort=False)
-        wm = g["ts_us"].cummax().groupby(b[key_col], sort=False).shift(1)
-        late_by = wm - b["ts_us"]
-        keep = late_by > lateness_us
-        out = pd.DataFrame(
+        # integer end-to-end: a pandas shift() would round-trip the
+        # watermark through float64 (NaN padding) and lose exactness past
+        # 2^53 — the same hazard the as-of join engineers around. Groups
+        # are contiguous after the sort (NaN keys sort last, together),
+        # so the previous-row cummax is one numpy slice per bucket.
+        # dropna=False: a NULL key is one partition, as in the SQL window.
+        gb = b.groupby(key_col, sort=False, dropna=False)
+        cm = gb["ts_us"].cummax().to_numpy(dtype=np.int64)
+        gid = gb.ngroup().to_numpy()
+        n = len(b)
+        first = np.ones(n, dtype=bool)
+        first[1:] = gid[1:] != gid[:-1]
+        wm = np.empty(n, dtype=np.int64)
+        wm[1:] = cm[:-1]
+        ts = b["ts_us"].to_numpy(dtype=np.int64)
+        keep = ~first & ((wm - ts) > lateness_us)
+        return pd.DataFrame(
             {
                 id_col: b.loc[keep, id_col],
-                "ts_us": b.loc[keep, "ts_us"],
-                "wm_us": wm[keep].astype(np.int64),
-                "late_by_us": late_by[keep].astype(np.int64),
+                "ts_us": ts[keep],
+                "wm_us": wm[keep],
+                "late_by_us": wm[keep] - ts[keep],
             }
         )
-        return out
 
     return (
         prepped.groupby("_bucket")

@@ -2899,3 +2899,76 @@ def test_triangle_counts_dense_graph_guard(ray_session):
     # and the same graph passes with an adequate budget
     got = triangle_counts(ds, num_buckets=2, max_wedges=10**6).to_pandas()
     assert (got["n_tri"] == (39 * 38) // 2).all()  # C(39,2) per corner in K40
+
+
+def test_null_key_parity_for_new_operators(ray_session):
+    """Review-fix regressions: SQL-null parity for the extension batch —
+    grouped_mode keeps null groups (a NULL mode wins), winsorize drops
+    null-key rows (inner-join oracle), late_events treats NULL keys as
+    one partition, and edit_distance_pairs never pairs a null block."""
+    import duckdb
+    import ray
+
+    from logstash_filter_geoip_ray.stages.aggregate import (
+        grouped_mode,
+        winsorize_values,
+    )
+    from logstash_filter_geoip_ray.stages.dedup import edit_distance_pairs
+    from logstash_filter_geoip_ray.stages.windows import late_events
+
+    # grouped_mode: key 'a' has 3 NULL values vs 2 'x' → mode is NULL
+    t = pa.table({
+        "k": pa.array(["a"] * 5 + [None, None]),
+        "v": pa.array([None, None, None, "x", "x", "z", "z"]),
+    })
+    got = grouped_mode(ray.data.from_arrow(t).repartition(3), "k", "v",
+                       num_buckets=2).to_pandas()
+    a_row = got[got["k"] == "a"].iloc[0]
+    assert pd.isna(a_row["mode_value"]) and a_row["n"] == 3
+    null_key = got[got["k"].isna()]
+    assert len(null_key) == 1 and null_key.iloc[0]["mode_value"] == "z"
+
+    # winsorize: null-key rows are excluded, like the oracle's inner join
+    t2 = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "event_type": pa.array(["a", "a", None, "a"]),
+        "value": pa.array([1.0, 2.0, 99.0, 3.0]),
+    })
+    got2 = winsorize_values(
+        ray.data.from_arrow(t2), "event_type", "event_id", "value",
+        num_buckets=2,
+    ).to_pandas()
+    assert sorted(got2["event_id"]) == [1, 2, 4]
+
+    # late_events: NULL user is one partition (SQL PARTITION BY semantics)
+    base = 1_700_000_000_000_000
+    t3 = pa.table({
+        "event_id": pa.array(range(40), type=pa.int64()),
+        "user_id": pa.array([None] * 40, type=pa.int64()),
+        "ts": pa.array([base + i * 10**7 for i in range(40)],
+                       type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    got3 = late_events(ray.data.from_arrow(t3), lateness_us=10**7,
+                       num_buckets=2).to_pandas()
+    con = duckdb.connect()
+    con.register("ev", t3.to_pandas())
+    exp3 = con.sql("""
+        WITH w AS (SELECT event_id, max(epoch_us(ts)) OVER (
+            PARTITION BY user_id
+            ORDER BY md5('arr:' || CAST(event_id AS VARCHAR)), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm,
+            epoch_us(ts) AS t FROM ev)
+        SELECT event_id FROM w WHERE wm - t > 10000000 ORDER BY event_id
+    """).df()
+    assert sorted(got3["event_id"]) == sorted(exp3["event_id"])
+    assert len(got3) > 0
+
+    # edit_distance_pairs: null lang rows never pair
+    t4 = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "lang": pa.array([None, None, "en"]),
+        "source": pa.array(["w", "w", "w"]),
+        "text": pa.array(["aaa", "aab", "aac"]),
+    })
+    got4 = edit_distance_pairs(ray.data.from_arrow(t4), max_dist=100).to_pandas()
+    assert len(got4) == 0

@@ -436,6 +436,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     supplier_revenue (demoted) and the partitioned-join family stays
     #     driver-checked via revenue_rollup + pricing_summary; pinned by
     #     its pytest oracle row
+    #   above_avg_orders — the grouped-aggregate + join-back-to-rows shape
+    #     stays driver-checked via cust_order_distribution and
+    #     winsorized_values; pinned by its pytest oracle row
     demote = [
         n
         for n in (
@@ -450,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "latest_events",
             "asof_last_signup",
             "promo_revenue",
+            "above_avg_orders",
             "enterprise_counts",
             "priority_cube",
             "repetition_filter",

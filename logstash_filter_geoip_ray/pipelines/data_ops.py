@@ -1919,6 +1919,16 @@ def q_value_trend(sf_dir: str):
     return grouped_trend(ev, key_col="event_type", x_col="x", y_col="y")
 
 
+def q_activity_islands(sf_dir: str):
+    """Gaps-and-islands coverage rollup: each event opens a 30-minute
+    interval; per user, overlapping intervals merge into islands →
+    (user_id, n_islands, covered_us) (``stages.windows
+    .merged_interval_stats``)."""
+    from ..stages.windows import merged_interval_stats
+
+    return merged_interval_stats(_events(sf_dir, ["user_id", "ts"]))
+
+
 def q_late_events(sf_dir: str):
     """Watermark / allowed-lateness classification (streaming semantics as
     a batch operator): events re-ordered by a deterministic md5 arrival
@@ -2187,6 +2197,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "edit_distance_pairs": q_edit_distance_pairs,
     "cust_order_distribution": q_cust_order_distribution,
     "late_events": q_late_events,
+    "activity_islands": q_activity_islands,
     "quantized_embeddings": q_quantized_embeddings,
     "winsorized_values": q_winsorized_values,
     "value_trend": q_value_trend,
@@ -2602,6 +2613,29 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
        CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
        CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den
 FROM a ORDER BY event_type
+""",
+    "activity_islands": """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+  FROM events
+), o AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id
+              ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_island
+  FROM iv
+), isl AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             ROWS UNBOUNDED PRECEDING) AS island
+  FROM o
+), agg AS (
+  SELECT user_id, island, min(s) AS island_start, max(e) AS island_end
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(island_end - island_start) AS BIGINT) AS covered_us
+FROM agg GROUP BY user_id ORDER BY user_id
 """,
     "late_events": """
 WITH w AS (

@@ -771,3 +771,75 @@ def late_events(
         .map_groups(per_bucket, batch_format="pandas")
         .sort(id_col)
     )
+
+
+def merged_interval_stats(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    duration_us: int = 1_800_000_000,
+    num_buckets: int = 32,
+):
+    """Gaps-and-islands: every event opens an interval [ts, ts+duration);
+    per key, overlapping/touching intervals merge into islands, and the
+    output is (key, n_islands, covered_us = Σ island lengths) — the
+    activity-coverage rollup (SQL's classic lag/cummax island pattern).
+
+    One vectorized pass per key-hash bucket (a key's rows are contiguous
+    after the in-bucket sort): segmented cummax of interval ends, a
+    previous-row slice (pure int64 — no pandas shift float round-trip),
+    an island boundary mask where start > max(previous ends), and one
+    reduceat over island boundaries. No per-key Python; rows co-locate
+    only by hash bucket."""
+    from .aggregate import bucket_by_key
+
+    def prep(batch: pa.Table) -> pa.Table:
+        s = batch[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                "s": s,
+                "e": pc.add(s, pa.scalar(duration_us, type=pa.int64())),
+            }
+        )
+
+    prepped = bucket_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"), key_col, num_buckets
+    )
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series(dtype=block[key_col].dtype),
+                    "n_islands": pd.Series(dtype="int64"),
+                    "covered_us": pd.Series(dtype="int64"),
+                }
+            )
+        b = block.sort_values([key_col, "s", "e"])
+        gb = b.groupby(key_col, sort=False, dropna=False)
+        cm = gb["e"].cummax().to_numpy(dtype=np.int64)
+        gid = gb.ngroup().to_numpy()
+        n = len(b)
+        s = b["s"].to_numpy(dtype=np.int64)
+        first = np.ones(n, dtype=bool)
+        first[1:] = gid[1:] != gid[:-1]
+        prev_cm = np.empty(n, dtype=np.int64)
+        prev_cm[1:] = cm[:-1]
+        new_island = first | (s > prev_cm)
+        starts = np.nonzero(new_island)[0]
+        # island end = cummax(e) at the island's last row
+        last = np.append(starts[1:] - 1, n - 1)
+        covered = cm[last] - s[starts]
+        island_keys = b[key_col].to_numpy()[starts]
+        out = pd.DataFrame({key_col: island_keys, "covered_us": covered})
+        g = out.groupby(key_col, as_index=False, dropna=False).agg(
+            n_islands=("covered_us", "size"), covered_us=("covered_us", "sum")
+        )
+        return g[[key_col, "n_islands", "covered_us"]]
+
+    return (
+        prepped.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(key_col)
+    )

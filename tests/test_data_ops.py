@@ -52,6 +52,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "user_top_event", "value_percent_ranks", "value_outliers",
      "user_triangles", "user_communities", "events_profile", "table_row_counts", "edit_distance_pairs",
      "cust_order_distribution", "late_events", "quantized_embeddings",
+     "activity_islands",
      "winsorized_values", "value_trend", "knn_labels",
      "trending_types", "props_k_stats",
      "stopword_filter", "active_customers", "retention_cohorts",
@@ -2972,3 +2973,41 @@ def test_null_key_parity_for_new_operators(ray_session):
     })
     got4 = edit_distance_pairs(ray.data.from_arrow(t4), max_dist=100).to_pandas()
     assert len(got4) == 0
+
+
+def test_merged_interval_stats_vs_naive(ray_session):
+    """Island merging equals a sequential sweep, including touching
+    intervals (s == prev max e does NOT open a new island), nested
+    intervals, and multi-block layout."""
+    import ray
+
+    from logstash_filter_geoip_ray.stages.windows import merged_interval_stats
+
+    rng = np.random.default_rng(17)
+    n = 300
+    keys = rng.integers(0, 5, n).astype(np.int64)
+    base = 1_700_000_000_000_000
+    s = base + rng.integers(0, 10**8, n).astype(np.int64)
+    dur = 5_000_000
+    tbl = pa.table({
+        "user_id": pa.array(keys),
+        "ts": pa.array(s, type=pa.int64()).cast(pa.timestamp("us")),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = merged_interval_stats(ds, duration_us=dur, num_buckets=3).to_pandas()
+
+    expect = {}
+    for k in np.unique(keys):
+        iv = sorted((int(x), int(x) + dur) for x in s[keys == k])
+        islands = []
+        for a, b in iv:
+            if islands and a <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], b)
+            else:
+                islands.append([a, b])
+        expect[int(k)] = (len(islands), sum(b - a for a, b in islands))
+    got_map = {
+        int(r.user_id): (int(r.n_islands), int(r.covered_us))
+        for r in got.itertuples()
+    }
+    assert got_map == expect

@@ -439,6 +439,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   above_avg_orders — the grouped-aggregate + join-back-to-rows shape
     #     stays driver-checked via cust_order_distribution and
     #     winsorized_values; pinned by its pytest oracle row
+    #   retention_cohorts — flag-max entity partials pinned by its pytest
+    #     oracle row and the null-user regression; the classify family
+    #     stays driver-checked via user_reconciliation's pytest row and
+    #     segment_activity (checked)
     demote = [
         n
         for n in (
@@ -454,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "asof_last_signup",
             "promo_revenue",
             "above_avg_orders",
+            "retention_cohorts",
             "enterprise_counts",
             "priority_cube",
             "repetition_filter",

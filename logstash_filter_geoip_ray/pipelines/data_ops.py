@@ -1919,6 +1919,47 @@ def q_value_trend(sf_dir: str):
     return grouped_trend(ev, key_col="event_type", x_col="x", y_col="y")
 
 
+def q_key_skew(sf_dir: str):
+    """Partitioning diagnostics: the exact Gini coefficient of the per-user
+    event-count distribution, as an integer rational (gini_num/gini_den
+    decimal strings — no float division anywhere). The quantity an engine
+    consults before choosing salt/broadcast strategies for a key.
+
+    Shape: per-batch partial counts → one native groupby over user_id
+    (|keys| rows — the aggregate table, not the corpus) → ONE final task
+    ranks the counts and folds the big-int Gini sums (Python ints; the
+    table is entity-sized, documented)."""
+    import pandas as pd
+
+    from ..stages.aggregate import _partial_counts
+
+    ev = _events(sf_dir, ["user_id"])
+    counts = (
+        ev.map_batches(_partial_counts(["user_id"], "n"), batch_format="pyarrow")
+        .groupby("user_id")
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+    )
+
+    def gini(block: pa.Table) -> pa.Table:
+        df = block.to_pandas().sort_values(["n", "user_id"]).reset_index(drop=True)
+        m = len(df)
+        ns = [int(v) for v in df["n"]]
+        total = sum(ns)
+        num = sum((2 * (i + 1) - m - 1) * v for i, v in enumerate(ns))
+        return pa.table(
+            {
+                "n_keys": pa.array([m], type=pa.int64()),
+                "gini_num": pa.array([str(num)], type=pa.string()),
+                "gini_den": pa.array([str(m * total)], type=pa.string()),
+            }
+        )
+
+    return counts.repartition(1).map_batches(
+        gini, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_activity_islands(sf_dir: str):
     """Gaps-and-islands coverage rollup: each event opens a 30-minute
     interval; per user, overlapping intervals merge into islands →
@@ -2198,6 +2239,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "cust_order_distribution": q_cust_order_distribution,
     "late_events": q_late_events,
     "activity_islands": q_activity_islands,
+    "key_skew": q_key_skew,
     "quantized_embeddings": q_quantized_embeddings,
     "winsorized_values": q_winsorized_values,
     "value_trend": q_value_trend,
@@ -2613,6 +2655,21 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
        CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
        CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den
 FROM a ORDER BY event_type
+""",
+    "key_skew": """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+), r AS (
+  SELECT n, row_number() OVER (ORDER BY n, user_id) AS i,
+         count(*) OVER () AS m
+  FROM c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum((2 * CAST(i AS HUGEINT) - m - 1) * n) AS VARCHAR)
+         AS gini_num,
+       CAST(CAST(count(*) AS HUGEINT) * sum(CAST(n AS HUGEINT)) AS VARCHAR)
+         AS gini_den
+FROM r
 """,
     "activity_islands": """
 WITH iv AS (

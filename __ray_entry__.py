@@ -443,6 +443,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     oracle row and the null-user regression; the classify family
     #     stays driver-checked via user_reconciliation's pytest row and
     #     segment_activity (checked)
+    #   quality_filter — now driver-checked END-TO-END inside
+    #     curated_chunks (the composed curation pipeline); standalone
+    #     pinned by its planted-doc pytest and the adversarial-whitespace
+    #     net
     demote = [
         n
         for n in (
@@ -459,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "promo_revenue",
             "above_avg_orders",
             "retention_cohorts",
+            "quality_filter",
             "enterprise_counts",
             "priority_cube",
             "repetition_filter",

@@ -1919,6 +1919,57 @@ def q_value_trend(sf_dir: str):
     return grouped_trend(ev, key_col="event_type", x_col="x", y_col="y")
 
 
+def q_curated_chunks(sf_dir: str):
+    """THE composed training-data curation pipeline, end to end as one
+    query: quality filter (Gopher thresholds, streaming passthrough) →
+    benchmark decontamination (broadcast shingles; eval split excluded)
+    → MinHash-LSH near-dup dedup (id-only band shuffle, exact verify,
+    keeper anti-join) → sequence packing into 256-token chunks. Every
+    stage is the same scale-shaped operator its standalone query uses;
+    the corpus streams through the filter chain (each consumer re-reads
+    the pruned source rather than pinning survivors in the object
+    store). The oracle replays the identical chain as one CTE stack."""
+    import numpy as np
+
+    from ..stages.contamination import benchmark_shingles, contaminated_docs
+    from ..stages.dedup import dup_clusters, filter_non_keepers, minhash_lsh_pairs
+    from ..stages.packing import pack_sequences
+    from ..stages.textops import quality_filter
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = benchmark_shingles(
+        docs.map_batches(_mod_filter(True), batch_format="pyarrow"),
+        n=CONTAM_NGRAM,
+    )
+    train = docs.map_batches(_mod_filter(False), batch_format="pyarrow")
+
+    # flagged set: small by construction (contamination is the exception)
+    flagged = (
+        contaminated_docs(train, bench, n=CONTAM_NGRAM)
+        .select_columns(["doc_id"])
+        .to_pandas()["doc_id"]
+        .to_numpy(dtype=np.int64)
+    )
+    flag_arr = pa.array(flagged, type=pa.int64())
+
+    def survivors():
+        import pyarrow.compute as pc
+
+        q = quality_filter(train, passthrough=True)
+
+        def drop_flagged(batch: pa.Table) -> pa.Table:
+            hit = pc.is_in(pc.cast(batch["doc_id"], pa.int64()),
+                           value_set=flag_arr)
+            return batch.filter(pc.invert(hit))
+
+        return q.map_batches(drop_flagged, batch_format="pyarrow")
+
+    pairs = minhash_lsh_pairs(survivors(), min_jaccard=0.5)
+    clusters = dup_clusters(pairs)
+    keepers = filter_non_keepers(survivors(), clusters)
+    return pack_sequences(keepers).sort("doc_id")
+
+
 def q_key_skew(sf_dir: str):
     """Partitioning diagnostics: the exact Gini coefficient of the per-user
     event-count distribution, as an integer rational (gini_num/gini_den
@@ -2240,6 +2291,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "late_events": q_late_events,
     "activity_islands": q_activity_islands,
     "key_skew": q_key_skew,
+    "curated_chunks": q_curated_chunks,
     "quantized_embeddings": q_quantized_embeddings,
     "winsorized_values": q_winsorized_values,
     "value_trend": q_value_trend,
@@ -2655,6 +2707,84 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
        CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
        CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den
 FROM a ORDER BY event_type
+""",
+    "curated_chunks": f"""
+WITH RECURSIVE qw AS (
+  SELECT doc_id, lower(unnest({_TOKENS})) AS w
+  FROM documents WHERE doc_id % 17 <> 0 AND {_TRIMMED} <> ''
+), qf AS (
+  SELECT doc_id, w, count(*) AS c FROM qw WHERE w <> '' GROUP BY 1, 2
+), qa AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS tt,
+         CAST(1000 - (1000 * count(*)) // sum(c) AS BIGINT) AS dm,
+         CAST((1000 * max(c)) // sum(c) AS BIGINT) AS tm
+  FROM qf GROUP BY 1
+), qpass AS (
+  SELECT doc_id FROM qa WHERE tt >= 20 AND dm <= 500 AND tm <= 150
+), ct AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text), {_WS}), '\\s+') AS ws
+  FROM documents WHERE {_TRIMMED} <> ''
+), cg AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= 4
+      THEN list_transform(range(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])
+      ELSE CAST(NULL AS VARCHAR[]) END) AS g
+  FROM ct
+), cbench AS (
+  SELECT DISTINCT g FROM cg WHERE doc_id % 17 = 0
+), cflag AS (
+  SELECT DISTINCT doc_id FROM cg
+  WHERE doc_id % 17 <> 0 AND g IN (SELECT g FROM cbench)
+), surv AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN qpass USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM cflag)
+), toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM surv WHERE {_TRIMMED} <> ''
+), grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+  FROM toks
+), sets AS (
+  SELECT DISTINCT doc_id, g FROM grams
+), counts AS (
+  SELECT doc_id, count(*) AS c FROM sets GROUP BY 1
+), inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
+  FROM sets s1 JOIN sets s2 ON s1.g = s2.g AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a, b FROM inter
+  JOIN counts ca ON ca.doc_id = a
+  JOIN counts cb ON cb.doc_id = b
+  WHERE inter * 2 >= (ca.c + cb.c - inter)
+), e AS (
+  SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+), walk(node, reach) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+  UNION
+  SELECT w.node, e.d FROM walk w JOIN e ON e.s = w.reach
+), clusters AS (
+  SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY 1
+), keep AS (
+  SELECT s.doc_id, s.text FROM surv s
+  WHERE s.doc_id NOT IN
+        (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+), pt AS (
+  SELECT doc_id, doc_id % 8 AS bucket, {_TOKEN_COUNT} AS tokens FROM keep
+), pcs AS (
+  SELECT doc_id, bucket, tokens,
+         sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - tokens AS start_tok
+  FROM pt
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // 256 AS BIGINT) AS chunk_id
+FROM pcs ORDER BY doc_id
 """,
     "key_skew": """
 WITH c AS (

@@ -134,6 +134,7 @@ def quality_filter(
     min_tokens: int = 20,
     max_dup_milli: int = 500,
     max_top_milli: int = 150,
+    passthrough: bool = False,
 ):
     """Gopher-style repetition quality filter: keep documents whose
     duplicate-word fraction and most-frequent-word fraction stay under
@@ -144,7 +145,11 @@ def quality_filter(
     are exploded once (``utf8_split_whitespace`` → flatten with row index)
     and all per-doc stats come from two pandas groupbys over the exploded
     frame — no per-row Python loop. Embarrassingly parallel per batch, no
-    shuffle; the final sort is on the (small) surviving id set."""
+    shuffle; the final sort is on the (small) surviving id set.
+
+    ``passthrough=True`` returns the surviving ROWS with all original
+    columns (no stats, no sort) — the composable filter stage for
+    multi-step curation pipelines; the batch stays streaming."""
     import numpy as np
     import pandas as pd
     import pyarrow.compute as pc
@@ -165,7 +170,7 @@ def quality_filter(
             }
         )
         if len(flat) == 0:
-            return empty
+            return batch.slice(0, 0) if passthrough else empty
         df = pd.DataFrame({"i": idx, "w": flat.to_numpy(zero_copy_only=False)})
         per_word = df.groupby(["i", "w"], sort=False).size()
         g = per_word.groupby(level=0)
@@ -181,6 +186,8 @@ def quality_filter(
             & (top_milli <= max_top_milli)
         )
         rows = total.index.to_numpy(dtype=np.int64)[keep]
+        if passthrough:
+            return batch.take(pa.array(rows))
         ids = pc.take(pc.cast(batch[id_col], pa.int64()), pa.array(rows))
         return pa.table(
             {
@@ -191,7 +198,8 @@ def quality_filter(
             }
         )
 
-    return ds.map_batches(kernel, batch_format="pyarrow").sort(id_col)
+    out = ds.map_batches(kernel, batch_format="pyarrow")
+    return out if passthrough else out.sort(id_col)
 
 
 def repetition_filter(

@@ -52,7 +52,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "user_top_event", "value_percent_ranks", "value_outliers",
      "user_triangles", "user_communities", "events_profile", "table_row_counts", "edit_distance_pairs",
      "cust_order_distribution", "late_events", "quantized_embeddings",
-     "activity_islands", "key_skew",
+     "activity_islands", "key_skew", "curated_chunks",
      "winsorized_values", "value_trend", "knn_labels",
      "trending_types", "props_k_stats",
      "stopword_filter", "active_customers", "retention_cohorts",

@@ -447,6 +447,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     curated_chunks (the composed curation pipeline); standalone
     #     pinned by its planted-doc pytest and the adversarial-whitespace
     #     net
+    #   contaminated_docs — same composition argument (curated_chunks
+    #     replays the decon stage in the window); standalone pinned by the
+    #     naive-reference hypothesis fuzz and its oracle pytest row
     demote = [
         n
         for n in (
@@ -464,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "above_avg_orders",
             "retention_cohorts",
             "quality_filter",
+            "contaminated_docs",
             "enterprise_counts",
             "priority_cube",
             "repetition_filter",

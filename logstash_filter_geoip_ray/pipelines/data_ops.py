@@ -1919,6 +1919,15 @@ def q_value_trend(sf_dir: str):
     return grouped_trend(ev, key_col="event_type", x_col="x", y_col="y")
 
 
+def q_dataset_splits(sf_dir: str):
+    """Deterministic stratified 80/10/10 train/val/test assignment per
+    source (md5 rank within stratum, cross-multiplied integer thresholds —
+    no float ceil in either engine; ``stages.packing.stratified_split``)."""
+    from ..stages.packing import stratified_split
+
+    return stratified_split(_docs(sf_dir, ["doc_id", "source"]))
+
+
 def q_curated_chunks(sf_dir: str):
     """THE composed training-data curation pipeline, end to end as one
     query: quality filter (Gopher thresholds, streaming passthrough) →
@@ -2292,6 +2301,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "activity_islands": q_activity_islands,
     "key_skew": q_key_skew,
     "curated_chunks": q_curated_chunks,
+    "dataset_splits": q_dataset_splits,
     "quantized_embeddings": q_quantized_embeddings,
     "winsorized_values": q_winsorized_values,
     "value_trend": q_value_trend,
@@ -2707,6 +2717,20 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
        CAST(n * sxy - sx * sy AS VARCHAR) AS slope_num,
        CAST(n * sxx - sx * sx AS VARCHAR) AS slope_den
 FROM a ORDER BY event_type
+""",
+    "dataset_splits": """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+            ORDER BY md5('split:' || CAST(doc_id AS VARCHAR)), doc_id) AS i,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN 100 * i <= 80 * n THEN 'train'
+            WHEN 100 * i <= 90 * n THEN 'val'
+            ELSE 'test' END AS split
+FROM r ORDER BY doc_id
 """,
     "curated_chunks": f"""
 WITH RECURSIVE qw AS (

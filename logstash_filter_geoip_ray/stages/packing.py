@@ -195,3 +195,78 @@ def pack_chunks(
         .map_groups(assemble, batch_format="pandas")
         .sort(["bucket", "chunk_id"])
     )
+
+
+def stratified_split(
+    ds,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: str = "split",
+    num_buckets: int = 32,
+):
+    """Deterministic stratified train/val/test assignment: within every
+    stratum, rows rank by ``md5(seed:id)`` (the reproducible-shuffle device
+    — a pure function of the id, identical in SQL) and split by EXACT
+    integer thresholds: train iff 100·i ≤ train_pct·n, val iff 100·i ≤
+    (train_pct+val_pct)·n, else test. No float ceil anywhere — a double
+    ``0.8*n`` rounds differently in numpy and DuckDB's DECIMAL arithmetic,
+    so the rational comparison is cross-multiplied instead.
+
+    Scale shape: strata co-locate by hash bucket; one vectorized rebased-
+    arange pass per bucket ranks every stratum at once. Per-row md5 is the
+    oracle-reproducibility price (see hash_shuffle vs hash_shuffle_fast
+    for the SipHash scale path)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import bucket_by_key
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = [
+            hashlib.md5(f"{seed}:{int(v)}".encode()).hexdigest() for v in ids
+        ]
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                stratum_col: batch[stratum_col],
+                "_h": pa.array(h, type=pa.string()),
+            }
+        )
+
+    prepped = bucket_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"), stratum_col, num_buckets
+    )
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([stratum_col, "_h", id_col])
+        gb = b.groupby(stratum_col, sort=False, dropna=False)
+        gid = gb.ngroup().to_numpy()
+        n_rows = len(b)
+        pos = np.arange(n_rows, dtype=np.int64)
+        first = np.ones(n_rows, dtype=bool)
+        first[1:] = gid[1:] != gid[:-1]
+        seg_base = np.maximum.accumulate(np.where(first, pos, 0))
+        i = pos - seg_base + 1  # 1-based rank within stratum
+        n = gb[id_col].transform("size").to_numpy(dtype=np.int64)
+        split = np.where(
+            100 * i <= train_pct * n,
+            "train",
+            np.where(100 * i <= (train_pct + val_pct) * n, "val", "test"),
+        )
+        return pd.DataFrame(
+            {
+                id_col: b[id_col].to_numpy(dtype=np.int64),
+                stratum_col: b[stratum_col].to_numpy(),
+                "split": split,
+            }
+        )
+
+    return (
+        prepped.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(id_col)
+    )

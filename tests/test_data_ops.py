@@ -52,7 +52,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "user_top_event", "value_percent_ranks", "value_outliers",
      "user_triangles", "user_communities", "events_profile", "table_row_counts", "edit_distance_pairs",
      "cust_order_distribution", "late_events", "quantized_embeddings",
-     "activity_islands", "key_skew", "curated_chunks",
+     "activity_islands", "key_skew", "curated_chunks", "dataset_splits",
      "winsorized_values", "value_trend", "knn_labels",
      "trending_types", "props_k_stats",
      "stopword_filter", "active_customers", "retention_cohorts",
@@ -3011,3 +3011,34 @@ def test_merged_interval_stats_vs_naive(ray_session):
         for r in got.itertuples()
     }
     assert got_map == expect
+
+
+def test_stratified_split_ratios_and_determinism(ray_session):
+    """Split sizes obey the exact integer thresholds per stratum, the
+    assignment is layout-invariant, and every row appears exactly once."""
+    import ray
+
+    from logstash_filter_geoip_ray.stages.packing import stratified_split
+
+    rng = np.random.default_rng(23)
+    n = 400
+    strata = rng.choice(["a", "b", "c"], n)
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "source": pa.array(strata),
+    })
+    results = []
+    for n_blocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+        got = stratified_split(ds, num_buckets=3).to_pandas()
+        assert len(got) == n and got["doc_id"].is_unique
+        for st in ("a", "b", "c"):
+            sub = got[got["source"] == st]
+            m = len(sub)
+            n_train = (sub["split"] == "train").sum()
+            n_val = (sub["split"] == "val").sum()
+            # exact integer-threshold sizes: #train = floor(0.8 m), etc.
+            assert n_train == (80 * m) // 100
+            assert n_train + n_val == (90 * m) // 100
+        results.append(got.sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(results[0], results[1])

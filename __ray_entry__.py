@@ -450,6 +450,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   contaminated_docs — same composition argument (curated_chunks
     #     replays the decon stage in the window); standalone pinned by the
     #     naive-reference hypothesis fuzz and its oracle pytest row
+    #   trending_types — pure composition of hopping_window_counts (pinned
+    #     by hopping_windows' pytest oracle row + the tumbling-cover test)
+    #     and grouped_topk (pinned by the tie/order pytest and
+    #     top_docs_per_lang's rows); the composition keeps its own pytest
+    #     oracle row; demoted to admit funnel_conversion (new chained
+    #     merge+min machinery) into the driver window
     demote = [
         n
         for n in (
@@ -468,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "retention_cohorts",
             "quality_filter",
             "contaminated_docs",
+            "trending_types",
             "enterprise_counts",
             "priority_cube",
             "repetition_filter",

@@ -1865,6 +1865,41 @@ def q_props_k_stats(sf_dir: str):
     return tree_agg(ev.map_batches(partial, batch_format="pyarrow"), combine)
 
 
+#: funnel step sequence for q_funnel_conversion (first-touch chained order)
+FUNNEL_STEPS = ["view", "click", "purchase"]
+#: conversion window per step (each step within 24h of the previous one) —
+#: sized so the synthetic corpus converts partially (150/60/25 at sf0.01),
+#: keeping the oracle comparison discriminating
+FUNNEL_WITHIN_SEC = 24 * 3600
+
+
+def q_funnel_conversion(sf_dir: str):
+    """Product-analytics funnel: users reaching view → click → purchase in
+    strict timestamp order (first-touch chaining, equal timestamps do not
+    advance), each step within a 24h conversion window of the previous.
+    The corpus filters to funnel-type rows at the first map; users
+    co-locate by hash bucket; each bucket is k-1 vectorized merge+min
+    passes; the final exchange is a steps-sized tree sum
+    (``stages.windows.funnel_counts``)."""
+    from ..stages.windows import funnel_counts
+
+    counts = funnel_counts(
+        _events(sf_dir, ["user_id", "ts", "event_type"]),
+        FUNNEL_STEPS,
+        within_sec=FUNNEL_WITHIN_SEC,
+    )
+
+    def attach_type(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        names = pc.take(pa.array(FUNNEL_STEPS), batch["step"])
+        return pa.table(
+            {"step": batch["step"], "event_type": names, "users": batch["users"]}
+        )
+
+    return counts.map_batches(attach_type, batch_format="pyarrow").sort("step")
+
+
 def q_knn_labels(sf_dir: str):
     """k-NN majority-vote labeling of every embedding from its 10 nearest
     neighbors by integer-milli inner product (weak supervision). Full k-NN
@@ -2307,6 +2342,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "value_trend": q_value_trend,
     "knn_labels": q_knn_labels,
     "trending_types": q_trending_types,
+    "funnel_conversion": q_funnel_conversion,
     "props_k_stats": q_props_k_stats,
     "type_transitions": q_type_transitions,
     "stopword_filter": q_stopword_filter,
@@ -2651,6 +2687,34 @@ SELECT window_id, n, event_type FROM (
                                ORDER BY n DESC, event_type) AS rn
   FROM h
 ) WHERE rn <= 3 ORDER BY window_id, n DESC, event_type
+""",
+    "funnel_conversion": f"""
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY user_id
+), s1 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t
+    AND e.ts <= s0.t + INTERVAL {FUNNEL_WITHIN_SEC} SECOND
+  GROUP BY e.user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t
+    AND e.ts <= s1.t + INTERVAL {FUNNEL_WITHIN_SEC} SECOND
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS step, 'view' AS event_type,
+         (SELECT CAST(count(*) AS BIGINT) FROM s0) AS users
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), 'click',
+         (SELECT CAST(count(*) AS BIGINT) FROM s1)
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'purchase',
+         (SELECT CAST(count(*) AS BIGINT) FROM s2)
+) ORDER BY step
 """,
     "props_k_stats": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -843,3 +843,104 @@ def merged_interval_stats(
         .map_groups(per_bucket, batch_format="pandas")
         .sort(key_col)
     )
+
+
+def funnel_counts(
+    ds,
+    steps,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+    within_sec: int | None = None,
+):
+    """Ordered funnel conversion: how many keys reached each step of the
+    ``steps`` sequence, where step ``i`` requires an event of type
+    ``steps[i]`` STRICTLY after the key's step-``i-1`` arrival time
+    (first-touch chaining — ``t_i = min(ts | type = steps[i], ts > t_{i-1})``,
+    the classic product-analytics funnel and exactly SQL's chained
+    ``JOIN ... WHERE e.ts > prev.t GROUP BY`` CTE ladder; equal timestamps
+    do NOT advance the funnel). ``within_sec`` additionally bounds each
+    step to at most that many seconds after the previous step's arrival
+    (inclusive upper edge — SQL ``ts <= prev.t + INTERVAL w SECOND``), the
+    conversion-window form every product-analytics funnel ships.
+
+    Output: one row per step — (step int64, users int64), sorted by step;
+    steps nobody reached report 0.
+
+    Scale shape: the corpus filters to funnel-step rows at the first map
+    and projects to (key, int64 ts, int8 step) — the shuffle ships matching
+    events only, never the log. Keys co-locate by stable hash bucket; each
+    bucket runs ``len(steps) - 1`` vectorized merge+groupby-min passes over
+    bucket-local rows (no Python per key), then collapses to ``len(steps)``
+    count rows, so the final exchange is a ≤ buckets × steps tree sum.
+    NULL keys are dropped at the prep map (pandas merge would join NaN keys,
+    diverging from SQL join semantics; the oracle pins the same contract).
+    """
+    from .aggregate import bucket_by_key
+
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    k = len(steps)
+    step_set = pa.array(steps)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_in(batch[type_col], value_set=step_set),
+            pc.is_valid(batch[key_col]),
+        )
+        t = batch.filter(mask)
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "_ts": pc.cast(t[ts_col], pa.int64()),
+                "_step": pc.cast(
+                    pc.index_in(t[type_col], value_set=step_set), pa.int8()
+                ),
+            }
+        )
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(k, dtype=np.int64)
+        cur = block[block["_step"] == 0].groupby(key_col)["_ts"].min()
+        counts[0] = cur.size
+        for i in range(1, k):
+            if cur.empty:
+                break
+            rows = block[block["_step"] == i]
+            if rows.empty:
+                break
+            m = rows.merge(
+                cur.rename("_prev"), left_on=key_col, right_index=True
+            )
+            ok = m["_ts"] > m["_prev"]
+            if within_sec is not None:
+                ok &= m["_ts"] <= m["_prev"] + within_sec * 1_000_000
+            m = m[ok]
+            cur = m.groupby(key_col)["_ts"].min()
+            counts[i] = cur.size
+        return pd.DataFrame(
+            {"step": np.arange(k, dtype=np.int64), "users": counts}
+        )
+
+    prepped = bucket_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"), key_col, num_buckets
+    )
+    partials = prepped.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"step": batch["step"], "users": batch["sum(users)"]}
+        )
+
+    return (
+        partials.groupby("step")
+        .sum("users")
+        .map_batches(rename, batch_format="pyarrow")
+        .sort("step")
+    )

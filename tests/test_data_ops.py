@@ -54,7 +54,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "cust_order_distribution", "late_events", "quantized_embeddings",
      "activity_islands", "key_skew", "curated_chunks", "dataset_splits",
      "winsorized_values", "value_trend", "knn_labels",
-     "trending_types", "props_k_stats",
+     "trending_types", "props_k_stats", "funnel_conversion",
      "stopword_filter", "active_customers", "retention_cohorts",
      "window_distinct_users", "lang_centroids", "customer_order_profile",
      "events_last_order", "user_reconciliation",
@@ -3042,3 +3042,59 @@ def test_stratified_split_ratios_and_determinism(ray_session):
             assert n_train + n_val == (90 * m) // 100
         results.append(got.sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(results[0], results[1])
+
+
+def test_funnel_counts_vs_bruteforce(ray_session):
+    """Chained first-touch funnel equals a per-user sequential reference,
+    including tie semantics (equal timestamps do NOT advance the funnel)
+    and zero rows for steps nobody reached."""
+    import ray
+
+    from logstash_filter_geoip_ray.stages.windows import funnel_counts
+
+    rng = np.random.default_rng(11)
+    n = 400
+    types = np.array(["view", "click", "purchase", "error"])
+    tvals = types[rng.integers(0, 4, n)]
+    keys = rng.integers(0, 25, n).astype(np.int64)
+    base = 1_700_000_000_000_000
+    # coarse second-granularity grid → plenty of exact ties
+    ts = base + rng.integers(0, 50, n).astype(np.int64) * 1_000_000
+    tbl = pa.table({
+        "user_id": pa.array(keys),
+        "ts": pa.array(ts, type=pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(tvals),
+    })
+    steps = ["view", "click", "purchase"]
+    ds = ray.data.from_arrow(tbl).repartition(5)
+
+    for within in (None, 10):
+        got = funnel_counts(ds, steps, num_buckets=4, within_sec=within).to_pandas()
+        counts = [0, 0, 0]
+        for u in np.unique(keys):
+            mask = keys == u
+            ut, utt = ts[mask], tvals[mask]
+            prev = None
+            for i, s in enumerate(steps):
+                cand = ut[utt == s]
+                if prev is not None:
+                    ok = cand > prev
+                    if within is not None:
+                        ok &= cand <= prev + within * 1_000_000
+                    cand = cand[ok]
+                if cand.size == 0:
+                    break
+                prev = cand.min()
+                counts[i] += 1
+        assert list(got["step"]) == [0, 1, 2]
+        assert list(got["users"]) == counts, f"within={within}"
+        assert counts[2] > 0  # the grid must actually produce full conversions
+        if within is not None:
+            assert counts[1] < counts[0]  # the window must actually bite
+
+    # a step type absent from the data still reports its row, at zero
+    got2 = funnel_counts(
+        ray.data.from_arrow(tbl), ["error", "view", "zzz_absent"], num_buckets=4
+    ).to_pandas()
+    assert list(got2["step"]) == [0, 1, 2]
+    assert got2["users"].iloc[2] == 0

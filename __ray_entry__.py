@@ -456,6 +456,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     top_docs_per_lang's rows); the composition keeps its own pytest
     #     oracle row; demoted to admit funnel_conversion (new chained
     #     merge+min machinery) into the driver window
+    #   part_supplier_counts — registered demoted from the start: its
+    #     machinery families (partitioned hash_join, bucketed
+    #     COUNT(DISTINCT), broadcast anti-filter) are each driver-checked
+    #     via orders_per_nation / exact_distinct_users' siblings /
+    #     dedup_filtered_docs_minhash; pinned by its own pytest oracle row
     demote = [
         n
         for n in (
@@ -521,6 +526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_stats",
             "packed_chunks",
             "conv_stats",
+            "part_supplier_counts",
         )
         if n in out
     ]

@@ -1287,6 +1287,17 @@ def q_supplier_revenue(sf_dir: str):
     return supplier_revenue(sf_dir)
 
 
+def q_part_supplier_counts(sf_dir: str):
+    """Q16-flavored supplier diversity: distinct suppliers per
+    (p_brand, p_type, p_size) for non-PROMO parts, excluding
+    negative-balance suppliers — grouped COUNT(DISTINCT) after a
+    broadcast anti-filter and a partitioned hash join
+    (``stages.relational.part_supplier_counts``)."""
+    from ..stages.relational import part_supplier_counts
+
+    return part_supplier_counts(sf_dir)
+
+
 def q_retention_cohorts(sf_dir: str):
     """Retention cohorts (INTERSECT/EXCEPT classify): every (user,
     event_type) entity labeled retained / churned / new around a fixed
@@ -2321,6 +2332,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "click_attribution": q_click_attribution,
     "promo_revenue": q_promo_revenue,
     "supplier_revenue": q_supplier_revenue,
+    "part_supplier_counts": q_part_supplier_counts,
     "running_totals": q_running_totals,
     "value_ranks": q_value_ranks,
     "user_top_event": q_user_top_event,
@@ -2563,6 +2575,14 @@ SELECT s_suppkey, s_name,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY 1, 2 ORDER BY rev_micro DESC, s_suppkey LIMIT 10
+""",
+    "part_supplier_counts": """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type NOT LIKE 'PROMO%'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """,
     "running_totals": """
 SELECT event_id,

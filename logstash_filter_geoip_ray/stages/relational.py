@@ -579,3 +579,96 @@ def priority_rollup(sf_dir: str, cube: bool = False):
 
     # tree_sum ends in repartition(1): the rollup is a single-block reshape
     return finest.map_batches(rollup, batch_format="pandas", batch_size=None)
+
+
+def part_supplier_counts(sf_dir: str, num_buckets: int = 32):
+    """Q16-flavored supplier diversity: distinct suppliers per
+    (p_brand, p_type, p_size) over non-PROMO parts, excluding suppliers
+    with negative account balance (this schema's stand-in for Q16's
+    customer-complaint comment predicate — the supplier table here has no
+    comment column).
+
+    Scale shape: lineitem collapses to per-batch DISTINCT
+    (l_partkey, l_suppkey) pairs map-side, after a vectorized ``pc.is_in``
+    anti-filter against the excluded supplier keys (a bounded slice of the
+    supplier dimension, pulled once and shipped in the closure — never a
+    shuffle). ONE partitioned ``hash_join`` against the filtered part
+    projection (both sides large at fleet scale — no broadcast). The final
+    COUNT(DISTINCT) co-locates each (brand, type, size) group by composite
+    hash and ships only distinct (group, suppkey) quads, never lineitem
+    rows; per-bucket dedup + nunique is one vectorized pandas pass."""
+    import os
+
+    import ray.data
+
+    from .aggregate import bucket_by_key
+    from .joins import hash_join
+
+    bad = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_acctbal"],
+        )
+        .map_batches(
+            lambda b: b.filter(pc.less(b["s_acctbal"], 0.0)).select(
+                ["s_suppkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # bounded: a fraction of the supplier dimension table
+    )
+    bad_keys = pa.array(bad["s_suppkey"].to_numpy(), type=pa.int64())
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.is_in(batch["l_suppkey"], value_set=bad_keys)
+        )
+        t = batch.filter(keep)
+        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    pairs = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+    ).map_batches(distinct_pairs, batch_format="pyarrow")
+
+    def part_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(pc.starts_with(batch["p_type"], "PROMO"))
+        )
+
+    parts = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).map_batches(part_filter, batch_format="pyarrow")
+
+    joined = hash_join(pairs, parts, "l_partkey", "p_partkey", num_buckets)
+
+    def quads(batch: pa.Table) -> pa.Table:
+        t = batch.select(["p_brand", "p_type", "p_size", "l_suppkey"])
+        t = t.group_by(["p_brand", "p_type", "p_size", "l_suppkey"]).aggregate([])
+        key = pc.binary_join_element_wise(
+            t["p_brand"],
+            t["p_type"],
+            pc.cast(t["p_size"], pa.string()),
+            "|",
+        )
+        return t.append_column("_gkey", key)
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        d = block.drop_duplicates(
+            ["p_brand", "p_type", "p_size", "l_suppkey"]
+        )
+        g = d.groupby(["p_brand", "p_type", "p_size"], as_index=False).agg(
+            supplier_cnt=("l_suppkey", "nunique")
+        )
+        g["supplier_cnt"] = g["supplier_cnt"].astype(np.int64)
+        return g
+
+    bucketed = bucket_by_key(
+        joined.map_batches(quads, batch_format="pyarrow"), "_gkey", num_buckets
+    )
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(["p_brand", "p_type", "p_size"])
+    )

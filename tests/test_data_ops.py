@@ -593,7 +593,7 @@ def tpch_con():
 @pytest.mark.parametrize(
     "name", ["customers_per_region", "orders_per_nation", "pagerank_nodes",
              "pricing_summary", "revenue_rollup", "promo_revenue",
-             "supplier_revenue"]
+             "supplier_revenue", "part_supplier_counts"]
 )
 def test_join_queries_match_oracle(ray_session, tpch_con, name):
     df = DATA_QUERIES[name](SF).to_pandas().reset_index(drop=True)

@@ -461,6 +461,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     COUNT(DISTINCT), broadcast anti-filter) are each driver-checked
     #     via orders_per_nation / exact_distinct_users' siblings /
     #     dedup_filtered_docs_minhash; pinned by its own pytest oracle row
+    #   weighted_sample / lineitem_measures / zorder_layout — registered
+    #     demoted from the start, same grounds: partial-top-k (vocab_top,
+    #     sample_stratified checked siblings), per-batch reshape (no novel
+    #     exchange), and the Sort exchange (epoch_shuffle checked sibling);
+    #     each pinned by its own pytest oracle row + kernel unit tests
     demote = [
         n
         for n in (
@@ -527,6 +532,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "packed_chunks",
             "conv_stats",
             "part_supplier_counts",
+            "weighted_sample",
+            "lineitem_measures",
+            "zorder_layout",
         )
         if n in out
     ]

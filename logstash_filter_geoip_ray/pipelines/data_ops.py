@@ -1298,6 +1298,93 @@ def q_part_supplier_counts(sf_dir: str):
     return part_supplier_counts(sf_dir)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weight-proportional sample without replacement (training-mixture
+    upweighting): the 100 events with the smallest ``priority = u // w``
+    where ``u`` is a MINSTD hash of event_id and ``w = floor(value*1000)+1``
+    — an integer-exact rendition of Efraimidis–Spirakis priority sampling
+    (``stages.aggregate.weighted_priority_sample``). Per-batch partial
+    top-k; the corpus never shuffles."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.aggregate import weighted_priority_sample
+
+    ev = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def add_weight(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        w = np.floor(v * 1000).astype(np.int64) + 1
+        return batch.select(["event_id", "event_type"]).append_column(
+            "w", pa.array(w, type=pa.int64())
+        )
+
+    weighted = ev.map_batches(add_weight, batch_format="pyarrow")
+    return weighted_priority_sample(
+        weighted, "event_id", "w", k=100, keep_cols=["event_type"]
+    )
+
+
+def q_lineitem_measures(sf_dir: str):
+    """UNPIVOT / melt: lineitem's three money/quantity measures reshaped
+    long — one (l_orderkey, l_linenumber, measure, value_milli) row per
+    measure, integer milli units (``stages.relational.unpivot``). A pure
+    per-batch reshape, no shuffle."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.relational import unpivot
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        t = batch.select(["l_orderkey", "l_linenumber"])
+        for c in ("l_quantity", "l_extendedprice", "l_discount"):
+            milli = pc.cast(
+                pc.floor(pc.multiply(batch[c], 1000.0)), pa.int64()
+            )
+            t = t.append_column(c[2:], milli)
+        return t
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    ).map_batches(to_milli, batch_format="pyarrow")
+    return unpivot(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        var_name="measure",
+        value_name="value_milli",
+    ).sort(["l_orderkey", "l_linenumber", "measure"])
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) clustering layout: every event keyed by the bit
+    interleave of (user_id, value_milli) low 16 bits and globally sorted by
+    it — the space-filling-curve layout that makes Parquet row-group
+    pruning work on either dimension (``stages.packing.zorder_layout``)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.packing import zorder_layout
+
+    ev = _events(sf_dir, ["event_id", "user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        vm = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000
+        ).astype(np.int64)
+        return batch.select(["event_id", "user_id"]).append_column(
+            "value_milli", pa.array(vm, type=pa.int64())
+        )
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    return zorder_layout(prepped, "event_id", "user_id", "value_milli")
+
+
 def q_retention_cohorts(sf_dir: str):
     """Retention cohorts (INTERSECT/EXCEPT classify): every (user,
     event_type) entity labeled retained / churned / new around a fixed
@@ -2333,6 +2420,9 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "promo_revenue": q_promo_revenue,
     "supplier_revenue": q_supplier_revenue,
     "part_supplier_counts": q_part_supplier_counts,
+    "weighted_sample": q_weighted_sample,
+    "lineitem_measures": q_lineitem_measures,
+    "zorder_layout": q_zorder_layout,
     "running_totals": q_running_totals,
     "value_ranks": q_value_ranks,
     "user_top_event": q_user_top_event,
@@ -2436,6 +2526,26 @@ _TOKEN_COUNT = f"CASE WHEN {_TRIMMED} = '' THEN 0 ELSE len({_TOKENS}) END"
 
 #: BM25 oracle shares the exact integer formula with stages/textops.bm25_topk
 _BM25_TERMS_SQL = "('hash', 'join', 'vector', 'slow')"
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    """Bit-interleave (Morton) key spelled out as BIGINT shift/mask terms —
+    generated so the SQL stays in lockstep with ``packing.morton_key``."""
+    terms = " + ".join(
+        "(((x >> %d) & 1) << %d) + (((y >> %d) & 1) << %d)"
+        % (i, 2 * i, i, 2 * i + 1)
+        for i in range(bits)
+    )
+    return """
+WITH v AS (
+  SELECT event_id,
+         user_id %% 65536 AS x,
+         CAST(floor(value * 1000) AS BIGINT) %% 65536 AS y
+  FROM events
+)
+SELECT event_id, CAST(%s AS BIGINT) AS z
+FROM v ORDER BY z, event_id
+""" % terms
+
 
 DATA_ORACLES: Dict[str, str] = {
     "label_centroids": """
@@ -2584,6 +2694,33 @@ WHERE p_type NOT LIKE 'PROMO%'
   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """,
+    "weighted_sample": """
+WITH w AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1000) AS BIGINT) + 1 AS w
+  FROM events
+)
+SELECT event_id, w, event_type,
+       CAST(((((event_id % 2147483647) * 48271) % 2147483647) * 48271)
+            % 2147483647 // w AS BIGINT) AS priority
+FROM w ORDER BY priority, event_id LIMIT 100
+""",
+    "lineitem_measures": """
+WITH m AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_quantity * 1000) AS BIGINT) AS quantity,
+         CAST(floor(l_extendedprice * 1000) AS BIGINT) AS extendedprice,
+         CAST(floor(l_discount * 1000) AS BIGINT) AS discount
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, measure, value_milli FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+         quantity AS value_milli FROM m
+  UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice
+  FROM m
+  UNION ALL SELECT l_orderkey, l_linenumber, 'discount', discount FROM m
+) ORDER BY l_orderkey, l_linenumber, measure
+""",
     "running_totals": """
 SELECT event_id,
        CAST(count(*) OVER win AS BIGINT) AS run_n,
@@ -2640,6 +2777,7 @@ WHERE (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
 ORDER BY event_id
 """,
     "events_profile": _profile_oracle_sql(),
+    "zorder_layout": _zorder_oracle_sql(),
     "table_row_counts": """
 SELECT * FROM (
   SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows FROM customer

@@ -238,6 +238,61 @@ def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int, num_buckets
     )
 
 
+#: MINSTD (Lehmer / Park–Miller) constants for the deterministic uniform
+#: draw inside :func:`weighted_priority_sample` — public-domain PRNG math;
+#: both this engine and a SQL oracle reproduce it with two BIGINT ops.
+MINSTD_MOD = 2_147_483_647
+MINSTD_MULT = 48_271
+
+
+def weighted_priority_sample(
+    ds,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    keep_cols: "Sequence[str]" = (),
+):
+    """Deterministic weight-proportional sample WITHOUT replacement: the
+    ``k`` rows with the smallest ``priority = u // w``, where ``u`` is a
+    MINSTD hash of the integer id (a machine-independent stand-in for a
+    uniform draw) and ``w`` a positive integer weight. Integer-exact
+    variant of Efraimidis–Spirakis priority sampling (their ``u**(1/w)``
+    key replaced by ``u // w`` so a SQL oracle matches bit-for-bit —
+    heavier rows get proportionally smaller priorities and enter the
+    sample more often, and any fixed-size prefix is itself a valid sample,
+    which is what reservoir/priority sampling is for).
+
+    Scale shape: per-batch partial top-``k`` (only batches×``k`` rows
+    survive the map side) → one global ``sort().limit(k)`` over that tiny
+    survivor set. The corpus never shuffles; adding nodes only adds
+    partials."""
+    import numpy as np
+
+    cols = [id_col, weight_col, *keep_cols]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(w) and w.min() <= 0:
+            raise ValueError(
+                "weighted_priority_sample: weights must be positive integers"
+            )
+        # two MINSTD steps: one step is id*48271 with NO modular wrap for
+        # id < ~44k (monotone, not uniform-looking); the second multiply
+        # always wraps and scrambles consecutive ids
+        u = ((ids % MINSTD_MOD) * MINSTD_MULT) % MINSTD_MOD
+        u = (u * MINSTD_MULT) % MINSTD_MOD
+        pr = u // w
+        t = batch.select(cols).append_column(
+            "priority", pa.array(pr, type=pa.int64())
+        )
+        order = np.lexsort((ids, pr))[:k]
+        return t.take(pa.array(order))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.sort(["priority", id_col]).limit(k)
+
+
 def grouped_topk(
     ds,
     key_col: str,

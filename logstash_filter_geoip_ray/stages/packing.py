@@ -270,3 +270,42 @@ def stratified_split(
         .map_groups(per_bucket, batch_format="pandas")
         .sort(id_col)
     )
+
+
+def morton_key(x: np.ndarray, y: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Interleave the low ``bits`` bits of two non-negative integer arrays
+    into a Morton (Z-order) key — x owns the even bit positions, y the odd
+    ones. ``bits`` vectorized numpy passes, no per-row Python."""
+    x = x.astype(np.int64) & ((1 << bits) - 1)
+    y = y.astype(np.int64) & ((1 << bits) - 1)
+    z = np.zeros(len(x), dtype=np.int64)
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def zorder_layout(ds, id_col: str, x_col: str, y_col: str, bits: int = 16):
+    """Space-filling-curve data layout: key every row by the Morton
+    interleave of two clustering dimensions and sort the dataset by it —
+    the standard trick (Z-ordering, as popularized by data-lake table
+    formats) for making range filters on EITHER dimension prune well when
+    the sorted output is written to partitioned/row-grouped Parquet.
+
+    The keying is a stateless per-batch map; the sort is the one
+    unavoidable all-to-all (it IS the layout change) and uses Ray Data's
+    range-partitioned Sort, the same exchange epoch_shuffle already
+    measures at 41.9M rows. Ties broken by ``id_col`` so the layout is
+    byte-deterministic."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False)
+        y = batch[y_col].to_numpy(zero_copy_only=False)
+        z = morton_key(x, y, bits)
+        return batch.select([id_col]).append_column(
+            "z", pa.array(z, type=pa.int64())
+        )
+
+    return ds.map_batches(add_key, batch_format="pyarrow").sort(
+        ["z", id_col]
+    )

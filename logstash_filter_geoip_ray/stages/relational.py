@@ -672,3 +672,37 @@ def part_supplier_counts(sf_dir: str, num_buckets: int = 32):
         .map_groups(per_bucket, batch_format="pandas")
         .sort(["p_brand", "p_type", "p_size"])
     )
+
+
+def unpivot(
+    ds,
+    id_cols,
+    value_cols,
+    var_name: str = "measure",
+    value_name: str = "value",
+    value_type: pa.DataType = pa.int64(),
+):
+    """UNPIVOT / melt: widen-to-long reshape, one output row per (input row
+    × value column), with the column name in ``var_name`` and its value
+    (cast to ``value_type``) in ``value_name``.
+
+    Embarrassingly parallel — a pure per-batch reshape (one dictionary-cheap
+    sub-table per value column, concatenated), no shuffle, row count grows
+    by exactly ``len(value_cols)``×. The long form is what the grouped /
+    windowed operators downstream consume, so at fleet scale this runs
+    fused into the read."""
+    value_cols = list(value_cols)
+    id_cols = list(id_cols)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        ids = batch.select(id_cols)
+        parts = []
+        for vc in value_cols:
+            t = ids.append_column(
+                var_name, pa.array([vc] * batch.num_rows, type=pa.string())
+            )
+            t = t.append_column(value_name, pc.cast(batch[vc], value_type))
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

@@ -59,7 +59,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "window_distinct_users", "lang_centroids", "customer_order_profile",
      "events_last_order", "user_reconciliation",
      "above_avg_orders", "priority_rollup", "priority_cube", "quartile_stats",
-     "click_attribution", "label_centroids", "segment_activity"],
+     "click_attribution", "label_centroids", "segment_activity",
+     "weighted_sample", "lineitem_measures", "zorder_layout"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     res = DATA_QUERIES[name](SF)
@@ -3098,3 +3099,89 @@ def test_funnel_counts_vs_bruteforce(ray_session):
     ).to_pandas()
     assert list(got2["step"]) == [0, 1, 2]
     assert got2["users"].iloc[2] == 0
+
+
+def test_morton_key_properties():
+    """Bit-interleave invariants: bijective on the masked domain, even bits
+    from x, odd bits from y, monotone in each coordinate along axes."""
+    import numpy as np
+
+    from logstash_filter_geoip_ray.stages.packing import morton_key
+
+    x = np.arange(64)
+    z_x = morton_key(x, np.zeros(64, dtype=np.int64), bits=8)
+    z_y = morton_key(np.zeros(64, dtype=np.int64), x, bits=8)
+    assert (z_y == 2 * z_x).all()  # y occupies the odd bit positions
+    assert (np.diff(z_x) > 0).all()  # monotone along an axis
+    # bijectivity on a full small grid
+    gx, gy = np.meshgrid(np.arange(16), np.arange(16))
+    z = morton_key(gx.ravel(), gy.ravel(), bits=4)
+    assert len(np.unique(z)) == 256 and z.max() == 255
+    # masking: only the low `bits` bits participate
+    assert morton_key(np.array([16 + 3]), np.array([0]), bits=4)[0] == \
+        morton_key(np.array([3]), np.array([0]), bits=4)[0]
+
+
+def test_unpivot_roundtrip(ray_session):
+    """melt widens row count by len(value_cols) and preserves values."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.relational import unpivot
+
+    t = pa.table({
+        "id": pa.array([1, 2], type=pa.int64()),
+        "a": pa.array([10, 20], type=pa.int64()),
+        "b": pa.array([30, 40], type=pa.int64()),
+    })
+    out = unpivot(ray.data.from_arrow(t), ["id"], ["a", "b"]).to_pandas()
+    assert len(out) == 4
+    wide = out.pivot(index="id", columns="measure", values="value")
+    assert wide.loc[1, "a"] == 10 and wide.loc[2, "b"] == 40
+
+
+def test_weighted_priority_sample_rejects_nonpositive(ray_session):
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.aggregate import (
+        weighted_priority_sample,
+    )
+
+    t = pa.table({
+        "id": pa.array([1, 2], type=pa.int64()),
+        "w": pa.array([5, 0], type=pa.int64()),
+    })
+    with pytest.raises(Exception, match="positive"):
+        weighted_priority_sample(
+            ray.data.from_arrow(t), "id", "w", k=1
+        ).to_pandas()
+
+
+def test_weighted_priority_sample_weight_monotone(ray_session):
+    """A heavier weight can only shrink a row's priority — the
+    weight-proportional selection property of priority sampling."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.aggregate import (
+        weighted_priority_sample,
+    )
+
+    ids = pa.array(list(range(1, 201)), type=pa.int64())
+    light = pa.table({"id": ids, "w": pa.array([1] * 200, type=pa.int64())})
+    heavy_ids = set(range(1, 51))
+    heavy = pa.table({
+        "id": ids,
+        "w": pa.array(
+            [1000 if i in heavy_ids else 1 for i in range(1, 201)],
+            type=pa.int64(),
+        ),
+    })
+    top_light = weighted_priority_sample(
+        ray.data.from_arrow(light), "id", "w", k=20
+    ).to_pandas()
+    top_heavy = weighted_priority_sample(
+        ray.data.from_arrow(heavy), "id", "w", k=20
+    ).to_pandas()
+    # upweighted rows crowd into the sample
+    frac_before = sum(i in heavy_ids for i in top_light["id"]) / 20
+    frac_after = sum(i in heavy_ids for i in top_heavy["id"]) / 20
+    assert frac_after > frac_before and frac_after >= 0.9

@@ -466,6 +466,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     sample_stratified checked siblings), per-batch reshape (no novel
     #     exchange), and the Sort exchange (epoch_shuffle checked sibling);
     #     each pinned by its own pytest oracle row + kernel unit tests
+    #   event_cooccurrence / balanced_shards — same registration policy:
+    #     user-bucketed distinct + tree_sum (sink_counts family) and the
+    #     broadcast-count-table rank (new kernel, pinned by the load-spread
+    #     + true-global-rank pytest and its oracle row)
     demote = [
         n
         for n in (
@@ -535,6 +539,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "weighted_sample",
             "lineitem_measures",
             "zorder_layout",
+            "event_cooccurrence",
+            "balanced_shards",
         )
         if n in out
     ]

@@ -1385,6 +1385,55 @@ def q_zorder_layout(sf_dir: str):
     return zorder_layout(prepped, "event_id", "user_id", "value_milli")
 
 
+def q_event_cooccurrence(sf_dir: str):
+    """Market-basket association pairs: for every unordered event-type pair
+    (a < b), how many users performed both. Per-batch distinct
+    (user, type) partials → user-hash-bucketed exchange (only the distinct
+    pairs move, never event rows) → per-bucket vectorized self-merge
+    (pair fan-out is bounded by the small type vocabulary) → tree-combined
+    pair counts."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.aggregate import bucket_by_key, tree_sum
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id", "event_type"]).aggregate([])
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        d = block[["user_id", "event_type"]].drop_duplicates()
+        m = d.merge(d, on="user_id")
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        g = m.groupby(["event_type_x", "event_type_y"], as_index=False).agg(
+            n_users=("user_id", "size")
+        )
+        g["n_users"] = g["n_users"].astype("int64")
+        return g.rename(
+            columns={"event_type_x": "type_a", "event_type_y": "type_b"}
+        )
+
+    parts = ev.map_batches(distinct_pairs, batch_format="pyarrow")
+    bucketed = bucket_by_key(parts, "user_id", 64)
+    pair_partials = bucketed.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+    return tree_sum(pair_partials, ["type_a", "type_b"], ["n_users"])
+
+
+def q_balanced_shards(sf_dir: str):
+    """Size-balanced training-shard assignment: documents ranked globally
+    by (n_chars desc, doc_id) and snake-dealt onto 16 shards
+    (``stages.packing.balanced_shards``) — global row_number computed from
+    a broadcast per-size count table + per-size-bucket local argsort, no
+    global sort operator."""
+    from ..stages.packing import balanced_shards
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    return balanced_shards(docs, "doc_id", "n_chars", num_shards=16)
+
+
 def q_retention_cohorts(sf_dir: str):
     """Retention cohorts (INTERSECT/EXCEPT classify): every (user,
     event_type) entity labeled retained / churned / new around a fixed
@@ -2423,6 +2472,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "weighted_sample": q_weighted_sample,
     "lineitem_measures": q_lineitem_measures,
     "zorder_layout": q_zorder_layout,
+    "event_cooccurrence": q_event_cooccurrence,
+    "balanced_shards": q_balanced_shards,
     "running_totals": q_running_totals,
     "value_ranks": q_value_ranks,
     "user_top_event": q_user_top_event,
@@ -2704,6 +2755,25 @@ SELECT event_id, w, event_type,
        CAST(((((event_id % 2147483647) * 48271) % 2147483647) * 48271)
             % 2147483647 // w AS BIGINT) AS priority
 FROM w ORDER BY priority, event_id LIMIT 100
+""",
+    "event_cooccurrence": """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d a JOIN d b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "balanced_shards": """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rnk
+  FROM documents
+)
+SELECT doc_id, n_chars, CAST(rnk AS BIGINT) AS rnk,
+       CAST(CASE WHEN (rnk // 16) % 2 = 0 THEN rnk % 16
+                 ELSE 15 - (rnk % 16) END AS BIGINT) AS shard
+FROM r ORDER BY doc_id
 """,
     "lineitem_measures": """
 WITH m AS (

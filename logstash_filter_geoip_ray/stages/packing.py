@@ -309,3 +309,64 @@ def zorder_layout(ds, id_col: str, x_col: str, y_col: str, bits: int = 16):
     return ds.map_batches(add_key, batch_format="pyarrow").sort(
         ["z", id_col]
     )
+
+
+def balanced_shards(
+    ds,
+    id_col: str,
+    size_col: str,
+    num_shards: int = 16,
+    num_buckets: int = 64,
+):
+    """Size-balanced shard assignment (the "which output file gets which
+    doc" step before writing training shards): rows ranked globally by
+    (size desc, id asc) and dealt to ``num_shards`` shards in a snake /
+    boustrophedon pattern — shard loads stay within one max-row-size of
+    each other, the classic deterministic alternative to greedy LPT that a
+    SQL oracle can also compute (``row_number()`` + integer math).
+
+    The global rank is computed WITHOUT a global sort operator:
+    ``rank = (# rows with bigger size) + (# equal-size rows with smaller
+    id)``. The first term comes from a per-size count table (distinct
+    sizes are bounded — it's a length — so the table is driver-small and
+    broadcast in the closure); the second from co-locating each size's ids
+    by hash bucket and one vectorized argsort per bucket. Shuffle volume =
+    the (id, size) pair stream, never the payload."""
+    import pyarrow.compute as pc
+
+    from .aggregate import bucket_by_key, grouped_counts
+
+    pairs = ds.map_batches(
+        lambda b: b.select([id_col, size_col]), batch_format="pyarrow"
+    )
+    # per-size counts: bounded by the size domain (a char/token length),
+    # orders of magnitude below row count — safe driver pull by construction
+    sizes = grouped_counts(pairs, [size_col], count_alias="_n").to_pandas()
+    sizes = sizes.sort_values(size_col, ascending=False)
+    offsets = dict(
+        zip(
+            sizes[size_col].to_numpy(),
+            np.concatenate(([0], np.cumsum(sizes["_n"].to_numpy())[:-1])),
+        )
+    )
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        d = block.sort_values([size_col, id_col], ascending=[False, True])
+        pos = d.groupby(size_col, sort=False).cumcount().to_numpy()
+        base = d[size_col].map(offsets).to_numpy(dtype=np.int64)
+        rnk = base + pos
+        row = rnk % num_shards
+        shard = np.where(
+            (rnk // num_shards) % 2 == 0, row, num_shards - 1 - row
+        )
+        out = d[[id_col, size_col]].copy()
+        out["rnk"] = rnk
+        out["shard"] = shard.astype(np.int64)
+        return out
+
+    bucketed = bucket_by_key(pairs, size_col, num_buckets)
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(id_col)
+    )

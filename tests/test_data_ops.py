@@ -60,7 +60,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "events_last_order", "user_reconciliation",
      "above_avg_orders", "priority_rollup", "priority_cube", "quartile_stats",
      "click_attribution", "label_centroids", "segment_activity",
-     "weighted_sample", "lineitem_measures", "zorder_layout"],
+     "weighted_sample", "lineitem_measures", "zorder_layout",
+     "event_cooccurrence", "balanced_shards"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     res = DATA_QUERIES[name](SF)
@@ -3185,3 +3186,23 @@ def test_weighted_priority_sample_weight_monotone(ray_session):
     frac_before = sum(i in heavy_ids for i in top_light["id"]) / 20
     frac_after = sum(i in heavy_ids for i in top_heavy["id"]) / 20
     assert frac_after > frac_before and frac_after >= 0.9
+
+
+def test_balanced_shards_load_spread(ray_session):
+    """Snake dealing bounds the shard-load gap by one max row size."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.packing import balanced_shards
+
+    sizes = pa.table({
+        "id": pa.array(list(range(1000)), type=pa.int64()),
+        "sz": pa.array([((i * 37) % 97) + 1 for i in range(1000)],
+                       type=pa.int64()),
+    })
+    out = balanced_shards(
+        ray.data.from_arrow(sizes), "id", "sz", num_shards=8
+    ).to_pandas()
+    assert sorted(out["rnk"]) == list(range(1000))  # a true global rank
+    loads = out.groupby("shard")["sz"].sum()
+    assert len(loads) == 8
+    assert loads.max() - loads.min() <= out["sz"].max()

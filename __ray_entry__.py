@@ -470,6 +470,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     user-bucketed distinct + tree_sum (sink_counts family) and the
     #     broadcast-count-table rank (new kernel, pinned by the load-spread
     #     + true-global-rank pytest and its oracle row)
+    #   big_part_revenue — the Bloom-prefilter join equals hash_join by
+    #     construction (equivalence pytest); the join+tree_sum family stays
+    #     driver-checked via revenue_rollup/pricing_summary
     demote = [
         n
         for n in (
@@ -541,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "zorder_layout",
             "event_cooccurrence",
             "balanced_shards",
+            "big_part_revenue",
         )
         if n in out
     ]

@@ -1434,6 +1434,16 @@ def q_balanced_shards(sf_dir: str):
     return balanced_shards(docs, "doc_id", "n_chars", num_shards=16)
 
 
+def q_big_part_revenue(sf_dir: str):
+    """Revenue per brand over a selective part subset through the Bloom
+    runtime-filter join — ~80% of lineitem partials drop before the
+    exchange (``stages.relational.big_part_revenue`` /
+    ``stages.joins.bloom_prefilter_join``)."""
+    from ..stages.relational import big_part_revenue
+
+    return big_part_revenue(sf_dir)
+
+
 def q_retention_cohorts(sf_dir: str):
     """Retention cohorts (INTERSECT/EXCEPT classify): every (user,
     event_type) entity labeled retained / churned / new around a fixed
@@ -2474,6 +2484,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "zorder_layout": q_zorder_layout,
     "event_cooccurrence": q_event_cooccurrence,
     "balanced_shards": q_balanced_shards,
+    "big_part_revenue": q_big_part_revenue,
     "running_totals": q_running_totals,
     "value_ranks": q_value_ranks,
     "user_top_event": q_user_top_event,
@@ -2763,6 +2774,16 @@ SELECT a.event_type AS type_a, b.event_type AS type_b,
 FROM d a JOIN d b ON a.user_id = b.user_id
                  AND a.event_type < b.event_type
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "big_part_revenue": """
+SELECT p_brand,
+       CAST(sum(CAST(floor(l_extendedprice * 1000) AS BIGINT)
+                * (1000 - CAST(floor(l_discount * 1000) AS BIGINT))) AS BIGINT)
+         AS rev_micro,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size > 40
+GROUP BY 1 ORDER BY 1
 """,
     "balanced_shards": """
 WITH r AS (

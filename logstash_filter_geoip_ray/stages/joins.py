@@ -605,3 +605,98 @@ def asof_join_time(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def bloom_prefilter_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    num_buckets: int = 32,
+    m_bits: int = 1 << 23,
+    k: int = 7,
+):
+    """Runtime-filter join (sideways information passing, the Spark/Trino
+    "dynamic filter" pattern): build a Bloom filter over the RIGHT side's
+    join keys — per-batch partial bitmaps, bitwise-OR tree reduce, ONE
+    broadcast object — then drop every LEFT row whose key definitely has no
+    match BEFORE the exchange, and run the exact partitioned
+    :func:`hash_join` on the survivors. Bloom false positives only cost
+    shuffle bytes (the exact join removes them); false negatives cannot
+    happen, so the result is bit-identical to ``hash_join`` (pinned by
+    test). Inner semantics; null left keys are definite non-matches and
+    drop at the prefilter.
+
+    When to reach for it: the right key set is too big to broadcast
+    exactly (a ``pc.is_in`` semi-join wants the materialized key array)
+    but the left side is mostly non-matching — log enrichment against a
+    bounded entity table, selective dimension subsets against a fact
+    table. At ~10 bits/key a 10⁹-key filter is ~1.2 GB: still one
+    broadcast where the exact key set would be 8+ GB; beyond that shard
+    the filter by hash prefix (see ``BloomFilter``).
+
+    Integer join keys (the common case in this engine); hash any other
+    type to int64 upstream."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.sketches import BloomFilter, _mix64
+
+    def _key_hashes(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not pa.types.is_integer(col.type):
+            raise TypeError(
+                "bloom_prefilter_join: integer join keys required, got %s"
+                % col.type
+            )
+        ids = col.drop_null().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return _mix64(ids.view(np.uint64))
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(m_bits, k)
+        bf.add_hashes(_key_hashes(batch[right_key]))
+        return pa.table(
+            {"bits": pa.array([bf.bits.tobytes()], type=pa.binary())}
+        )
+
+    def or_combine(batch: pa.Table) -> pa.Table:
+        acc = None
+        for buf in batch["bits"].to_pylist():
+            arr = np.frombuffer(buf, dtype=np.uint64)
+            acc = arr.copy() if acc is None else (acc | arr)
+        if acc is None:
+            acc = np.zeros(m_bits // 64, dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], type=pa.binary())})
+
+    combined = (
+        right_ds.map_batches(partial_bloom, batch_format="pyarrow")
+        .map_batches(
+            or_combine, batch_format="pyarrow", batch_size=1 << 20,
+            num_cpus=0.9,
+        )
+        .repartition(1)
+        .map_batches(or_combine, batch_format="pyarrow", batch_size=None)
+    )
+    bloom = BloomFilter(m_bits, k)
+    bloom.bits = np.frombuffer(
+        combined.to_pandas()["bits"].iloc[0], dtype=np.uint64
+    ).copy()
+    bloom_ref = ray.put(bloom)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        col = batch[left_key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        batch = batch.filter(col.is_valid())
+        if not batch.num_rows:
+            return batch
+        bf = ray.get(bloom_ref)
+        keep = bf.contains(_key_hashes(batch[left_key]))
+        return batch.filter(pa.array(keep))
+
+    survivors = left_ds.map_batches(prefilter, batch_format="pyarrow")
+    return hash_join(
+        survivors, right_ds, left_key, right_key, num_buckets=num_buckets
+    )

@@ -706,3 +706,39 @@ def unpivot(
         return pa.concat_tables(parts)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def big_part_revenue(sf_dir: str, num_buckets: int = 32):
+    """Revenue per brand over a SELECTIVE part subset (p_size > 40, ~20% of
+    parts), joined through :func:`stages.joins.bloom_prefilter_join`: the
+    subset's keys Bloom-broadcast once and ~80% of the lineitem partials
+    drop BEFORE the join exchange — the runtime-filter pattern for
+    selective dimension subsets against a fact table. promo_revenue's
+    integer-micro arithmetic; final exchange = |brands|-sized tree sum."""
+    import os
+
+    import ray.data
+
+    from .aggregate import tree_sum
+    from .joins import bloom_prefilter_join
+
+    li_agg = _lineitem_rev_partials(sf_dir, "l_partkey")
+
+    def big_parts(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["p_size"], 40)).select(
+            ["p_partkey", "p_brand"]
+        )
+
+    parts = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).map_batches(big_parts, batch_format="pyarrow")
+    joined = bloom_prefilter_join(
+        li_agg, parts, "l_partkey", "p_partkey", num_buckets=num_buckets
+    )
+    return tree_sum(
+        joined.select_columns(["p_brand", "rev_micro", "n_items"]),
+        ["p_brand"],
+        ["rev_micro", "n_items"],
+        sort_result=True,
+    )

@@ -595,7 +595,7 @@ def tpch_con():
 @pytest.mark.parametrize(
     "name", ["customers_per_region", "orders_per_nation", "pagerank_nodes",
              "pricing_summary", "revenue_rollup", "promo_revenue",
-             "supplier_revenue", "part_supplier_counts"]
+             "supplier_revenue", "part_supplier_counts", "big_part_revenue"]
 )
 def test_join_queries_match_oracle(ray_session, tpch_con, name):
     df = DATA_QUERIES[name](SF).to_pandas().reset_index(drop=True)
@@ -3206,3 +3206,56 @@ def test_balanced_shards_load_spread(ray_session):
     loads = out.groupby("shard")["sz"].sum()
     assert len(loads) == 8
     assert loads.max() - loads.min() <= out["sz"].max()
+
+
+def test_bloom_prefilter_join_equals_hash_join(ray_session):
+    """The Bloom runtime filter must be a pure optimization: identical
+    result to the exact partitioned join (false negatives impossible),
+    null left keys drop (inner semantics), non-integer keys rejected."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.joins import (
+        bloom_prefilter_join,
+        hash_join,
+    )
+
+    # mostly-nonmatching left (the case the prefilter exists for)
+    left = pa.table({
+        "k": pa.array(
+            [i % 997 for i in range(5000)] + [None, None], type=pa.int64()
+        ),
+        "lv": pa.array(list(range(5002)), type=pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array([3, 3, 14, 900, 12345], type=pa.int64()),
+        "rv": ["a", "b", "c", "d", "e"],
+    })
+    got = (
+        bloom_prefilter_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right), "k", "rk",
+            num_buckets=4, m_bits=1 << 10,  # tiny filter → plenty of FPs
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        hash_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right), "k", "rk",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    # the null-carrying left key comes back float64 from the plain join
+    # (inner join dropped the nulls, so the int64 cast is lossless)
+    pd.testing.assert_frame_equal(got, want.astype({"k": "int64"}))
+    assert len(got) and set(got["k"]) == {3, 14, 900}
+
+    bad = pa.table({"k": ["x"], "lv": pa.array([1], type=pa.int64())})
+    with pytest.raises(Exception, match="integer join keys"):
+        bloom_prefilter_join(
+            ray.data.from_arrow(bad),
+            ray.data.from_arrow(right), "k", "rk",
+        ).to_pandas()

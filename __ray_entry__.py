@@ -473,6 +473,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   big_part_revenue — the Bloom-prefilter join equals hash_join by
     #     construction (equivalence pytest); the join+tree_sum family stays
     #     driver-checked via revenue_rollup/pricing_summary
+    #   high_value_counts / user_type_profile — read-filter pushdown over
+    #     the driver-checked grouped_counts family, and the distinct-pair
+    #     string_agg over event_cooccurrence's machinery; pytest oracle rows
     demote = [
         n
         for n in (
@@ -545,6 +548,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_cooccurrence",
             "balanced_shards",
             "big_part_revenue",
+            "high_value_counts",
+            "user_type_profile",
         )
         if n in out
     ]

@@ -1444,6 +1444,64 @@ def q_big_part_revenue(sf_dir: str):
     return big_part_revenue(sf_dir)
 
 
+def q_high_value_counts(sf_dir: str):
+    """Predicate pushdown at the READ: count per event_type over
+    value > 400, with the row filter handed to ``read_parquet`` itself
+    (``filter=pc.field(...)``) so non-matching row groups are pruned from
+    parquet statistics and dropped rows never enter the object store —
+    prune-at-the-read taken one step past column pruning."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.aggregate import grouped_counts
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+        filter=(pc.field("value") > 400.0),
+    )
+    return grouped_counts(
+        ev.select_columns(["event_type"]), ["event_type"], count_alias="n",
+        sort_result=True,
+    )
+
+
+def q_user_type_profile(sf_dir: str):
+    """Grouped ordered string aggregation (array_agg/string_agg DISTINCT):
+    per user the sorted distinct event types joined with ',' plus their
+    count. Per-batch distinct (user, type) partials → user-hash-bucketed
+    dedup → one vectorized per-bucket sorted groupby-join; event rows never
+    shuffle, only distinct pairs."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.aggregate import bucket_by_key
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["user_id", "event_type"]).aggregate([])
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        d = block[["user_id", "event_type"]].drop_duplicates()
+        d = d.sort_values(["user_id", "event_type"])
+        g = d.groupby("user_id", sort=False)["event_type"].agg(
+            n_types="size", types=",".join
+        ).reset_index()
+        g["n_types"] = g["n_types"].astype("int64")
+        return g[["user_id", "n_types", "types"]]
+
+    parts = ev.map_batches(distinct_pairs, batch_format="pyarrow")
+    bucketed = bucket_by_key(parts, "user_id", 64)
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
 def q_retention_cohorts(sf_dir: str):
     """Retention cohorts (INTERSECT/EXCEPT classify): every (user,
     event_type) entity labeled retained / churned / new around a fixed
@@ -2485,6 +2543,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "event_cooccurrence": q_event_cooccurrence,
     "balanced_shards": q_balanced_shards,
     "big_part_revenue": q_big_part_revenue,
+    "high_value_counts": q_high_value_counts,
+    "user_type_profile": q_user_type_profile,
     "running_totals": q_running_totals,
     "value_ranks": q_value_ranks,
     "user_top_event": q_user_top_event,
@@ -2784,6 +2844,16 @@ SELECT p_brand,
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_size > 40
 GROUP BY 1 ORDER BY 1
+""",
+    "high_value_counts": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE value > 400 GROUP BY 1 ORDER BY 1
+""",
+    "user_type_profile": """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+       string_agg(event_type, ',' ORDER BY event_type) AS types
+FROM d GROUP BY user_id ORDER BY user_id
 """,
     "balanced_shards": """
 WITH r AS (

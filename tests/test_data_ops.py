@@ -61,7 +61,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "above_avg_orders", "priority_rollup", "priority_cube", "quartile_stats",
      "click_attribution", "label_centroids", "segment_activity",
      "weighted_sample", "lineitem_measures", "zorder_layout",
-     "event_cooccurrence", "balanced_shards"],
+     "event_cooccurrence", "balanced_shards", "high_value_counts",
+     "user_type_profile"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     res = DATA_QUERIES[name](SF)

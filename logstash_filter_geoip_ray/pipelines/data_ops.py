@@ -1394,12 +1394,16 @@ def q_event_cooccurrence(sf_dir: str):
     pair counts."""
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from ..stages.aggregate import bucket_by_key, tree_sum
 
     ev = _events(sf_dir, ["user_id", "event_type"])
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
+        # SQL self-join semantics: NULL user_id never matches — drop here
+        # (pandas merge WOULD pair NaN keys, diverging from the oracle)
+        batch = batch.filter(pc.is_valid(batch["user_id"]))
         return batch.group_by(["user_id", "event_type"]).aggregate([])
 
     def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
@@ -1487,7 +1491,8 @@ def q_user_type_profile(sf_dir: str):
     def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
         d = block[["user_id", "event_type"]].drop_duplicates()
         d = d.sort_values(["user_id", "event_type"])
-        g = d.groupby("user_id", sort=False)["event_type"].agg(
+        # dropna=False: SQL GROUP BY keeps the NULL-user group
+        g = d.groupby("user_id", sort=False, dropna=False)["event_type"].agg(
             n_types="size", types=",".join
         ).reset_index()
         g["n_types"] = g["n_types"].astype("int64")

@@ -1,0 +1,313 @@
+"""Logstash filter-family operators beyond geoip: kv, dissect, date
+(multi-format), throttle and translate — the sibling filters that surround
+logstash-filter-geoip in every real log pipeline (the reference's README and
+docs/index.asciidoc position geoip inside exactly this filter chain).
+
+Each is a stateless vectorized ``map_batches`` stage over zero-copy Arrow
+batches — no Python row loops:
+
+- :func:`make_kv_pairs` — generic key=value discovery (logstash-filter-kv):
+  whitespace split → flatten with parent indices → '='-token filter → one
+  more bounded split. Long-form (parent row keys, kv_key, kv_value) output.
+- :func:`make_dissect` — delimiter-template parse (logstash-filter-dissect):
+  successive first-occurrence literal splits, numpy offset gathers (no
+  regex), strict per-row success mask.
+- :func:`parse_datetime_multi` — logstash-filter-date: ordered format
+  fallbacks, first parse wins, via ``pc.strptime(error_is_null=True)`` +
+  coalesce.
+- :func:`throttle` — logstash-filter-throttle: at most ``limit`` events per
+  (key, period) pass, deterministic (ts, tiebreak) arrival order, marked not
+  dropped (the filter tags; dropping is the pipeline's choice).
+- :func:`make_translate` — logstash-filter-translate: broadcast static
+  dictionary map with a default, via ``pc.index_in`` + take (the dictionary
+  rides the closure once per worker, never per batch).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _combined(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+# -- kv ----------------------------------------------------------------------
+
+
+def make_kv_pairs(
+    text_col: str = "text",
+    carry_cols: Sequence[str] = (),
+    sep: str = " ",
+    value_split: str = "=",
+):
+    """Generic KV filter: emit one output row per discovered
+    ``key<value_split>value`` token. Unlike the grok stage (which binds a
+    declared schema), this discovers arbitrary keys — logstash-filter-kv's
+    contract. Split/flatten/filter are all Arrow kernels; the parent-index
+    array keeps carried row columns aligned without any join."""
+
+    def kv_pairs(batch: pa.Table) -> pa.Table:
+        text = _combined(batch[text_col])
+        toks = pc.split_pattern(text, sep)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        has_sep = pc.match_substring(flat, value_split)
+        flat = flat.filter(has_sep)
+        parents = parents.filter(has_sep)
+        kv = pc.split_pattern(flat, value_split, max_splits=1)
+        cols = {c: _combined(batch[c]).take(parents) for c in carry_cols}
+        cols["kv_key"] = pc.list_element(kv, 0)
+        cols["kv_value"] = pc.list_element(kv, 1)
+        return pa.table(cols)
+
+    return kv_pairs
+
+
+# -- dissect -----------------------------------------------------------------
+
+_FIELD_RE = re.compile(r"%\{(\w+)\}")
+
+
+def parse_dissect_template(template: str) -> Tuple[List[str], List[str]]:
+    """Split ``"lit0%{f1}lit1%{f2}lit2"`` into literals (len = fields+1,
+    possibly empty at the edges) and field names."""
+    parts = _FIELD_RE.split(template)  # [lit0, f1, lit1, f2, ..., litN]
+    literals, fields = parts[::2], parts[1::2]
+    if len(literals) != len(fields) + 1:
+        raise ValueError(f"malformed dissect template: {template!r}")
+    if not fields:
+        raise ValueError("dissect template needs at least one %{field}")
+    for i, lit in enumerate(literals[1:-1], 1):
+        if lit == "":
+            raise ValueError(
+                "dissect requires a non-empty literal between fields "
+                f"(template {template!r}, gap before field {fields[i]!r})"
+            )
+    return literals, fields
+
+
+def _split_first(current: pa.Array, lit: str):
+    """First-occurrence split on a literal: returns (value, remainder, ok)
+    — all length-n, unmatched rows null/False. Offset gathers in numpy,
+    no per-row Python."""
+    n = len(current)
+    parts = pc.split_pattern(current, lit, max_splits=1)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    offs = parts.offsets.to_numpy()
+    lens = np.diff(offs)
+    ok_np = lens == 2
+    # null slots: split_pattern yields null lists; offsets repeat there
+    first_idx = offs[:-1]
+    vals = parts.values
+    safe_first = np.where(ok_np, first_idx, 0)
+    value = vals.take(pa.array(safe_first, type=pa.int64()))
+    rem = vals.take(pa.array(np.where(ok_np, first_idx + 1, 0), type=pa.int64()))
+    ok = pa.array(ok_np)
+    nulls = pa.nulls(n, pa.string())
+    return (
+        pc.if_else(ok, value, nulls),
+        pc.if_else(ok, rem, nulls),
+        ok,
+    )
+
+
+def make_dissect(
+    template: str,
+    text_col: str = "text",
+    ok_col: str = "dissect_ok",
+    drop_text: bool = False,
+):
+    """Dissect-style positional parse: each inter-field literal is matched at
+    its FIRST occurrence (dissect semantics — no regex, no backtracking).
+    Rows failing any literal get null for every field and ``ok_col=False``
+    (the filter-tag analogue of logstash's ``_dissectfailure``)."""
+    literals, fields = parse_dissect_template(template)
+
+    def dissect(batch: pa.Table) -> pa.Table:
+        text = _combined(batch[text_col])
+        n = len(text)
+        ok = pa.array(np.ones(n, dtype=bool))
+        current = text
+        prefix = literals[0]
+        if prefix:
+            good = pc.starts_with(current, prefix)
+            ok = pc.and_kleene(ok, pc.fill_null(good, False))
+            # strip the fixed-length prefix (only meaningful where ok)
+            current = pc.utf8_slice_codeunits(current, len(prefix))
+        values: Dict[str, pa.Array] = {}
+        for i, field in enumerate(fields):
+            nxt = literals[i + 1]
+            if i < len(fields) - 1:
+                val, current, step_ok = _split_first(current, nxt)
+                ok = pc.and_kleene(ok, step_ok)
+                values[field] = val
+            else:
+                # last field: optional trailing literal is a suffix strip
+                if nxt:
+                    good = pc.ends_with(current, nxt)
+                    ok = pc.and_kleene(ok, pc.fill_null(good, False))
+                    current = pc.utf8_slice_codeunits(current, 0, -len(nxt))
+                values[field] = current
+        ok = pc.fill_null(ok, False)
+        nulls = pa.nulls(n, pa.string())
+        out = batch.drop_columns([text_col]) if drop_text else batch
+        for field in fields:
+            col = pc.if_else(ok, values[field], nulls)
+            if field in out.column_names:
+                out = out.drop_columns([field])
+            out = out.append_column(field, col)
+        if ok_col in out.column_names:
+            out = out.drop_columns([ok_col])
+        return out.append_column(ok_col, ok)
+
+    return dissect
+
+
+# -- date (multi-format) -------------------------------------------------------
+
+
+def parse_datetime_multi(
+    arr,
+    formats: Sequence[str],
+    unit: str = "us",
+) -> pa.Array:
+    """logstash-filter-date: try each strptime format in order, first
+    successful parse wins, unparseable rows stay null. One vectorized
+    ``pc.strptime`` pass per format + a coalesce — not per-row fallbacks."""
+    arr = _combined(arr)
+    parsed = [
+        pc.strptime(arr, format=f, unit=unit, error_is_null=True)
+        for f in formats
+    ]
+    out = parsed[0]
+    for p in parsed[1:]:
+        out = pc.coalesce(out, p)
+    return out
+
+
+def make_date_parse(
+    formats: Sequence[str],
+    source_col: str = "raw_ts",
+    target_col: str = "parsed_ts",
+    unit: str = "us",
+):
+    """Batch-fn wrapper for :func:`parse_datetime_multi`."""
+
+    def date_parse(batch: pa.Table) -> pa.Table:
+        col = parse_datetime_multi(batch[source_col], formats, unit=unit)
+        if target_col in batch.column_names:
+            batch = batch.drop_columns([target_col])
+        return batch.append_column(target_col, col)
+
+    return date_parse
+
+
+# -- throttle ------------------------------------------------------------------
+
+
+def throttle(
+    ds,
+    key_col: str,
+    ts_col: str,
+    limit: int,
+    period: str = "day",
+    tiebreak_col: Optional[str] = None,
+    num_buckets: int = 64,
+):
+    """logstash-filter-throttle semantics, batch form: within each
+    (key, period-window) at most ``limit`` events are ``allowed``; the rest
+    are marked throttled (``allowed=False``) in deterministic
+    (ts, tiebreak) arrival order. Events are MARKED, not dropped — parity
+    with the filter, which tags and leaves the drop to the pipeline.
+
+    Scale shape: projects to (key, window, ts, tiebreak) at the first map,
+    co-locates keys by stable hash bucket, and ranks each bucket with one
+    vectorized sort + groupby-cumcount — the log itself never sorts
+    globally. Output: input columns + ``_window`` (int64 period index) +
+    ``allowed`` (bool)."""
+    import pandas as pd
+
+    from .aggregate import bucket_by_key
+
+    if period == "day":
+        div = 86_400_000_000
+    elif period == "hour":
+        div = 3_600_000_000
+    elif period == "minute":
+        div = 60_000_000
+    else:
+        raise ValueError("period must be day|hour|minute")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        ts64 = pc.cast(ts, pa.int64())
+        win = pc.divide(ts64, div)  # epoch µs are non-negative here
+        for helper in ("_window", "_ts_us"):
+            if helper in batch.column_names:
+                batch = batch.drop_columns([helper])
+        return batch.append_column("_window", win).append_column("_ts_us", ts64)
+
+    prepped = bucket_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"), key_col, num_buckets
+    )
+
+    order = [key_col, "_window", "_ts_us"]
+    if tiebreak_col:
+        order.append(tiebreak_col)
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values(order, kind="mergesort")
+        rank = b.groupby([key_col, "_window"], sort=False, dropna=False).cumcount()
+        b = b.copy()
+        b["allowed"] = (rank < limit).to_numpy()
+        return b.drop(columns=["_bucket", "_ts_us"])
+
+    return prepped.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+
+# -- translate -----------------------------------------------------------------
+
+
+def make_translate(
+    mapping: Dict[str, str],
+    source_col: str,
+    target_col: str,
+    default: Optional[str] = None,
+):
+    """logstash-filter-translate: static-dictionary value map with a
+    fallback. The dictionary is captured in the closure once (broadcast with
+    the function object, not re-shipped per batch); the lookup is one
+    ``pc.index_in`` + take per batch."""
+    keys = pa.array(list(mapping.keys()), type=pa.string())
+    # one trailing slot for the default so a single take covers both cases
+    vals = pa.array(list(mapping.values()) + [default], type=pa.string())
+    miss_idx = len(mapping)
+
+    def translate(batch: pa.Table) -> pa.Table:
+        src = _combined(batch[source_col])
+        idx = pc.index_in(src, value_set=keys)
+        idx = pc.fill_null(idx, miss_idx)
+        out_col = vals.take(idx)
+        if default is None:
+            # no default → misses stay null (filter leaves the event alone)
+            out_col = pc.if_else(
+                pc.equal(idx, miss_idx), pa.nulls(len(src), pa.string()), out_col
+            )
+        if target_col in batch.column_names:
+            batch = batch.drop_columns([target_col])
+        return batch.append_column(target_col, out_col)
+
+    return translate

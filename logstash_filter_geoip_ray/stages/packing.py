@@ -275,9 +275,15 @@ def stratified_split(
 def morton_key(x: np.ndarray, y: np.ndarray, bits: int = 16) -> np.ndarray:
     """Interleave the low ``bits`` bits of two non-negative integer arrays
     into a Morton (Z-order) key — x owns the even bit positions, y the odd
-    ones. ``bits`` vectorized numpy passes, no per-row Python."""
-    x = x.astype(np.int64) & ((1 << bits) - 1)
-    y = y.astype(np.int64) & ((1 << bits) - 1)
+    ones. ``bits`` vectorized numpy passes, no per-row Python. Negative
+    inputs raise: two's-complement masking would silently diverge from the
+    sign-preserving ``%`` the SQL oracle uses."""
+    x = x.astype(np.int64)
+    y = y.astype(np.int64)
+    if (len(x) and x.min() < 0) or (len(y) and y.min() < 0):
+        raise ValueError("morton_key requires non-negative inputs")
+    x = x & ((1 << bits) - 1)
+    y = y & ((1 << bits) - 1)
     z = np.zeros(len(x), dtype=np.int64)
     for i in range(bits):
         z |= ((x >> i) & 1) << (2 * i)

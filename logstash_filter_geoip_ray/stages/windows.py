@@ -15,6 +15,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray.data
+
 
 def tumbling_window_counts(
     ds,
@@ -893,10 +895,14 @@ def funnel_counts(
             pc.is_valid(batch[key_col]),
         )
         t = batch.filter(mask)
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            # normalize to microseconds so within_sec math is unit-safe
+            ts = pc.cast(ts, pa.timestamp("us"))
         return pa.table(
             {
                 key_col: t[key_col],
-                "_ts": pc.cast(t[ts_col], pa.int64()),
+                "_ts": pc.cast(ts, pa.int64()),
                 "_step": pc.cast(
                     pc.index_in(t[type_col], value_set=step_set), pa.int8()
                 ),
@@ -932,6 +938,18 @@ def funnel_counts(
     partials = prepped.groupby("_bucket").map_groups(
         per_bucket, batch_format="pandas"
     )
+    # seed one zero row per step so the contract ("steps nobody reached
+    # report 0") holds even when NO step event exists anywhere and the
+    # groupby above emits nothing
+    seed = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "step": np.arange(k, dtype=np.int64),
+                "users": np.zeros(k, dtype=np.int64),
+            }
+        )
+    )
+    partials = partials.union(seed)
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -18,6 +18,29 @@ SF = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="module")
+def sf_dir_copy_nulls(tmp_path_factory):
+    """sf0.001 events table with ~10% of user_ids nulled (deterministic) —
+    exercises the SQL-null-parity contracts on a corpus that actually
+    contains NULL keys."""
+    import pyarrow.parquet as pq
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    n = src.num_rows
+    mask = (np.arange(n) % 10) == 3
+    uid = src["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    nulled = pa.array(
+        np.where(mask, 0, uid).astype("int64"), type=pa.int64(),
+        mask=mask,
+    )
+    out = src.set_column(
+        src.schema.get_field_index("user_id"), "user_id", nulled
+    )
+    d = tmp_path_factory.mktemp("sfnulls")
+    pq.write_table(out, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
     for t in ("documents", "embeddings", "events", "customer", "orders",
@@ -3122,6 +3145,80 @@ def test_morton_key_properties():
     # masking: only the low `bits` bits participate
     assert morton_key(np.array([16 + 3]), np.array([0]), bits=4)[0] == \
         morton_key(np.array([3]), np.array([0]), bits=4)[0]
+    # negative inputs raise loudly instead of silently two's-complementing
+    with pytest.raises(ValueError, match="non-negative"):
+        morton_key(np.array([-1]), np.array([0]), bits=4)
+    with pytest.raises(ValueError, match="non-negative"):
+        morton_key(np.array([0]), np.array([-7]), bits=4)
+
+
+def test_funnel_counts_edge_contracts(ray_session):
+    """funnel_counts emits k zero rows when NO step event exists at all,
+    and normalizes non-microsecond timestamp units before within_sec math."""
+    import ray
+
+    from logstash_filter_geoip_ray.stages.windows import funnel_counts
+
+    base = 1_700_000_000_000_000
+    tbl = pa.table({
+        "user_id": pa.array([1, 1], type=pa.int64()),
+        "ts": pa.array([base, base + 5_000_000], type=pa.int64()).cast(
+            pa.timestamp("us")
+        ),
+        "event_type": pa.array(["other", "other"]),
+    })
+    got = funnel_counts(
+        ray.data.from_arrow(tbl), ["a", "b"], num_buckets=2
+    ).to_pandas()
+    assert list(got["step"]) == [0, 1]
+    assert list(got["users"]) == [0, 0]
+
+    # nanosecond timestamps: a 5-second gap must still convert under
+    # within_sec=10 (an un-normalized int64 cast would see 5e9 "us")
+    tbl_ns = pa.table({
+        "user_id": pa.array([1, 1], type=pa.int64()),
+        "ts": pa.array(
+            [base * 1000, (base + 5_000_000) * 1000], type=pa.int64()
+        ).cast(pa.timestamp("ns")),
+        "event_type": pa.array(["a", "b"]),
+    })
+    got_ns = funnel_counts(
+        ray.data.from_arrow(tbl_ns), ["a", "b"], num_buckets=2, within_sec=10
+    ).to_pandas()
+    assert list(got_ns["users"]) == [1, 1]
+
+
+def test_null_user_parity_cooccurrence_profile(ray_session, sf_dir_copy_nulls):
+    """q_event_cooccurrence excludes NULL users (SQL join semantics);
+    q_user_type_profile keeps the NULL-user group (SQL GROUP BY semantics).
+    Both verified against their DuckDB oracles on a corpus WITH null
+    user_ids."""
+    import duckdb
+
+    from logstash_filter_geoip_ray.pipelines.data_ops import (
+        q_event_cooccurrence,
+        q_user_type_profile,
+    )
+    from __ray_entry__ import oracle_sql
+
+    sf = sf_dir_copy_nulls
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    for name, q in (
+        ("event_cooccurrence", q_event_cooccurrence),
+        ("user_type_profile", q_user_type_profile),
+    ):
+        got = q(sf).to_pandas()
+        want = con.execute(oracle_sql()[name]).fetch_df()
+        got = got.sort_values(list(got.columns)).reset_index(drop=True)
+        want = want.sort_values(list(want.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)],
+            check_dtype=False,
+        )
+    con.close()
 
 
 def test_unpivot_roundtrip(ray_session):

@@ -191,6 +191,202 @@ def _q_log_field_counts(sf_dir: str):
     return tree_sum(partials, ["path", "status"], ["lat", "n"], sort_result=True)
 
 
+def _q_kv_pair_stats(sf_dir: str):
+    """Generic KV filter (logstash-filter-kv): discover every ``key=value``
+    token in the log text — no declared schema, unlike grok — then per key:
+    occurrence count + distinct-value count. The kv explode is pure Arrow
+    kernels (split/flatten/parent-index); only (key, value, cnt) partials
+    shuffle, never text."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import bucket_by_key
+    from logstash_filter_geoip_ray.stages.logfilters import make_kv_pairs
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["text"])
+    kv = ds.map_batches(make_kv_pairs(), batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["kv_key", "kv_value"]).aggregate([([], "count_all")])
+        return g.rename_columns(["kv_key", "kv_value", "cnt"])
+
+    parts = kv.map_batches(partial, batch_format="pyarrow")
+    bucketed = bucket_by_key(parts, "kv_key", 16)
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            block.groupby("kv_key", sort=False)
+            .agg(n=("cnt", "sum"), n_values=("kv_value", "nunique"))
+            .reset_index()
+        )
+        g["n"] = g["n"].astype("int64")
+        g["n_values"] = g["n_values"].astype("int64")
+        return g
+
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort("kv_key")
+    )
+
+
+def _q_dissect_status(sf_dir: str):
+    """Dissect filter (logstash-filter-dissect): positional literal-split
+    parse of the ``client=… status=… latency=…ms`` log shape — no regex —
+    then per status: row count, distinct client IPs, total latency. Rows
+    not matching the template are excluded (the ``_dissectfailure`` path)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import bucket_by_key
+    from logstash_filter_geoip_ray.stages.logfilters import make_dissect
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["text"])
+    dis = ds.map_batches(
+        make_dissect(
+            "client=%{ip} status=%{status} latency=%{lat}ms", drop_text=True
+        ),
+        batch_format="pyarrow",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch["dissect_ok"])
+        keyed = pa.table(
+            {
+                "status": t["status"],
+                "ip": t["ip"],
+                "lat": pc.cast(t["lat"], pa.int64()),
+            }
+        )
+        g = keyed.group_by(["status", "ip"]).aggregate(
+            [("lat", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["status", "ip", "lat_sum", "cnt"])
+
+    parts = dis.map_batches(partial, batch_format="pyarrow")
+    bucketed = bucket_by_key(parts, "status", 8)
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            block.groupby("status", sort=False)
+            .agg(
+                n=("cnt", "sum"),
+                n_ips=("ip", "nunique"),
+                lat_sum=("lat_sum", "sum"),
+            )
+            .reset_index()
+        )
+        for c in ("n", "n_ips", "lat_sum"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort("status")
+    )
+
+
+#: CIDR filter network list — non-overlapping labeled IPv4 networks drawn
+#: from the MaxMind test ranges the transcript IP pool samples
+_CIDR_NETWORKS = (
+    ("1.0.0.0/8", "apnic-lab"),
+    ("67.43.156.0/24", "na-edge"),
+    ("81.2.69.0/24", "eu-lon"),
+    ("89.160.20.0/23", "eu-north"),
+)
+
+
+def _q_cidr_token_classes(sf_dir: str):
+    """CIDR filter (logstash-filter-cidr, geoip's closest sibling):
+    classify every extracted log token against a broadcast labeled network
+    list — compiled once per worker into sorted integer ranges, matched
+    per batch with one anchored regex parse + numpy searchsorted — and
+    count per class (including ``_unmatched`` / ``_invalid``)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import grouped_counts
+    from logstash_filter_geoip_ray.stages.logfilters import make_cidr_classify
+    from logstash_filter_geoip_ray.stages.parse import make_extract_ips
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["text"])
+    classify = make_cidr_classify(_CIDR_NETWORKS, "source_ip")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = make_extract_ips(drop_text=True)(batch)
+        batch = batch.filter(pc.is_valid(batch["source_ip"]))
+        return classify(batch).select(["network_class"])
+
+    classes = ds.map_batches(prep, batch_format="pyarrow")
+    return grouped_counts(classes, ["network_class"], "n", sort_result=True)
+
+
+def _cidr_oracle_case(networks) -> str:
+    """CASE over integer ranges generated from the SAME network list the
+    engine compiles — no hand-derived literals to drift."""
+    import ipaddress
+
+    arms = []
+    for cidr, label in networks:
+        net = ipaddress.ip_network(cidr)
+        lo, hi = int(net.network_address), int(net.broadcast_address)
+        arms.append(f"WHEN ipint BETWEEN {lo} AND {hi} THEN '{label}'")
+    return "CASE " + " ".join(arms) + " ELSE '_unmatched' END"
+
+
+#: ordered format fallbacks for the date filter — ISO-space, Apache-log,
+#: ISO-T; first parse wins (logstash-filter-date `match` list semantics)
+_DATE_FORMATS = ("%Y-%m-%d %H:%M:%S", "%d/%b/%Y:%H:%M:%S", "%Y-%m-%dT%H:%M:%S")
+
+
+def _q_multiformat_dates(sf_dir: str):
+    """Date filter (logstash-filter-date): timestamps rendered in three
+    heterogeneous string formats (deterministically by turn_idx % 3) are
+    parsed back through the ordered format-fallback chain — one vectorized
+    strptime pass per format, coalesced — and counted per hour."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import grouped_counts
+    from logstash_filter_geoip_ray.stages.logfilters import parse_datetime_multi
+
+    ds = ray.data.read_parquet(
+        transcripts_path(sf_dir), columns=["ts", "turn_idx"]
+    )
+
+    def to_hour(batch: pa.Table) -> pa.Table:
+        # second-precision render: Arrow's %S appends the fraction for
+        # sub-second units (DuckDB's does not), so drop to timestamp[s]
+        ts = pc.cast(batch["ts"], pa.timestamp("s"), safe=False)
+        sel = pa.array(
+            batch["turn_idx"].to_numpy(zero_copy_only=False) % 3
+        )
+        rendered = [pc.strftime(ts, format=f) for f in _DATE_FORMATS]
+        raw = pc.if_else(
+            pc.equal(sel, 0),
+            rendered[0],
+            pc.if_else(pc.equal(sel, 1), rendered[1], rendered[2]),
+        )
+        parsed = parse_datetime_multi(raw, _DATE_FORMATS)
+        hour = pc.strftime(
+            pc.floor_temporal(parsed, unit="hour"), format="%Y-%m-%d %H:00"
+        )
+        return pa.table({"hour": hour})
+
+    hours = ds.map_batches(to_hour, batch_format="pyarrow")
+    return grouped_counts(hours, ["hour"], "n", sort_result=True)
+
+
 def _q_frequent_tokens(sf_dir: str):
     """Heavy hitters at sketch cost: tokens appearing ≥ 100 times, via
     capacity-pruned partials (capacity=128 < the ~450 distinct tokens, so
@@ -270,6 +466,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_counts_checkpointed": _q_sink_counts_checkpointed,
         "parse_tokens": _q_parse_tokens,
         "log_field_counts": _q_log_field_counts,
+        "kv_pair_stats": _q_kv_pair_stats,
+        "dissect_status": _q_dissect_status,
+        "multiformat_dates": _q_multiformat_dates,
+        "cidr_token_classes": _q_cidr_token_classes,
         "frequent_tokens": _q_frequent_tokens,
         "conv_documents": _q_conv_documents,
     }
@@ -476,6 +676,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   high_value_counts / user_type_profile — read-filter pushdown over
     #     the driver-checked grouped_counts family, and the distinct-pair
     #     string_agg over event_cooccurrence's machinery; pytest oracle rows
+    #   value_percent_ranks / value_outliers / user_top_event — demoted to
+    #     admit the five logstash-filter-family queries (kv/dissect/date/
+    #     throttle/translate — all NEW kernels): their bucketed per-key
+    #     window/aggregate machinery stays driver-checked via value_ranks
+    #     and winsorized_values; each keeps its pytest oracle row
+    #   table_row_counts — metadata-only footer pushdown, no exchange at
+    #     all; pinned exactly by its pytest oracle row
+    #   edit_distance_pairs — skew-guarded all-pairs validator like
+    #     jaccard_pairs (demoted precedent); the near-dup family stays
+    #     driver-checked via dedup_filtered_docs_minhash; pytest row remains
+    #   key_skew — demoted to admit cidr_token_classes (new range-classify
+    #     kernel); the exact-Gini arithmetic is pinned by its pytest oracle
+    #     row and the per-key-count machinery stays driver-checked via the
+    #     grouped_counts family everywhere in the window
     demote = [
         n
         for n in (
@@ -550,6 +764,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "big_part_revenue",
             "high_value_counts",
             "user_type_profile",
+            "value_percent_ranks",
+            "value_outliers",
+            "user_top_event",
+            "table_row_counts",
+            "edit_distance_pairs",
+            "key_skew",
         )
         if n in out
     ]
@@ -647,6 +867,72 @@ SELECT coalesce(nullif(regexp_extract(text, 'path=([^\\s"]+)', 1), ''), '_none')
        CAST(count(*) AS BIGINT) AS n
 FROM read_parquet('{t}/*.parquet')
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    out["kv_pair_stats"] = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok
+  FROM read_parquet('{t}/*.parquet')
+), kv AS (
+  SELECT split_part(tok, '=', 1) AS kv_key,
+         substr(tok, strpos(tok, '=') + 1) AS kv_value
+  FROM toks WHERE contains(tok, '=')
+)
+SELECT kv_key, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT kv_value) AS BIGINT) AS n_values
+FROM kv GROUP BY 1 ORDER BY 1
+"""
+    # non-greedy groups = first-occurrence literal match (dissect semantics)
+    out["dissect_status"] = f"""
+WITH d AS (
+  SELECT regexp_extract(text, '^client=(.*?) status=(.*?) latency=(.*)ms$', 1) AS ip,
+         regexp_extract(text, '^client=(.*?) status=(.*?) latency=(.*)ms$', 2) AS status,
+         regexp_extract(text, '^client=(.*?) status=(.*?) latency=(.*)ms$', 3) AS lat
+  FROM read_parquet('{t}/*.parquet')
+  WHERE regexp_matches(text, '^client=(.*?) status=(.*?) latency=(.*)ms$')
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT ip) AS BIGINT) AS n_ips,
+       CAST(sum(CAST(lat AS BIGINT)) AS BIGINT) AS lat_sum
+FROM d GROUP BY 1 ORDER BY 1
+"""
+    out["multiformat_dates"] = f"""
+WITH s AS (
+  SELECT CASE turn_idx % 3
+           WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+           WHEN 1 THEN strftime(ts, '%d/%b/%Y:%H:%M:%S')
+           ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS raw
+  FROM read_parquet('{t}/*.parquet')
+), p AS (
+  SELECT coalesce(try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+                  try_strptime(raw, '%d/%b/%Y:%H:%M:%S'),
+                  try_strptime(raw, '%Y-%m-%dT%H:%M:%S')) AS pts
+  FROM s
+)
+SELECT strftime(date_trunc('hour', pts), '%Y-%m-%d %H:00') AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1 ORDER BY 1
+"""
+    out["cidr_token_classes"] = f"""
+WITH parsed AS (
+  SELECT nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS tok
+  FROM read_parquet('{t}/*.parquet')
+), v AS (
+  SELECT CASE WHEN regexp_matches(tok, '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
+                   AND CAST(split_part(tok, '.', 1) AS BIGINT) <= 255
+                   AND CAST(split_part(tok, '.', 2) AS BIGINT) <= 255
+                   AND CAST(split_part(tok, '.', 3) AS BIGINT) <= 255
+                   AND CAST(split_part(tok, '.', 4) AS BIGINT) <= 255
+              THEN CAST(split_part(tok, '.', 1) AS BIGINT) * 16777216
+                   + CAST(split_part(tok, '.', 2) AS BIGINT) * 65536
+                   + CAST(split_part(tok, '.', 3) AS BIGINT) * 256
+                   + CAST(split_part(tok, '.', 4) AS BIGINT)
+         END AS ipint
+  FROM parsed WHERE tok IS NOT NULL
+)
+SELECT CASE WHEN ipint IS NULL THEN '_invalid'
+            ELSE {_cidr_oracle_case(_CIDR_NETWORKS)} END AS network_class,
+       CAST(count(*) AS BIGINT) AS n
+FROM v GROUP BY 1 ORDER BY 1
 """
     out["conv_stats"] = f"""
 SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,

@@ -1507,6 +1507,92 @@ def q_user_type_profile(sf_dir: str):
     )
 
 
+#: logstash-filter-translate dictionary for the event-type → tier rollup
+_TIER_MAP = {
+    "view": "engagement",
+    "click": "engagement",
+    "purchase": "revenue",
+    "signup": "acquisition",
+}
+
+
+def q_translated_tiers(sf_dir: str):
+    """Translate filter (logstash-filter-translate): map event_type through
+    a broadcast static dictionary with a default, then per tier: row count +
+    how many source types merged into it. The dictionary rides the batch-fn
+    closure once per worker; the lookup is one index_in + take per batch."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.aggregate import tree_sum
+    from ..stages.logfilters import make_translate
+
+    ev = _events(sf_dir, ["event_type"])
+    translated = ev.map_batches(
+        make_translate(_TIER_MAP, "event_type", "tier", default="_other"),
+        batch_format="pyarrow",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["tier", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["tier", "event_type", "cnt"])
+
+    # (tier, type) grain is bounded by the type vocabulary — the final
+    # rollup is a tiny exact pass over the tree-combined partials
+    parts = tree_sum(
+        translated.map_batches(partial, batch_format="pyarrow"),
+        ["tier", "event_type"],
+        ["cnt"],
+    )
+
+    def rollup(block: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            block.groupby("tier", sort=False)
+            .agg(n=("cnt", "sum"), n_types=("event_type", "nunique"))
+            .reset_index()
+        )
+        g["n"] = g["n"].astype("int64")
+        g["n_types"] = g["n_types"].astype("int64")
+        return g
+
+    return (
+        parts.groupby("tier").map_groups(rollup, batch_format="pandas").sort("tier")
+    )
+
+
+def q_throttled_counts(sf_dir: str):
+    """Throttle filter (logstash-filter-throttle): at most 3 events per
+    (user, day) pass in deterministic (ts, event_id) arrival order; the
+    rest are marked throttled. Rolled up to (day, allowed) counts. The rank
+    runs per user-hash bucket — one vectorized sort + cumcount per bucket,
+    no global sort."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import tree_sum
+    from ..stages.logfilters import throttle
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+    marked = throttle(
+        ev, "user_id", "ts", limit=3, period="day", tiebreak_col="event_id"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(
+            pc.cast(
+                pc.multiply(batch["_window"], 86_400_000_000),
+                pa.timestamp("us"),
+            ),
+            format="%Y-%m-%d",
+        )
+        keyed = pa.table({"day": day, "allowed": batch["allowed"]})
+        g = keyed.group_by(["day", "allowed"]).aggregate([([], "count_all")])
+        return g.rename_columns(["day", "allowed", "n"])
+
+    parts = marked.map_batches(partial, batch_format="pyarrow")
+    return tree_sum(parts, ["day", "allowed"], ["n"], sort_result=True)
+
+
 def q_retention_cohorts(sf_dir: str):
     """Retention cohorts (INTERSECT/EXCEPT classify): every (user,
     event_type) entity labeled retained / churned / new around a fixed
@@ -2550,6 +2636,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "big_part_revenue": q_big_part_revenue,
     "high_value_counts": q_high_value_counts,
     "user_type_profile": q_user_type_profile,
+    "translated_tiers": q_translated_tiers,
+    "throttled_counts": q_throttled_counts,
     "running_totals": q_running_totals,
     "value_ranks": q_value_ranks,
     "user_top_event": q_user_top_event,
@@ -2859,6 +2947,33 @@ WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
        string_agg(event_type, ',' ORDER BY event_type) AS types
 FROM d GROUP BY user_id ORDER BY user_id
+""",
+    "translated_tiers": """
+WITH m AS (
+  SELECT CASE event_type
+           WHEN 'view' THEN 'engagement'
+           WHEN 'click' THEN 'engagement'
+           WHEN 'purchase' THEN 'revenue'
+           WHEN 'signup' THEN 'acquisition'
+           ELSE '_other' END AS tier,
+         event_type
+  FROM events
+)
+SELECT tier, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM m GROUP BY 1 ORDER BY 1
+""",
+    "throttled_counts": """
+WITH r AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(ts AS DATE)
+           ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+)
+SELECT day, rn <= 3 AS allowed, CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "balanced_shards": """
 WITH r AS (

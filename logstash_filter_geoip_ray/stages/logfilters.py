@@ -278,6 +278,86 @@ def throttle(
     )
 
 
+# -- cidr ----------------------------------------------------------------------
+
+_IPV4_RE = r"^(?P<o1>\d{1,3})\.(?P<o2>\d{1,3})\.(?P<o3>\d{1,3})\.(?P<o4>\d{1,3})$"
+
+
+def ipv4_to_int(arr) -> pa.Array:
+    """Dotted-quad → int64 (fits uint32), null for anything that is not a
+    valid IPv4 literal (wrong shape or an octet > 255). One anchored
+    ``pc.extract_regex`` pass + integer math — no per-row parsing."""
+    arr = _combined(arr)
+    m = pc.extract_regex(arr, _IPV4_RE)
+    octets = [
+        pc.cast(pc.struct_field(m, f"o{i}"), pa.int64()) for i in range(1, 5)
+    ]
+    ipint = octets[0]
+    for o in octets[1:]:
+        ipint = pc.add(pc.multiply(ipint, 256), o)
+    in_range = None
+    for o in octets:
+        ok = pc.less_equal(o, 255)
+        in_range = ok if in_range is None else pc.and_kleene(in_range, ok)
+    return pc.if_else(pc.fill_null(in_range, False), ipint, pa.nulls(len(arr), pa.int64()))
+
+
+def make_cidr_classify(
+    networks: Sequence[Tuple[str, str]],
+    source_col: str,
+    target_col: str = "network_class",
+    unmatched: str = "_unmatched",
+    invalid: str = "_invalid",
+):
+    """logstash-filter-cidr: classify IPv4 addresses against a static list
+    of ``(cidr, label)`` networks (the filter's ``address``/``network``
+    match, generalized to a label per network). The network table is
+    compiled ONCE into sorted integer ranges in the closure (broadcast with
+    the function object); per batch the match is one anchored regex parse +
+    a numpy ``searchsorted`` — no trie, no per-row Python.
+
+    Networks must be non-overlapping (validated at build); order therefore
+    cannot matter, keeping SQL CASE parity trivial. Unparseable/out-of-range
+    sources classify as ``invalid``; parseable but unmatched as
+    ``unmatched``; null sources stay null."""
+    import ipaddress
+
+    rngs = []
+    for cidr, label in networks:
+        net = ipaddress.ip_network(cidr)
+        if net.version != 4:
+            raise ValueError(f"IPv4 networks only: {cidr}")
+        rngs.append((int(net.network_address), int(net.broadcast_address), label))
+    rngs.sort()
+    for (s1, e1, l1), (s2, e2, l2) in zip(rngs, rngs[1:]):
+        if s2 <= e1:
+            raise ValueError(f"overlapping networks: {l1} and {l2}")
+    starts = np.array([r[0] for r in rngs], dtype=np.int64)
+    ends = np.array([r[1] for r in rngs], dtype=np.int64)
+    labels = np.array([r[2] for r in rngs] + [unmatched], dtype=object)
+    miss_idx = len(rngs)
+
+    def cidr_classify(batch: pa.Table) -> pa.Table:
+        src = _combined(batch[source_col])
+        ipint = ipv4_to_int(src)
+        vals = ipint.to_numpy(zero_copy_only=False)  # NaN where null
+        nan = np.isnan(vals)
+        safe = np.where(nan, 0, vals).astype(np.int64)
+        idx = np.searchsorted(starts, safe, side="right") - 1
+        hit = (idx >= 0) & (safe <= ends[np.clip(idx, 0, None)])
+        lab_idx = np.where(hit, np.clip(idx, 0, None), miss_idx)
+        out = pa.array(labels[lab_idx], type=pa.string())
+        # invalid = source present but not a valid IPv4; null source → null
+        src_valid = pc.is_valid(src)
+        out = pc.if_else(pa.array(nan), pa.array([invalid] * len(src)), out)
+        out = pc.if_else(src_valid, out, pa.nulls(len(src), pa.string()))
+        if target_col in batch.column_names:
+            batch = batch.drop_columns([target_col])
+        return batch.append_column(target_col, out)
+
+    return cidr_classify
+
+
 # -- translate -----------------------------------------------------------------
 
 

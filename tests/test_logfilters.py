@@ -1,0 +1,336 @@
+"""Logstash filter-family operators (kv / dissect / date / throttle /
+translate): kernel unit tests plus DuckDB oracle rows for the five driver
+queries, at sf0.001 (the sf0.01 exactness runs in tools/check_oracles.py)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from logstash_filter_geoip_ray.stages.logfilters import (
+    make_dissect,
+    make_kv_pairs,
+    make_translate,
+    parse_datetime_multi,
+    parse_dissect_template,
+    throttle,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- kernels -----------------------------------------------------------------
+
+
+def test_kv_pairs_kernel():
+    t = pa.table(
+        {
+            "rid": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a=1 b=2 c=3",
+                    "nested=k=v plain",  # value keeps everything after 1st sep
+                    "no pairs at all",
+                    "x=  y=z",  # empty value token from double space
+                ]
+            ),
+        }
+    )
+    out = make_kv_pairs(carry_cols=["rid"])(t).to_pylist()
+    by_rid = {}
+    for r in out:
+        by_rid.setdefault(r["rid"], []).append((r["kv_key"], r["kv_value"]))
+    assert by_rid[0] == [("a", "1"), ("b", "2"), ("c", "3")]
+    assert by_rid[1] == [("nested", "k=v")]
+    assert 2 not in by_rid
+    assert by_rid[3] == [("x", ""), ("y", "z")]
+
+
+def test_dissect_kernel_semantics():
+    fn = make_dissect("client=%{ip} status=%{status} latency=%{lat}ms")
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "client=1.2.3.4 status=200 latency=7ms",
+                    # first-occurrence literal: ip stops at the FIRST " status="
+                    "client=a status=x status=200 latency=9ms",
+                    "client=1.2.3.4 status=200 latency=7",  # missing suffix
+                    "prefix client=1.2.3.4 status=200 latency=7ms",  # bad prefix
+                    None,
+                ]
+            )
+        }
+    )
+    rows = fn(t).to_pylist()
+    assert rows[0] == {
+        "text": rows[0]["text"],
+        "ip": "1.2.3.4",
+        "status": "200",
+        "lat": "7",
+        "dissect_ok": True,
+    }
+    assert rows[1]["ip"] == "a" and rows[1]["status"] == "x status=200"
+    assert rows[1]["lat"] == "9" and rows[1]["dissect_ok"]
+    assert not rows[2]["dissect_ok"] and rows[2]["ip"] is None
+    assert not rows[3]["dissect_ok"]
+    assert not rows[4]["dissect_ok"] and rows[4]["ip"] is None
+
+    # template validation
+    with pytest.raises(ValueError, match="non-empty literal"):
+        parse_dissect_template("%{a}%{b}")
+    with pytest.raises(ValueError, match="at least one"):
+        parse_dissect_template("no fields here")
+
+
+def test_date_multi_first_format_wins():
+    # "01/02/2020 ..." parses under BOTH formats; order must decide
+    arr = pa.array(["2020-01-02 03:04:05"])
+    us_first = parse_datetime_multi(
+        arr, ["%Y-%m-%d %H:%M:%S", "%Y-%d-%m %H:%M:%S"]
+    )
+    swapped = parse_datetime_multi(
+        arr, ["%Y-%d-%m %H:%M:%S", "%Y-%m-%d %H:%M:%S"]
+    )
+    assert us_first[0].as_py().month == 1
+    assert swapped[0].as_py().month == 2
+    # unparseable stays null
+    assert parse_datetime_multi(pa.array(["nope"]), ["%Y"])[0].as_py() is None
+
+
+def test_translate_no_default_keeps_null():
+    fn = make_translate({"a": "x"}, "k", "v", default=None)
+    out = fn(pa.table({"k": pa.array(["a", "b", None])})).to_pylist()
+    assert [r["v"] for r in out] == ["x", None, None]
+
+
+def test_cidr_classify_kernel():
+    from logstash_filter_geoip_ray.stages.logfilters import make_cidr_classify
+
+    fn = make_cidr_classify(
+        [("81.2.69.0/24", "eu-lon"), ("1.0.0.0/8", "apnic")], "tok"
+    )
+    t = pa.table(
+        {
+            "tok": pa.array(
+                [
+                    "81.2.69.142",  # in range
+                    "81.2.70.0",  # one past /24 → unmatched
+                    "1.255.255.255",  # top of /8
+                    "2.0.0.0",  # one past /8
+                    "999.1.1.1",  # octet out of range
+                    "not-an-ip",
+                    "1.2.3",  # wrong shape
+                    "0.0.0.0",  # valid, unmatched
+                    None,  # null stays null
+                ]
+            )
+        }
+    )
+    got = [r["network_class"] for r in fn(t).to_pylist()]
+    assert got == [
+        "eu-lon",
+        "_unmatched",
+        "apnic",
+        "_unmatched",
+        "_invalid",
+        "_invalid",
+        "_invalid",
+        "_unmatched",
+        None,
+    ]
+    with pytest.raises(ValueError, match="overlapping"):
+        make_cidr_classify([("1.0.0.0/8", "a"), ("1.2.0.0/16", "b")], "x")
+    with pytest.raises(ValueError, match="IPv4"):
+        make_cidr_classify([("2a02::/32", "v6")], "x")
+
+
+def test_cidr_token_classes_oracle(ray_session):
+    """Engine vs DuckDB integer-range CASE at sf0.001 (sf0.01 runs in
+    tools/check_oracles.py). The oracle SQL is generated from the SAME
+    network list the engine compiles."""
+    import os
+
+    from __ray_entry__ import (
+        _q_cidr_token_classes,
+        oracle_sql,
+    )
+
+    sql = oracle_sql()["cidr_token_classes"]
+    # oracle_sql() pins sf0.01 paths — swap in the sf0.001 transcripts dir
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+
+    sql = sql.replace(
+        transcripts_path("/root/testdata/sf0.01"), transcripts_path(SF)
+    )
+    n = _cmp(_q_cidr_token_classes(SF), sql)
+    assert n >= 5  # all labeled classes + _invalid + _unmatched present
+
+
+def test_throttle_vs_bruteforce(ray_session):
+    import ray
+
+    rng = np.random.default_rng(7)
+    n = 500
+    keys = rng.integers(0, 12, n).astype(np.int64)
+    base = 1_700_000_000_000_000
+    ts = base + rng.integers(0, 5 * 86_400, n).astype(np.int64) * 1_000_000
+    eid = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid),
+            "user_id": pa.array(keys),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    got = (
+        throttle(
+            ray.data.from_arrow(tbl).repartition(4),
+            "user_id",
+            "ts",
+            limit=2,
+            period="day",
+            tiebreak_col="event_id",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame({"event_id": eid, "user_id": keys, "ts": ts})
+    df["win"] = df["ts"] // 86_400_000_000
+    df = df.sort_values(["user_id", "win", "ts", "event_id"])
+    df["rank"] = df.groupby(["user_id", "win"]).cumcount()
+    want = df.sort_values("event_id")["rank"].to_numpy() < 2
+    assert (got["allowed"].to_numpy() == want).all()
+    assert (~want).sum() > 0  # the limit must actually bite
+
+
+# -- driver-query oracle rows at sf0.001 --------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tpath():
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+
+    return transcripts_path(SF)
+
+
+def _cmp(got, sql):
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duckdb.sql(sql).df()
+    g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    return len(g)
+
+
+def test_kv_pair_stats_oracle(ray_session, tpath):
+    from __ray_entry__ import _q_kv_pair_stats
+
+    n = _cmp(
+        _q_kv_pair_stats(SF),
+        f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok
+  FROM read_parquet('{tpath}/*.parquet')
+), kv AS (
+  SELECT split_part(tok, '=', 1) AS kv_key,
+         substr(tok, strpos(tok, '=') + 1) AS kv_value
+  FROM toks WHERE contains(tok, '=')
+)
+SELECT kv_key, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT kv_value) AS BIGINT) AS n_values
+FROM kv GROUP BY 1 ORDER BY 1
+""",
+    )
+    assert n >= 4  # path/status/latency/ua/client keys exist in the corpus
+
+
+def test_dissect_status_oracle(ray_session, tpath):
+    from __ray_entry__ import _q_dissect_status
+
+    pat = "^client=(.*?) status=(.*?) latency=(.*)ms$"
+    n = _cmp(
+        _q_dissect_status(SF),
+        f"""
+WITH d AS (
+  SELECT regexp_extract(text, '{pat}', 1) AS ip,
+         regexp_extract(text, '{pat}', 2) AS status,
+         regexp_extract(text, '{pat}', 3) AS lat
+  FROM read_parquet('{tpath}/*.parquet')
+  WHERE regexp_matches(text, '{pat}')
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT ip) AS BIGINT) AS n_ips,
+       CAST(sum(CAST(lat AS BIGINT)) AS BIGINT) AS lat_sum
+FROM d GROUP BY 1 ORDER BY 1
+""",
+    )
+    assert n == 4  # one row per status code in the corpus
+
+
+def test_multiformat_dates_oracle(ray_session, tpath):
+    from __ray_entry__ import _q_multiformat_dates
+
+    n = _cmp(
+        _q_multiformat_dates(SF),
+        f"""
+WITH s AS (
+  SELECT CASE turn_idx % 3
+           WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+           WHEN 1 THEN strftime(ts, '%d/%b/%Y:%H:%M:%S')
+           ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') END AS raw
+  FROM read_parquet('{tpath}/*.parquet')
+), p AS (
+  SELECT coalesce(try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+                  try_strptime(raw, '%d/%b/%Y:%H:%M:%S'),
+                  try_strptime(raw, '%Y-%m-%dT%H:%M:%S')) AS pts
+  FROM s
+)
+SELECT strftime(date_trunc('hour', pts), '%Y-%m-%d %H:00') AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1 ORDER BY 1
+""",
+    )
+    assert n >= 2
+
+
+def test_translated_throttled_oracles(ray_session):
+    from logstash_filter_geoip_ray.pipelines.data_ops import (
+        q_throttled_counts,
+        q_translated_tiers,
+    )
+
+    ev = f"{SF}/events.parquet"
+    n = _cmp(
+        q_translated_tiers(SF),
+        f"""
+WITH m AS (
+  SELECT CASE event_type
+           WHEN 'view' THEN 'engagement' WHEN 'click' THEN 'engagement'
+           WHEN 'purchase' THEN 'revenue' WHEN 'signup' THEN 'acquisition'
+           ELSE '_other' END AS tier, event_type
+  FROM read_parquet('{ev}')
+)
+SELECT tier, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM m GROUP BY 1 ORDER BY 1
+""",
+    )
+    assert n == 4  # engagement merges two types; error falls to _other
+    _cmp(
+        q_throttled_counts(SF),
+        f"""
+WITH r AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+         ) AS rn
+  FROM read_parquet('{ev}')
+)
+SELECT day, rn <= 3 AS allowed, CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    )

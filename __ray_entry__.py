@@ -690,6 +690,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     kernel); the exact-Gini arithmetic is pinned by its pytest oracle
     #     row and the per-key-count machinery stays driver-checked via the
     #     grouped_counts family everywhere in the window
+    #   events_profile / user_triangles — demoted to admit the csv/json
+    #     filter queries (new C++-block-parser kernels): the profiler's
+    #     distinct-(col,value) shuffle is the inverted_index/word_rarity
+    #     family and the triangle wedge join is pinned by its wedge-budget
+    #     pytest + oracle row; the graph family stays driver-checked via
+    #     user_communities
     demote = [
         n
         for n in (
@@ -770,6 +776,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "table_row_counts",
             "edit_distance_pairs",
             "key_skew",
+            "events_profile",
+            "user_triangles",
         )
         if n in out
     ]

@@ -2171,6 +2171,102 @@ def q_props_k_stats(sf_dir: str):
     return tree_agg(ev.map_batches(partial, batch_format="pyarrow"), combine)
 
 
+def q_json_field_stats(sf_dir: str):
+    """JSON filter (logstash-filter-json): the props payload parsed by
+    Arrow's C++ NDJSON reader — whole batch joined into one block, ONE
+    parser call per batch, no per-row json.loads — then per-type
+    n/sum/min/max. The general-schema counterpart of props_k_stats's
+    regex fast path; both must agree with the same json_extract oracle."""
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import tree_agg
+    from ..stages.logfilters import make_json_parse
+
+    ev = _events(sf_dir, ["event_type", "props"])
+    parse = make_json_parse(
+        line_col="props",
+        explicit_schema=pa.schema([("k", pa.int64())]),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = parse(batch)
+        agg = t.group_by(["event_type"]).aggregate(
+            [([], "count_all"), ("k", "sum"), ("k", "min"), ("k", "max")]
+        )
+        return agg.rename_columns(
+            ["event_type", "n", "sum_k", "min_k", "max_k"]
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sum_k", "sum"), ("min_k", "min"), ("max_k", "max")]
+        )
+        return agg.rename_columns(
+            ["event_type", "n", "sum_k", "min_k", "max_k"]
+        ).sort_by([("event_type", "ascending")])
+
+    return tree_agg(ev.map_batches(partial, batch_format="pyarrow"), combine)
+
+
+def q_csv_roundtrip_stats(sf_dir: str):
+    """CSV filter (logstash-filter-csv): orders rendered to RFC-4180 lines
+    (the note field is quoted and CONTAINS commas + escaped quotes, so the
+    quote path is load-bearing), parsed back by Arrow's C++ CSV reader —
+    one parser call per batch — and aggregated from the PARSED columns.
+    The oracle aggregates the source table directly, so any parse loss
+    breaks the hash."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.aggregate import tree_sum
+    from ..stages.logfilters import make_csv_parse
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    parse = make_csv_parse(
+        ["key", "status", "note", "cents"],
+        {"key": pa.int64(), "cents": pa.int64()},
+    )
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        # the note contains BOTH a comma and a quote char, so quoting AND
+        # ""-escaping are exercised on every row
+        note = pc.binary_join_element_wise(
+            'priority, "note": ', batch["o_orderpriority"], ""
+        )
+        # RFC-4180 quote the whole field (it always contains ", ")
+        quoted = pc.binary_join_element_wise(
+            '"', pc.replace_substring(note, '"', '""'), '"', ""
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64()
+        )
+        line = pc.binary_join_element_wise(
+            pc.cast(batch["o_orderkey"], pa.string()),
+            batch["o_orderstatus"],
+            quoted,
+            pc.cast(cents, pa.string()),
+            ",",
+        )
+        t = parse(pa.table({"line": line}))
+        keyed = pa.table(
+            {
+                "status": t["status"],
+                "cents": t["cents"],
+                "note_chars": pc.cast(pc.utf8_length(t["note"]), pa.int64()),
+            }
+        )
+        g = keyed.group_by(["status"]).aggregate(
+            [([], "count_all"), ("cents", "sum"), ("note_chars", "sum")]
+        )
+        return g.rename_columns(["status", "n", "cents", "note_chars"])
+
+    parts = orders.map_batches(roundtrip, batch_format="pyarrow")
+    return tree_sum(parts, ["status"], ["n", "cents", "note_chars"], sort_result=True)
+
+
 #: funnel step sequence for q_funnel_conversion (first-touch chained order)
 FUNNEL_STEPS = ["view", "click", "purchase"]
 #: conversion window per step (each step within 24h of the previous one) —
@@ -2638,6 +2734,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "user_type_profile": q_user_type_profile,
     "translated_tiers": q_translated_tiers,
     "throttled_counts": q_throttled_counts,
+    "json_field_stats": q_json_field_stats,
+    "csv_roundtrip_stats": q_csv_roundtrip_stats,
     "running_totals": q_running_totals,
     "value_ranks": q_value_ranks,
     "user_top_event": q_user_top_event,
@@ -2974,6 +3072,19 @@ WITH r AS (
 )
 SELECT day, rn <= 3 AS allowed, CAST(count(*) AS BIGINT) AS n
 FROM r GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "json_field_stats": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY 1 ORDER BY 1
+""",
+    "csv_roundtrip_stats": """
+SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(sum(length('priority, "note": ' || o_orderpriority)) AS BIGINT) AS note_chars
+FROM orders GROUP BY 1 ORDER BY 1
 """,
     "balanced_shards": """
 WITH r AS (

@@ -168,6 +168,85 @@ def test_cidr_token_classes_oracle(ray_session):
     assert n >= 5  # all labeled classes + _invalid + _unmatched present
 
 
+def test_csv_parse_kernel():
+    from logstash_filter_geoip_ray.stages.logfilters import make_csv_parse
+
+    t = pa.table(
+        {
+            "rid": pa.array([0, 1], pa.int64()),
+            "line": pa.array(
+                ['1,F,"a, ""q"" note",100', "2,O,plain,250"]
+            ),
+        }
+    )
+    fn = make_csv_parse(
+        ["k", "s", "note", "cents"], {"k": pa.int64(), "cents": pa.int64()}
+    )
+    rows = fn(t).to_pylist()
+    assert rows[0] == {
+        "rid": 0, "k": 1, "s": "F", "note": 'a, "q" note', "cents": 100
+    }
+    assert rows[1]["note"] == "plain" and rows[1]["cents"] == 250
+    # misalignment (an unquoted embedded newline splits one line into two
+    # records) raises instead of silently shifting rows
+    bad = pa.table({"rid": pa.array([0], pa.int64()),
+                    "line": pa.array(["1,F,x,2\n9,O,y,3"])})
+    with pytest.raises(ValueError, match="misalignment"):
+        fn(bad)
+
+
+def test_json_parse_kernel():
+    from logstash_filter_geoip_ray.stages.logfilters import make_json_parse
+
+    t = pa.table(
+        {
+            "rid": pa.array([0, 1, 2], pa.int64()),
+            "line": pa.array(
+                ['{"k": 87}', '{"k": 0, "extra": "x"}', "{}"]
+            ),
+        }
+    )
+    rows = make_json_parse()(t).to_pylist()
+    assert [r["k"] for r in rows] == [87, 0, None]
+    assert [r["extra"] for r in rows] == [None, "x", None]
+    # explicit schema pins types and ignores undeclared keys
+    sch = pa.schema([("k", pa.int64())])
+    rows2 = make_json_parse(explicit_schema=sch)(t).to_pylist()
+    assert [r["k"] for r in rows2] == [87, 0, None]
+    assert "extra" not in rows2[0]
+
+
+def test_csv_json_query_oracles(ray_session):
+    from logstash_filter_geoip_ray.pipelines.data_ops import (
+        q_csv_roundtrip_stats,
+        q_json_field_stats,
+    )
+
+    ev = f"{SF}/events.parquet"
+    od = f"{SF}/orders.parquet"
+    n = _cmp(
+        q_json_field_stats(SF),
+        f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM read_parquet('{ev}') GROUP BY 1 ORDER BY 1
+""",
+    )
+    assert n == 5
+    n = _cmp(
+        q_csv_roundtrip_stats(SF),
+        f"""
+SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(sum(length('priority, "note": ' || o_orderpriority)) AS BIGINT) AS note_chars
+FROM read_parquet('{od}') GROUP BY 1 ORDER BY 1
+""",
+    )
+    assert n == 3
+
+
 def test_throttle_vs_bruteforce(ray_session):
     import ray
 

@@ -696,6 +696,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     family and the triangle wedge join is pinned by its wedge-budget
     #     pytest + oracle row; the graph family stays driver-checked via
     #     user_communities
+    #   props_k_stats — demoted to admit zonemap_stats: json_field_stats
+    #     (checked) now drives the SAME json_extract oracle through the
+    #     real C++ JSON parser, making the regex fast path's driver row
+    #     redundant; the fast path keeps its pytest oracle row
     demote = [
         n
         for n in (
@@ -778,6 +782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "key_skew",
             "events_profile",
             "user_triangles",
+            "props_k_stats",
         )
         if n in out
     ]

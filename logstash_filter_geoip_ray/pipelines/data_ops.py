@@ -1385,6 +1385,96 @@ def q_zorder_layout(sf_dir: str):
     return zorder_layout(prepped, "event_id", "user_id", "value_milli")
 
 
+#: zone-map audit parameters: both dimensions domain-normalized to 10 bits
+#: (so the Morton curve actually interleaves them — raw coordinates with
+#: mismatched dynamic ranges would leave the top bits all-x or all-y and
+#: the audit non-discriminating), top 6 Morton bits = 64 chunks, one fixed
+#: range predicate per dimension (in scaled 0..1023 units)
+_ZM_BITS = 10
+_ZM_SHIFT = 2 * _ZM_BITS - 6
+_ZM_X_RANGE = (100, 200)  # scaled user_id
+_ZM_Y_RANGE = (256, 384)  # scaled value_milli
+
+
+def q_zonemap_stats(sf_dir: str):
+    """Zone-map / data-skipping audit for the Z-order layout: every event
+    maps to a Morton-curve chunk (top 6 interleaved bits = up to 64
+    space-partitioned chunks — exactly how data-lake formats assign sorted
+    rows to files), and the query emits each chunk's zone map (row count,
+    min/max per dimension) plus whether a fixed range predicate on EITHER
+    dimension would have to scan it. Because the curve interleaves both
+    dimensions, both predicates prune to a small chunk subset — the
+    measurable 'why Z-order matters at fleet scale' number.
+
+    Scale shape: two streaming passes (the quantize_embeddings precedent) —
+    pass 1 is one tiny global max aggregate per dimension (two scalars to
+    the driver, sanctioned), pass 2 a stateless per-batch map; the only
+    exchange is the ≤64-row zone-map aggregate (tree-combined min/max/sum).
+    The corpus itself never shuffles — auditing the layout costs one scan."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    from ..stages.aggregate import tree_agg
+    from ..stages.packing import morton_key
+
+    ev = _events(sf_dir, ["user_id", "value"])
+    bounds = ev.aggregate(Max("user_id"), Max("value"))
+    mx = int(bounds["max(user_id)"])
+    my = int(np.floor(bounds["max(value)"] * 1000))
+    scale = 1 << _ZM_BITS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000
+        ).astype(np.int64)
+        x = (x * scale) // (mx + 1)
+        y = (y * scale) // (my + 1)
+        chunk = morton_key(x, y, bits=_ZM_BITS) >> _ZM_SHIFT
+        t = pa.table(
+            {
+                "chunk": pa.array(chunk, type=pa.int64()),
+                "x": pa.array(x, type=pa.int64()),
+                "y": pa.array(y, type=pa.int64()),
+            }
+        )
+        agg = t.group_by(["chunk"]).aggregate(
+            [([], "count_all"), ("x", "min"), ("x", "max"),
+             ("y", "min"), ("y", "max")]
+        )
+        return agg.rename_columns(
+            ["chunk", "n", "min_x", "max_x", "min_y", "max_y"]
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["chunk"]).aggregate(
+            [("n", "sum"), ("min_x", "min"), ("max_x", "max"),
+             ("min_y", "min"), ("max_y", "max")]
+        )
+        return agg.rename_columns(
+            ["chunk", "n", "min_x", "max_x", "min_y", "max_y"]
+        ).sort_by([("chunk", "ascending")])
+
+    zm = tree_agg(ev.map_batches(partial, batch_format="pyarrow"), combine)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        (xlo, xhi), (ylo, yhi) = _ZM_X_RANGE, _ZM_Y_RANGE
+        scan_x = pc.and_(
+            pc.greater_equal(batch["max_x"], xlo),
+            pc.less_equal(batch["min_x"], xhi),
+        )
+        scan_y = pc.and_(
+            pc.greater_equal(batch["max_y"], ylo),
+            pc.less_equal(batch["min_y"], yhi),
+        )
+        return batch.append_column("scan_x", scan_x).append_column(
+            "scan_y", scan_y
+        )
+
+    return zm.map_batches(flags, batch_format="pyarrow")
+
+
 def q_event_cooccurrence(sf_dir: str):
     """Market-basket association pairs: for every unordered event-type pair
     (a < b), how many users performed both. Per-batch distinct
@@ -2736,6 +2826,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "throttled_counts": q_throttled_counts,
     "json_field_stats": q_json_field_stats,
     "csv_roundtrip_stats": q_csv_roundtrip_stats,
+    "zonemap_stats": q_zonemap_stats,
     "running_totals": q_running_totals,
     "value_ranks": q_value_ranks,
     "user_top_event": q_user_top_event,
@@ -2840,14 +2931,18 @@ _TOKEN_COUNT = f"CASE WHEN {_TRIMMED} = '' THEN 0 ELSE len({_TOKENS}) END"
 #: BM25 oracle shares the exact integer formula with stages/textops.bm25_topk
 _BM25_TERMS_SQL = "('hash', 'join', 'vector', 'slow')"
 
-def _zorder_oracle_sql(bits: int = 16) -> str:
+def _morton_terms(bits: int) -> str:
     """Bit-interleave (Morton) key spelled out as BIGINT shift/mask terms —
     generated so the SQL stays in lockstep with ``packing.morton_key``."""
-    terms = " + ".join(
+    return " + ".join(
         "(((x >> %d) & 1) << %d) + (((y >> %d) & 1) << %d)"
         % (i, 2 * i, i, 2 * i + 1)
         for i in range(bits)
     )
+
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    terms = _morton_terms(bits)
     return """
 WITH v AS (
   SELECT event_id,
@@ -3085,6 +3180,26 @@ SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
        CAST(sum(length('priority, "note": ' || o_orderpriority)) AS BIGINT) AS note_chars
 FROM orders GROUP BY 1 ORDER BY 1
+""",
+    "zonemap_stats": f"""
+WITH b AS (
+  SELECT max(user_id) AS mx,
+         CAST(floor(max(value) * 1000) AS BIGINT) AS my
+  FROM events
+), v AS (
+  SELECT (user_id * {1 << _ZM_BITS}) // (b.mx + 1) AS x,
+         (CAST(floor(value * 1000) AS BIGINT) * {1 << _ZM_BITS}) // (b.my + 1) AS y
+  FROM events, b
+), z AS (
+  SELECT x, y, (CAST({_morton_terms(_ZM_BITS)} AS BIGINT) >> {_ZM_SHIFT}) AS chunk
+  FROM v
+)
+SELECT chunk, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+       CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y,
+       (max(x) >= {_ZM_X_RANGE[0]} AND min(x) <= {_ZM_X_RANGE[1]}) AS scan_x,
+       (max(y) >= {_ZM_Y_RANGE[0]} AND min(y) <= {_ZM_Y_RANGE[1]}) AS scan_y
+FROM z GROUP BY 1 ORDER BY 1
 """,
     "balanced_shards": """
 WITH r AS (

@@ -247,6 +247,31 @@ FROM read_parquet('{od}') GROUP BY 1 ORDER BY 1
     assert n == 3
 
 
+def test_zonemap_stats_oracle_and_pruning(ray_session):
+    """Zone-map audit hash-matches the generated Morton SQL at sf0.001 AND
+    actually demonstrates skipping: each single-dimension predicate must
+    prune to a strict subset of populated chunks."""
+    from logstash_filter_geoip_ray.pipelines.data_ops import (
+        DATA_ORACLES,
+        q_zonemap_stats,
+    )
+
+    sql = DATA_ORACLES["zonemap_stats"].replace(
+        "FROM events", f"FROM read_parquet('{SF}/events.parquet')"
+    )
+    got = q_zonemap_stats(SF).to_pandas()
+    import duckdb as _dd
+
+    want = _dd.sql(sql).df()
+    g = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+    w = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    n = len(got)
+    assert n > 10  # normalization must spread rows across many chunks
+    assert 0 < got["scan_x"].sum() < n
+    assert 0 < got["scan_y"].sum() < n
+
+
 def test_throttle_vs_bruteforce(ray_session):
     import ray
 

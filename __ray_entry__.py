@@ -700,6 +700,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     (checked) now drives the SAME json_extract oracle through the
     #     real C++ JSON parser, making the regex fast path's driver row
     #     redundant; the fast path keeps its pytest oracle row
+    #   quantized_embeddings — demoted to admit model_scores (actor-pool
+    #     inference plumbing, a NEW stage shape): the two-streaming-pass
+    #     min/max-then-map pattern it pioneered is now ALSO driver-checked
+    #     via zonemap_stats; pinned by its closed-form numpy pytest +
+    #     oracle row
     demote = [
         n
         for n in (
@@ -783,6 +788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_profile",
             "user_triangles",
             "props_k_stats",
+            "quantized_embeddings",
         )
         if n in out
     ]

@@ -1475,6 +1475,19 @@ def q_zonemap_stats(sf_dir: str):
     return zm.map_batches(flags, batch_format="pyarrow")
 
 
+def q_model_scores(sf_dir: str):
+    """Batched model inference as a first-class stage: documents scored
+    through an actor pool whose model artifact loads ONCE per actor
+    (``stages/inference.py`` — the plumbing a real ONNX/reward-model scorer
+    uses), rolled up per language. The demo model is an integer-milli
+    linear scorer over exact text features, so the oracle replays every
+    score bit-for-bit."""
+    from ..stages.inference import ensure_model_file, model_score_rollup
+
+    docs = _docs(sf_dir, ["text", "lang"])
+    return model_score_rollup(docs, ensure_model_file(), group_col="lang")
+
+
 def q_event_cooccurrence(sf_dir: str):
     """Market-basket association pairs: for every unordered event-type pair
     (a < b), how many users performed both. Per-batch distinct
@@ -2827,6 +2840,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "json_field_stats": q_json_field_stats,
     "csv_roundtrip_stats": q_csv_roundtrip_stats,
     "zonemap_stats": q_zonemap_stats,
+    "model_scores": q_model_scores,
     "running_totals": q_running_totals,
     "value_ranks": q_value_ranks,
     "user_top_event": q_user_top_event,
@@ -4399,3 +4413,12 @@ WITH eraw AS (
 
 
 DATA_ORACLES["pagerank_nodes"] = _pagerank_oracle_sql(PAGERANK_ITERS)
+
+
+def _model_scores_oracle_sql() -> str:
+    from ..stages.inference import quality_score_oracle_sql
+
+    return quality_score_oracle_sql("documents")
+
+
+DATA_ORACLES["model_scores"] = _model_scores_oracle_sql()

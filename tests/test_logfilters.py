@@ -272,6 +272,39 @@ def test_zonemap_stats_oracle_and_pruning(ray_session):
     assert 0 < got["scan_y"].sum() < n
 
 
+def test_model_inference_stage(ray_session, tmp_path):
+    """Actor-pool scoring: model artifact loads once per actor, scores are
+    integer-exact vs the generated SQL oracle at sf0.001; a model file
+    missing a weight fails loudly at actor construction."""
+    import pyarrow.parquet as pq
+
+    from logstash_filter_geoip_ray.pipelines.data_ops import q_model_scores
+    from logstash_filter_geoip_ray.stages.inference import (
+        LinearQualityScorer,
+        ensure_model_file,
+        quality_score_oracle_sql,
+    )
+
+    sql = quality_score_oracle_sql(
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    n = _cmp(q_model_scores(SF), sql)
+    assert n == 5  # one row per language
+
+    # per-doc kernel sanity: empty text scores exactly the bias
+    t = pa.table({"text": pa.array([""]), "lang": pa.array(["en"])})
+    out = LinearQualityScorer(ensure_model_file())(t)
+    assert out["score_milli"][0].as_py() == 500
+
+    bad = tmp_path / "bad_model.parquet"
+    pq.write_table(
+        pa.table({"feature": pa.array(["bias"]), "w_milli": pa.array([1], pa.int64())}),
+        str(bad),
+    )
+    with pytest.raises(ValueError, match="missing weights"):
+        LinearQualityScorer(str(bad))
+
+
 def test_throttle_vs_bruteforce(ray_session):
     import ray
 

@@ -1475,6 +1475,15 @@ def q_zonemap_stats(sf_dir: str):
     return zm.map_batches(flags, batch_format="pyarrow")
 
 
+def q_compression_quality(sf_dir: str):
+    """Compression-ratio quality signal (zlib repetitiveness heuristic):
+    per-lang doc count, below-threshold count, ratio-milli sum. Rows-only
+    (no zlib in SQL); exact vs the direct-zlib pytest reference."""
+    from ..stages.textops import compression_quality
+
+    return compression_quality(_docs(sf_dir, ["text", "lang"]))
+
+
 def q_model_scores(sf_dir: str):
     """Batched model inference as a first-class stage: documents scored
     through an actor pool whose model artifact loads ONCE per actor
@@ -2841,6 +2850,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "csv_roundtrip_stats": q_csv_roundtrip_stats,
     "zonemap_stats": q_zonemap_stats,
     "model_scores": q_model_scores,
+    "compression_quality": q_compression_quality,
     "running_totals": q_running_totals,
     "value_ranks": q_value_ranks,
     "user_top_event": q_user_top_event,

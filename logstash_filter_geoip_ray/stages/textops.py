@@ -33,6 +33,67 @@ def doc_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(stats, batch_format="pyarrow").sort(id_col)
 
 
+def compression_ratios(texts, level: int = 6):
+    """Per-doc zlib compression ratio in milli (compressed_len * 1000 //
+    raw_len; empty text → None). The standard web-corpus repetitiveness
+    signal (highly compressible ⇒ boilerplate/duplicated content). zlib is
+    deterministic for a fixed level, so results are hash-stable; the loop
+    body is one C call per doc (the language-ID precedent for per-doc
+    kernels SQL cannot express)."""
+    import zlib
+
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        raw = t.encode("utf-8")
+        if not raw:
+            out.append(None)
+            continue
+        out.append(len(zlib.compress(raw, level)) * 1000 // len(raw))
+    return out
+
+
+def compression_quality(
+    ds,
+    threshold_milli: int = 450,
+    text_col: str = "text",
+    group_col: str = "lang",
+):
+    """Compression-ratio quality rollup: per group — doc count, docs below
+    the repetitiveness threshold (suspiciously compressible), and the milli
+    ratio sum. Text never leaves the scoring map; only the tiny per-group
+    aggregate shuffles. Rows-only registration (no zlib in SQL); pinned by
+    the direct-zlib pytest reference."""
+    import pyarrow.compute as pc
+
+    from .aggregate import tree_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ratios = pa.array(
+            compression_ratios(batch[text_col].to_pylist()), type=pa.int64()
+        )
+        low = pc.cast(pc.less(ratios, threshold_milli), pa.int64())
+        t = pa.table(
+            {
+                group_col: batch[group_col],
+                "ratio": pc.fill_null(ratios, 0),
+                "low": pc.fill_null(low, 0),
+                "one": pa.array([1] * batch.num_rows, type=pa.int64()),
+            }
+        )
+        g = t.group_by([group_col]).aggregate(
+            [("one", "sum"), ("low", "sum"), ("ratio", "sum")]
+        )
+        return g.rename_columns([group_col, "n", "n_low", "sum_ratio_milli"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return tree_sum(
+        parts, [group_col], ["n", "n_low", "sum_ratio_milli"], sort_result=True
+    )
+
+
 def doc_analysis(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Full analysis: quality features + language-ID + fingerprints.
     (Heuristic columns → rows-only oracle.)"""

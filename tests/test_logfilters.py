@@ -305,6 +305,42 @@ def test_model_inference_stage(ray_session, tmp_path):
         LinearQualityScorer(str(bad))
 
 
+def test_compression_quality_vs_zlib(ray_session):
+    """Engine rollup equals a direct-zlib pandas reference exactly
+    (deterministic for a fixed level), and the threshold actually splits
+    the corpus."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from logstash_filter_geoip_ray.pipelines.data_ops import (
+        q_compression_quality,
+    )
+
+    got = q_compression_quality(SF).to_pandas().sort_values("lang").reset_index(drop=True)
+    src = pq.read_table(
+        f"{SF}/documents.parquet", columns=["text", "lang"]
+    ).to_pandas()
+    src["ratio"] = [
+        len(zlib.compress(t.encode(), 6)) * 1000 // len(t.encode())
+        for t in src["text"]
+    ]
+    want = (
+        src.assign(low=(src["ratio"] < 450).astype("int64"))
+        .groupby("lang")
+        .agg(n=("ratio", "size"), n_low=("low", "sum"), sum_ratio_milli=("ratio", "sum"))
+        .reset_index()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["lang", "n", "n_low", "sum_ratio_milli"]],
+        want[["lang", "n", "n_low", "sum_ratio_milli"]],
+        check_dtype=False,
+    )
+    assert 0 < got["n_low"].sum() < got["n"].sum()  # threshold discriminates
+
+
 def test_throttle_vs_bruteforce(ray_session):
     import ray
 

@@ -507,3 +507,96 @@ SELECT day, rn <= 3 AS allowed, CAST(count(*) AS BIGINT) AS n
 FROM r GROUP BY 1, 2 ORDER BY 1, 2
 """,
     )
+
+
+# -- hypothesis fuzz ----------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_field_text = st.text(
+    alphabet=st.characters(blacklist_characters=" =\n\r", blacklist_categories=("Cs",)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(_field_text, _field_text), min_size=1, max_size=6))
+def test_fuzz_dissect_roundtrip(fields):
+    """Render values through a dissect template, parse back: exact
+    recovery whenever values cannot collide with the literals."""
+    from logstash_filter_geoip_ray.stages.logfilters import make_dissect
+
+    template = " ".join(f"k{i}=%{{f{i}}}" for i in range(len(fields)))
+    line = " ".join(f"k{i}={v}" for i, (v, _) in enumerate(fields))
+    fn = make_dissect(template, text_col="text")
+    row = fn(pa.table({"text": pa.array([line])})).to_pylist()[0]
+    assert row["dissect_ok"]
+    for i, (v, _) in enumerate(fields):
+        assert row[f"f{i}"] == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_fuzz_csv_quote_roundtrip(values):
+    """Arbitrary unicode (quotes, commas, embedded newlines) survives a
+    quote-escape render → C++ parse round trip, row-aligned."""
+    from logstash_filter_geoip_ray.stages.logfilters import make_csv_parse
+
+    lines = ['"%s",%d' % (v.replace('"', '""'), i) for i, v in enumerate(values)]
+    fn = make_csv_parse(["v", "i"], {"v": pa.string(), "i": pa.int64()}, line_col="line")
+    out = fn(pa.table({"line": pa.array(lines)})).to_pylist()
+    assert len(out) == len(values)
+    for i, v in enumerate(values):
+        # Arrow's CSV reader yields null for a quoted empty string by
+        # default ("" == empty field); normalize for comparison
+        got = out[i]["v"] if out[i]["v"] is not None else ""
+        assert got == v and out[i]["i"] == i
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="ab=x ", min_size=0, max_size=20), min_size=1, max_size=5))
+def test_fuzz_kv_matches_python_reference(texts):
+    from logstash_filter_geoip_ray.stages.logfilters import make_kv_pairs
+
+    out = make_kv_pairs(carry_cols=["rid"])(
+        pa.table({"rid": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    ).to_pylist()
+    want = []
+    for rid, t in enumerate(texts):
+        for tok in t.split(" "):
+            if "=" in tok:
+                k, _, v = tok.partition("=")
+                want.append((rid, k, v))
+    assert [(r["rid"], r["kv_key"], r["kv_value"]) for r in out] == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=40))
+def test_fuzz_cidr_matches_ipaddress(ipints):
+    import ipaddress
+
+    from logstash_filter_geoip_ray.stages.logfilters import make_cidr_classify
+
+    nets = [("10.0.0.0/8", "ten"), ("192.168.0.0/16", "rfc1918-16"),
+            ("81.2.69.192/28", "tiny")]
+    fn = make_cidr_classify(nets, "tok")
+    toks = [str(ipaddress.ip_address(i)) for i in ipints]
+    got = [r["network_class"] for r in
+           fn(pa.table({"tok": pa.array(toks)})).to_pylist()]
+    compiled = [(ipaddress.ip_network(c), lab) for c, lab in nets]
+    for tok, g in zip(toks, got):
+        addr = ipaddress.ip_address(tok)
+        want = next((lab for net, lab in compiled if addr in net), "_unmatched")
+        assert g == want

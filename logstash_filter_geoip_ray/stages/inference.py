@@ -35,29 +35,40 @@ _MODEL_DIR = "/tmp/graft_models"
 _MODEL_VERSION = "linear_quality_v1"
 
 
+def _weights_table() -> pa.Table:
+    return pa.table(
+        {
+            "feature": pa.array(list(QUALITY_WEIGHTS), type=pa.string()),
+            "w_milli": pa.array(
+                list(QUALITY_WEIGHTS.values()), type=pa.int64()
+            ),
+        }
+    )
+
+
 def ensure_model_file(path: Optional[str] = None) -> str:
     """Materialize the weights as a parquet model artifact (deterministic,
     cached) — the thing a real deployment would ship; actors load THIS, not
-    the source constant, so the load path is honest."""
+    the source constant, so the load path is honest. A cached file whose
+    contents disagree with QUALITY_WEIGHTS (edited constant, stale /tmp) is
+    rewritten rather than silently trusted."""
     import pyarrow.parquet as pq
 
     path = path or os.path.join(_MODEL_DIR, f"{_MODEL_VERSION}.parquet")
+    want = _weights_table()
     if os.path.exists(path):
-        return path
+        try:
+            have = pq.read_table(path)
+            if have.sort_by("feature").equals(want.sort_by("feature")):
+                return path
+        except Exception:
+            pass  # torn/unreadable cache → rewrite below
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    pq.write_table(
-        pa.table(
-            {
-                "feature": pa.array(list(QUALITY_WEIGHTS), type=pa.string()),
-                "w_milli": pa.array(
-                    list(QUALITY_WEIGHTS.values()), type=pa.int64()
-                ),
-            }
-        ),
-        tmp,
-    )
-    os.replace(tmp, path)  # atomic: concurrent actors never see a torn file
+    # unique tmp per writer: concurrent processes never clobber each
+    # other's in-flight file; os.replace publishes atomically
+    tmp = f"{path}.{os.getpid()}.tmp"
+    pq.write_table(want, tmp)
+    os.replace(tmp, path)
     return path
 
 
@@ -69,10 +80,26 @@ class LinearQualityScorer:
     batch (vectorized feature build + integer dot product — no Python row
     loop). Emits ``score_milli`` (int64) beside the input columns."""
 
-    def __init__(self, model_path: str, text_col: str = "text"):
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        model_blob=None,
+        text_col: str = "text",
+    ):
         import pyarrow.parquet as pq
 
-        t = pq.read_table(model_path)
+        if model_blob is not None:
+            # broadcast path (multi-node correct): the driver ray.put() the
+            # artifact bytes once; every actor reads from the object store
+            import ray
+
+            if isinstance(model_blob, ray.ObjectRef):
+                model_blob = ray.get(model_blob)
+            t = pq.read_table(pa.BufferReader(model_blob))
+        elif model_path is not None:
+            t = pq.read_table(model_path)
+        else:
+            raise ValueError("need model_path or model_blob")
         w = dict(
             zip(t["feature"].to_pylist(), t["w_milli"].to_pylist())
         )
@@ -106,17 +133,33 @@ class LinearQualityScorer:
         return batch.append_column("score_milli", score)
 
 
-def model_score_rollup(ds, model_path: str, group_col: str = "lang"):
+def model_score_rollup(
+    ds,
+    model_path: str,
+    group_col: str = "lang",
+    # autoscaling (min, max): a FIXED pool equal to the session cpu count
+    # deadlocks the streaming executor — every cpu pinned by an idle actor,
+    # none left for the producer read tasks (bit us in a 4-cpu session)
+    concurrency=(1, 4),
+):
     """Score a corpus through the actor pool and roll up per group:
-    (group, n, sum/min/max score_milli). The text column never leaves the
-    scoring stage; only the tiny per-group aggregate shuffles."""
+    (group, n, sum/min/max score_milli). The artifact bytes are read ONCE
+    on the driver and broadcast through the object store (``ray.put``), so
+    actors on any node of a real cluster load the same blob — never a
+    driver-local /tmp path. The text column never leaves the scoring
+    stage; only the tiny per-group aggregate shuffles."""
+    import ray
+
     from .aggregate import tree_agg
+
+    with open(model_path, "rb") as f:
+        blob_ref = ray.put(f.read())
 
     scored = ds.map_batches(
         LinearQualityScorer,
-        fn_constructor_kwargs={"model_path": model_path},
+        fn_constructor_kwargs={"model_blob": blob_ref},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=concurrency,
     )
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -281,15 +281,70 @@ def throttle(
 # -- csv / json line parsing ----------------------------------------------------
 
 
-def _rows_to_buffer(col: pa.Array) -> bytes:
-    """Concatenate a string column into one newline-joined buffer with a
-    zero-copy ListArray wrap + one ``pc.binary_join`` — no Python loop."""
-    col = _combined(col)
+def _rows_to_buffer(col: pa.Array) -> pa.Buffer:
+    """Concatenate a string column into one newline-joined Arrow buffer:
+    zero-copy ListArray wrap + one ``pc.binary_join`` + ``as_buffer`` — no
+    Python string round trip. Caller guarantees no nulls."""
     wrapper = pa.ListArray.from_arrays(
         pa.array([0, len(col)], type=pa.int32()), col
     )
-    joined = pc.binary_join(wrapper, "\n")
-    return joined[0].as_py().encode()
+    joined = pc.cast(pc.binary_join(wrapper, "\n"), pa.binary())
+    return joined[0].as_buffer()
+
+
+def _merge_parsed(
+    batch: pa.Table,
+    parsed: pa.Table,
+    valid_idx,
+    n: int,
+    line_col: str,
+    drop_line: bool,
+    kind: str,
+) -> pa.Table:
+    """Shared csv/json merge: validate alignment against the VALID rows,
+    scatter parsed values back to full batch length (null where the line
+    was null), then append beside the carried columns."""
+    n_valid = len(valid_idx)
+    if parsed.num_rows != n_valid:
+        raise ValueError(
+            f"{kind} parse misalignment: {n_valid} lines -> "
+            f"{parsed.num_rows} records"
+        )
+    if n_valid < n:
+        # scatter: position i holds the parsed-row index for input row i,
+        # null where the input line was null → take() yields typed nulls
+        import numpy as np
+
+        pos = np.zeros(n, dtype=np.int64)
+        pos[valid_idx] = np.arange(n_valid)
+        mask = np.ones(n, dtype=bool)
+        mask[valid_idx] = False
+        scatter = pa.array(pos, type=pa.int64(), mask=mask)
+        parsed = parsed.take(scatter)
+    out = batch.drop_columns([line_col]) if drop_line else batch
+    for name in parsed.column_names:
+        if name in out.column_names:
+            out = out.drop_columns([name])
+        out = out.append_column(name, parsed[name])
+    return out
+
+
+def _valid_lines(batch: pa.Table, line_col: str):
+    """(combined line array without nulls, indices of the valid rows)."""
+    import numpy as np
+
+    col = _combined(batch[line_col])
+    if col.null_count == 0:
+        return col, np.arange(len(col), dtype=np.int64)
+    valid = pc.is_valid(col)
+    idx = np.flatnonzero(valid.to_numpy(zero_copy_only=False))
+    return col.filter(valid), idx
+
+
+def _empty_typed(n: int, schema_types: Dict[str, pa.DataType]) -> pa.Table:
+    return pa.table(
+        {name: pa.nulls(n, t) for name, t in schema_types.items()}
+    )
 
 
 def make_csv_parse(
@@ -299,34 +354,41 @@ def make_csv_parse(
     drop_line: bool = True,
 ):
     """logstash-filter-csv: parse a column of CSV lines into typed columns
-    using Arrow's C++ CSV reader — RFC-4180 quoting/escaping for free, one
-    parser invocation per BATCH (the whole batch becomes a single in-memory
-    CSV block), never a per-row Python split. Output rows stay aligned with
-    input rows; a record-count mismatch (malformed multi-record line)
-    raises rather than silently misaligning."""
+    using Arrow's C++ CSV reader — RFC-4180 quoting/escaping (including
+    quoted embedded newlines: ``newlines_in_values``) for free, one parser
+    invocation per BATCH (the whole batch becomes a single in-memory CSV
+    block), never a per-row Python split. Null lines yield null parsed
+    columns (filter semantics); a record-count mismatch (malformed
+    multi-record line) raises rather than silently misaligning. On a batch
+    with no parseable rows, declared ``column_types`` pin the output
+    schema and undeclared columns default to string (declare types for
+    schema stability across empty blocks)."""
     import pyarrow.csv as pacsv
 
-    read_opts = pacsv.ReadOptions(column_names=list(column_names))
-    convert_opts = pacsv.ConvertOptions(column_types=column_types or {})
+    column_names = list(column_names)
+    column_types = dict(column_types or {})
+    read_opts = pacsv.ReadOptions(column_names=column_names)
+    parse_opts = pacsv.ParseOptions(newlines_in_values=True)
+    convert_opts = pacsv.ConvertOptions(column_types=column_types)
+    empty_types = {
+        name: column_types.get(name, pa.string()) for name in column_names
+    }
 
     def csv_parse(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        buf = _rows_to_buffer(batch[line_col])
-        parsed = pacsv.read_csv(
-            pa.BufferReader(buf),
-            read_options=read_opts,
-            convert_options=convert_opts,
-        )
-        if parsed.num_rows != n:
-            raise ValueError(
-                f"csv parse misalignment: {n} lines -> {parsed.num_rows} records"
+        lines, valid_idx = _valid_lines(batch, line_col)
+        if len(lines) == 0:
+            parsed = _empty_typed(0, empty_types)
+        else:
+            parsed = pacsv.read_csv(
+                pa.BufferReader(_rows_to_buffer(lines)),
+                read_options=read_opts,
+                parse_options=parse_opts,
+                convert_options=convert_opts,
             )
-        out = batch.drop_columns([line_col]) if drop_line else batch
-        for name in parsed.column_names:
-            if name in out.column_names:
-                out = out.drop_columns([name])
-            out = out.append_column(name, parsed[name])
-        return out
+        return _merge_parsed(
+            batch, parsed, valid_idx, n, line_col, drop_line, "csv"
+        )
 
     return csv_parse
 
@@ -339,8 +401,11 @@ def make_json_parse(
     """logstash-filter-json: parse a column of JSON object strings into
     typed columns via Arrow's C++ NDJSON reader — the batch joins into one
     newline-delimited block, parsed in a single C++ call (no per-row
-    ``json.loads``). Missing keys surface as nulls; alignment is
-    validated like the CSV filter."""
+    ``json.loads``). Missing keys surface as nulls; null lines yield null
+    parsed columns; alignment is validated like the CSV filter. Without an
+    ``explicit_schema`` a batch with no parseable rows raises (the output
+    schema would be unknowable) — pass the schema for schema stability
+    across empty blocks."""
     import pyarrow.json as pajson
 
     parse_opts = (
@@ -354,20 +419,25 @@ def make_json_parse(
 
     def json_parse(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        buf = _rows_to_buffer(batch[line_col])
-        parsed = pajson.read_json(
-            pa.BufferReader(buf), parse_options=parse_opts
-        )
-        if parsed.num_rows != n:
-            raise ValueError(
-                f"json parse misalignment: {n} lines -> {parsed.num_rows} records"
+        lines, valid_idx = _valid_lines(batch, line_col)
+        if len(lines) == 0:
+            if explicit_schema is None:
+                raise ValueError(
+                    "json parse: batch has no parseable rows and no "
+                    "explicit_schema was given — the output schema would "
+                    "be unknowable; pass explicit_schema"
+                )
+            parsed = _empty_typed(
+                0, {f.name: f.type for f in explicit_schema}
             )
-        out = batch.drop_columns([line_col]) if drop_line else batch
-        for name in parsed.column_names:
-            if name in out.column_names:
-                out = out.drop_columns([name])
-            out = out.append_column(name, parsed[name])
-        return out
+        else:
+            parsed = pajson.read_json(
+                pa.BufferReader(_rows_to_buffer(lines)),
+                parse_options=parse_opts,
+            )
+        return _merge_parsed(
+            batch, parsed, valid_idx, n, line_col, drop_line, "json"
+        )
 
     return json_parse
 

@@ -216,6 +216,68 @@ def test_json_parse_kernel():
     assert "extra" not in rows2[0]
 
 
+def test_csv_json_parse_null_and_empty_batches():
+    """Null lines yield null parsed columns (filter semantics, row-aligned);
+    zero-row / all-null batches keep a stable declared schema; json without
+    an explicit schema raises on an unparseable-only batch."""
+    from logstash_filter_geoip_ray.stages.logfilters import (
+        make_csv_parse,
+        make_json_parse,
+    )
+
+    fn = make_csv_parse(["k", "s"], {"k": pa.int64(), "s": pa.string()})
+    t = pa.table(
+        {
+            "rid": pa.array([0, 1, 2], pa.int64()),
+            "line": pa.array(["1,a", None, "3,c"]),
+        }
+    )
+    rows = fn(t).to_pylist()
+    assert [r["k"] for r in rows] == [1, None, 3]
+    assert [r["s"] for r in rows] == ["a", None, "c"]
+
+    empty = pa.table({"rid": pa.array([], pa.int64()), "line": pa.array([], pa.string())})
+    out = fn(empty)
+    assert out.num_rows == 0
+    assert out.schema.field("k").type == pa.int64()
+    assert out.schema.field("s").type == pa.string()
+
+    sch = pa.schema([("k", pa.int64())])
+    jf = make_json_parse(explicit_schema=sch)
+    jt = pa.table(
+        {"rid": pa.array([0, 1], pa.int64()),
+         "line": pa.array(['{"k": 5}', None])}
+    )
+    jrows = jf(jt).to_pylist()
+    assert [r["k"] for r in jrows] == [5, None]
+    all_null = pa.table(
+        {"rid": pa.array([0], pa.int64()),
+         "line": pa.array([None], pa.string())}
+    )
+    assert jf(all_null).to_pylist()[0]["k"] is None
+    with pytest.raises(ValueError, match="explicit_schema"):
+        make_json_parse()(all_null)
+
+
+def test_model_file_cache_invalidation(tmp_path, monkeypatch):
+    """A cached artifact whose weights disagree with the constant is
+    rewritten, not silently trusted."""
+    import pyarrow.parquet as pq
+
+    from logstash_filter_geoip_ray.stages import inference
+
+    p = str(tmp_path / "model.parquet")
+    pq.write_table(
+        pa.table({"feature": pa.array(["bias"]),
+                  "w_milli": pa.array([999], pa.int64())}),
+        p,
+    )
+    out = inference.ensure_model_file(p)
+    t = pq.read_table(out)
+    w = dict(zip(t["feature"].to_pylist(), t["w_milli"].to_pylist()))
+    assert w == inference.QUALITY_WEIGHTS
+
+
 def test_csv_json_query_oracles(ray_session):
     from logstash_filter_geoip_ray.pipelines.data_ops import (
         q_csv_roundtrip_stats,

@@ -1475,6 +1475,20 @@ def q_zonemap_stats(sf_dir: str):
     return zm.map_batches(flags, batch_format="pyarrow")
 
 
+def q_elapsed_times(sf_dir: str):
+    """Elapsed filter (logstash-filter-elapsed): each user's first signup
+    paired with the first purchase strictly after it — elapsed µs for
+    matched pairs, the filter's failure tags as a status column otherwise
+    (start_without_end / end_without_start)."""
+    from ..stages.logfilters import elapsed
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type"])
+    return elapsed(
+        ev, "user_id", "ts", "event_type",
+        start_type="signup", end_type="purchase",
+    )
+
+
 def q_compression_quality(sf_dir: str):
     """Compression-ratio quality signal (zlib repetitiveness heuristic):
     per-lang doc count, below-threshold count, ratio-milli sum. Rows-only
@@ -2850,6 +2864,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "csv_roundtrip_stats": q_csv_roundtrip_stats,
     "zonemap_stats": q_zonemap_stats,
     "model_scores": q_model_scores,
+    "elapsed_times": q_elapsed_times,
     "compression_quality": q_compression_quality,
     "running_totals": q_running_totals,
     "value_ranks": q_value_ranks,
@@ -3191,6 +3206,30 @@ WITH r AS (
 )
 SELECT day, rn <= 3 AS allowed, CAST(count(*) AS BIGINT) AS n
 FROM r GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "elapsed_times": """
+WITH st AS (
+  SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS t0
+  FROM events WHERE event_type = 'signup' AND user_id IS NOT NULL
+  GROUP BY 1
+), en AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+), m AS (
+  SELECT st.user_id, st.t0, CAST(min(en.t) AS BIGINT) AS t1
+  FROM st LEFT JOIN en ON en.user_id = st.user_id AND en.t > st.t0
+  GROUP BY 1, 2
+)
+SELECT user_id,
+       CASE WHEN t1 IS NULL THEN 'start_without_end' ELSE 'matched' END AS status,
+       t0, t1,
+       CASE WHEN t1 IS NULL THEN NULL ELSE t1 - t0 END AS elapsed_us
+FROM m
+UNION ALL
+SELECT user_id, 'end_without_start', NULL, CAST(min(t) AS BIGINT), NULL
+FROM en WHERE user_id NOT IN (SELECT user_id FROM st)
+GROUP BY 1
+ORDER BY user_id
 """,
     "json_field_stats": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -522,6 +522,96 @@ def make_cidr_classify(
     return cidr_classify
 
 
+# -- elapsed -------------------------------------------------------------------
+
+
+def elapsed(
+    ds,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    start_type: str,
+    end_type: str,
+    num_buckets: int = 64,
+):
+    """logstash-filter-elapsed, batch form: pair each key's FIRST
+    ``start_type`` event with the first ``end_type`` event STRICTLY after
+    it and emit the elapsed time; keys that never complete get the
+    filter's failure tags as a status column — ``matched`` /
+    ``start_without_end`` (the filter's expired-start path) /
+    ``end_without_start``. NULL keys are dropped (SQL join semantics, the
+    funnel_counts precedent).
+
+    Output: (key, status, t0, t1, elapsed_us) — t0/t1 int64 epoch µs,
+    null where the side is missing. Scale shape: the corpus filters to the
+    two event types at the first map and ships (key, int64 ts, bool) only;
+    each key resolves inside its hash bucket with three vectorized
+    groupby/merge passes — no per-key Python, no global sort."""
+    import pandas as pd
+
+    from .aggregate import bucket_by_key
+
+    types = pa.array([start_type, end_type])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_in(batch[type_col], value_set=types),
+            pc.is_valid(batch[key_col]),
+        )
+        t = batch.filter(mask)
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "_ts": pc.cast(ts, pa.int64()),
+                "_is_start": pc.equal(t[type_col], start_type),
+            }
+        )
+
+    prepped = bucket_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"), key_col, num_buckets
+    )
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        starts = block[block["_is_start"]]
+        ends = block[~block["_is_start"]]
+        t0 = starts.groupby(key_col)["_ts"].min().rename("t0")
+        m = ends.merge(t0, left_on=key_col, right_index=True, how="left")
+        after = m[m["_ts"] > m["t0"]]
+        t1 = after.groupby(key_col)["_ts"].min().rename("t1")
+        paired = t0.to_frame().join(t1, how="left").reset_index()
+        matched = paired["t1"].notna().to_numpy()
+        paired["status"] = np.where(
+            matched, "matched", "start_without_end"
+        )
+        # ends whose key has NO start at all
+        orphan = ends[~ends[key_col].isin(t0.index)]
+        orph = (
+            orphan.groupby(key_col)["_ts"].min().rename("t1").reset_index()
+        )
+        orph["t0"] = pd.NA
+        orph["status"] = "end_without_start"
+        out = pd.concat(
+            [paired[[key_col, "status", "t0", "t1"]],
+             orph[[key_col, "status", "t0", "t1"]]],
+            ignore_index=True,
+        )
+        out["t0"] = out["t0"].astype("Int64")
+        out["t1"] = out["t1"].astype("Int64")
+        out["elapsed_us"] = (out["t1"] - out["t0"]).where(
+            out["status"] == "matched"
+        ).astype("Int64")
+        return out
+
+    return (
+        prepped.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(key_col)
+    )
+
+
 # -- translate -----------------------------------------------------------------
 
 

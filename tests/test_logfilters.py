@@ -403,6 +403,58 @@ def test_compression_quality_vs_zlib(ray_session):
     assert 0 < got["n_low"].sum() < got["n"].sum()  # threshold discriminates
 
 
+def test_elapsed_all_statuses(ray_session):
+    """All three elapsed statuses + the strictly-after tie rule on
+    synthetic data (the sf corpus only exercises 'matched'), plus the
+    sf0.001 oracle row."""
+    import ray
+
+    from logstash_filter_geoip_ray.stages.logfilters import elapsed
+
+    base = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 3, 4, 4, 5], pa.int64()),
+            "ts": pa.array(
+                [base, base + 5_000_000,  # u1: matched, 5s
+                 base,                    # u2: start only
+                 base + 1,                # u3: end only
+                 base, base,              # u4: end at EXACTLY t0 → not after
+                 base],                   # u5: other type, filtered out
+                pa.int64(),
+            ).cast(pa.timestamp("us")),
+            "event_type": pa.array(
+                ["signup", "purchase", "signup", "purchase",
+                 "signup", "purchase", "view"]
+            ),
+        }
+    )
+    got = (
+        elapsed(
+            ray.data.from_arrow(tbl), "user_id", "ts", "event_type",
+            start_type="signup", end_type="purchase", num_buckets=2,
+        )
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert got.loc[1, "status"] == "matched"
+    assert got.loc[1, "elapsed_us"] == 5_000_000
+    assert got.loc[2, "status"] == "start_without_end"
+    assert got.loc[3, "status"] == "end_without_start"
+    assert got.loc[4, "status"] == "start_without_end"  # equal ts ≠ after
+    assert 5 not in got.index
+
+    from logstash_filter_geoip_ray.pipelines.data_ops import (
+        DATA_ORACLES,
+        q_elapsed_times,
+    )
+
+    sql = DATA_ORACLES["elapsed_times"].replace(
+        "FROM events", f"FROM read_parquet('{SF}/events.parquet')"
+    )
+    _cmp(q_elapsed_times(SF), sql)
+
+
 def test_throttle_vs_bruteforce(ray_session):
     import ray
 

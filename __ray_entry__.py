@@ -387,6 +387,193 @@ def _q_multiformat_dates(sf_dir: str):
     return grouped_counts(hours, ["hour"], "n", sort_result=True)
 
 
+def _q_mutated_text_stats(sf_dir: str):
+    """Mutate filter (logstash-filter-mutate, the most-used Logstash
+    filter): a five-op chain over the transcript text — gsub digit runs →
+    '#', uppercase, strip, then a split/join round trip through the list
+    domain (proving both kernels are lossless) — followed by per-tool
+    row count, DISTINCT normalized-text count and total chars. Ops apply
+    in the filter's documented fixed order regardless of config order
+    (pinned separately by the unit test); every op is one Arrow kernel."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import bucket_by_key
+    from logstash_filter_geoip_ray.stages.logfilters import make_mutate
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["text", "tool"])
+    mutate = make_mutate(
+        gsub=[("text", r"\d+", "#")],
+        uppercase=["text"],
+        strip=["text"],
+        split={"text": " "},
+        join={"text": " "},
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = mutate(batch)
+        g = m.group_by(["tool", "text"]).aggregate([([], "count_all")])
+        return g.rename_columns(["tool", "norm", "cnt"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    bucketed = bucket_by_key(parts, "tool", 8)
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        block = block.assign(chars=block["norm"].str.len() * block["cnt"])
+        g = (
+            block.groupby("tool", sort=False)
+            .agg(n=("cnt", "sum"), n_texts=("norm", "nunique"), chars=("chars", "sum"))
+            .reset_index()
+        )
+        for c in ("n", "n_texts", "chars"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort("tool")
+    )
+
+
+#: UA fixture render shapes (by turn_idx % 4) — the Chrome UA deliberately
+#: also contains "Safari/537.36", so the query bank's trailing Safari
+#: pattern would mis-claim it if first-match-wins ordering ever broke
+_UA_CHROME_PRE = (
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/"
+)
+_UA_FIREFOX_PRE = "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:"
+
+
+def _q_ua_family_counts(sf_dir: str):
+    """Useragent filter (logstash-filter-useragent): deterministic UA
+    strings rendered per turn_idx % 4 (Chrome / curl / python-requests /
+    Firefox — the multiformat_dates render precedent) are classified by
+    the ORDERED regex bank (uap-core first-match-wins; the appended
+    Safari pattern must NOT claim the Chrome UAs, which all carry a
+    Safari/537.36 suffix) and counted per (ua_family, ua_major)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import grouped_counts
+    from logstash_filter_geoip_ray.stages.logfilters import (
+        UA_DEFAULT_BANK,
+        make_useragent,
+    )
+
+    bank = tuple(UA_DEFAULT_BANK) + (
+        (r"Safari/(?P<major>\d+)\.(?P<minor>\d+)", "Safari"),
+    )
+    parse_ua = make_useragent("ua", bank=bank)
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["turn_idx"])
+
+    def render_and_parse(batch: pa.Table) -> pa.Table:
+        ti = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mod = ti % 4
+        ua = np.empty(len(ti), dtype=object)
+        m = mod == 0
+        v = (90 + ti[m] % 40).astype("U")
+        ua[m] = np.char.add(
+            np.char.add(_UA_CHROME_PRE, v), ".0.4472.124 Safari/537.36"
+        )
+        m = mod == 1
+        ua[m] = np.char.add(
+            np.char.add("curl/8.", (ti[m] % 10).astype("U")), ".0"
+        )
+        m = mod == 2
+        ua[m] = np.char.add(
+            np.char.add("python-requests/2.", (ti[m] % 32).astype("U")), ".0"
+        )
+        m = mod == 3
+        v = (100 + ti[m] % 30).astype("U")
+        ua[m] = np.char.add(
+            np.char.add(
+                np.char.add(np.char.add(_UA_FIREFOX_PRE, v), ".0) Gecko/20100101 Firefox/"),
+                v,
+            ),
+            ".0",
+        )
+        t = pa.table({"ua": pa.array(ua, type=pa.string())})
+        return parse_ua(t).select(["ua_family", "ua_major"])
+
+    fams = ds.map_batches(render_and_parse, batch_format="pyarrow")
+    return grouped_counts(fams, ["ua_family", "ua_major"], "n", sort_result=True)
+
+
+def _q_decoded_path_counts(sf_dir: str):
+    """Urldecode filter (logstash-filter-urldecode): the extracted path
+    tokens are percent-ENCODED deterministically ('/'→%2F, 'a'→%61 — mixed
+    case hex exercised) then decoded back by the vectorized byte-domain
+    kernel and counted per decoded path. The oracle aggregates the RAW
+    source paths, so any decode loss breaks the hash (the csv_roundtrip
+    precedent: round-trip proof, not replayed render)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import grouped_counts
+    from logstash_filter_geoip_ray.stages.logfilters import urldecode_array
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["text"])
+
+    def encode_decode(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["text"], r'path=(?P<path>[^\s"]+)')
+        path = pc.struct_field(ext, ["path"])
+        keep = pc.is_valid(path)
+        path = pc.drop_null(path)
+        enc = pc.replace_substring(path, pattern="/", replacement="%2F")
+        enc = pc.replace_substring(enc, pattern="a", replacement="%61")
+        dec = urldecode_array(
+            enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+        )
+        return pa.table({"path": dec})
+
+    decoded = ds.map_batches(encode_decode, batch_format="pyarrow")
+    return grouped_counts(decoded, ["path"], "n", sort_result=True)
+
+
+def _q_clause_stats(sf_dir: str):
+    """Split filter (logstash-filter-split, event explosion): each turn
+    text explodes into one row per '; '-separated clause (flatten +
+    parent-index carry of the role column, vectorized within-row clause
+    index), then per (role, clause index): row count + total chars."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import tree_sum
+    from logstash_filter_geoip_ray.stages.logfilters import make_split_rows
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["text", "role"])
+    split = make_split_rows("text", "; ", keep_cols=["role"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = split(batch)
+        keyed = pa.table(
+            {
+                "role": e["role"],
+                "part_idx": e["part_idx"],
+                "len": pc.cast(pc.utf8_length(e["part"]), pa.int64()),
+            }
+        )
+        g = keyed.group_by(["role", "part_idx"]).aggregate(
+            [("len", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["role", "part_idx", "chars", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return tree_sum(parts, ["role", "part_idx"], ["chars", "n"], sort_result=True)
+
+
 def _q_frequent_tokens(sf_dir: str):
     """Heavy hitters at sketch cost: tokens appearing ≥ 100 times, via
     capacity-pruned partials (capacity=128 < the ~450 distinct tokens, so
@@ -469,6 +656,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kv_pair_stats": _q_kv_pair_stats,
         "dissect_status": _q_dissect_status,
         "multiformat_dates": _q_multiformat_dates,
+        "mutated_text_stats": _q_mutated_text_stats,
+        "ua_family_counts": _q_ua_family_counts,
+        "decoded_path_counts": _q_decoded_path_counts,
+        "clause_stats": _q_clause_stats,
         "cidr_token_classes": _q_cidr_token_classes,
         "frequent_tokens": _q_frequent_tokens,
         "conv_documents": _q_conv_documents,
@@ -710,6 +901,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     logstash filter): the watermark kernel is pinned by its
     #     sequential-replay pytest + oracle row, and the bucketed
     #     segmented-pass family stays driver-checked via rolling_windows
+    #   multiformat_dates / throttled_counts / translated_tiers /
+    #     dedup_filtered_embeddings — demoted to admit the four NEW
+    #     filter-family kernels (mutate / useragent / urldecode / split
+    #     explosion): the strptime-coalesce, bucketed sort+cumcount and
+    #     index_in-broadcast-map kernels are each pinned by their own
+    #     pytest oracle rows (test_date_multi_first_format_wins,
+    #     test_throttle_vs_bruteforce, test_translate_no_default_keeps_null
+    #     + the three *_oracle rows), the render-then-parse query shape
+    #     stays driver-checked via ua_family_counts, and the SemDeDup
+    #     chain's clusters→anti-join tail is driver-checked via
+    #     dedup_filtered_docs_minhash with the grid self-join pinned by
+    #     test_embedding_grid_equals_broadcast + its pytest oracle row
     demote = [
         n
         for n in (
@@ -795,6 +998,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "props_k_stats",
             "quantized_embeddings",
             "late_events",
+            "multiformat_dates",
+            "throttled_counts",
+            "translated_tiers",
+            "dedup_filtered_embeddings",
         )
         if n in out
     ]
@@ -919,6 +1126,69 @@ SELECT status, CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT ip) AS BIGINT) AS n_ips,
        CAST(sum(CAST(lat AS BIGINT)) AS BIGINT) AS lat_sum
 FROM d GROUP BY 1 ORDER BY 1
+"""
+    out["mutated_text_stats"] = f"""
+WITH m AS (
+  SELECT tool, trim(upper(regexp_replace(text, '\\d+', '#', 'g'))) AS norm
+  FROM read_parquet('{t}/*.parquet')
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT norm) AS BIGINT) AS n_texts,
+       CAST(sum(length(norm)) AS BIGINT) AS chars
+FROM m GROUP BY 1 ORDER BY 1
+"""
+    out["ua_family_counts"] = f"""
+WITH s AS (
+  SELECT CASE turn_idx % 4
+    WHEN 0 THEN '{_UA_CHROME_PRE}' || (90 + turn_idx % 40) || '.0.4472.124 Safari/537.36'
+    WHEN 1 THEN 'curl/8.' || (turn_idx % 10) || '.0'
+    WHEN 2 THEN 'python-requests/2.' || (turn_idx % 32) || '.0'
+    ELSE '{_UA_FIREFOX_PRE}' || (100 + turn_idx % 30) || '.0) Gecko/20100101 Firefox/' || (100 + turn_idx % 30) || '.0'
+    END AS ua
+  FROM read_parquet('{t}/*.parquet')
+), p AS (
+  SELECT CASE
+    WHEN regexp_matches(ua, 'Chrome/\\d+\\.\\d+') THEN 'Chrome'
+    WHEN regexp_matches(ua, 'Firefox/\\d+\\.\\d+') THEN 'Firefox'
+    WHEN regexp_matches(ua, 'curl/\\d+\\.\\d+') THEN 'curl'
+    WHEN regexp_matches(ua, 'python-requests/\\d+\\.\\d+') THEN 'python-requests'
+    WHEN regexp_matches(ua, 'Safari/\\d+\\.\\d+') THEN 'Safari'
+    ELSE 'Other' END AS ua_family, ua
+  FROM s
+)
+SELECT ua_family,
+       CASE ua_family
+         WHEN 'Chrome' THEN regexp_extract(ua, 'Chrome/(\\d+)\\.', 1)
+         WHEN 'Firefox' THEN regexp_extract(ua, 'Firefox/(\\d+)\\.', 1)
+         WHEN 'curl' THEN regexp_extract(ua, 'curl/(\\d+)\\.', 1)
+         WHEN 'python-requests' THEN regexp_extract(ua, 'python-requests/(\\d+)\\.', 1)
+       END AS ua_major,
+       CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    # round-trip proof: the oracle aggregates the RAW source paths — any
+    # loss in the engine's encode→urldecode chain breaks the hash
+    out["decoded_path_counts"] = f"""
+WITH p AS (
+  SELECT nullif(regexp_extract(text, 'path=([^\\s"]+)', 1), '') AS path
+  FROM read_parquet('{t}/*.parquet')
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM p WHERE path IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+    out["clause_stats"] = f"""
+WITH s AS (
+  SELECT role, string_split(text, '; ') AS parts
+  FROM read_parquet('{t}/*.parquet')
+), e AS (
+  SELECT role, unnest(parts) AS part,
+         generate_subscripts(parts, 1) AS part_idx
+  FROM s
+)
+SELECT role, CAST(part_idx AS BIGINT) AS part_idx,
+       CAST(sum(length(part)) AS BIGINT) AS chars,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY 1, 2 ORDER BY 1, 2
 """
     out["multiformat_dates"] = f"""
 WITH s AS (

@@ -645,3 +645,347 @@ def make_translate(
         return batch.append_column(target_col, out_col)
 
     return translate
+
+
+# -- mutate --------------------------------------------------------------------
+
+#: logstash-filter-mutate's documented fixed execution order (docs/index:
+#: "mutations are applied in this order: coerce, rename, update, replace,
+#: convert, gsub, uppercase, capitalize, lowercase, strip, remove, split,
+#: join, merge, copy"). The subset below covers the pure-column-kernel ops;
+#: template interpolation (sprintf) and cross-event merge are pipeline
+#: concerns, not batch kernels.
+MUTATE_ORDER = (
+    "rename",
+    "replace",
+    "convert",
+    "gsub",
+    "uppercase",
+    "capitalize",
+    "lowercase",
+    "strip",
+    "split",
+    "join",
+    "copy",
+)
+
+#: logstash convert type names → Arrow types (mutate docs: integer, float,
+#: string, boolean)
+_CONVERT_TYPES = {
+    "integer": pa.int64(),
+    "float": pa.float64(),
+    "string": pa.string(),
+    "boolean": pa.bool_(),
+}
+
+
+def make_mutate(
+    rename: Optional[Dict[str, str]] = None,
+    replace: Optional[Dict[str, str]] = None,
+    convert: Optional[Dict[str, str]] = None,
+    gsub: Optional[Sequence[Tuple[str, str, str]]] = None,
+    uppercase: Sequence[str] = (),
+    capitalize: Sequence[str] = (),
+    lowercase: Sequence[str] = (),
+    strip: Sequence[str] = (),
+    split: Optional[Dict[str, str]] = None,
+    join: Optional[Dict[str, str]] = None,
+    copy: Optional[Dict[str, str]] = None,
+):
+    """logstash-filter-mutate: general field mutation, applied in the
+    filter's documented fixed order (``MUTATE_ORDER``) regardless of the
+    argument order — the reference applies rename before gsub before case
+    ops before split no matter how the config block is written.
+
+    Every op is ONE Arrow kernel over the whole batch column:
+
+    - ``rename``  {old: new} column renames
+    - ``replace`` {col: constant} set/overwrite with a constant string
+      (the sprintf-template subset logstash interpolates per event is a
+      row-wise concern; constants cover the common static case)
+    - ``convert`` {col: 'integer'|'float'|'string'|'boolean'} — ``pc.cast``;
+      a value that cannot convert raises loudly (the engine's strict
+      analogue of logstash's leave-original-behind)
+    - ``gsub``    [(col, regex, replacement)] in the GIVEN sequence —
+      ``pc.replace_substring_regex`` (RE2, the same engine DuckDB's
+      regexp_replace uses, so oracles align)
+    - ``uppercase`` / ``capitalize`` / ``lowercase`` / ``strip`` [cols]
+    - ``split``   {col: separator} string → list<string>
+    - ``join``    {col: separator} list → string
+    - ``copy``    {src: dst} duplicate a column
+    """
+    gsub = list(gsub or ())
+    for col, pat, rep in gsub:
+        re.compile(pat)  # fail at build time, not per batch
+
+    def _set(batch: pa.Table, name: str, arr) -> pa.Table:
+        if name in batch.column_names:
+            batch = batch.drop_columns([name])
+        return batch.append_column(name, arr)
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        for op in MUTATE_ORDER:
+            if op == "rename" and rename:
+                batch = batch.rename_columns(
+                    [rename.get(c, c) for c in batch.column_names]
+                )
+            elif op == "replace" and replace:
+                for col, value in replace.items():
+                    arr = pa.array([value] * batch.num_rows, type=pa.string())
+                    batch = _set(batch, col, arr)
+            elif op == "convert" and convert:
+                for col, tname in convert.items():
+                    typ = _CONVERT_TYPES[tname]
+                    batch = _set(batch, col, pc.cast(_combined(batch[col]), typ))
+            elif op == "gsub":
+                for col, pat, rep in gsub:
+                    batch = _set(
+                        batch,
+                        col,
+                        pc.replace_substring_regex(
+                            _combined(batch[col]), pattern=pat, replacement=rep
+                        ),
+                    )
+            elif op == "uppercase":
+                for col in uppercase:
+                    batch = _set(batch, col, pc.utf8_upper(_combined(batch[col])))
+            elif op == "capitalize":
+                for col in capitalize:
+                    batch = _set(batch, col, pc.utf8_capitalize(_combined(batch[col])))
+            elif op == "lowercase":
+                for col in lowercase:
+                    batch = _set(batch, col, pc.utf8_lower(_combined(batch[col])))
+            elif op == "strip":
+                for col in strip:
+                    batch = _set(
+                        batch, col, pc.utf8_trim_whitespace(_combined(batch[col]))
+                    )
+            elif op == "split" and split:
+                for col, sep in split.items():
+                    batch = _set(
+                        batch, col, pc.split_pattern(_combined(batch[col]), sep)
+                    )
+            elif op == "join" and join:
+                for col, sep in join.items():
+                    batch = _set(
+                        batch, col, pc.binary_join(_combined(batch[col]), sep)
+                    )
+            elif op == "copy" and copy:
+                for src, dst in copy.items():
+                    batch = _set(batch, dst, _combined(batch[src]))
+        return batch
+
+    return mutate
+
+
+# -- useragent -------------------------------------------------------------------
+
+#: default ordered UA pattern bank (uap-core shape: specific before generic,
+#: FIRST match wins — Chrome must precede any Mozilla/Safari catch-all).
+#: Each pattern needs named groups ``major`` / ``minor``.
+UA_DEFAULT_BANK: Tuple[Tuple[str, str], ...] = (
+    (r"Chrome/(?P<major>\d+)\.(?P<minor>\d+)", "Chrome"),
+    (r"Firefox/(?P<major>\d+)\.(?P<minor>\d+)", "Firefox"),
+    (r"curl/(?P<major>\d+)\.(?P<minor>\d+)", "curl"),
+    (r"python-requests/(?P<major>\d+)\.(?P<minor>\d+)", "python-requests"),
+    (r"^agent/(?P<major>\d+)\.(?P<minor>\d+)", "agent"),
+)
+
+
+def make_useragent(
+    source_col: str,
+    bank: Sequence[Tuple[str, str]] = UA_DEFAULT_BANK,
+    other_family: str = "Other",
+):
+    """logstash-filter-useragent: classify a user-agent string column into
+    (ua_family, ua_major, ua_minor) through an ORDERED regex bank — the
+    uap-core regexes.yaml evaluation model, first matching pattern wins.
+
+    The bank is compiled/validated once at build time and rides the closure
+    to each worker; per batch the kernel runs one ``pc.extract_regex`` per
+    pattern and chains the results with ``pc.coalesce`` (a row already
+    claimed by an earlier pattern keeps its earlier match — exactly the
+    first-wins bank semantics) — no Python row loop at any bank size.
+    Unmatched and null rows get ``other_family`` with null major/minor."""
+    for pat, _fam in bank:
+        if "(?P<major>" not in pat or "(?P<minor>" not in pat:
+            raise ValueError(
+                "make_useragent: pattern %r must define named groups "
+                "'major' and 'minor'" % pat
+            )
+        re.compile(pat)
+
+    def useragent(batch: pa.Table) -> pa.Table:
+        src = _combined(batch[source_col])
+        n = len(src)
+        fam = pa.nulls(n, pa.string())
+        major = pa.nulls(n, pa.string())
+        minor = pa.nulls(n, pa.string())
+        for pat, family in bank:
+            ext = pc.extract_regex(src, pat)
+            hit = pc.is_valid(ext)
+            fam_hit = pc.if_else(hit, family, pa.scalar(None, pa.string()))
+            # coalesce = first pattern to claim a row wins; later patterns
+            # only fill rows every earlier pattern left null
+            fam = pc.coalesce(fam, fam_hit)
+            major = pc.coalesce(major, pc.struct_field(ext, ["major"]))
+            minor = pc.coalesce(minor, pc.struct_field(ext, ["minor"]))
+        fam = pc.fill_null(fam, other_family)
+        out = batch
+        for name, arr in (
+            ("ua_family", fam),
+            ("ua_major", major),
+            ("ua_minor", minor),
+        ):
+            if name in out.column_names:
+                out = out.drop_columns([name])
+            out = out.append_column(name, arr)
+        return out
+
+    return useragent
+
+
+# -- urldecode -------------------------------------------------------------------
+
+_HEXVAL = np.full(256, -1, dtype=np.int16)
+for _c in range(10):
+    _HEXVAL[ord("0") + _c] = _c
+for _c in range(6):
+    _HEXVAL[ord("a") + _c] = 10 + _c
+    _HEXVAL[ord("A") + _c] = 10 + _c
+
+
+def urldecode_array(col: pa.Array, plus_to_space: bool = False) -> pa.Array:
+    """Vectorized percent-decoding of a string array (the
+    logstash-filter-urldecode kernel): every valid ``%XX`` escape collapses
+    to its byte; invalid escapes (non-hex, truncated, or straddling a row
+    boundary) are left verbatim — CGI.unescape's forgiving contract, which
+    keeps the kernel total.
+
+    Pure byte-domain numpy over the Arrow buffers: one scan finds the
+    ``%`` positions, a 256-entry hex table validates both digits, decoded
+    bytes are written in place and the two hex bytes dropped by a boolean
+    gather; new offsets derive from a per-row escape bincount. No Python
+    loop at any escape density. Multi-byte UTF-8 escapes (%C3%A9 → é)
+    decode correctly because the work happens below the codepoint level;
+    rows whose decoded bytes are NOT valid UTF-8 keep their original text
+    (the rare fallback validates per row only when the whole-array cast
+    fails)."""
+    n = len(col)
+    if n == 0:
+        return pa.array([], type=pa.string())
+    # nulls: decode the valid subset, scatter back with a masked take
+    if col.null_count:
+        valid = pc.is_valid(col)
+        vidx = np.flatnonzero(valid.to_numpy(zero_copy_only=False))
+        dec = urldecode_array(col.filter(valid), plus_to_space)
+        pos = np.zeros(n, dtype=np.int64)
+        pos[vidx] = np.arange(len(vidx))
+        mask = np.ones(n, dtype=bool)
+        mask[vidx] = False
+        return dec.take(pa.array(pos, type=pa.int64(), mask=mask))
+
+    offs_buf = col.buffers()[1]
+    data_buf = col.buffers()[2]
+    offs = np.frombuffer(offs_buf, np.int32)[col.offset : col.offset + n + 1]
+    base = int(offs[0])
+    rel = (offs.astype(np.int64)) - base
+    seg = np.frombuffer(data_buf, np.uint8)[base : int(offs[-1])].copy()
+
+    if plus_to_space:
+        seg[seg == ord("+")] = ord(" ")
+
+    pct = np.flatnonzero(seg == ord("%"))
+    if len(pct):
+        # escape must fit inside its own row: find each %'s row, require
+        # the two hex digits before that row's end
+        row = np.searchsorted(rel, pct, side="right") - 1
+        fits = pct + 3 <= rel[row + 1]
+        pct, row = pct[fits], row[fits]
+    if len(pct):
+        hex_ok = (_HEXVAL[seg[pct + 1]] >= 0) & (_HEXVAL[seg[pct + 2]] >= 0)
+        pct, row = pct[hex_ok], row[hex_ok]
+    if not len(pct):
+        decoded_data, new_rel = seg, rel
+    else:
+        seg[pct] = (
+            _HEXVAL[seg[pct + 1]].astype(np.uint8) * 16
+            + _HEXVAL[seg[pct + 2]].astype(np.uint8)
+        )
+        keep = np.ones(len(seg), dtype=bool)
+        keep[pct + 1] = False
+        keep[pct + 2] = False
+        decoded_data = seg[keep]
+        shrink = 2 * np.bincount(row, minlength=n)
+        new_rel = rel - np.concatenate([[0], np.cumsum(shrink)])
+
+    out_bin = pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(new_rel.astype(np.int32)), pa.py_buffer(decoded_data)],
+    )
+    try:
+        return out_bin.cast(pa.string())
+    except pa.ArrowInvalid:
+        # rare: some row decoded to invalid UTF-8 — keep the ORIGINAL text
+        # for exactly those rows (per-row python only on this fallback path)
+        vals = []
+        for i in range(n):
+            b = out_bin[i].as_py()
+            try:
+                vals.append(b.decode("utf-8"))
+            except UnicodeDecodeError:
+                vals.append(col[i].as_py())
+        return pa.array(vals, type=pa.string())
+
+
+def make_urldecode(source_col: str, target_col: Optional[str] = None, plus_to_space: bool = False):
+    """map_batches wrapper for :func:`urldecode_array`; decodes in place
+    unless ``target_col`` names a new column."""
+    tgt = target_col or source_col
+
+    def urldecode(batch: pa.Table) -> pa.Table:
+        dec = urldecode_array(_combined(batch[source_col]), plus_to_space)
+        out = batch
+        if tgt in out.column_names:
+            out = out.drop_columns([tgt])
+        return out.append_column(tgt, dec)
+
+    return urldecode
+
+
+# -- split (event explosion) ----------------------------------------------------
+
+
+def make_split_rows(
+    source_col: str,
+    sep: str,
+    keep_cols: Sequence[str],
+    part_col: str = "part",
+    idx_col: str = "part_idx",
+):
+    """logstash-filter-split: ONE event whose field holds a separated list
+    becomes N events, one per element — the row-explosion filter (the
+    canonical use is multi-line messages → one event per line).
+
+    Vectorized: ``pc.split_pattern`` → ``list_parent_indices`` gathers the
+    carried columns, ``list_flatten`` yields the parts, and the within-row
+    element index (logstash keeps ordering; SQL's ``generate_subscripts``)
+    is one arange-minus-repeated-starts pass. NULL source rows produce no
+    output rows (unnest semantics — logstash tags ``_splitparsefailure``
+    for a non-splittable field and emits nothing)."""
+
+    def split_rows(batch: pa.Table) -> pa.Table:
+        src = _combined(batch[source_col])
+        lists = pc.split_pattern(src, sep)
+        parent = pc.list_parent_indices(lists)
+        flat = pc.list_flatten(lists)
+        sizes = pc.list_value_length(lists)
+        sz = pc.fill_null(sizes, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.repeat(np.concatenate([[0], np.cumsum(sz)[:-1]]), sz)
+        pos = np.arange(len(flat), dtype=np.int64) - starts
+        out = batch.select(list(keep_cols)).take(parent)
+        out = out.append_column(part_col, flat)
+        return out.append_column(idx_col, pa.array(pos + 1, type=pa.int64()))
+
+    return split_rows

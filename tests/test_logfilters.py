@@ -714,3 +714,250 @@ def test_fuzz_cidr_matches_ipaddress(ipints):
         addr = ipaddress.ip_address(tok)
         want = next((lab for net, lab in compiled if addr in net), "_unmatched")
         assert g == want
+
+
+# -- mutate --------------------------------------------------------------------
+
+
+def test_mutate_fixed_order_and_kernels():
+    from logstash_filter_geoip_ray.stages.logfilters import make_mutate
+
+    # ORDER PIN: gsub runs before lowercase no matter the argument order —
+    # '[A-Z]' hits the original case; a lowercase-first engine would find
+    # nothing to gsub and return 'abc'
+    m = make_mutate(lowercase=["t"], gsub=[("t", "[A-Z]", "#")])
+    t = pa.table({"t": ["AbC"]})
+    assert m(t)["t"].to_pylist() == ["#b#"]
+
+    # rename → gsub sees the NEW name (rename is first in MUTATE_ORDER)
+    m = make_mutate(rename={"old": "t"}, gsub=[("t", "x", "y")])
+    assert m(pa.table({"old": ["xx"]}))["t"].to_pylist() == ["yy"]
+
+    # convert + replace + copy + strip + capitalize
+    m = make_mutate(
+        replace={"tag": "static"},
+        convert={"n": "integer"},
+        strip=["s"],
+        capitalize=["c"],
+        copy={"s": "s2"},
+    )
+    out = m(pa.table({"n": ["42", "7"], "s": ["  hi  ", "x"], "c": ["hello", "WORLD"]}))
+    assert out["n"].to_pylist() == [42, 7]
+    assert out["tag"].to_pylist() == ["static", "static"]
+    assert out["s"].to_pylist() == ["hi", "x"]
+    assert out["s2"].to_pylist() == ["hi", "x"]  # copy happens AFTER strip
+    assert out["c"].to_pylist() == ["Hello", "World"]
+
+    # split → list, join → string (round trip incl. consecutive separators)
+    m = make_mutate(split={"t": " "})
+    assert m(pa.table({"t": ["a  b", None]}))["t"].to_pylist() == [["a", "", "b"], None]
+    m = make_mutate(split={"t": " "}, join={"t": " "})
+    src = ["a  b c", "", None, " lead"]
+    assert m(pa.table({"t": src}))["t"].to_pylist() == src
+
+    # bad gsub regex fails at BUILD time, not per batch
+    with pytest.raises(Exception):
+        make_mutate(gsub=[("t", "(unclosed", "x")])
+
+
+# -- useragent -------------------------------------------------------------------
+
+
+def test_useragent_first_match_wins():
+    from logstash_filter_geoip_ray.stages.logfilters import (
+        UA_DEFAULT_BANK,
+        make_useragent,
+    )
+
+    bank = tuple(UA_DEFAULT_BANK) + (
+        (r"Safari/(?P<major>\d+)\.(?P<minor>\d+)", "Safari"),
+    )
+    ua = make_useragent("u", bank=bank)
+    t = pa.table(
+        {
+            "u": [
+                # contains BOTH Chrome and Safari tokens — Chrome is earlier
+                # in the bank, so first-match-wins must pick it
+                "Mozilla/5.0 AppleWebKit/537.36 Chrome/91.2.1 Safari/537.36",
+                "Mozilla/5.0 Safari/604.1",
+                "curl/8.1.2",
+                "unclassifiable client",
+                None,
+            ]
+        }
+    )
+    out = ua(t)
+    assert out["ua_family"].to_pylist() == [
+        "Chrome",
+        "Safari",
+        "curl",
+        "Other",
+        "Other",
+    ]
+    assert out["ua_major"].to_pylist() == ["91", "604", "8", None, None]
+    assert out["ua_minor"].to_pylist() == ["2", "1", "1", None, None]
+
+    # a pattern without the required named groups refuses at build time
+    with pytest.raises(ValueError):
+        make_useragent("u", bank=((r"Chrome/(\d+)", "Chrome"),))
+
+
+# -- urldecode -------------------------------------------------------------------
+
+
+def test_urldecode_kernel():
+    from logstash_filter_geoip_ray.stages.logfilters import urldecode_array
+
+    a = pa.array(
+        [
+            "a%20b%2Fc",      # basic escapes
+            "%C3%A9t%C3%A9",  # multibyte UTF-8 (é) assembled from bytes
+            "x%zz",           # invalid hex → verbatim
+            "100%",           # truncated trailing % → verbatim
+            "%",              # lone %
+            "%%41",           # overlapping: first % invalid, second decodes
+            "a+b",            # '+' untouched by default
+            "",
+            None,
+        ]
+    )
+    assert urldecode_array(a).to_pylist() == [
+        "a b/c",
+        "été",
+        "x%zz",
+        "100%",
+        "%",
+        "%A",
+        "a+b",
+        "",
+        None,
+    ]
+    assert urldecode_array(pa.array(["a+b%20c"]), plus_to_space=True).to_pylist() == [
+        "a b c"
+    ]
+    # decoded bytes that are NOT valid UTF-8 keep the ORIGINAL text
+    assert urldecode_array(pa.array(["%FF", "ok%41"])).to_pylist() == ["%FF", "okA"]
+    # sliced (non-zero offset) input decodes correctly
+    b = pa.array(["junk%31", "a%20b"])
+    assert urldecode_array(b.slice(1)).to_pylist() == ["a b"]
+    # mixed-case hex
+    assert urldecode_array(pa.array(["%2f%2F"])).to_pylist() == ["//"]
+
+
+# -- split (event explosion) ----------------------------------------------------
+
+
+def test_split_rows_explosion():
+    from logstash_filter_geoip_ray.stages.logfilters import make_split_rows
+
+    sr = make_split_rows("t", "; ", keep_cols=["k"])
+    t = pa.table({"k": [1, 2, 3, 4], "t": ["a; b; c", "solo", None, ""]})
+    out = sr(t)
+    assert out["k"].to_pylist() == [1, 1, 1, 2, 4]  # null row emits nothing
+    assert out["part"].to_pylist() == ["a", "b", "c", "solo", ""]
+    assert out["part_idx"].to_pylist() == [1, 2, 3, 1, 1]  # 1-based like SQL
+
+
+# -- new driver-query oracle rows at sf0.001 -------------------------------------
+
+
+def test_mutated_text_stats_oracle(ray_session, tpath):
+    from __ray_entry__ import _q_mutated_text_stats
+
+    n = _cmp(
+        _q_mutated_text_stats(SF),
+        f"""
+WITH m AS (
+  SELECT tool, trim(upper(regexp_replace(text, '\\d+', '#', 'g'))) AS norm
+  FROM read_parquet('{tpath}/*.parquet')
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT norm) AS BIGINT) AS n_texts,
+       CAST(sum(length(norm)) AS BIGINT) AS chars
+FROM m GROUP BY 1 ORDER BY 1
+""",
+    )
+    assert n >= 3  # one row per tool
+
+
+def test_ua_family_counts_oracle(ray_session, tpath):
+    from __ray_entry__ import _q_ua_family_counts, _UA_CHROME_PRE, _UA_FIREFOX_PRE
+
+    got = _q_ua_family_counts(SF).to_pandas()
+    # Chrome UAs all contain Safari/537.36 — the ordered bank must claim
+    # them as Chrome, never Safari
+    assert "Safari" not in set(got["ua_family"])
+    assert set(got["ua_family"]) == {"Chrome", "curl", "python-requests", "Firefox"}
+    n = _cmp(
+        got,
+        f"""
+WITH s AS (
+  SELECT CASE turn_idx % 4
+    WHEN 0 THEN '{_UA_CHROME_PRE}' || (90 + turn_idx % 40) || '.0.4472.124 Safari/537.36'
+    WHEN 1 THEN 'curl/8.' || (turn_idx % 10) || '.0'
+    WHEN 2 THEN 'python-requests/2.' || (turn_idx % 32) || '.0'
+    ELSE '{_UA_FIREFOX_PRE}' || (100 + turn_idx % 30) || '.0) Gecko/20100101 Firefox/' || (100 + turn_idx % 30) || '.0'
+    END AS ua
+  FROM read_parquet('{tpath}/*.parquet')
+), p AS (
+  SELECT CASE
+    WHEN regexp_matches(ua, 'Chrome/\\d+\\.\\d+') THEN 'Chrome'
+    WHEN regexp_matches(ua, 'Firefox/\\d+\\.\\d+') THEN 'Firefox'
+    WHEN regexp_matches(ua, 'curl/\\d+\\.\\d+') THEN 'curl'
+    WHEN regexp_matches(ua, 'python-requests/\\d+\\.\\d+') THEN 'python-requests'
+    WHEN regexp_matches(ua, 'Safari/\\d+\\.\\d+') THEN 'Safari'
+    ELSE 'Other' END AS ua_family, ua
+  FROM s
+)
+SELECT ua_family,
+       CASE ua_family
+         WHEN 'Chrome' THEN regexp_extract(ua, 'Chrome/(\\d+)\\.', 1)
+         WHEN 'Firefox' THEN regexp_extract(ua, 'Firefox/(\\d+)\\.', 1)
+         WHEN 'curl' THEN regexp_extract(ua, 'curl/(\\d+)\\.', 1)
+         WHEN 'python-requests' THEN regexp_extract(ua, 'python-requests/(\\d+)\\.', 1)
+       END AS ua_major,
+       CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    )
+    assert n >= 4
+
+
+def test_decoded_path_counts_oracle(ray_session, tpath):
+    from __ray_entry__ import _q_decoded_path_counts
+
+    n = _cmp(
+        _q_decoded_path_counts(SF),
+        f"""
+WITH p AS (
+  SELECT nullif(regexp_extract(text, 'path=([^\\s"]+)', 1), '') AS path
+  FROM read_parquet('{tpath}/*.parquet')
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM p WHERE path IS NOT NULL GROUP BY 1 ORDER BY 1
+""",
+    )
+    assert n == 4  # the four fixture paths
+
+
+def test_clause_stats_oracle(ray_session, tpath):
+    from __ray_entry__ import _q_clause_stats
+
+    n = _cmp(
+        _q_clause_stats(SF),
+        f"""
+WITH s AS (
+  SELECT role, string_split(text, '; ') AS parts
+  FROM read_parquet('{tpath}/*.parquet')
+), e AS (
+  SELECT role, unnest(parts) AS part,
+         generate_subscripts(parts, 1) AS part_idx
+  FROM s
+)
+SELECT role, CAST(part_idx AS BIGINT) AS part_idx,
+       CAST(sum(length(part)) AS BIGINT) AS chars,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    )
+    assert n >= 4  # clause index 2 exists only for the '; ' template rows

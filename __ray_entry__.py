@@ -574,6 +574,36 @@ def _q_clause_stats(sf_dir: str):
     return tree_sum(parts, ["role", "part_idx"], ["chars", "n"], sort_result=True)
 
 
+def _q_cloned_type_counts(sf_dir: str):
+    """Clone filter (logstash-filter-clone): every turn passes through AND
+    is duplicated once per clone type ('shadow', 'audit'), copies tagged in
+    their type field; counted per (type, tool). Registered demoted from the
+    start — one batch-local concat, no novel exchange (the grouped_counts
+    family is driver-checked everywhere); pinned by its pytest oracle row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import grouped_counts
+    from logstash_filter_geoip_ray.stages.logfilters import make_clone
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["tool"])
+    clone = make_clone(["shadow", "audit"])
+
+    def cloned(batch: pa.Table) -> pa.Table:
+        c = clone(batch)
+        return pa.table(
+            {
+                "type": pc.fill_null(c["type"], "_original"),
+                "tool": c["tool"],
+            }
+        )
+
+    out = ds.map_batches(cloned, batch_format="pyarrow")
+    return grouped_counts(out, ["type", "tool"], "n", sort_result=True)
+
+
 def _q_frequent_tokens(sf_dir: str):
     """Heavy hitters at sketch cost: tokens appearing ≥ 100 times, via
     capacity-pruned partials (capacity=128 < the ~450 distinct tokens, so
@@ -660,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ua_family_counts": _q_ua_family_counts,
         "decoded_path_counts": _q_decoded_path_counts,
         "clause_stats": _q_clause_stats,
+        "cloned_type_counts": _q_cloned_type_counts,
         "cidr_token_classes": _q_cidr_token_classes,
         "frequent_tokens": _q_frequent_tokens,
         "conv_documents": _q_conv_documents,
@@ -1002,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "throttled_counts",
             "translated_tiers",
             "dedup_filtered_embeddings",
+            "cloned_type_counts",
         )
         if n in out
     ]
@@ -1165,6 +1197,15 @@ SELECT ua_family,
        END AS ua_major,
        CAST(count(*) AS BIGINT) AS n
 FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    out["cloned_type_counts"] = f"""
+WITH c AS (
+  SELECT '_original' AS type, tool FROM read_parquet('{t}/*.parquet')
+  UNION ALL SELECT 'shadow', tool FROM read_parquet('{t}/*.parquet')
+  UNION ALL SELECT 'audit', tool FROM read_parquet('{t}/*.parquet')
+)
+SELECT type, tool, CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
 """
     # round-trip proof: the oracle aggregates the RAW source paths — any
     # loss in the engine's encode→urldecode chain breaks the hash

@@ -989,3 +989,219 @@ def make_split_rows(
         return out.append_column(idx_col, pa.array(pos + 1, type=pa.int64()))
 
     return split_rows
+
+
+# -- clone (event duplication) ---------------------------------------------------
+
+
+def make_clone(clone_types: Sequence[str], type_col: str = "type"):
+    """logstash-filter-clone: every event passes through unchanged AND is
+    duplicated once per entry in ``clone_types``, each copy with its
+    ``type`` field set to that entry (the original keeps its existing type,
+    null if absent — the filter's copy-then-tag contract).
+
+    One ``pa.concat_tables`` per batch — no shuffle, output rows =
+    n × (1 + len(clone_types)); the type column is a constant per slice so
+    the concat is metadata-cheap."""
+    clone_types = list(clone_types)
+
+    def clone(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        base = batch
+        if type_col not in base.column_names:
+            base = base.append_column(type_col, pa.nulls(n, pa.string()))
+        parts = [base]
+        stripped = base.drop_columns([type_col])
+        for t in clone_types:
+            parts.append(
+                stripped.append_column(
+                    type_col, pa.array([t] * n, type=pa.string())
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return clone
+
+
+
+# -- syslog_pri -------------------------------------------------------------------
+
+#: RFC 3164 facility labels, index = facility code 0-23 (the
+#: logstash-filter-syslog_pri default ``facility_labels``).
+SYSLOG_FACILITY_LABELS: Tuple[str, ...] = (
+    "kernel", "user-level", "mail", "daemon", "security/authorization",
+    "syslogd", "line printer", "network news", "uucp", "clock",
+    "security/authorization", "ftp", "ntp", "log audit", "log alert",
+    "clock", "local0", "local1", "local2", "local3", "local4", "local5",
+    "local6", "local7",
+)
+
+#: RFC 3164 severity labels, index = severity code 0-7.
+SYSLOG_SEVERITY_LABELS: Tuple[str, ...] = (
+    "emergency", "alert", "critical", "error", "warning", "notice",
+    "informational", "debug",
+)
+
+
+def make_syslog_pri(
+    pri_col: str = "syslog_pri",
+    use_labels: bool = True,
+    tag_col: str = "syslog_tag",
+):
+    """logstash-filter-syslog_pri: decode the RFC 3164 priority value into
+    ``syslog_severity_code`` (pri & 7), ``syslog_facility_code`` (pri >> 3)
+    and, with ``use_labels`` (the filter's default true), the label strings
+    from the fixed RFC tables. A missing / unparseable / out-of-domain
+    (not 0-191) pri falls back to the filter's documented default 13
+    (facility user-level, severity notice) and the row gets
+    ``_syslogpriparsefailure`` in ``tag_col`` (null otherwise).
+
+    Pure Arrow kernels: one digits-regex validity mask + cast, two integer
+    ops, two ``pc.take`` gathers against the broadcast label tables. An
+    integer source column skips the regex."""
+    fac_arr = pa.array(SYSLOG_FACILITY_LABELS, type=pa.string())
+    sev_arr = pa.array(SYSLOG_SEVERITY_LABELS, type=pa.string())
+
+    def syslog_pri(batch: pa.Table) -> pa.Table:
+        src = _combined(batch[pri_col])
+        if pa.types.is_integer(src.type):
+            pri = src.cast(pa.int64())
+        else:
+            s = src.cast(pa.string())
+            digits = pc.fill_null(pc.match_substring_regex(s, r"^\d{1,6}$"), False)
+            pri = pc.if_else(digits, s, pa.scalar(None, pa.string())).cast(pa.int64())
+        ok = pc.fill_null(
+            pc.and_(pc.greater_equal(pri, 0), pc.less_equal(pri, 191)), False
+        )
+        pri = pc.if_else(ok, pri, pa.scalar(13, pa.int64()))
+        sev = pc.bit_wise_and(pri, 7)
+        fac = pc.shift_right(pri, 3)
+        out = batch.append_column("syslog_severity_code", sev)
+        out = out.append_column("syslog_facility_code", fac)
+        if use_labels:
+            out = out.append_column("syslog_severity", pc.take(sev_arr, sev))
+            out = out.append_column("syslog_facility", pc.take(fac_arr, fac))
+        tag = pc.if_else(
+            ok,
+            pa.scalar(None, pa.string()),
+            pa.scalar("_syslogpriparsefailure", pa.string()),
+        )
+        return out.append_column(tag_col, tag)
+
+    return syslog_pri
+
+
+# -- range ------------------------------------------------------------------------
+
+
+def make_range_tag(
+    checks: Sequence[Tuple[str, float, float, str]],
+    negate: bool = False,
+    tags_col: str = "range_tags",
+):
+    """logstash-filter-range: apply each check's tag when the numeric
+    field's value is WITHIN [min, max] (the filter's action contract;
+    ``negate`` inverts to outside-of-range). The Ruby filter checks string
+    fields by length — callers pass a length column explicitly, keeping
+    the kernel numeric. Null field values never fire a check.
+
+    Each check is one vectorized compare pair; the per-row ``range_tags``
+    list concatenates fired tags in declaration order (the filter applies
+    actions in config order), built with one offsets/values pass."""
+    checks = [(f, float(lo), float(hi), t) for f, lo, hi, t in checks]
+
+    def range_tag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        fired: List[np.ndarray] = []
+        for field, lo, hi, _tag in checks:
+            v = _combined(batch[field]).cast(pa.float64())
+            within = pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi))
+            m = pc.fill_null(within, False).to_numpy(zero_copy_only=False)
+            if negate:
+                notnull = pc.invert(pc.is_null(v)).to_numpy(zero_copy_only=False)
+                m = ~m & notnull
+            fired.append(m)
+        counts = np.zeros(n, dtype=np.int64)
+        for m in fired:
+            counts += m
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        values = np.empty(int(counts.sum()), dtype=object)
+        pos = offsets[:-1].copy()
+        for m, (_, _, _, tag) in zip(fired, checks):
+            values[pos[m]] = tag
+            pos[m] += 1
+        tags = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(values, type=pa.string()),
+        )
+        return batch.append_column(tags_col, tags)
+
+    return range_tag
+
+
+# -- tld --------------------------------------------------------------------------
+
+#: Representative multi-label public suffixes (logstash-filter-tld consults
+#: the full Mozilla Public Suffix List via guava's InternetDomainName; this
+#: embedded subset covers the common two-label registries and is the
+#: kernel's broadcast small side — swap in the full PSL the same way).
+TLD_MULTI_SUFFIXES: Tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "co.za", "com.sg", "github.io", "co.nz",
+)
+
+
+def make_tld(
+    host_col: str = "host",
+    suffixes: Sequence[str] = TLD_MULTI_SUFFIXES,
+):
+    """logstash-filter-tld: split a registered hostname into ``tld`` (the
+    public suffix), ``sld`` (the registrable label left of it), ``domain``
+    (sld + '.' + tld) and ``subdomain`` (everything left of the sld,
+    null when absent).
+
+    Vectorized with numpy ``rpartition`` passes over fixed-width string
+    views plus one ``np.isin`` probe against the broadcast multi-label
+    suffix set — no per-row Python. A host with no '.' yields ``tld`` =
+    the host itself and null sld/domain/subdomain (guava raises for
+    unlisted names; we null instead of dropping). Null hosts stay null
+    across all four outputs."""
+    multi = np.array(sorted(set(suffixes)), dtype="U64")
+
+    def _rpart(arr: np.ndarray):
+        parts = np.char.rpartition(arr, ".")
+        return parts[..., 0], parts[..., 1], parts[..., 2]
+
+    def tld(batch: pa.Table) -> pa.Table:
+        host = _combined(batch[host_col]).cast(pa.string())
+        isnull = pc.is_null(host).to_numpy(zero_copy_only=False)
+        h = np.asarray(
+            pc.fill_null(host, "").to_numpy(zero_copy_only=False), dtype="U253"
+        )
+        head1, sep1, last1 = _rpart(h)              # last label
+        head2, sep2, last2 = _rpart(np.asarray(head1, dtype="U253"))
+        has_dot = sep1 != ""
+        two_label = np.char.add(np.char.add(last2, "."), last1)
+        is_multi = has_dot & (last2 != "") & np.isin(two_label, multi)
+        tld_v = np.where(is_multi, two_label, last1)
+        # the label immediately left of the chosen suffix = the sld
+        head_for_sld = np.asarray(np.where(is_multi, head2, head1), dtype="U253")
+        head3, _sep3, sld_v = _rpart(head_for_sld)
+        valid = has_dot & (np.char.str_len(head_for_sld) > 0) & ~isnull
+        domain_v = np.char.add(np.char.add(sld_v, "."), tld_v)
+        sub_ok = valid & (np.char.str_len(np.asarray(head3, dtype="U253")) > 0)
+
+        def masked(vals: np.ndarray, mask: np.ndarray) -> pa.Array:
+            out = np.empty(len(vals), dtype=object)
+            out[mask] = vals[mask]
+            return pa.array(out, type=pa.string())
+
+        out = batch.append_column("tld", masked(tld_v.astype(object), ~isnull))
+        out = out.append_column("sld", masked(sld_v.astype(object), valid))
+        out = out.append_column("domain", masked(domain_v.astype(object), valid))
+        return out.append_column(
+            "subdomain", masked(np.asarray(head3, dtype=object), sub_ok)
+        )
+
+    return tld

@@ -961,3 +961,36 @@ FROM e GROUP BY 1, 2 ORDER BY 1, 2
 """,
     )
     assert n >= 4  # clause index 2 exists only for the '; ' template rows
+
+
+# -- clone --------------------------------------------------------------------
+
+
+def test_clone_kernel():
+    from logstash_filter_geoip_ray.stages.logfilters import make_clone
+
+    c = make_clone(["shadow", "audit"])
+    out = c(pa.table({"k": [1, 2]}))
+    assert out["k"].to_pylist() == [1, 2, 1, 2, 1, 2]
+    assert out["type"].to_pylist() == [None, None, "shadow", "shadow", "audit", "audit"]
+    # an existing type column survives on the original, clones overwrite
+    out = c(pa.table({"k": [9], "type": ["orig"]}))
+    assert out["type"].to_pylist() == ["orig", "shadow", "audit"]
+
+
+def test_cloned_type_counts_oracle(ray_session, tpath):
+    from __ray_entry__ import _q_cloned_type_counts
+
+    n = _cmp(
+        _q_cloned_type_counts(SF),
+        f"""
+WITH c AS (
+  SELECT '_original' AS type, tool FROM read_parquet('{tpath}/*.parquet')
+  UNION ALL SELECT 'shadow', tool FROM read_parquet('{tpath}/*.parquet')
+  UNION ALL SELECT 'audit', tool FROM read_parquet('{tpath}/*.parquet')
+)
+SELECT type, tool, CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    )
+    assert n % 3 == 0 and n >= 9  # every (tool) triple: original+2 clones

@@ -604,6 +604,130 @@ def _q_cloned_type_counts(sf_dir: str):
     return grouped_counts(out, ["type", "tool"], "n", sort_result=True)
 
 
+def _q_syslog_severity_counts(sf_dir: str):
+    """Syslog_pri filter (logstash-filter-syslog_pri): a deterministic RFC
+    3164 priority string per turn — ``(turn_idx*7+3) % 200`` rendered as
+    digits, every 13th turn the unparseable literal ``'x'`` — decoded with
+    the fixed label tables (values > 191 and parse failures both fall back
+    to the documented default 13 + failure tag); counted per (facility
+    label, severity label, failed)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import grouped_counts
+    from logstash_filter_geoip_ray.stages.logfilters import make_syslog_pri
+
+    decode = make_syslog_pri("pri")
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["turn_idx"])
+
+    def render_and_decode(batch: pa.Table) -> pa.Table:
+        ti = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pri = ((ti * 7 + 3) % 200).astype("U6")
+        pri[ti % 13 == 0] = "x"
+        d = decode(pa.table({"pri": pa.array(pri, type=pa.string())}))
+        return pa.table(
+            {
+                "syslog_facility": d["syslog_facility"],
+                "syslog_severity": d["syslog_severity"],
+                "failed": pc.invert(pc.is_null(d["syslog_tag"])),
+            }
+        )
+
+    out = ds.map_batches(render_and_decode, batch_format="pyarrow")
+    return grouped_counts(
+        out, ["syslog_facility", "syslog_severity", "failed"], "n",
+        sort_result=True,
+    )
+
+
+def _q_range_violation_counts(sf_dir: str):
+    """Range filter (logstash-filter-range): three deliberately OVERLAPPING
+    within-[min,max] checks over documents.n_chars (short 0-200, mid
+    150-800, long 500+) — a row can fire 0, 1 or 2 tags, and the fired-tag
+    list keeps config order; tags are exploded (flatten + parent-index
+    lang carry) and counted per (tag, lang)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.aggregate import grouped_counts
+    from logstash_filter_geoip_ray.stages.logfilters import make_range_tag
+
+    check = make_range_tag(
+        [
+            ("n_chars", 0, 200, "short"),
+            ("n_chars", 150, 800, "mid"),
+            ("n_chars", 500, 1_000_000_000, "long"),
+        ]
+    )
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars", "lang"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = check(batch)
+        lists = t["range_tags"].combine_chunks()
+        parent = pc.list_parent_indices(lists)
+        return pa.table(
+            {
+                "tag": pc.list_flatten(lists),
+                "lang": pc.take(t["lang"].combine_chunks(), parent),
+            }
+        )
+
+    out = ds.map_batches(explode, batch_format="pyarrow")
+    return grouped_counts(out, ["tag", "lang"], "n", sort_result=True)
+
+
+def _q_domain_tld_counts(sf_dir: str):
+    """Tld filter (logstash-filter-tld): deterministic hostnames rendered
+    per turn (optional ``www.`` subdomain every 4th turn, base label
+    ``app<turn_idx%7>``, suffix cycling a 6-entry list that includes the
+    multi-label registries co.uk / github.io / com.au) are split into
+    tld / sld / domain / subdomain by the broadcast public-suffix probe;
+    counted per (tld, domain, has_sub). The SQL oracle re-derives the split
+    GENERICALLY from string_split + the same suffix set — not from the
+    render — so the kernel's suffix logic is what's under test."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import grouped_counts
+    from logstash_filter_geoip_ray.stages.logfilters import make_tld
+
+    split = make_tld("host")
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["turn_idx"])
+
+    def render_and_split(batch: pa.Table) -> pa.Table:
+        ti = batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sfx = np.array(TLD_RENDER_SUFFIXES, dtype=object)[ti % 6]
+        host = np.char.add(
+            np.char.add(np.char.add("app", (ti % 7).astype("U2")), "."),
+            sfx.astype("U16"),
+        )
+        host = np.where(ti % 4 == 0, np.char.add("www.", host), host)
+        t = split(pa.table({"host": pa.array(host, type=pa.string())}))
+        return pa.table(
+            {
+                "tld": t["tld"],
+                "domain": t["domain"],
+                "has_sub": pc.invert(pc.is_null(t["subdomain"])),
+            }
+        )
+
+    out = ds.map_batches(render_and_split, batch_format="pyarrow")
+    return grouped_counts(out, ["tld", "domain", "has_sub"], "n", sort_result=True)
+
+
+#: suffix cycle for the tld-filter driver query (shared with its oracle)
+TLD_RENDER_SUFFIXES = ("com", "co.uk", "github.io", "org", "com.au", "net")
+
+
 def _q_frequent_tokens(sf_dir: str):
     """Heavy hitters at sketch cost: tokens appearing ≥ 100 times, via
     capacity-pruned partials (capacity=128 < the ~450 distinct tokens, so
@@ -691,6 +815,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decoded_path_counts": _q_decoded_path_counts,
         "clause_stats": _q_clause_stats,
         "cloned_type_counts": _q_cloned_type_counts,
+        "syslog_severity_counts": _q_syslog_severity_counts,
+        "range_violation_counts": _q_range_violation_counts,
+        "domain_tld_counts": _q_domain_tld_counts,
         "cidr_token_classes": _q_cidr_token_classes,
         "frequent_tokens": _q_frequent_tokens,
         "conv_documents": _q_conv_documents,
@@ -1034,6 +1161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "translated_tiers",
             "dedup_filtered_embeddings",
             "cloned_type_counts",
+            "syslog_severity_counts",
+            "range_violation_counts",
+            "domain_tld_counts",
         )
         if n in out
     ]
@@ -1197,6 +1327,70 @@ SELECT ua_family,
        END AS ua_major,
        CAST(count(*) AS BIGINT) AS n
 FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    from logstash_filter_geoip_ray.stages.logfilters import (
+        SYSLOG_FACILITY_LABELS,
+        SYSLOG_SEVERITY_LABELS,
+        TLD_MULTI_SUFFIXES,
+    )
+
+    _fac = "[" + ", ".join("'%s'" % x for x in SYSLOG_FACILITY_LABELS) + "]"
+    _sev = "[" + ", ".join("'%s'" % x for x in SYSLOG_SEVERITY_LABELS) + "]"
+    out["syslog_severity_counts"] = f"""
+WITH p AS (
+  SELECT CAST(turn_idx AS BIGINT) AS ti FROM read_parquet('{t}/*.parquet')
+), d AS (
+  SELECT CASE WHEN ti % 13 = 0 OR (ti*7+3) % 200 > 191
+              THEN 13 ELSE (ti*7+3) % 200 END AS eff,
+         (ti % 13 = 0 OR (ti*7+3) % 200 > 191) AS failed
+  FROM p
+)
+SELECT ({_fac})[CAST(eff // 8 AS INT) + 1] AS syslog_facility,
+       ({_sev})[CAST(eff % 8 AS INT) + 1] AS syslog_severity,
+       failed,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+    out["range_violation_counts"] = f"""
+WITH d AS (SELECT lang, n_chars FROM read_parquet('{sf}/documents.parquet')),
+f AS (
+  SELECT 'short' AS tag, lang FROM d WHERE n_chars BETWEEN 0 AND 200
+  UNION ALL SELECT 'mid', lang FROM d WHERE n_chars BETWEEN 150 AND 800
+  UNION ALL SELECT 'long', lang FROM d WHERE n_chars BETWEEN 500 AND 1000000000
+)
+SELECT tag, lang, CAST(count(*) AS BIGINT) AS n
+FROM f GROUP BY 1, 2 ORDER BY 1, 2
+"""
+    # generic re-derivation: string_split + the SAME multi-label suffix set,
+    # independent of how the hosts were rendered — the kernel's suffix
+    # membership and label arithmetic is what the hash pins
+    _sfx = "[" + ", ".join("'%s'" % x for x in TLD_RENDER_SUFFIXES) + "]"
+    _multi = "(" + ", ".join("'%s'" % x for x in sorted(set(TLD_MULTI_SUFFIXES))) + ")"
+    out["domain_tld_counts"] = f"""
+WITH p AS (
+  SELECT CAST(turn_idx AS BIGINT) AS ti FROM read_parquet('{t}/*.parquet')
+), h AS (
+  SELECT (CASE WHEN ti % 4 = 0 THEN 'www.' ELSE '' END)
+         || 'app' || CAST(ti % 7 AS VARCHAR) || '.'
+         || ({_sfx})[CAST(ti % 6 AS INT) + 1] AS host
+  FROM p
+), s AS (
+  SELECT host, string_split(host, '.') AS l FROM h
+), d AS (
+  SELECT len(l) AS nl,
+         (len(l) >= 2 AND (l[-2] || '.' || l[-1]) IN {_multi}) AS is_multi,
+         l
+  FROM s
+)
+SELECT CASE WHEN is_multi THEN l[-2] || '.' || l[-1] ELSE l[-1] END AS tld,
+       CASE WHEN nl >= (CASE WHEN is_multi THEN 3 ELSE 2 END)
+            THEN (CASE WHEN is_multi THEN l[-3] ELSE l[-2] END)
+                 || '.' || (CASE WHEN is_multi THEN l[-2] || '.' || l[-1]
+                                 ELSE l[-1] END)
+       END AS domain,
+       nl >= (CASE WHEN is_multi THEN 4 ELSE 3 END) AS has_sub,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
     out["cloned_type_counts"] = f"""
 WITH c AS (

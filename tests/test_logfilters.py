@@ -994,3 +994,137 @@ FROM c GROUP BY 1, 2 ORDER BY 1, 2
 """,
     )
     assert n % 3 == 0 and n >= 9  # every (tool) triple: original+2 clones
+
+
+# -- syslog_pri ----------------------------------------------------------------
+
+
+def test_syslog_pri_kernel():
+    from logstash_filter_geoip_ray.stages.logfilters import make_syslog_pri
+
+    sp = make_syslog_pri("pri")
+    out = sp(
+        pa.table({"pri": ["34", "13", "999", "x", None, "191", "0"]})
+    ).to_pylist()
+    assert [r["syslog_facility_code"] for r in out] == [4, 1, 1, 1, 1, 23, 0]
+    assert [r["syslog_severity_code"] for r in out] == [2, 5, 5, 5, 5, 7, 0]
+    assert out[0]["syslog_facility"] == "security/authorization"
+    assert out[0]["syslog_severity"] == "critical"
+    assert out[5]["syslog_facility"] == "local7"
+    # 999 (out of RFC domain), 'x' and null all fail → default 13 + tag
+    assert [r["syslog_tag"] for r in out] == [
+        None, None, "_syslogpriparsefailure", "_syslogpriparsefailure",
+        "_syslogpriparsefailure", None, None,
+    ]
+    # integer source column skips the regex but keeps the domain check
+    out2 = sp(pa.table({"pri": pa.array([34, 200, None], pa.int64())})).to_pylist()
+    assert [r["syslog_facility_code"] for r in out2] == [4, 1, 1]
+
+
+def test_syslog_severity_counts_oracle(ray_session, tpath):
+    from __ray_entry__ import _q_syslog_severity_counts
+
+    n = _cmp(
+        _q_syslog_severity_counts(SF),
+        f"""
+WITH p AS (
+  SELECT CAST(turn_idx AS BIGINT) AS ti FROM read_parquet('{tpath}/*.parquet')
+), d AS (
+  SELECT CASE WHEN ti % 13 = 0 OR (ti*7+3) % 200 > 191
+              THEN 13 ELSE (ti*7+3) % 200 END AS eff,
+         (ti % 13 = 0 OR (ti*7+3) % 200 > 191) AS failed
+  FROM p
+)
+SELECT (['kernel', 'user-level', 'mail', 'daemon', 'security/authorization',
+         'syslogd', 'line printer', 'network news', 'uucp', 'clock',
+         'security/authorization', 'ftp', 'ntp', 'log audit', 'log alert',
+         'clock', 'local0', 'local1', 'local2', 'local3', 'local4', 'local5',
+         'local6', 'local7'])[CAST(eff // 8 AS INT) + 1] AS syslog_facility,
+       (['emergency', 'alert', 'critical', 'error', 'warning', 'notice',
+         'informational', 'debug'])[CAST(eff % 8 AS INT) + 1] AS syslog_severity,
+       failed,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+    )
+    assert n >= 10  # several (facility, severity) cells + the failed=true row
+
+
+# -- range ---------------------------------------------------------------------
+
+
+def test_range_tag_kernel():
+    from logstash_filter_geoip_ray.stages.logfilters import make_range_tag
+
+    rt = make_range_tag([("v", 0, 10, "small"), ("v", 5, 100, "mid")])
+    out = rt(pa.table({"v": [3.0, 7.0, 50.0, None, -1.0]}))
+    assert out["range_tags"].to_pylist() == [
+        ["small"], ["small", "mid"], ["mid"], [], []
+    ]
+    # negate fires OUTSIDE the range; nulls still never fire
+    rn = make_range_tag([("v", 0, 10, "out")], negate=True)
+    out2 = rn(pa.table({"v": [3.0, 50.0, None]}))
+    assert out2["range_tags"].to_pylist() == [[], ["out"], []]
+
+
+def test_range_violation_counts_oracle(ray_session):
+    from __ray_entry__ import _q_range_violation_counts
+
+    n = _cmp(
+        _q_range_violation_counts(SF),
+        f"""
+WITH d AS (SELECT lang, n_chars FROM read_parquet('{SF}/documents.parquet')),
+f AS (
+  SELECT 'short' AS tag, lang FROM d WHERE n_chars BETWEEN 0 AND 200
+  UNION ALL SELECT 'mid', lang FROM d WHERE n_chars BETWEEN 150 AND 800
+  UNION ALL SELECT 'long', lang FROM d WHERE n_chars BETWEEN 500 AND 1000000000
+)
+SELECT tag, lang, CAST(count(*) AS BIGINT) AS n
+FROM f GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    )
+    assert n >= 3
+
+
+# -- tld -----------------------------------------------------------------------
+
+
+def test_tld_kernel():
+    from logstash_filter_geoip_ray.stages.logfilters import make_tld
+
+    td = make_tld("h")
+    out = td(
+        pa.table(
+            {
+                "h": [
+                    "www.example.co.uk",
+                    "api.github.io",
+                    "example.com",
+                    "localhost",
+                    None,
+                    "a.b.c.example.com",
+                    "co.uk",  # a bare public suffix: no registrable domain
+                ]
+            }
+        )
+    ).to_pylist()
+    got = [(r["tld"], r["sld"], r["domain"], r["subdomain"]) for r in out]
+    assert got == [
+        ("co.uk", "example", "example.co.uk", "www"),
+        ("github.io", "api", "api.github.io", None),
+        ("com", "example", "example.com", None),
+        ("localhost", None, None, None),
+        (None, None, None, None),
+        ("com", "example", "example.com", "a.b.c"),
+        ("co.uk", None, None, None),
+    ]
+
+
+def test_domain_tld_counts_oracle(ray_session, tpath):
+    from __ray_entry__ import _q_domain_tld_counts, oracle_sql
+
+    sql = oracle_sql()["domain_tld_counts"].replace(
+        "/tmp/graft_transcripts/v5_sf0.01_n60000_s42/transcripts", tpath
+    )
+    n = _cmp(_q_domain_tld_counts(SF), sql)
+    assert n >= 12  # bases × suffixes × with/without www, collapsed by turn range

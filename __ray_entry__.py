@@ -1164,6 +1164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "syslog_severity_counts",
             "range_violation_counts",
             "domain_tld_counts",
+            "dedup_paragraphs",
+            "url_dedup_spectrum",
         )
         if n in out
     ]

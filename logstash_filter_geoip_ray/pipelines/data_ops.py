@@ -447,6 +447,58 @@ def q_shared_paragraphs(sf_dir: str):
     return shared_paragraphs(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_dedup_paragraphs(sf_dir: str):
+    """C4-style GLOBAL paragraph dedup with reassembly: each distinct
+    non-empty paragraph survives only at its first (doc_id, idx) occurrence
+    corpus-wide; documents are re-joined from their kept paragraphs. The
+    oracle replays the rule with a window-free min-rank join and ordered
+    string_agg — the full clean_text values enter the driver hash."""
+    from ..stages.textops import paragraph_dedup
+
+    return paragraph_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_url_dedup_spectrum(sf_dir: str):
+    """URL normalization + exact dedup profile: deterministic raw URLs
+    rendered per event (mixed-case scheme/host, default and non-default
+    ports, shuffled param order, fragments, every 17th row unparseable)
+    are canonicalized by :func:`normalize_urls` and profiled as
+    (dups → n_urls); unparseable rows land in the dups = -1 reject bin.
+    The oracle re-derives the normalization GENERICALLY in SQL
+    (regexp_extract components + list_sort of the query params), so the
+    kernel's canonicalization is what the hash pins."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.textops import url_dedup_spectrum
+
+    ev = _events(sf_dir, ["event_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        e = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scheme = np.where(e % 2 == 0, "HTTP://", "https://")
+        host = np.char.add(
+            np.char.add("WWW.Site", (e % 5).astype("U1")), ".Example.COM"
+        )
+        port = np.select([e % 3 == 0, e % 3 == 1], [":80", ":8080"], "")
+        path = np.char.add("/p/", (e % 10).astype("U2"))
+        a = (e % 4).astype("U1")
+        q = np.where(
+            e % 2 == 0,
+            np.char.add("?b=2&a=", a),
+            np.char.add(np.char.add("?a=", a), "&b=2"),
+        )
+        frag = np.where(e % 5 == 0, "#frag", "")
+        url = scheme.astype(object)
+        for piece in (host, port, path, q, frag):
+            url = np.char.add(url.astype("U120"), piece.astype("U40"))
+        url = url.astype(object)
+        url[e % 17 == 0] = "not a url"
+        return pa.table({"url": pa.array(url, type=pa.string())})
+
+    return url_dedup_spectrum(ev.map_batches(render, batch_format="pyarrow"))
+
+
 def q_quality_top_decile(sf_dir: str):
     """Top-quantile curation: docs at or above the 0.9 discrete quantile of
     token count (histogram-derived threshold, ties kept)."""
@@ -2915,6 +2967,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "freq_spectrum": q_freq_spectrum,
     "dup_ngram_spans": q_dup_ngram_spans,
     "shared_paragraphs": q_shared_paragraphs,
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "url_dedup_spectrum": q_url_dedup_spectrum,
     "quality_top_decile": q_quality_top_decile,
     "media_features": q_media_features,
     "video_frames": q_video_frames,
@@ -3979,6 +4033,67 @@ WITH t AS (
 SELECT doc_id, n_windows, dup_windows,
        CAST((1000 * dup_windows) // n_windows AS BIGINT) AS dup_milli
 FROM d ORDER BY doc_id
+""",
+    "dedup_paragraphs": """
+WITH sp AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, chr(10)) AS l
+  FROM documents WHERE text IS NOT NULL
+), p AS (
+  SELECT doc_id, unnest(l) AS para,
+         CAST(generate_subscripts(l, 1) AS BIGINT) AS idx
+  FROM sp
+), np AS (
+  SELECT doc_id, idx, para FROM p WHERE para <> ''
+), w AS (
+  SELECT para, min(doc_id * 1048576 + idx) AS win FROM np GROUP BY para
+), k AS (
+  SELECT np.doc_id, np.idx, np.para
+  FROM np JOIN w ON np.para = w.para
+   AND np.doc_id * 1048576 + np.idx = w.win
+)
+SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS clean_text
+FROM k GROUP BY doc_id ORDER BY doc_id
+""",
+    "url_dedup_spectrum": """
+WITH p AS (SELECT CAST(event_id AS BIGINT) AS e FROM events),
+r AS (
+  SELECT (CASE WHEN e % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+         || 'WWW.Site' || CAST(e % 5 AS VARCHAR) || '.Example.COM'
+         || (CASE e % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':8080' ELSE '' END)
+         || '/p/' || CAST(e % 10 AS VARCHAR)
+         || (CASE WHEN e % 2 = 0 THEN '?b=2&a=' || CAST(e % 4 AS VARCHAR)
+                  ELSE '?a=' || CAST(e % 4 AS VARCHAR) || '&b=2' END)
+         || (CASE WHEN e % 5 = 0 THEN '#frag' ELSE '' END) AS raw,
+         e % 17 = 0 AS broken
+  FROM p
+), g AS (
+  SELECT CASE WHEN broken THEN 'not a url' ELSE raw END AS url FROM r
+), x AS (
+  SELECT url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+(:[0-9]+)', 1) AS port,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) AS pth,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM g
+), n AS (
+  SELECT CASE WHEN sch = '' THEN NULL ELSE
+    sch || '://' || host
+    || (CASE WHEN (sch = 'http' AND port = ':80')
+              OR (sch = 'https' AND port = ':443') THEN '' ELSE port END)
+    || (CASE WHEN pth = '' THEN '/' ELSE pth END)
+    || (CASE WHEN q = '' THEN ''
+             ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+        END)
+  END AS u FROM x
+), c AS (
+  SELECT u, count(*) AS c FROM n WHERE u IS NOT NULL GROUP BY u
+)
+SELECT CAST(c AS BIGINT) AS dups, CAST(count(*) AS BIGINT) AS n_urls
+FROM c GROUP BY 1
+UNION ALL
+SELECT -1, CAST(count(*) AS BIGINT) FROM n WHERE u IS NULL HAVING count(*) > 0
+ORDER BY dups
 """,
     "shared_paragraphs": """
 WITH p AS (

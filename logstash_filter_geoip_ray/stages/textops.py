@@ -1340,3 +1340,207 @@ def bpe_encode(
         )
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def paragraph_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    max_paras_per_doc: int = 1 << 20,
+):
+    """C4/Dolma-style GLOBAL exact paragraph deduplication with document
+    reassembly: across the whole corpus, every distinct non-empty
+    ``'\\n'``-paragraph survives only at its FIRST occurrence (global order
+    = (doc_id, within-doc paragraph index)); later occurrences — including
+    repeats inside the same document — are removed, empty paragraphs are
+    dropped, and each document is re-joined from its kept paragraphs in
+    original order. Docs with zero kept paragraphs disappear (C4 drops
+    emptied pages). Rows: (doc_id, clean_text).
+
+    Scale shape: explode to (doc_id, idx, para) → paragraphs co-locate by
+    hash bucket, so the global first-occurrence winner of each paragraph is
+    decidable INSIDE its bucket (one vectorized idxmin per bucket — no
+    separate winners table, no join) → kept rows re-bucket by doc and one
+    ordered join per doc-bucket rebuilds the text. Shuffle volume = the
+    exploded paragraph rows (by para hash, then kept rows by doc) — the
+    same exchange class as the inverted index, with no driver
+    materialization anywhere."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .aggregate import bucket_by_key
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if pa.types.is_null(text.type):
+            text = text.cast(pa.string())
+        valid = pc.is_valid(text)
+        text = text.filter(valid)
+        ids = pc.cast(batch[id_col], pa.int64()).filter(valid)
+        paras = pc.split_pattern(text, "\n")
+        lengths = paras.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        if lengths.size and lengths.max() > max_paras_per_doc:
+            # the global-order rank packs (doc_id, idx) into one int64 —
+            # fail loudly rather than let a pathological doc alias ranks
+            raise ValueError(
+                "paragraph_dedup: a document has %d paragraphs (max %d)"
+                % (int(lengths.max()), max_paras_per_doc)
+            )
+        row = np.repeat(np.arange(len(paras), dtype=np.int64), lengths)
+        starts = np.repeat(np.concatenate([[0], np.cumsum(lengths)[:-1]]), lengths)
+        idx = np.arange(len(row), dtype=np.int64) - starts + 1  # 1-based
+        flat = paras.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc = pc.take(ids, pa.array(row[keep]))
+        return pa.table(
+            {
+                id_col: doc,
+                "idx": pa.array(idx[keep], type=pa.int64()),
+                "para": flat.filter(pa.array(keep)),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    by_para = bucket_by_key(exploded, "para", num_buckets)
+
+    def keep_winners(block: pd.DataFrame) -> pd.DataFrame:
+        # every row of a paragraph is in this bucket → the within-bucket
+        # min rank IS the global first occurrence
+        rank = block[id_col].to_numpy() * max_paras_per_doc + block["idx"].to_numpy()
+        win = block.assign(_r=rank).groupby("para", sort=False)["_r"].transform("min")
+        kept = block[rank == win.to_numpy()]
+        return kept[[id_col, "idx", "para"]]
+
+    kept = by_para.groupby("_bucket").map_groups(keep_winners, batch_format="pandas")
+    by_doc = bucket_by_key(kept, id_col, num_buckets)
+
+    def reassemble(block: pd.DataFrame) -> pd.DataFrame:
+        d = block.sort_values([id_col, "idx"])
+        g = d.groupby(id_col, sort=False)["para"].agg("\n".join).reset_index()
+        g.columns = [id_col, "clean_text"]
+        return g
+
+    return (
+        by_doc.groupby("_bucket")
+        .map_groups(reassemble, batch_format="pandas")
+        .sort(id_col)
+    )
+
+
+_URL_RE = (
+    r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://(?P<host>[^/?#:]+)"
+    r"(?P<port>:[0-9]+)?(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?(?:#.*)?$"
+)
+
+#: scheme → default port suffix that normalization strips
+_URL_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def normalize_urls(urls: pa.Array) -> pa.Array:
+    """Canonical URL normalization (the CCNet/C4-style pre-dedup step):
+    lowercase scheme and host, strip the scheme's default port (http :80,
+    https :443 — a non-default port survives), default an empty path to
+    '/', byte-sort the query parameters ('k=v' tokens, '&'-joined, '?' kept
+    only when params exist) and drop the fragment. Rows that don't parse as
+    absolute URLs normalize to null (callers tag/route them).
+
+    One RE2 ``pc.extract_regex`` per batch + Arrow lower/concat kernels;
+    the query-param sort explodes tokens once and re-joins with a grouped
+    pandas agg (the ordered string_agg idiom) — no per-row parsing."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    parts = pc.extract_regex(urls, _URL_RE)
+    ok = pc.is_valid(parts)
+    scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+    host = pc.utf8_lower(pc.struct_field(parts, "host"))
+    port = pc.fill_null(pc.struct_field(parts, "port"), "")
+    # an unmatched optional RE2 group surfaces as '' (not null) — both mean
+    # "no path", which normalizes to '/'
+    path = pc.fill_null(pc.struct_field(parts, "path"), "")
+    path = pc.if_else(pc.equal(path, ""), pa.scalar("/", pa.string()), path)
+    query = pc.fill_null(pc.struct_field(parts, "query"), "")
+
+    # strip default ports per scheme (vectorized equality per entry)
+    for sch, dflt in _URL_DEFAULT_PORTS.items():
+        is_dflt = pc.and_(pc.equal(scheme, sch), pc.equal(port, dflt))
+        port = pc.if_else(is_dflt, pa.scalar("", pa.string()), port)
+
+    # byte-sort query params: explode once, lexsort (row, token), grouped join
+    toks = pc.split_pattern(query, "&")
+    lengths = toks.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    row = np.repeat(np.arange(len(toks), dtype=np.int64), lengths)
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    if len(flat):
+        order = np.lexsort((flat.astype("U"), row))
+        joined = (
+            pd.DataFrame({"r": row[order], "t": flat[order]})
+            .groupby("r", sort=False)["t"]
+            .agg("&".join)
+        )
+        qsorted = np.full(len(urls), "", dtype=object)
+        qsorted[joined.index.to_numpy()] = joined.to_numpy()
+    else:
+        qsorted = np.full(len(urls), "", dtype=object)
+    qcol = pa.array(qsorted, type=pa.string())
+    qmark = pc.if_else(
+        pc.equal(qcol, ""), pa.scalar("", pa.string()), pa.scalar("?", pa.string())
+    )
+    norm = pc.binary_join_element_wise(
+        scheme, "://", host, port, path, qmark, qcol, ""
+    )
+    return pc.if_else(ok, norm, pa.scalar(None, pa.string()))
+
+
+def url_dedup_spectrum(ds, url_col: str = "url", num_buckets: int = 64):
+    """Exact URL dedup profile over normalized URLs: how many normalized
+    URLs occur exactly k times — rows (dups, n_urls). Unparseable URLs
+    count under dups = -1 (the reject bin, so nothing silently vanishes).
+
+    Shape: per-batch normalize + local (url → count) partial, bucket by
+    url hash, per-bucket exact count, then a tiny spectrum groupby —
+    shuffle volume = distinct normalized URLs, spectrum is log-sized."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .aggregate import bucket_by_key, grouped_counts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        norm = normalize_urls(batch[url_col])
+        t = pa.table({"u": pc.fill_null(norm, "\x00invalid")})
+        g = t.group_by(["u"]).aggregate([([], "count_all")])
+        return g.rename_columns(["u", "c"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    bucketed = bucket_by_key(parts, "u", num_buckets)
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        g = block.groupby("u", sort=False)["c"].sum().reset_index()
+        g["dups"] = g["c"].astype("int64")
+        g.loc[g["u"] == "\x00invalid", "dups"] = -1
+        # invalid rows collapse to ONE spectrum bin of size=their count
+        out = g.groupby("dups", sort=False)["u"].size().reset_index()
+        out.columns = ["dups", "n_urls"]
+        inv = g["u"] == "\x00invalid"
+        if inv.any():
+            out.loc[out["dups"] == -1, "n_urls"] = int(g.loc[inv, "c"].iloc[0])
+        out["n_urls"] = out["n_urls"].astype("int64")
+        return out
+
+    spectra = bucketed.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+    from ray.data.aggregate import Sum
+
+    return (
+        spectra.groupby("dups")
+        .aggregate(Sum("n_urls", alias_name="n_urls"))
+        .sort("dups")
+    )

@@ -65,7 +65,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "contaminated_docs", "quality_filter", "inverted_index",
      "epoch_shuffle", "pack_sequences", "mix_sample", "packed_chunks",
      "top_terms", "collocations", "repetition_filter", "simhash_pairs",
-     "shared_paragraphs", "quality_top_decile", "bloom_dedup",
+     "shared_paragraphs", "dedup_paragraphs", "url_dedup_spectrum",
+     "quality_top_decile", "bloom_dedup",
      "dedup_filtered_embeddings", "rag_chunks", "freq_spectrum",
      "dup_ngram_spans", "top_docs_per_lang", "video_frames",
      "word_rarity", "bpe_pairs", "customers_without_events",
@@ -1013,7 +1014,8 @@ def test_text_oracles_on_adversarial_whitespace(ray_session, tmp_path):
                  "inverted_index", "doc_stats", "vocab_top", "masked_docs",
                  "contaminated_docs", "dedup_exact", "lang_stats",
                  "repetition_filter", "simhash_pairs", "collocations",
-                 "shared_paragraphs", "quality_top_decile", "bloom_dedup",
+                 "shared_paragraphs", "dedup_paragraphs",
+                 "quality_top_decile", "bloom_dedup",
                  "rag_chunks", "freq_spectrum", "dup_ngram_spans"]:
         d = DATA_QUERIES[name](str(tmp_path)).to_pandas()
         o = con.sql(DATA_ORACLES[name]).df()
@@ -3357,3 +3359,53 @@ def test_bloom_prefilter_join_equals_hash_join(ray_session):
             ray.data.from_arrow(bad),
             ray.data.from_arrow(right), "k", "rk",
         ).to_pandas()
+
+
+def test_paragraph_dedup_planted(ray_session):
+    """Global first-occurrence rule: a paragraph shared by docs 1 and 2
+    survives only in doc 1; a within-doc repeat keeps only its first idx;
+    a doc whose every paragraph appeared earlier disappears entirely."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.textops import paragraph_dedup
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "alpha\nshared para\nalpha",   # within-doc repeat of 'alpha'
+                "shared para\nbeta",            # 'shared para' lost to doc 1
+                "alpha\nshared para",           # fully duplicated → dropped
+            ],
+        }
+    )
+    out = paragraph_dedup(ray.data.from_arrow(docs), num_buckets=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["clean_text"]))
+    assert got == {1: "alpha\nshared para", 2: "beta"}
+
+
+def test_normalize_urls_kernel():
+    from logstash_filter_geoip_ray.stages.textops import normalize_urls
+
+    u = pa.array(
+        [
+            "HTTP://WWW.Example.COM:80/p/1?b=2&a=1#frag",
+            "https://Example.com:443/",
+            "https://example.com:8080/x?z=1",
+            "http://example.com",          # no path → '/'
+            "http://example.com/p?",       # bare '?' dropped
+            "ftp://Files.example.com:21/pub",  # non-http default port kept
+            "not a url",
+            None,
+        ]
+    )
+    assert normalize_urls(u).to_pylist() == [
+        "http://www.example.com/p/1?a=1&b=2",
+        "https://example.com/",
+        "https://example.com:8080/x?z=1",
+        "http://example.com/",
+        "http://example.com/p",
+        "ftp://files.example.com:21/pub",
+        None,
+        None,
+    ]

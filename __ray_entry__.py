@@ -728,6 +728,61 @@ def _q_domain_tld_counts(sf_dir: str):
 TLD_RENDER_SUFFIXES = ("com", "co.uk", "github.io", "org", "com.au", "net")
 
 
+def _q_shaped_turns(sf_dir: str):
+    """Event-shaping filter chain (prune → de_dot → truncate, the Logstash
+    field-hygiene trio): turns arrive with dotted ingest names (event.role,
+    event.tool, msg.text — the ECS-ish shape de_dot exists for), get
+    de-dotted, pruned to the whitelisted fields (conv_id/turn_idx dropped),
+    and msg_text is capped at 40 BYTES; per (event_role, event_tool):
+    row count + total kept chars. The oracle replays the cap with substr
+    (the table is ASCII so chars == bytes; multibyte trim semantics are
+    pinned by the kernel unit tests)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import tree_sum
+    from logstash_filter_geoip_ray.stages.logfilters import (
+        make_de_dot,
+        make_prune,
+        make_truncate_bytes,
+    )
+
+    de_dot = make_de_dot()
+    prune = make_prune(whitelist=[r"^event_", r"^msg_text$"])
+    trunc = make_truncate_bytes(["msg_text"], 40)
+
+    ds = ray.data.read_parquet(
+        transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "role", "tool", "text"]
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        # select() pins positional order before the positional rename
+        ingested = batch.select(
+            ["conv_id", "turn_idx", "role", "tool", "text"]
+        ).rename_columns(
+            ["conv_id", "turn_idx", "event.role", "event.tool", "msg.text"]
+        )
+        t = trunc(prune(de_dot(ingested)))
+        keyed = pa.table(
+            {
+                "event_role": t["event_role"],
+                "event_tool": pc.fill_null(t["event_tool"], "_none"),
+                "chars": pc.cast(pc.utf8_length(t["msg_text"]), pa.int64()),
+            }
+        )
+        g = keyed.group_by(["event_role", "event_tool"]).aggregate(
+            [("chars", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["event_role", "event_tool", "chars", "n"])
+
+    parts = ds.map_batches(shape, batch_format="pyarrow")
+    return tree_sum(
+        parts, ["event_role", "event_tool"], ["chars", "n"], sort_result=True
+    )
+
+
 def _q_frequent_tokens(sf_dir: str):
     """Heavy hitters at sketch cost: tokens appearing ≥ 100 times, via
     capacity-pruned partials (capacity=128 < the ~450 distinct tokens, so
@@ -818,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syslog_severity_counts": _q_syslog_severity_counts,
         "range_violation_counts": _q_range_violation_counts,
         "domain_tld_counts": _q_domain_tld_counts,
+        "shaped_turns": _q_shaped_turns,
         "cidr_token_classes": _q_cidr_token_classes,
         "frequent_tokens": _q_frequent_tokens,
         "conv_documents": _q_conv_documents,
@@ -1166,6 +1222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "domain_tld_counts",
             "dedup_paragraphs",
             "url_dedup_spectrum",
+            "shaped_turns",
         )
         if n in out
     ]
@@ -1393,6 +1450,14 @@ SELECT CASE WHEN is_multi THEN l[-2] || '.' || l[-1] ELSE l[-1] END AS tld,
        nl >= (CASE WHEN is_multi THEN 4 ELSE 3 END) AS has_sub,
        CAST(count(*) AS BIGINT) AS n
 FROM d GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+    out["shaped_turns"] = f"""
+SELECT role AS event_role,
+       coalesce(tool, '_none') AS event_tool,
+       CAST(sum(length(substr(text, 1, 40))) AS BIGINT) AS chars,
+       CAST(count(*) AS BIGINT) AS n
+FROM read_parquet('{t}/*.parquet')
+GROUP BY 1, 2 ORDER BY 1, 2
 """
     out["cloned_type_counts"] = f"""
 WITH c AS (

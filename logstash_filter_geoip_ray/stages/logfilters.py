@@ -1205,3 +1205,93 @@ def make_tld(
         )
 
     return tld
+
+
+# -- prune / de_dot / truncate (event-shaping filters) -----------------------------
+
+
+def make_prune(
+    whitelist: Optional[Sequence[str]] = None,
+    blacklist: Optional[Sequence[str]] = None,
+):
+    """logstash-filter-prune: keep only columns whose NAME matches a
+    whitelist regex (or drop blacklist matches — whitelist wins when both
+    given, the filter's precedence). A pure schema operation: the kept-name
+    list is computed once per schema and cached, so per batch it's a
+    zero-copy ``select``."""
+    wl = [re.compile(p) for p in (whitelist or [])]
+    bl = [re.compile(p) for p in (blacklist or [])]
+    if not wl and not bl:
+        raise ValueError("prune: need a whitelist or a blacklist")
+    cache: Dict[Tuple[str, ...], List[str]] = {}
+
+    def prune(batch: pa.Table) -> pa.Table:
+        names = tuple(batch.column_names)
+        kept = cache.get(names)
+        if kept is None:
+            if wl:
+                kept = [n for n in names if any(p.search(n) for p in wl)]
+            else:
+                kept = [n for n in names if not any(p.search(n) for p in bl)]
+            cache[names] = kept
+        return batch.select(kept)
+
+    return prune
+
+
+def make_de_dot(separator: str = "_"):
+    """logstash-filter-de_dot: rename every column containing '.' to use
+    ``separator`` instead (dotted field names break downstream stores that
+    treat '.' as a path separator). Schema-only — zero data movement; a
+    rename collision (a.b and a_b both present) raises instead of silently
+    merging."""
+
+    def de_dot(batch: pa.Table) -> pa.Table:
+        new = [n.replace(".", separator) for n in batch.column_names]
+        if len(set(new)) != len(new):
+            dupes = sorted({n for n in new if new.count(n) > 1})
+            raise ValueError("de_dot: rename collision on %s" % dupes)
+        return batch.rename_columns(new)
+
+    return de_dot
+
+
+def make_truncate_bytes(cols: Sequence[str], length_bytes: int):
+    """logstash-filter-truncate: cap string fields at ``length_bytes``
+    BYTES (the filter's contract — not codepoints), backing off up to 3
+    bytes so a multibyte UTF-8 codepoint is never cut mid-sequence (the
+    filter force-re-encodes; we trim, which keeps the result valid UTF-8
+    and ≤ the cap). Vectorized: one byte-domain numpy pass over the Arrow
+    buffers per column — rows already within the cap are untouched
+    (zero-copy keep of the original array when nothing exceeds it)."""
+    if length_bytes < 4:
+        raise ValueError("truncate: length_bytes must be >= 4 (one codepoint)")
+    cols = list(cols)
+
+    def _truncate_one(arr: pa.Array) -> pa.Array:
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        lens = pc.binary_length(arr).to_numpy(zero_copy_only=False)
+        over = lens > length_bytes  # null rows compare False → untouched
+        if not over.any():
+            return arr  # zero-copy fast path: nothing exceeds the cap
+        # only the over-long rows are materialized: byte-prefix slice, then
+        # UTF-8 decode with errors='ignore' — on valid input (Arrow strings
+        # are guaranteed valid UTF-8) that drops exactly the trailing
+        # incomplete codepoint, the filter's trim contract
+        over_idx = pa.array(np.flatnonzero(over))
+        pref = pc.binary_slice(
+            arr.take(over_idx).cast(pa.binary()), 0, length_bytes
+        ).to_pylist()
+        fixed = pa.array(
+            [b.decode("utf-8", "ignore") for b in pref], type=pa.string()
+        )
+        mask = pa.array(over)
+        return pc.replace_with_mask(arr, mask, fixed)
+
+    def truncate(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            idx = batch.column_names.index(c)
+            batch = batch.set_column(idx, c, _truncate_one(batch[c]))
+        return batch
+
+    return truncate

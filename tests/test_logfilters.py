@@ -1128,3 +1128,62 @@ def test_domain_tld_counts_oracle(ray_session, tpath):
     )
     n = _cmp(_q_domain_tld_counts(SF), sql)
     assert n >= 12  # bases × suffixes × with/without www, collapsed by turn range
+
+
+# -- prune / de_dot / truncate ---------------------------------------------------
+
+
+def test_prune_de_dot_kernels():
+    from logstash_filter_geoip_ray.stages.logfilters import make_de_dot, make_prune
+
+    t = pa.table({"event.role": ["a"], "event.tool": ["b"], "msg.text": ["x"], "conv_id": ["c"]})
+    dd = make_de_dot()(t)
+    assert dd.column_names == ["event_role", "event_tool", "msg_text", "conv_id"]
+    pr = make_prune(whitelist=[r"^event_", r"^msg_text$"])(dd)
+    assert pr.column_names == ["event_role", "event_tool", "msg_text"]
+    # blacklist mode; whitelist wins when both are given
+    bl = make_prune(blacklist=[r"^conv"])(dd)
+    assert bl.column_names == ["event_role", "event_tool", "msg_text"]
+    both = make_prune(whitelist=[r"^conv"], blacklist=[r"^conv"])(dd)
+    assert both.column_names == ["conv_id"]
+    with pytest.raises(ValueError, match="whitelist or a blacklist"):
+        make_prune()
+    # de_dot rename collision fails loudly instead of silently merging
+    with pytest.raises(ValueError, match="collision"):
+        make_de_dot()(pa.table({"a.b": [1], "a_b": [2]}))
+
+
+def test_truncate_bytes_kernel():
+    from logstash_filter_geoip_ray.stages.logfilters import make_truncate_bytes
+
+    tr = make_truncate_bytes(["s"], 5)
+    out = tr(pa.table({"s": ["hello world", "héllo", "ab", None, "ééé", "a€€"]}))
+    # bytes: héllo=6 → 'héll'(5); ééé=6 → 'éé'(4, mid-é dropped); a€€=7 → 'a€'(4)
+    assert out["s"].to_pylist() == ["hello", "héll", "ab", None, "éé", "a€"]
+    # exact-fit multibyte boundary survives; mid-char never splits
+    tr4 = make_truncate_bytes(["s"], 4)
+    assert tr4(pa.table({"s": ["a€€x", "aéxq", "€€"]}))["s"].to_pylist() == [
+        "a€", "aéx", "€"
+    ]
+    # fast path: an untouched batch keeps the original array (zero-copy)
+    t = pa.table({"s": ["ab", "cd"]})
+    assert tr(t)["s"].to_pylist() == ["ab", "cd"]
+    with pytest.raises(ValueError, match=">= 4"):
+        make_truncate_bytes(["s"], 2)
+
+
+def test_shaped_turns_oracle(ray_session, tpath):
+    from __ray_entry__ import _q_shaped_turns
+
+    n = _cmp(
+        _q_shaped_turns(SF),
+        f"""
+SELECT role AS event_role,
+       coalesce(tool, '_none') AS event_tool,
+       CAST(sum(length(substr(text, 1, 40))) AS BIGINT) AS chars,
+       CAST(count(*) AS BIGINT) AS n
+FROM read_parquet('{tpath}/*.parquet')
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    )
+    assert n >= 5

@@ -783,6 +783,47 @@ def _q_shaped_turns(sf_dir: str):
     )
 
 
+def _q_extracted_number_stats(sf_dir: str):
+    """Extractnumbers filter (logstash-filter-extractnumbers): every number
+    embedded in each turn's text, via the two-step tokenize/validate
+    contract (split on non-number runs, full-match regex — '1.2.3.4'-style
+    IPs are rejected whole, not re-segmented); per (role, num_idx, is_int):
+    row count + exact int64 sum of the integer tokens."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import tree_sum
+    from logstash_filter_geoip_ray.stages.logfilters import make_extractnumbers
+
+    extract = make_extractnumbers("text", keep_cols=["role"])
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["role", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = extract(batch)
+        int_val = pc.if_else(
+            e["is_int"], e["num"], pa.scalar("0", pa.string())
+        ).cast(pa.int64())
+        keyed = pa.table(
+            {
+                "role": e["role"],
+                "num_idx": e["num_idx"],
+                "is_int": e["is_int"],
+                "int_sum": int_val,
+            }
+        )
+        g = keyed.group_by(["role", "num_idx", "is_int"]).aggregate(
+            [("int_sum", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["role", "num_idx", "is_int", "int_sum", "n"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return tree_sum(
+        parts, ["role", "num_idx", "is_int"], ["int_sum", "n"], sort_result=True
+    )
+
+
 def _q_frequent_tokens(sf_dir: str):
     """Heavy hitters at sketch cost: tokens appearing ≥ 100 times, via
     capacity-pruned partials (capacity=128 < the ~450 distinct tokens, so
@@ -874,6 +915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_violation_counts": _q_range_violation_counts,
         "domain_tld_counts": _q_domain_tld_counts,
         "shaped_turns": _q_shaped_turns,
+        "extracted_number_stats": _q_extracted_number_stats,
         "cidr_token_classes": _q_cidr_token_classes,
         "frequent_tokens": _q_frequent_tokens,
         "conv_documents": _q_conv_documents,
@@ -1223,6 +1265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dedup_paragraphs",
             "url_dedup_spectrum",
             "shaped_turns",
+            "extracted_number_stats",
         )
         if n in out
     ]
@@ -1450,6 +1493,29 @@ SELECT CASE WHEN is_multi THEN l[-2] || '.' || l[-1] ELSE l[-1] END AS tld,
        nl >= (CASE WHEN is_multi THEN 4 ELSE 3 END) AS has_sub,
        CAST(count(*) AS BIGINT) AS n
 FROM d GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+    out["extracted_number_stats"] = f"""
+WITH rows_ AS (
+  SELECT role, string_split_regex(text, '[^0-9eE.+-]+') AS l,
+         row_number() OVER () AS rid
+  FROM read_parquet('{t}/*.parquet') WHERE text IS NOT NULL
+), toks AS (
+  SELECT role, rid, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+  FROM rows_
+), numbered AS (
+  SELECT role, tok,
+         row_number() OVER (PARTITION BY rid ORDER BY pos) AS num_idx
+  FROM toks
+  WHERE regexp_full_match(tok, '[-+]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][-+]?[0-9]+)?')
+)
+SELECT role,
+       CAST(num_idx AS BIGINT) AS num_idx,
+       regexp_full_match(tok, '[-+]?[0-9]+') AS is_int,
+       CAST(sum(CASE WHEN regexp_full_match(tok, '[-+]?[0-9]+')
+                     THEN CAST(tok AS BIGINT) ELSE 0 END) AS BIGINT) AS int_sum,
+       CAST(count(*) AS BIGINT) AS n
+FROM numbered
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
     out["shaped_turns"] = f"""
 SELECT role AS event_role,

@@ -1295,3 +1295,63 @@ def make_truncate_bytes(cols: Sequence[str], length_bytes: int):
         return batch
 
     return truncate
+
+
+# -- extractnumbers ----------------------------------------------------------------
+
+#: a token is a number iff it FULLY matches this (int, decimal, exponent)
+NUMBER_TOKEN_RE = r"[-+]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][-+]?[0-9]+)?"
+
+#: and an integer iff it fully matches this
+INT_TOKEN_RE = r"[-+]?[0-9]+"
+
+
+def make_extractnumbers(
+    source_col: str = "text",
+    keep_cols: Sequence[str] = (),
+    num_col: str = "num",
+    idx_col: str = "num_idx",
+):
+    """logstash-filter-extractnumbers: find every number embedded in a
+    string field. Two-step contract that an independent SQL oracle can
+    replay exactly: (1) tokenize by splitting on runs of non-number
+    characters ``[^0-9eE.+-]+``, (2) a token is a number iff it FULLY
+    matches :data:`NUMBER_TOKEN_RE` (so '1.2.3' from an IP-ish string is
+    rejected whole, not re-segmented). Emits long-form rows (carried
+    columns, num as the original token string, 1-based ``num_idx`` among
+    the row's numbers, ``is_int``) — the columnar analogue of the filter's
+    int0/float1 fields; null source rows emit nothing.
+
+    All-Arrow: one regex split, one flatten with parent carry, two anchored
+    match kernels, and a vectorized per-parent rank (cumcount via repeated
+    first-offsets) — no per-row Python."""
+
+    def extractnumbers(batch: pa.Table) -> pa.Table:
+        src = _combined(batch[source_col])
+        toks = pc.split_pattern_regex(src, "[^0-9eE.+-]+")
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        ok = pc.fill_null(
+            pc.match_substring_regex(flat, "^(?:%s)$" % NUMBER_TOKEN_RE), False
+        )
+        okn = ok.to_numpy(zero_copy_only=False)
+        par = parent.to_numpy(zero_copy_only=False)[okn]
+        num = flat.filter(ok)
+        is_int = pc.match_substring_regex(num, "^(?:%s)$" % INT_TOKEN_RE)
+        # 1-based rank among each parent's kept tokens: parents arrive
+        # sorted, so rank = position - first-position-of-parent
+        if len(par):
+            first = np.flatnonzero(np.concatenate([[True], par[1:] != par[:-1]]))
+            starts = np.repeat(
+                np.arange(len(par), dtype=np.int64)[first],
+                np.diff(np.concatenate([first, [len(par)]])),
+            )
+            rank = np.arange(len(par), dtype=np.int64) - starts + 1
+        else:
+            rank = np.zeros(0, dtype=np.int64)
+        out = batch.select(list(keep_cols)).take(pa.array(par))
+        out = out.append_column(num_col, num)
+        out = out.append_column(idx_col, pa.array(rank, type=pa.int64()))
+        return out.append_column("is_int", is_int)
+
+    return extractnumbers

@@ -1390,6 +1390,14 @@ def paragraph_dedup(
                 "paragraph_dedup: a document has %d paragraphs (max %d)"
                 % (int(lengths.max()), max_paras_per_doc)
             )
+        if lengths.size == 0:  # batch had no non-null text rows
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "idx": pa.array([], type=pa.int64()),
+                    "para": pa.array([], type=pa.string()),
+                }
+            )
         row = np.repeat(np.arange(len(paras), dtype=np.int64), lengths)
         starts = np.repeat(np.concatenate([[0], np.cumsum(lengths)[:-1]]), lengths)
         idx = np.arange(len(row), dtype=np.int64) - starts + 1  # 1-based

@@ -1187,3 +1187,41 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """,
     )
     assert n >= 5
+
+
+# -- extractnumbers -------------------------------------------------------------
+
+
+def test_extractnumbers_kernel():
+    from logstash_filter_geoip_ray.stages.logfilters import make_extractnumbers
+
+    fn = make_extractnumbers("text", keep_cols=["rid"])
+    t = pa.table(
+        {
+            "rid": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                "client=::1 status=500 latency=3.5ms",
+                "no numbers here",
+                "ip 1.2.3.4 port -8080 rate 1e3",  # IP rejected WHOLE
+                None,
+            ],
+        }
+    )
+    rows = [(r["rid"], r["num"], r["num_idx"], r["is_int"]) for r in fn(t).to_pylist()]
+    assert rows == [
+        (0, "1", 1, True),       # the ::1 tail digit is a valid int token
+        (0, "500", 2, True),
+        (0, "3.5", 3, False),
+        (2, "-8080", 1, True),   # 1.2.3.4 fully rejected, not re-segmented
+        (2, "1e3", 2, False),
+    ]
+
+
+def test_extracted_number_stats_oracle(ray_session, tpath):
+    from __ray_entry__ import _q_extracted_number_stats, oracle_sql
+
+    sql = oracle_sql()["extracted_number_stats"].replace(
+        "/tmp/graft_transcripts/v5_sf0.01_n60000_s42/transcripts", tpath
+    )
+    n = _cmp(_q_extracted_number_stats(SF), sql)
+    assert n >= 5

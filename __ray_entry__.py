@@ -1169,6 +1169,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     chain's clusters→anti-join tail is driver-checked via
     #     dedup_filtered_docs_minhash with the grid self-join pinned by
     #     test_embedding_grid_equals_broadcast + its pytest oracle row
+    #   rag_chunks — demoted to admit dsir_selected (NEW broadcast
+    #     weight-scoring + per-lang partial top-k kernel): the shared
+    #     _chunk_starts core stays driver-checked via pack_sequences and
+    #     the overlap-chunk reshape is a per-batch map with no exchange;
+    #     pinned by its own pytest oracle row
     demote = [
         n
         for n in (
@@ -1266,6 +1271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "url_dedup_spectrum",
             "shaped_turns",
             "extracted_number_stats",
+            "rag_chunks",
         )
         if n in out
     ]

@@ -2881,6 +2881,18 @@ def q_value_outliers(sf_dir: str):
     )
 
 
+def q_dsir_selected(sf_dir: str):
+    """DSIR-style importance selection (deterministic top-k variant): each
+    document scores the integer sum of broadcast per-word milli log-ratio
+    weights over its lowercased whitespace words; the 20 highest-scoring
+    docs per language survive (score desc, doc_id asc tie-break). The
+    weight table is the small side and rides the task closure; only
+    (lang, doc_id, score) partial top-k rows shuffle — never the corpus."""
+    from ..stages.textops import dsir_select
+
+    return dsir_select(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
 DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "latest_events": q_latest_events,
     "active_customers": q_active_customers,
@@ -2969,6 +2981,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "shared_paragraphs": q_shared_paragraphs,
     "dedup_paragraphs": q_dedup_paragraphs,
     "url_dedup_spectrum": q_url_dedup_spectrum,
+    "dsir_selected": q_dsir_selected,
     "quality_top_decile": q_quality_top_decile,
     "media_features": q_media_features,
     "video_frames": q_video_frames,
@@ -4586,3 +4599,39 @@ def _model_scores_oracle_sql() -> str:
 
 
 DATA_ORACLES["model_scores"] = _model_scores_oracle_sql()
+
+
+def _dsir_oracle_sql(n_per_lang: int = 20) -> str:
+    # generated from the SAME weight table the Ray kernel broadcasts, so
+    # the oracle cannot drift from the operator
+    from ..stages.textops import DSIR_WEIGHTS_MILLI
+
+    vals = ", ".join(f"('{w}', {v})" for w, v in DSIR_WEIGHTS_MILLI.items())
+    return f"""
+WITH w(word, wt) AS (VALUES {vals}),
+d AS (
+  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+         string_split_regex(lower(coalesce(text, '')), '\\s+') AS ws
+  FROM documents
+), e AS (
+  SELECT lang, doc_id, unnest(ws) AS word FROM d
+), s AS (
+  SELECT e.lang, e.doc_id, SUM(w.wt) AS sc
+  FROM e JOIN w ON e.word = w.word
+  GROUP BY e.lang, e.doc_id
+), sc AS (
+  SELECT d2.lang, d2.doc_id, CAST(coalesce(s.sc, 0) AS BIGINT) AS score
+  FROM (SELECT lang, CAST(doc_id AS BIGINT) AS doc_id FROM documents) d2
+  LEFT JOIN s ON d2.lang = s.lang AND d2.doc_id = s.doc_id
+), r AS (
+  SELECT lang, doc_id, score,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rn
+  FROM sc
+)
+SELECT lang, doc_id, score FROM r WHERE rn <= {n_per_lang}
+ORDER BY lang, doc_id
+"""
+
+
+DATA_ORACLES["dsir_selected"] = _dsir_oracle_sql()

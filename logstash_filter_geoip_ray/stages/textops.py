@@ -1552,3 +1552,93 @@ def url_dedup_spectrum(ds, url_col: str = "url", num_buckets: int = 64):
         .aggregate(Sum("n_urls", alias_name="n_urls"))
         .sort("dups")
     )
+
+
+#: DSIR-style integer importance weights (milli log-ratio of a "target"
+#: vs "source" unigram model — precomputed offline in a real pipeline and
+#: broadcast; integer milli units keep the score exact for the oracle).
+DSIR_WEIGHTS_MILLI: Dict[str, int] = {
+    "query": 1200, "table": 900, "join": 800, "sort": 700, "window": 650,
+    "vector": 600, "hash": 500, "stream": 400, "filter": 300, "merge": 250,
+    "slow": -400, "dup": -600, "small": -200, "a": -150, "the": -100,
+    "batch": 150,
+}
+
+
+def dsir_select(
+    ds,
+    weights: Optional[Dict[str, int]] = None,
+    n_per_lang: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    num_buckets: int = 16,
+):
+    """DSIR-shaped data selection (Xie et al. 2023, Data Selection via
+    Importance Resampling, arXiv:2302.03169 — here the deterministic
+    top-k variant): each document scores the INTEGER sum of broadcast
+    per-word milli log-ratio weights over its lowercased whitespace words
+    (repeats count; unknown words weigh 0; wordless/null docs score 0),
+    and the ``n_per_lang`` highest-scoring docs per language are kept
+    (score desc, doc_id asc tie-break). Rows: (lang, doc_id, score).
+
+    Scale shape: the weight table rides the closure once per worker; the
+    per-doc score is one ``pc.index_in`` + np.add.at per batch (documents
+    are single rows, so batch-local scores are globally complete); only
+    (lang, doc_id, score) partial top-k rows ever shuffle — batches×langs×k,
+    never the corpus."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .aggregate import bucket_by_key
+    from .contamination import _flat_words
+
+    wmap = dict(DSIR_WEIGHTS_MILLI if weights is None else weights)
+    wkeys = pa.array(list(wmap.keys()), type=pa.string())
+    wvals = np.array(list(wmap.values()), dtype=np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, idx = _flat_words(text)
+        pos = pc.index_in(flat, value_set=wkeys).to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(pos.astype("float64"))
+        scores = np.zeros(n, dtype=np.int64)
+        if hit.any():
+            np.add.at(scores, idx[hit], wvals[pos[hit].astype(np.int64)])
+        t = pa.table(
+            {
+                lang_col: batch[lang_col],
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "score": pa.array(scores, type=pa.int64()),
+            }
+        )
+        # partial top-k per lang: only batches×langs×k rows survive the map
+        df = t.to_pandas()
+        top = (
+            df.sort_values([lang_col, "score", id_col],
+                           ascending=[True, False, True])
+            .groupby(lang_col, sort=False)
+            .head(n_per_lang)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def final_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            block.sort_values([lang_col, "score", id_col],
+                              ascending=[True, False, True])
+            .groupby(lang_col, sort=False)
+            .head(n_per_lang)
+        )
+        return g[[lang_col, id_col, "score"]]
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    bucketed = bucket_by_key(partials, lang_col, num_buckets)
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(final_bucket, batch_format="pandas")
+        .sort([lang_col, id_col])
+    )

@@ -66,6 +66,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "epoch_shuffle", "pack_sequences", "mix_sample", "packed_chunks",
      "top_terms", "collocations", "repetition_filter", "simhash_pairs",
      "shared_paragraphs", "dedup_paragraphs", "url_dedup_spectrum",
+     "dsir_selected",
      "quality_top_decile", "bloom_dedup",
      "dedup_filtered_embeddings", "rag_chunks", "freq_spectrum",
      "dup_ngram_spans", "top_docs_per_lang", "video_frames",
@@ -3409,3 +3410,41 @@ def test_normalize_urls_kernel():
         None,
         None,
     ]
+
+
+def test_dsir_select_ties_repeats_and_empty_docs(ray_session):
+    """Explicit-weight vectors: repeats accumulate, unknown words weigh 0,
+    null/wordless docs score 0, k-boundary ties break by doc_id asc, and
+    per-batch partial top-k survives a many-block layout."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.textops import dsir_select
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+            "text": [
+                "Query query JOIN",   # 1200+1200+800 = 3200 (case-folded)
+                "slow slow unknown",  # -800
+                None,                 # 0
+                "   ",                # wordless → 0
+                "table",              # 900 — tied boundary vs doc 6
+                "table",              # 900 — loses the k=2 tie to doc 5
+            ],
+            "lang": ["en", "en", "en", "en", "xx", "xx"],
+        }
+    )
+    out = (
+        dsir_select(
+            ray.data.from_arrow(tbl).repartition(6),
+            n_per_lang=2,
+            num_buckets=4,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert out.columns.tolist() == ["lang", "doc_id", "score"]
+    got = list(map(tuple, out.itertuples(index=False)))
+    # en: doc 1 (3200) then the best of {2:-800, 3:0, 4:0} → doc 3 (0, id asc)
+    # xx: both 900s kept, doc_id order
+    assert got == [("en", 1, 3200), ("en", 3, 0), ("xx", 5, 900), ("xx", 6, 900)]

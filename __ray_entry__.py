@@ -1169,6 +1169,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     chain's clusters→anti-join tail is driver-checked via
     #     dedup_filtered_docs_minhash with the grid self-join pinned by
     #     test_embedding_grid_equals_broadcast + its pytest oracle row
+    #   elapsed_times — demoted to admit aggregated_tasks (logstash-filter-
+    #     aggregate, the strict SUPERSET: the same first-start / first-end
+    #     pairing kernel plus in-window event aggregation and the timeout
+    #     flush path); elapsed stays pinned by its sequential-replay pytest
+    #     + its oracle rows in tests/ and tools/check_oracles.py
     #   rag_chunks — demoted to admit dsir_selected (NEW broadcast
     #     weight-scoring + per-lang partial top-k kernel): the shared
     #     _chunk_starts core stays driver-checked via pack_sequences and
@@ -1272,6 +1277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "shaped_turns",
             "extracted_number_stats",
             "rag_chunks",
+            "elapsed_times",
         )
         if n in out
     ]

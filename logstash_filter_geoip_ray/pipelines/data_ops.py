@@ -2881,6 +2881,39 @@ def q_value_outliers(sf_dir: str):
     )
 
 
+#: aggregate-filter task timeout (µs) — shared by the Ray query and its
+#: generated oracle so the two cannot drift
+AGG_TIMEOUT_US = 172_800_000_000  # 2 days
+
+
+def q_aggregated_tasks(sf_dir: str):
+    """Aggregate filter (logstash-filter-aggregate): per user task, the
+    first signup opens the map, the first purchase within 2 days closes it
+    (status ``completed``) or the map expires (``timeout`` — both branches
+    occur in the testdata at this horizon); n_events + milli value sum
+    over every event inside the task window. Timeout rows carry the
+    operator's null t1 as the repo's -1 sentinel so the stringified
+    compare is null-free (url_dedup_spectrum precedent)."""
+    import pyarrow.compute as _pc
+
+    from ..stages.logfilters import aggregate_tasks
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type", "value"])
+    out = aggregate_tasks(
+        ev, "user_id", "ts", "event_type",
+        start_type="signup", end_type="purchase",
+        value_col="value", timeout_us=AGG_TIMEOUT_US,
+    )
+
+    def sentinel(batch: pa.Table) -> pa.Table:
+        t1 = _pc.fill_null(_pc.cast(batch["t1"], pa.int64()), -1)
+        return batch.set_column(batch.schema.get_field_index("t1"), "t1", t1)
+
+    # re-sort: the sentinel map runs after the operator's sort and block
+    # order is not otherwise guaranteed (preserve_order is off)
+    return out.map_batches(sentinel, batch_format="pyarrow").sort("user_id")
+
+
 def q_dsir_selected(sf_dir: str):
     """DSIR-style importance selection (deterministic top-k variant): each
     document scores the integer sum of broadcast per-word milli log-ratio
@@ -2982,6 +3015,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "dedup_paragraphs": q_dedup_paragraphs,
     "url_dedup_spectrum": q_url_dedup_spectrum,
     "dsir_selected": q_dsir_selected,
+    "aggregated_tasks": q_aggregated_tasks,
     "quality_top_decile": q_quality_top_decile,
     "media_features": q_media_features,
     "video_frames": q_video_frames,
@@ -4635,3 +4669,42 @@ ORDER BY lang, doc_id
 
 
 DATA_ORACLES["dsir_selected"] = _dsir_oracle_sql()
+
+
+def _aggregated_tasks_oracle_sql() -> str:
+    # generated around the SAME timeout constant the Ray query passes
+    return f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts, event_type,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS v
+  FROM events WHERE user_id IS NOT NULL
+), s AS (
+  SELECT user_id, min(ts) AS t0 FROM e
+  WHERE event_type = 'signup' GROUP BY user_id
+), en AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase'
+    AND e.ts >= s.t0 AND e.ts <= s.t0 + {AGG_TIMEOUT_US}
+  GROUP BY e.user_id
+), tk AS (
+  SELECT s.user_id, s.t0, en.t1,
+         CASE WHEN en.t1 IS NOT NULL THEN 'completed'
+              ELSE 'timeout' END AS status,
+         coalesce(en.t1, s.t0 + {AGG_TIMEOUT_US}) AS win_end
+  FROM s LEFT JOIN en ON s.user_id = en.user_id
+), ag AS (
+  SELECT tk.user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(e.v) AS BIGINT) AS sum_value_milli
+  FROM tk JOIN e ON e.user_id = tk.user_id
+   AND e.ts >= tk.t0 AND e.ts <= tk.win_end
+  GROUP BY tk.user_id
+)
+SELECT tk.user_id, tk.status, tk.t0, coalesce(tk.t1, -1) AS t1,
+       ag.n_events, ag.sum_value_milli
+FROM tk JOIN ag ON tk.user_id = ag.user_id
+ORDER BY tk.user_id
+"""
+
+
+DATA_ORACLES["aggregated_tasks"] = _aggregated_tasks_oracle_sql()

@@ -1355,3 +1355,136 @@ def make_extractnumbers(
         return out.append_column("is_int", is_int)
 
     return extractnumbers
+
+
+# -- aggregate -------------------------------------------------------------------
+
+
+def aggregate_tasks(
+    ds,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    start_type: str,
+    end_type: str,
+    value_col: str,
+    timeout_us: int,
+    num_buckets: int = 64,
+):
+    """logstash-filter-aggregate semantics, batch form — the canonical
+    cross-event task-correlation filter (start event creates the task map,
+    intermediate events accumulate into it, the end event flushes it;
+    ``push_map_as_event_on_timeout`` flushes tasks that never end). Batch
+    analog, per task key:
+
+    - ``t0`` = earliest ``start_type`` event (the ``map_action => create``
+      moment). Keys with no start event never create a map and emit
+      nothing (the filter's ``map_action => update`` no-op path).
+    - ``t1`` = earliest ``end_type`` event inside ``[t0, t0+timeout_us]``
+      — the filter's map EXPIRES ``timeout`` seconds after creation, so a
+      later end event finds no map and cannot close the task. Present →
+      status ``completed``, window = [t0, t1]. Absent → status
+      ``timeout`` (the filter's ``push_map_as_event_on_timeout`` flush,
+      tag ``_aggregatetimeout``), window = [t0, t0 + timeout_us].
+    - Aggregates over ALL events of the key inside the window (the code
+      block every event runs): ``n_events`` + ``sum_value_milli``
+      (``floor(value*1000)`` int64 — the repo's exact-oracle convention).
+
+    Output: (key, status, t0, t1, n_events, sum_value_milli); t0/t1 int64
+    epoch µs, t1 null on timeout. NULL keys are dropped (SQL join
+    semantics; the filter cannot correlate a null task_id either).
+
+    Scale shape: the corpus projects to (key, int64 ts, type-flags, milli
+    value) at the first map; each task resolves inside its stable hash
+    bucket with vectorized groupby/merge passes — no per-key Python, no
+    global sort, no driver state. The filter's single-threaded in-memory
+    map (its documented scaling limit: one worker, one task map) becomes a
+    bucketed exchange that spreads tasks across the cluster."""
+    import pandas as pd
+
+    from .aggregate import bucket_by_key
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[key_col]))
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        else:
+            ts = pc.cast(ts, pa.int64())
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "_ts": ts,
+                "_is_start": pc.equal(t[type_col], start_type),
+                "_is_end": pc.equal(t[type_col], end_type),
+                "_v": pc.cast(
+                    pc.floor(pc.multiply(t[value_col], 1000.0)), pa.int64()
+                ),
+            }
+        )
+
+    prepped = bucket_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"), key_col, num_buckets
+    )
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        t0 = (
+            block[block["_is_start"]]
+            .groupby(key_col)["_ts"]
+            .min()
+            .rename("t0")
+        )
+        if t0.empty:
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=block[key_col].dtype),
+                    "status": pd.Series([], dtype=object),
+                    "t0": pd.Series([], dtype="Int64"),
+                    "t1": pd.Series([], dtype="Int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "sum_value_milli": pd.Series([], dtype="int64"),
+                }
+            )
+        ends = block[block["_is_end"]].merge(
+            t0, left_on=key_col, right_index=True, how="inner"
+        )
+        t1 = (
+            ends[
+                (ends["_ts"] >= ends["t0"])
+                & (ends["_ts"] <= ends["t0"] + timeout_us)
+            ]
+            .groupby(key_col)["_ts"]
+            .min()
+            .rename("t1")
+        )
+        tasks = t0.to_frame().join(t1, how="left").reset_index()
+        completed = tasks["t1"].notna().to_numpy()
+        tasks["status"] = np.where(completed, "completed", "timeout")
+        tasks["win_end"] = np.where(
+            completed, tasks["t1"].fillna(0), tasks["t0"] + timeout_us
+        ).astype("int64")
+        m = block.merge(
+            tasks[[key_col, "t0", "win_end"]], on=key_col, how="inner"
+        )
+        inwin = m[(m["_ts"] >= m["t0"]) & (m["_ts"] <= m["win_end"])]
+        agg = inwin.groupby(key_col).agg(
+            n_events=("_ts", "size"), sum_value_milli=("_v", "sum")
+        )
+        out = tasks.merge(agg, left_on=key_col, right_index=True, how="left")
+        out["t0"] = out["t0"].astype("Int64")
+        out["t1"] = out["t1"].astype("Int64")
+        # a start event is itself in-window, so n_events ≥ 1 always; the
+        # fillna is the zero-row merge edge, not a reachable value
+        out["n_events"] = out["n_events"].fillna(0).astype("int64")
+        out["sum_value_milli"] = (
+            out["sum_value_milli"].fillna(0).astype("int64")
+        )
+        return out[
+            [key_col, "status", "t0", "t1", "n_events", "sum_value_milli"]
+        ]
+
+    return (
+        prepped.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(key_col)
+    )

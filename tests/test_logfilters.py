@@ -1225,3 +1225,72 @@ def test_extracted_number_stats_oracle(ray_session, tpath):
     )
     n = _cmp(_q_extracted_number_stats(SF), sql)
     assert n >= 5
+
+
+def test_aggregate_tasks_semantics(ray_session):
+    """Aggregate-filter task correlation: end before start ignored, end
+    after map expiry ignored (→ timeout flush), keys with no start emit
+    nothing, null keys dropped, and the window sum counts every in-window
+    event of the task regardless of type."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.logfilters import aggregate_tasks
+
+    base = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "user_id": pa.array(
+                [1, 1, 1, 1,      # u1: completed; pre-start end ignored
+                 2, 2,            # u2: end AFTER expiry → timeout
+                 3,               # u3: end only → no map, no row
+                 None],           # null key dropped
+                pa.int64(),
+            ),
+            "ts": pa.array(
+                [base - 5, base, base + 3, base + 10,
+                 base, base + 200,
+                 base,
+                 base],
+                pa.int64(),
+            ).cast(pa.timestamp("us")),
+            "event_type": pa.array(
+                ["purchase", "signup", "view", "purchase",
+                 "signup", "purchase",
+                 "purchase",
+                 "signup"]
+            ),
+            "value": pa.array(
+                [9.0, 1.0, 2.0, 3.0, 1.0, 9.0, 9.0, 9.0], pa.float64()
+            ),
+        }
+    )
+    got = (
+        aggregate_tasks(
+            ray.data.from_arrow(tbl), "user_id", "ts", "event_type",
+            start_type="signup", end_type="purchase",
+            value_col="value", timeout_us=100, num_buckets=2,
+        )
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert list(got.index) == [1, 2]
+    # u1: window [base, base+10]; pre-start purchase at base-5 excluded
+    assert got.loc[1, "status"] == "completed"
+    assert got.loc[1, "t1"] == base + 10
+    assert got.loc[1, "n_events"] == 3          # signup, view, purchase
+    assert got.loc[1, "sum_value_milli"] == 6000  # 1+2+3
+    # u2: purchase lands 200µs after start, past the 100µs expiry
+    assert got.loc[2, "status"] == "timeout"
+    assert pd.isna(got.loc[2, "t1"])
+    assert got.loc[2, "n_events"] == 1           # only the signup in-window
+    assert got.loc[2, "sum_value_milli"] == 1000
+
+    from logstash_filter_geoip_ray.pipelines.data_ops import (
+        DATA_ORACLES,
+        q_aggregated_tasks,
+    )
+
+    sql = DATA_ORACLES["aggregated_tasks"].replace(
+        "FROM events", f"FROM read_parquet('{SF}/events.parquet')"
+    )
+    _cmp(q_aggregated_tasks(SF), sql)

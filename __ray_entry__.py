@@ -1169,6 +1169,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     chain's clusters→anti-join tail is driver-checked via
     #     dedup_filtered_docs_minhash with the grid self-join pinned by
     #     test_embedding_grid_equals_broadcast + its pytest oracle row
+    #   xml_order_stats — registered demoted from the start: the
+    #     render-then-parse query shape is driver-checked via
+    #     csv_roundtrip_stats + json_field_stats (same envelope: render
+    #     from source columns, parse with a batch-level parser, aggregate
+    #     the PARSED columns against a source-side oracle); the XML
+    #     marker-envelope kernel itself is pinned by its entity-escape /
+    #     multi-root / fallback pytest vectors and its oracle rows in
+    #     tests/ + tools/check_oracles.py
     #   elapsed_times — demoted to admit aggregated_tasks (logstash-filter-
     #     aggregate, the strict SUPERSET: the same first-start / first-end
     #     pairing kernel plus in-window event aggregation and the timeout
@@ -1278,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "extracted_number_stats",
             "rag_chunks",
             "elapsed_times",
+            "xml_order_stats",
         )
         if n in out
     ]

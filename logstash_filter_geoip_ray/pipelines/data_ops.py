@@ -2881,6 +2881,75 @@ def q_value_outliers(sf_dir: str):
     )
 
 
+#: note suffix for the XML roundtrip — contains raw &, quotes and a tag so
+#: the escape/unescape path is load-bearing on every row; shared by the Ray
+#: renderer and the generated oracle
+XML_NOTE_SUFFIX = ' & "co" <tag>'
+
+
+def q_xml_order_stats(sf_dir: str):
+    """XML filter (logstash-filter-xml): orders rendered to XML documents
+    (note text carries raw ``&``/``<``/``>`` so escaping is exercised on
+    every row), parsed back by the batch-envelope ElementTree stage —
+    one C parse call per batch — and aggregated from the PARSED columns
+    (attribute + three element extracts). The oracle aggregates the
+    source table directly, so any parse or escape loss breaks the hash."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ..stages.aggregate import tree_sum
+    from ..stages.logfilters import make_xml_parse, xml_escape_array
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice",
+                 "o_orderpriority"],
+    )
+    parse = make_xml_parse(
+        "doc", {"key": "@id", "status": "st", "note": "note", "cents": "c"}
+    )
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        note = xml_escape_array(
+            pc.binary_join_element_wise(
+                batch["o_orderpriority"], XML_NOTE_SUFFIX, ""
+            )
+        )
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64()
+        )
+        doc = pc.binary_join_element_wise(
+            '<o id="', pc.cast(batch["o_orderkey"], pa.string()),
+            '"><st>', batch["o_orderstatus"],
+            "</st><note>", note,
+            "</note><c>", pc.cast(cents, pa.string()),
+            "</c></o>", "",
+        )
+        t = parse(pa.table({"doc": doc}))
+        keyed = pa.table(
+            {
+                "status": t["status"],
+                "cents": pc.cast(t["cents"], pa.int64()),
+                # length of the UNESCAPED text — proves entities decoded
+                "note_chars": pc.cast(pc.utf8_length(t["note"]), pa.int64()),
+                # attribute path: sum of parsed ids pins @id extraction
+                "key_sum": pc.cast(t["key"], pa.int64()),
+            }
+        )
+        g = keyed.group_by(["status"]).aggregate(
+            [([], "count_all"), ("cents", "sum"), ("note_chars", "sum"),
+             ("key_sum", "sum")]
+        )
+        return g.rename_columns(["status", "n", "cents", "note_chars",
+                                 "key_sum"])
+
+    parts = orders.map_batches(roundtrip, batch_format="pyarrow")
+    return tree_sum(
+        parts, ["status"], ["n", "cents", "note_chars", "key_sum"],
+        sort_result=True,
+    )
+
+
 #: aggregate-filter task timeout (µs) — shared by the Ray query and its
 #: generated oracle so the two cannot drift
 AGG_TIMEOUT_US = 172_800_000_000  # 2 days
@@ -3016,6 +3085,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "url_dedup_spectrum": q_url_dedup_spectrum,
     "dsir_selected": q_dsir_selected,
     "aggregated_tasks": q_aggregated_tasks,
+    "xml_order_stats": q_xml_order_stats,
     "quality_top_decile": q_quality_top_decile,
     "media_features": q_media_features,
     "video_frames": q_video_frames,
@@ -4708,3 +4778,20 @@ ORDER BY tk.user_id
 
 
 DATA_ORACLES["aggregated_tasks"] = _aggregated_tasks_oracle_sql()
+
+
+def _xml_order_stats_oracle_sql() -> str:
+    # the oracle never sees the XML: it aggregates the source columns the
+    # renderer consumed, so parse/escape loss anywhere breaks the hash
+    return f"""
+SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(sum(length(o_orderpriority) + {len(XML_NOTE_SUFFIX)}) AS BIGINT)
+         AS note_chars,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+DATA_ORACLES["xml_order_stats"] = _xml_order_stats_oracle_sql()

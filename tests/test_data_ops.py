@@ -66,7 +66,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "epoch_shuffle", "pack_sequences", "mix_sample", "packed_chunks",
      "top_terms", "collocations", "repetition_filter", "simhash_pairs",
      "shared_paragraphs", "dedup_paragraphs", "url_dedup_spectrum",
-     "dsir_selected", "aggregated_tasks",
+     "dsir_selected", "aggregated_tasks", "xml_order_stats",
      "quality_top_decile", "bloom_dedup",
      "dedup_filtered_embeddings", "rag_chunks", "freq_spectrum",
      "dup_ngram_spans", "top_docs_per_lang", "video_frames",

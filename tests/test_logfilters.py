@@ -1294,3 +1294,50 @@ def test_aggregate_tasks_semantics(ray_session):
         "FROM events", f"FROM read_parquet('{SF}/events.parquet')"
     )
     _cmp(q_aggregated_tasks(SF), sql)
+
+
+def test_xml_parse_kernel():
+    """Entity unescape, attribute + element extraction, multi-root /
+    empty / raw-text failure isolation on BOTH the marker-envelope path
+    and the per-row fallback path."""
+    from logstash_filter_geoip_ray.stages.logfilters import (
+        make_xml_parse,
+        xml_escape_array,
+    )
+
+    p = make_xml_parse("x", {"id": "@id", "st": "st", "note": "note"})
+    # optimistic path: envelope parses, malformed rows isolated by marker
+    t = pa.table(
+        {
+            "x": [
+                '<o id="1"><st>A</st><note>a &amp; b &lt;tag&gt;</note></o>',
+                "<a/><b/>",  # multi-root → fail, alignment preserved
+                "",          # empty → fail
+                '<o id="2"><st>B</st></o>',  # missing note → null extract
+            ]
+        }
+    )
+    r = p(t)
+    assert r["id"].to_pylist() == ["1", None, None, "2"]
+    assert r["note"].to_pylist() == ["a & b <tag>", None, None, None]
+    assert r["xml_ok"].to_pylist() == [True, False, False, True]
+    # pessimistic path: raw text breaks the envelope; good rows survive
+    t2 = pa.table({"x": ["not xml & raw", '<o id="3"><st>C</st></o>', None]})
+    r2 = p(t2)
+    assert r2["id"].to_pylist() == [None, "3", None]
+    assert r2["xml_ok"].to_pylist() == [False, True, False]
+    assert xml_escape_array(pa.array(['a & "b" <x>'])).to_pylist() == [
+        'a &amp; "b" &lt;x&gt;'
+    ]
+
+
+def test_xml_order_stats_oracle(ray_session):
+    from logstash_filter_geoip_ray.pipelines.data_ops import (
+        DATA_ORACLES,
+        q_xml_order_stats,
+    )
+
+    sql = DATA_ORACLES["xml_order_stats"].replace(
+        "FROM orders", f"FROM read_parquet('{SF}/orders.parquet')"
+    )
+    assert _cmp(q_xml_order_stats(SF), sql) == 3

@@ -1169,6 +1169,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     chain's clusters→anti-join tail is driver-checked via
     #     dedup_filtered_docs_minhash with the grid self-join pinned by
     #     test_embedding_grid_equals_broadcast + its pytest oracle row
+    #   temperature_mix — registered demoted from the start: its
+    #     distributed half (md5-rank-within-stratum bucketed select) is
+    #     exactly dataset_splits' machinery (driver-checked); the new half
+    #     (exact-integer n^alpha quotas + largest-remainder allocation) is
+    #     driver-side arithmetic pinned by its closed-form pytest and its
+    #     oracle rows in tests/ + tools/check_oracles.py
     #   xml_order_stats — registered demoted from the start: the
     #     render-then-parse query shape is driver-checked via
     #     csv_roundtrip_stats + json_field_stats (same envelope: render
@@ -1287,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "rag_chunks",
             "elapsed_times",
             "xml_order_stats",
+            "temperature_mix",
         )
         if n in out
     ]

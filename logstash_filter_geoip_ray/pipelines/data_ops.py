@@ -2881,6 +2881,27 @@ def q_value_outliers(sf_dir: str):
     )
 
 
+#: temperature-mix target sample size (shared by the Ray query and its
+#: generated oracle)
+TEMP_MIX_TOTAL = 100
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-based corpus mixing (mT5/XLM-R recipe, alpha = 1/2):
+    per-language sample quotas follow the exact-integer n^(1/2)-flattened
+    shares with largest-remainder allocation, rows selected by md5 rank
+    within language — English's share drops toward the flattened mix while
+    small languages are boosted, all in integer arithmetic the SQL window
+    oracle reproduces bit-for-bit."""
+    from ..stages.packing import temperature_mix
+
+    return temperature_mix(
+        _docs(sf_dir, ["doc_id", "lang"]),
+        stratum_col="lang", id_col="doc_id",
+        target_total=TEMP_MIX_TOTAL, alpha_num=1, alpha_den=2,
+    )
+
+
 #: note suffix for the XML roundtrip — contains raw &, quotes and a tag so
 #: the escape/unescape path is load-bearing on every row; shared by the Ray
 #: renderer and the generated oracle
@@ -3086,6 +3107,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "dsir_selected": q_dsir_selected,
     "aggregated_tasks": q_aggregated_tasks,
     "xml_order_stats": q_xml_order_stats,
+    "temperature_mix": q_temperature_mix,
     "quality_top_decile": q_quality_top_decile,
     "media_features": q_media_features,
     "video_frames": q_video_frames,
@@ -4795,3 +4817,48 @@ FROM orders GROUP BY 1 ORDER BY 1
 
 
 DATA_ORACLES["xml_order_stats"] = _xml_order_stats_oracle_sql()
+
+
+def _temperature_mix_oracle_sql() -> str:
+    # alpha = 1/2: the exact integer sqrt is floor(sqrt) float-seeded then
+    # big-int corrected (±1 covers the 1-ulp float error), mirroring
+    # packing._iroot; quotas replay temperature_quotas' largest-remainder
+    # allocation with the same (remainder desc, stratum asc) tie-break
+    t = TEMP_MIX_TOTAL
+    return f"""
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+), w0 AS (
+  SELECT lang, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s0
+  FROM c
+), w1 AS (
+  SELECT lang, n, s0 - CASE WHEN s0 * s0 > n THEN 1 ELSE 0 END AS s1
+  FROM w0
+), w AS (
+  SELECT lang, n,
+         s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= n THEN 1 ELSE 0 END AS wt
+  FROM w1
+), q0 AS (
+  SELECT lang, n, wt,
+         CAST({t} * wt // (SELECT sum(wt) FROM w) AS BIGINT) AS base,
+         CAST({t} * wt % (SELECT sum(wt) FROM w) AS BIGINT) AS rem
+  FROM w
+), q AS (
+  SELECT lang,
+         least(n, base + CASE WHEN row_number() OVER
+             (ORDER BY rem DESC, lang ASC)
+           <= {t} - (SELECT sum(base) FROM q0) THEN 1 ELSE 0 END) AS quota
+  FROM q0
+), r AS (
+  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT r.lang, r.doc_id
+FROM r JOIN q ON r.lang = q.lang AND r.rk <= q.quota
+ORDER BY r.lang, r.doc_id
+"""
+
+
+DATA_ORACLES["temperature_mix"] = _temperature_mix_oracle_sql()

@@ -376,3 +376,103 @@ def balanced_shards(
         .map_groups(per_bucket, batch_format="pandas")
         .sort(id_col)
     )
+
+
+def _iroot(x: int, k: int) -> int:
+    """Exact integer k-th root: floor(x ** (1/k)) with big-int correction
+    around the float seed (never trusts float precision)."""
+    if x < 0 or k < 1:
+        raise ValueError("x >= 0, k >= 1 required")
+    if k == 1 or x == 0:
+        return x
+    r = max(int(round(x ** (1.0 / k))), 0)
+    while r > 0 and r**k > x:
+        r -= 1
+    while (r + 1) ** k <= x:
+        r += 1
+    return r
+
+
+def temperature_quotas(
+    counts: dict, target_total: int, alpha_num: int = 1, alpha_den: int = 2
+) -> dict:
+    """Per-stratum sample quotas for temperature-based mixing (the
+    mT5/XLM-R multinomial recipe, p_i ∝ n_i^alpha with alpha < 1 flattening
+    the source distribution), in EXACT integer arithmetic: weights are the
+    exact integer ``alpha_den``-th root of ``n_i ** alpha_num``; quotas are
+    floor(T·w/W) plus a largest-remainder allocation (remainder desc,
+    stratum asc tie-break) so quotas sum to exactly T; each quota is then
+    capped at the stratum's population (sampling WITHOUT replacement — the
+    published recipe upsamples with replacement instead; the cap is the
+    documented divergence, and it undershoots T only when a stratum is
+    smaller than its flattened share)."""
+    w = {s: _iroot(int(n) ** alpha_num, alpha_den) for s, n in counts.items()}
+    total_w = sum(w.values())
+    if total_w == 0:
+        return {s: 0 for s in w}
+    base = {s: target_total * w[s] // total_w for s in w}
+    rem = {s: target_total * w[s] % total_w for s in w}
+    extra = target_total - sum(base.values())
+    for s in sorted(w, key=lambda s: (-rem[s], s))[:extra]:
+        base[s] += 1
+    return {s: min(int(counts[s]), base[s]) for s in w}
+
+
+def temperature_mix(
+    ds,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    target_total: int = 100,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    seed: str = "mix",
+    num_buckets: int = 32,
+):
+    """Temperature-based corpus mixing: draw a deterministic sample whose
+    per-stratum sizes follow :func:`temperature_quotas` (n^alpha-flattened
+    shares), selecting within each stratum by ``md5(seed:id)`` rank — the
+    repo's reproducible-shuffle device (identical in SQL), see
+    :func:`stratified_split`. Output rows: (stratum, id), sorted.
+
+    Scale shape: pass 1 is a tiny stratum-count groupby (strata are a
+    dimension — languages/sources — so the driver pull is the sanctioned
+    provably-small class); quotas ride the task closure; pass 2 re-reads
+    the corpus, ships only (stratum, id, hash) and ranks each stratum with
+    one vectorized sort+cumcount per bucket."""
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import bucket_by_key, grouped_counts
+
+    cnt = grouped_counts(ds, [stratum_col], count_alias="_n").to_pandas()
+    quotas = temperature_quotas(
+        dict(zip(cnt[stratum_col], cnt["_n"])),
+        target_total, alpha_num, alpha_den,
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = [hashlib.md5(f"{seed}:{int(v)}".encode()).hexdigest() for v in ids]
+        return pa.table(
+            {
+                stratum_col: batch[stratum_col],
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "_h": pa.array(h, type=pa.string()),
+            }
+        )
+
+    prepped = bucket_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"), stratum_col, num_buckets
+    )
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([stratum_col, "_h", id_col])
+        rk = b.groupby(stratum_col, sort=False).cumcount().to_numpy()
+        cap = b[stratum_col].map(quotas).fillna(0).to_numpy(dtype=np.int64)
+        keep = b[rk < cap]
+        return keep[[stratum_col, id_col]]
+
+    return (
+        prepped.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort([stratum_col, id_col])
+    )

@@ -67,6 +67,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "top_terms", "collocations", "repetition_filter", "simhash_pairs",
      "shared_paragraphs", "dedup_paragraphs", "url_dedup_spectrum",
      "dsir_selected", "aggregated_tasks", "xml_order_stats",
+     "temperature_mix",
      "quality_top_decile", "bloom_dedup",
      "dedup_filtered_embeddings", "rag_chunks", "freq_spectrum",
      "dup_ngram_spans", "top_docs_per_lang", "video_frames",
@@ -3448,3 +3449,34 @@ def test_dsir_select_ties_repeats_and_empty_docs(ray_session):
     # en: doc 1 (3200) then the best of {2:-800, 3:0, 4:0} → doc 3 (0, id asc)
     # xx: both 900s kept, doc_id order
     assert got == [("en", 1, 3200), ("en", 3, 0), ("xx", 5, 900), ("xx", 6, 900)]
+
+
+def test_temperature_quotas_exact_arithmetic():
+    """Closed-form quota vectors: exact integer roots, largest-remainder
+    allocation with (remainder desc, stratum asc) ties, population caps,
+    and the all-zero-weight degenerate case."""
+    from logstash_filter_geoip_ray.stages.packing import (
+        _iroot,
+        temperature_quotas,
+    )
+
+    assert [_iroot(x, 2) for x in (0, 1, 3, 4, 24, 25, 26)] == [
+        0, 1, 1, 2, 4, 5, 5,
+    ]
+    assert _iroot(10**18, 3) == 10**6
+    assert _iroot(10**18 - 1, 3) == 10**6 - 1
+    # alpha=1/2 over {a:100, b:4}: w={10,2}, base={16,3}+remainder(20/12=1r8
+    # → a: 1000//12=83r4... recompute: T=20, W=12 → a 200//12=16 r8,
+    # b 40//12=3 r4 → extra=1 → a (larger rem) gets it
+    q = temperature_quotas({"a": 100, "b": 4}, 20)
+    assert q == {"a": 17, "b": 3} and sum(q.values()) == 20
+    # cap: b's flattened share exceeds its population
+    q = temperature_quotas({"a": 10000, "b": 1}, 200)
+    assert q["b"] == 1  # capped at population
+    # remainder tie broken by stratum name asc
+    q = temperature_quotas({"x": 4, "y": 4, "z": 4}, 4)
+    assert q == {"x": 2, "y": 1, "z": 1}
+    # alpha=1 degenerates to proportional
+    q = temperature_quotas({"a": 75, "b": 25}, 4, alpha_num=1, alpha_den=1)
+    assert q == {"a": 3, "b": 1}
+    assert temperature_quotas({"a": 0, "b": 0}, 10) == {"a": 0, "b": 0}

@@ -578,7 +578,11 @@ def elapsed(
         starts = block[block["_is_start"]]
         ends = block[~block["_is_start"]]
         t0 = starts.groupby(key_col)["_ts"].min().rename("t0")
-        m = ends.merge(t0, left_on=key_col, right_index=True, how="left")
+        # reset_index: merging an EMPTY ends frame on right_index names the
+        # result index after key_col, making the groupby below ambiguous
+        m = ends.merge(
+            t0, left_on=key_col, right_index=True, how="left"
+        ).reset_index(drop=True)
         after = m[m["_ts"] > m["t0"]]
         t1 = after.groupby(key_col)["_ts"].min().rename("t1")
         paired = t0.to_frame().join(t1, how="left").reset_index()
@@ -1445,9 +1449,11 @@ def aggregate_tasks(
                     "sum_value_milli": pd.Series([], dtype="int64"),
                 }
             )
+        # reset_index: merging an EMPTY left frame on right_index names the
+        # result index after key_col, making the groupby below ambiguous
         ends = block[block["_is_end"]].merge(
             t0, left_on=key_col, right_index=True, how="inner"
-        )
+        ).reset_index(drop=True)
         t1 = (
             ends[
                 (ends["_ts"] >= ends["t0"])

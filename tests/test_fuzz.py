@@ -2,6 +2,7 @@
 the engine — only clean errors (build time) or tagged failures (row level)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -404,3 +405,120 @@ def test_fuzz_edit_distance_pairs(ray_session, texts):
         for j in range(i + 1, n)
     }
     assert got_pairs == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(max_size=40),  # arbitrary text incl. raw markup
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_xml_render_parse_roundtrip(values):
+    """Render arbitrary text into an XML note via xml_escape_array, parse
+    it back with the marker-envelope stage: every escaped row must
+    round-trip verbatim, and no input may crash or misalign rows."""
+    import pyarrow.compute as pc
+
+    from logstash_filter_geoip_ray.stages.logfilters import (
+        make_xml_parse,
+        xml_escape_array,
+    )
+
+    # control chars are invalid in XML 1.0 text; the renderer's contract is
+    # printable text, so map them away deterministically up front
+    clean = [
+        None if v is None else "".join(c if c >= " " else "." for c in v)
+        for v in values
+    ]
+    src = pa.array(clean, type=pa.string())
+    note = xml_escape_array(src)
+    doc = pc.binary_join_element_wise("<o><note>", note, "</note></o>", "")
+    out = make_xml_parse("x", {"note": "note"})(pa.table({"x": doc}))
+    got = out["note"].to_pylist()
+    ok = out["xml_ok"].to_pylist()
+    for inp, o, k in zip(clean, got, ok):
+        if inp is None:
+            assert not k and o is None
+        else:
+            assert k
+            # ElementTree reports an empty element's text as None
+            assert (o or "") == inp
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),          # key
+            st.integers(min_value=0, max_value=300),        # ts
+            st.sampled_from(["start", "end", "other"]),     # type
+            st.integers(min_value=-50, max_value=50),       # value (milli/1000)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=120),                # timeout
+)
+def test_aggregate_tasks_vs_naive(ray_session, events, timeout_us):
+    """aggregate_tasks must equal a per-key sequential-replay reference on
+    random event grids: same task set, statuses, windows and sums."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.logfilters import aggregate_tasks
+
+    tbl = pa.table(
+        {
+            "k": pa.array([e[0] for e in events], pa.int64()),
+            "ts": pa.array([e[1] for e in events], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "et": pa.array([e[2] for e in events]),
+            "v": pa.array([float(e[3]) for e in events], pa.float64()),
+        }
+    )
+    raw = aggregate_tasks(
+        ray.data.from_arrow(tbl), "k", "ts", "et",
+        start_type="start", end_type="end",
+        value_col="v", timeout_us=timeout_us, num_buckets=2,
+    ).to_pandas()
+    # an all-empty result loses its schema through the final sort — the
+    # contract is simply "no rows"; guard before set_index
+    got = raw.set_index("k") if len(raw) else raw
+    # naive reference
+    keys = sorted({e[0] for e in events})
+    expect = {}
+    for k in keys:
+        evs = sorted(
+            [e for e in events if e[0] == k], key=lambda e: e[1]
+        )
+        starts = [e[1] for e in evs if e[2] == "start"]
+        if not starts:
+            continue
+        t0 = min(starts)
+        ends = [
+            e[1] for e in evs
+            if e[2] == "end" and t0 <= e[1] <= t0 + timeout_us
+        ]
+        t1 = min(ends) if ends else None
+        hi = t1 if t1 is not None else t0 + timeout_us
+        win = [e for e in evs if t0 <= e[1] <= hi]
+        expect[k] = (
+            "completed" if t1 is not None else "timeout",
+            t0, t1, len(win), sum(int(e[3]) * 1000 for e in win),
+        )
+    if not expect:
+        assert len(raw) == 0
+        return
+    assert sorted(got.index) == sorted(expect)
+    for k, (status, t0, t1, n, sv) in expect.items():
+        row = got.loc[k]
+        assert row["status"] == status
+        assert row["t0"] == t0
+        assert (row["t1"] == t1) if t1 is not None else pd.isna(row["t1"])
+        assert row["n_events"] == n
+        assert row["sum_value_milli"] == sv

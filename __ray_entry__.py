@@ -1169,6 +1169,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     chain's clusters→anti-join tail is driver-checked via
     #     dedup_filtered_docs_minhash with the grid self-join pinned by
     #     test_embedding_grid_equals_broadcast + its pytest oracle row
+    #   transliterated_labels — registered demoted from the start: the
+    #     render-then-aggregate query shape is the translate + tree_sum
+    #     family (driver-checked via ua_family_counts / sink_counts); the
+    #     NFD+\p{M} strip kernel's cross-engine contract (utf8proc
+    #     STRIPMARK ≡ DuckDB strip_accents) is exactly what its pytest
+    #     oracle row and mark-category unit vectors compare
     #   temperature_mix — registered demoted from the start: its
     #     distributed half (md5-rank-within-stratum bucketed select) is
     #     exactly dataset_splits' machinery (driver-checked); the new half
@@ -1294,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "elapsed_times",
             "xml_order_stats",
             "temperature_mix",
+            "transliterated_labels",
         )
         if n in out
     ]

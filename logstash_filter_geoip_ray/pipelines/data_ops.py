@@ -2881,6 +2881,54 @@ def q_value_outliers(sf_dir: str):
     )
 
 
+#: accented labels for the i18n roundtrip (every Unicode mark category is
+#: load-bearing: Latin Mn, Vietnamese stacked marks, Devanagari Mc,
+#: enclosing Me, katakana voicing) — shared by the Ray query and the
+#: generated oracle
+I18N_LABELS = {
+    "click": "cliqué-à⃐",
+    "view": "vuệ-कि",
+    "purchase": "Dvořák-ド",
+    "signup": "señal-Ångström",
+    "error": "naïve-Ñoño",
+}
+
+
+def q_transliterated_labels(sf_dir: str):
+    """i18n filter (logstash-filter-i18n transliterate): event types mapped
+    to accented labels spanning all three Unicode mark categories, then
+    accent-stripped by the NFD+\\p{M} kernel and counted by the STRIPPED
+    label plus a changed-rows count — any strip divergence from DuckDB's
+    strip_accents breaks the hash."""
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import tree_sum
+    from ..stages.logfilters import make_translate, transliterate_array
+
+    ev = _events(sf_dir, ["event_type"])
+    label = make_translate(I18N_LABELS, "event_type", "label")
+
+    def strip_stats(batch: pa.Table) -> pa.Table:
+        t = label(batch)
+        stripped = transliterate_array(t["label"])
+        keyed = pa.table(
+            {
+                "label_ascii": stripped,
+                "changed": pc.cast(
+                    pc.not_equal(stripped, t["label"]), pa.int64()
+                ),
+            }
+        )
+        g = keyed.group_by(["label_ascii"]).aggregate(
+            [([], "count_all"), ("changed", "sum")]
+        )
+        return g.rename_columns(["label_ascii", "n", "n_changed"])
+
+    parts = ev.map_batches(strip_stats, batch_format="pyarrow")
+    return tree_sum(parts, ["label_ascii"], ["n", "n_changed"],
+                    sort_result=True)
+
+
 #: temperature-mix target sample size (shared by the Ray query and its
 #: generated oracle)
 TEMP_MIX_TOTAL = 100
@@ -3108,6 +3156,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "aggregated_tasks": q_aggregated_tasks,
     "xml_order_stats": q_xml_order_stats,
     "temperature_mix": q_temperature_mix,
+    "transliterated_labels": q_transliterated_labels,
     "quality_top_decile": q_quality_top_decile,
     "media_features": q_media_features,
     "video_frames": q_video_frames,
@@ -4862,3 +4911,24 @@ ORDER BY r.lang, r.doc_id
 
 
 DATA_ORACLES["temperature_mix"] = _temperature_mix_oracle_sql()
+
+
+def _transliterated_labels_oracle_sql() -> str:
+    # generated from the SAME accented-label dict; strip_accents is
+    # utf8proc STRIPMARK — the kernel's pinned contract
+    cases = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in I18N_LABELS.items()
+    )
+    return f"""
+WITH l AS (
+  SELECT CASE event_type {cases} END AS label FROM events
+)
+SELECT strip_accents(label) AS label_ascii,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN strip_accents(label) <> label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed
+FROM l GROUP BY 1 ORDER BY 1
+"""
+
+
+DATA_ORACLES["transliterated_labels"] = _transliterated_labels_oracle_sql()

@@ -1594,3 +1594,38 @@ def xml_escape_array(col: pa.Array) -> pa.Array:
     a = pc.replace_substring(a, "&", "&amp;")
     a = pc.replace_substring(a, "<", "&lt;")
     return pc.replace_substring(a, ">", "&gt;")
+
+
+# -- i18n ------------------------------------------------------------------------
+
+
+def transliterate_array(col: pa.Array) -> pa.Array:
+    """NFD-normalize then drop every Unicode mark codepoint (``\\p{M}`` —
+    Mn/Mc/Me): utf8proc-STRIPMARK parity, the exact contract of DuckDB's
+    ``strip_accents`` (pinned across all three mark categories in tests,
+    including the Devanagari Mc and enclosing Me cases). One pandas C
+    normalize pass + one RE2 replace per column; nulls stay null."""
+    import pandas as pd
+
+    a = _combined(col)
+    nfd = pa.array(
+        pd.Series(a.to_pandas(), dtype=object).str.normalize("NFD"),
+        type=pa.string(),
+        from_pandas=True,
+    )
+    return pc.replace_substring_regex(nfd, pattern=r"\p{M}", replacement="")
+
+
+def make_transliterate(cols: Sequence[str], suffix: str = "_ascii"):
+    """logstash-filter-i18n (transliterate mode), batch form: each listed
+    column gains a ``<name><suffix>`` accent-stripped sibling."""
+    names = list(cols)
+
+    def transliterate(batch: pa.Table) -> pa.Table:
+        for name in names:
+            batch = batch.append_column(
+                name + suffix, transliterate_array(batch[name])
+            )
+        return batch
+
+    return transliterate

@@ -67,7 +67,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "top_terms", "collocations", "repetition_filter", "simhash_pairs",
      "shared_paragraphs", "dedup_paragraphs", "url_dedup_spectrum",
      "dsir_selected", "aggregated_tasks", "xml_order_stats",
-     "temperature_mix",
+     "temperature_mix", "transliterated_labels",
      "quality_top_decile", "bloom_dedup",
      "dedup_filtered_embeddings", "rag_chunks", "freq_spectrum",
      "dup_ngram_spans", "top_docs_per_lang", "video_frames",

@@ -1341,3 +1341,22 @@ def test_xml_order_stats_oracle(ray_session):
         "FROM orders", f"FROM read_parquet('{SF}/orders.parquet')"
     )
     assert _cmp(q_xml_order_stats(SF), sql) == 3
+
+
+def test_transliterate_kernel_mark_categories():
+    """utf8proc-STRIPMARK parity across every mark class: Latin Mn,
+    stacked Vietnamese marks, Devanagari Mc, enclosing Me, katakana
+    voicing — plus non-Latin letters, ligatures and ß which must survive
+    (strip_accents does NOT casefold or compatibility-decompose)."""
+    from logstash_filter_geoip_ray.stages.logfilters import (
+        transliterate_array,
+    )
+
+    got = transliterate_array(
+        pa.array(
+            ["café", "Dvořák", "ệ", "कि", "a⃐", "ド", "ß", "ﬁ", "北京",
+             None, "", "naïve Ñoño"]
+        )
+    ).to_pylist()
+    assert got == ["cafe", "Dvorak", "e", "क", "a", "ト", "ß", "ﬁ",
+                   "北京", None, "", "naive Nono"]

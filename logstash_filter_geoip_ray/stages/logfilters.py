@@ -1392,7 +1392,8 @@ def aggregate_tasks(
       tag ``_aggregatetimeout``), window = [t0, t0 + timeout_us].
     - Aggregates over ALL events of the key inside the window (the code
       block every event runs): ``n_events`` + ``sum_value_milli``
-      (``floor(value*1000)`` int64 — the repo's exact-oracle convention).
+      (``floor(value*1000)`` int64 — the repo's exact-oracle convention;
+      null values skip like SQL SUM, and an all-null window sums to null).
 
     Output: (key, status, t0, t1, n_events, sum_value_milli); t0/t1 int64
     epoch µs, t1 null on timeout. NULL keys are dropped (SQL join
@@ -1419,8 +1420,14 @@ def aggregate_tasks(
             {
                 key_col: t[key_col],
                 "_ts": ts,
-                "_is_start": pc.equal(t[type_col], start_type),
-                "_is_end": pc.equal(t[type_col], end_type),
+                # fill_null: a null event_type is neither start nor end
+                # (a null boolean would poison the pandas masks downstream)
+                "_is_start": pc.fill_null(
+                    pc.equal(t[type_col], start_type), False
+                ),
+                "_is_end": pc.fill_null(
+                    pc.equal(t[type_col], end_type), False
+                ),
                 "_v": pc.cast(
                     pc.floor(pc.multiply(t[value_col], 1000.0)), pa.int64()
                 ),
@@ -1446,7 +1453,7 @@ def aggregate_tasks(
                     "t0": pd.Series([], dtype="Int64"),
                     "t1": pd.Series([], dtype="Int64"),
                     "n_events": pd.Series([], dtype="int64"),
-                    "sum_value_milli": pd.Series([], dtype="int64"),
+                    "sum_value_milli": pd.Series([], dtype="Int64"),
                 }
             )
         # reset_index: merging an EMPTY left frame on right_index names the
@@ -1474,17 +1481,20 @@ def aggregate_tasks(
         )
         inwin = m[(m["_ts"] >= m["t0"]) & (m["_ts"] <= m["win_end"])]
         agg = inwin.groupby(key_col).agg(
-            n_events=("_ts", "size"), sum_value_milli=("_v", "sum")
+            n_events=("_ts", "size"),
+            # min_count=1: SUM over only-null values is NULL (SQL parity),
+            # not pandas' skipna 0; nulls among non-nulls still skip
+            sum_value_milli=("_v", lambda s: s.sum(min_count=1)),
         )
-        out = tasks.merge(agg, left_on=key_col, right_index=True, how="left")
+        out = tasks.merge(
+            agg, left_on=key_col, right_index=True, how="left"
+        ).reset_index(drop=True)
         out["t0"] = out["t0"].astype("Int64")
         out["t1"] = out["t1"].astype("Int64")
         # a start event is itself in-window, so n_events ≥ 1 always; the
         # fillna is the zero-row merge edge, not a reachable value
         out["n_events"] = out["n_events"].fillna(0).astype("int64")
-        out["sum_value_milli"] = (
-            out["sum_value_milli"].fillna(0).astype("int64")
-        )
+        out["sum_value_milli"] = out["sum_value_milli"].astype("Int64")
         return out[
             [key_col, "status", "t0", "t1", "n_events", "sum_value_milli"]
         ]
@@ -1552,7 +1562,12 @@ def make_xml_parse(
                     "<__b__><__r__>%s</__r__></__b__>"
                     % "</__r__><__r__>".join(docs)
                 )
-                markers = iter(root)  # exactly len(docs) markers by construction
+                # a row containing the literal marker markup would inject
+                # extra markers and misalign every row after it — trust the
+                # envelope only when the count is exact, else isolate
+                # per-row (where such a row fails alone)
+                if len(root) == len(docs):
+                    markers = iter(root)
             except ET.ParseError:
                 markers = None
         for r in rows:
@@ -1563,8 +1578,14 @@ def make_xml_parse(
             if markers is not None:
                 m = next(markers)
                 # a well-formed row is exactly one root element with no
-                # stray top-level text; anything else is _xmlparsefailure
-                if len(m) == 1 and not (m.text or "").strip():
+                # stray top-level text before OR after it; anything else
+                # is _xmlparsefailure (matches the per-row fallback, where
+                # 'junk after document element' raises)
+                if (
+                    len(m) == 1
+                    and not (m.text or "").strip()
+                    and not (m[0].tail or "").strip()
+                ):
                     _extract(m[0], out)
                     ok.append(True)
                 else:

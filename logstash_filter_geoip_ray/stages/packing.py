@@ -224,21 +224,12 @@ def stratified_split(
 
     from ..stages.aggregate import bucket_by_key
 
-    def prep(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        h = [
-            hashlib.md5(f"{seed}:{int(v)}".encode()).hexdigest() for v in ids
-        ]
-        return pa.table(
-            {
-                id_col: pc.cast(batch[id_col], pa.int64()),
-                stratum_col: batch[stratum_col],
-                "_h": pa.array(h, type=pa.string()),
-            }
-        )
-
     prepped = bucket_by_key(
-        ds.map_batches(prep, batch_format="pyarrow"), stratum_col, num_buckets
+        ds.map_batches(
+            _md5_rank_prep(stratum_col, id_col, seed), batch_format="pyarrow"
+        ),
+        stratum_col,
+        num_buckets,
     )
 
     def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
@@ -378,6 +369,29 @@ def balanced_shards(
     )
 
 
+def _md5_rank_prep(stratum_col: str, id_col: str, seed: str):
+    """Shared projection for the md5(seed:id) within-stratum rank device
+    (stratified_split / temperature_mix): (stratum, int64 id, _h). Per-row
+    md5 is the oracle-reproducibility price — see hash_shuffle vs
+    hash_shuffle_fast for the SipHash scale path."""
+    import pyarrow.compute as pc
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        h = [
+            hashlib.md5(f"{seed}:{int(v)}".encode()).hexdigest() for v in ids
+        ]
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                stratum_col: batch[stratum_col],
+                "_h": pa.array(h, type=pa.string()),
+            }
+        )
+
+    return prep
+
+
 def _iroot(x: int, k: int) -> int:
     """Exact integer k-th root: floor(x ** (1/k)) with big-int correction
     around the float seed (never trusts float precision)."""
@@ -449,24 +463,23 @@ def temperature_mix(
         target_total, alpha_num, alpha_den,
     )
 
-    def prep(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        h = [hashlib.md5(f"{seed}:{int(v)}".encode()).hexdigest() for v in ids]
-        return pa.table(
-            {
-                stratum_col: batch[stratum_col],
-                id_col: pc.cast(batch[id_col], pa.int64()),
-                "_h": pa.array(h, type=pa.string()),
-            }
-        )
-
     prepped = bucket_by_key(
-        ds.map_batches(prep, batch_format="pyarrow"), stratum_col, num_buckets
+        ds.map_batches(
+            _md5_rank_prep(stratum_col, id_col, seed), batch_format="pyarrow"
+        ),
+        stratum_col,
+        num_buckets,
     )
 
     def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
         b = block.sort_values([stratum_col, "_h", id_col])
-        rk = b.groupby(stratum_col, sort=False).cumcount().to_numpy()
+        # dropna=False: a null stratum got a quota in pass 1 (Arrow counts
+        # the null group) and must rank and fill it like any other
+        rk = (
+            b.groupby(stratum_col, sort=False, dropna=False)
+            .cumcount()
+            .to_numpy()
+        )
         cap = b[stratum_col].map(quotas).fillna(0).to_numpy(dtype=np.int64)
         keep = b[rk < cap]
         return keep[[stratum_col, id_col]]

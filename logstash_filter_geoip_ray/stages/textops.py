@@ -5,6 +5,8 @@ functions/textstats.py kernels."""
 
 from __future__ import annotations
 
+from typing import Dict, Optional
+
 import pyarrow as pa
 
 from ..functions.textstats import (
@@ -1618,10 +1620,12 @@ def dsir_select(
         )
         # partial top-k per lang: only batches×langs×k rows survive the map
         df = t.to_pandas()
+        # dropna=False: a null-lang stratum must rank and select like any
+        # other (the SQL oracle's PARTITION BY keeps a NULL partition)
         top = (
             df.sort_values([lang_col, "score", id_col],
                            ascending=[True, False, True])
-            .groupby(lang_col, sort=False)
+            .groupby(lang_col, sort=False, dropna=False)
             .head(n_per_lang)
         )
         return pa.Table.from_pandas(top, preserve_index=False)
@@ -1630,7 +1634,7 @@ def dsir_select(
         g = (
             block.sort_values([lang_col, "score", id_col],
                               ascending=[True, False, True])
-            .groupby(lang_col, sort=False)
+            .groupby(lang_col, sort=False, dropna=False)
             .head(n_per_lang)
         )
         return g[[lang_col, id_col, "score"]]

@@ -429,10 +429,18 @@ def test_xml_render_parse_roundtrip(values):
         xml_escape_array,
     )
 
-    # control chars are invalid in XML 1.0 text; the renderer's contract is
-    # printable text, so map them away deterministically up front
+    # map away everything outside the XML 1.0 Char production (controls,
+    # and the BMP noncharacters U+FFFE/U+FFFF hypothesis can generate) —
+    # the renderer's contract is valid-XML text
+    def xml_char(c):
+        return (
+            "\x20" <= c <= "\ud7ff"
+            or "\ue000" <= c <= "\ufffd"
+            or c > "\uffff"
+        )
+
     clean = [
-        None if v is None else "".join(c if c >= " " else "." for c in v)
+        None if v is None else "".join(c if xml_char(c) else "." for c in v)
         for v in values
     ]
     src = pa.array(clean, type=pa.string())

@@ -1360,3 +1360,61 @@ def test_transliterate_kernel_mark_categories():
     ).to_pylist()
     assert got == ["cafe", "Dvorak", "e", "क", "a", "ト", "ß", "ﬁ",
                    "北京", None, "", "naive Nono"]
+
+
+def test_xml_parse_injection_and_tail_junk():
+    """A row containing the literal marker markup must fail alone (never
+    misalign its neighbors), and trailing top-level junk is rejected
+    identically on the envelope and fallback paths."""
+    from logstash_filter_geoip_ray.stages.logfilters import make_xml_parse
+
+    p = make_xml_parse("x", {"id": "@id"})
+    # marker injection: envelope parses but marker count exceeds rows →
+    # per-row isolation; the injected row fails, its neighbor survives
+    r = p(pa.table({"x": ['<a/></__r__><__r__><o id="9"/>', '<o id="1"/>']}))
+    assert r["id"].to_pylist() == [None, "1"]
+    assert r["xml_ok"].to_pylist() == [False, True]
+    # tail junk after the root element: rejected on the envelope path...
+    r2 = p(pa.table({"x": ['<o id="7"/>junk', '<o id="2"/>']}))
+    assert r2["xml_ok"].to_pylist() == [False, True]
+    # ...and identically when a neighbor forces the per-row fallback
+    r3 = p(pa.table({"x": ['<o id="7"/>junk', "raw & broken"]}))
+    assert r3["xml_ok"].to_pylist() == [False, False]
+
+
+def test_aggregate_tasks_null_type_and_null_values(ray_session):
+    """Null event_type is neither start nor end but still counts inside
+    the window; null values skip like SQL SUM; an all-null window sums to
+    null."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.logfilters import aggregate_tasks
+
+    tbl = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([0, 1, 2, 0, 1], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "et": pa.array(["start", None, "end", "start", None]),
+            "v": pa.array([None, 5.0, None, None, None], pa.float64()),
+        }
+    )
+    got = (
+        aggregate_tasks(
+            ray.data.from_arrow(tbl), "k", "ts", "et",
+            start_type="start", end_type="end",
+            value_col="v", timeout_us=10, num_buckets=2,
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    # k=1: null-type event at ts=1 is in-window and counted; only its
+    # value is non-null → sum 5000
+    assert got.loc[1, "status"] == "completed"
+    assert got.loc[1, "n_events"] == 3
+    assert got.loc[1, "sum_value_milli"] == 5000
+    # k=2: timeout, both in-window values null → SQL SUM semantics: null
+    assert got.loc[2, "status"] == "timeout"
+    assert got.loc[2, "n_events"] == 2
+    assert pd.isna(got.loc[2, "sum_value_milli"])

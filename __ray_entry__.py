@@ -1169,6 +1169,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     chain's clusters→anti-join tail is driver-checked via
     #     dedup_filtered_docs_minhash with the grid self-join pinned by
     #     test_embedding_grid_equals_broadcast + its pytest oracle row
+    #   cust_order_distribution — demoted to admit event_trends (SIGMOD-
+    #     2019-style event trend aggregation, a NEW per-stage segmented-DP
+    #     kernel counting ALL pattern subsequences without enumeration):
+    #     the Q13 LEFT-join + count-distribution machinery stays driver-
+    #     checked via customer_order_profile (LEFT, checked) and the
+    #     grouped_counts family; pinned by its own pytest oracle row
     #   transliterated_labels — registered demoted from the start: the
     #     render-then-aggregate query shape is the translate + tree_sum
     #     family (driver-checked via ua_family_counts / sink_counts); the
@@ -1301,6 +1307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "xml_order_stats",
             "temperature_mix",
             "transliterated_labels",
+            "cust_order_distribution",
         )
         if n in out
     ]

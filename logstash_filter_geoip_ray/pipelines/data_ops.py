@@ -2881,6 +2881,25 @@ def q_value_outliers(sf_dir: str):
     )
 
 
+#: SEQ pattern for event trend aggregation — shared by the Ray query and
+#: the generated oracle
+TREND_PATTERN = ["view", "click", "purchase"]
+
+
+def q_event_trends(sf_dir: str):
+    """Event trend aggregation (SIGMOD 2019 aggregation-pushdown): the
+    per-user count of ALL view→click→purchase subsequences under
+    skip-till-any-match semantics — every interleaving, not the funnel's
+    single first-touch chain — computed as len(pattern) segmented
+    cumsum passes instead of trend enumeration."""
+    from ..stages.windows import event_trend_counts
+
+    return event_trend_counts(
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]),
+        TREND_PATTERN,
+    )
+
+
 #: accented labels for the i18n roundtrip (every Unicode mark category is
 #: load-bearing: Latin Mn, Vietnamese stacked marks, Devanagari Mc,
 #: enclosing Me, katakana voicing) — shared by the Ray query and the
@@ -3157,6 +3176,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "xml_order_stats": q_xml_order_stats,
     "temperature_mix": q_temperature_mix,
     "transliterated_labels": q_transliterated_labels,
+    "event_trends": q_event_trends,
     "quality_top_decile": q_quality_top_decile,
     "media_features": q_media_features,
     "video_frames": q_video_frames,
@@ -4932,3 +4952,48 @@ FROM l GROUP BY 1 ORDER BY 1
 
 
 DATA_ORACLES["transliterated_labels"] = _transliterated_labels_oracle_sql()
+
+
+def _event_trends_oracle_sql() -> str:
+    # the same per-stage DP, unrolled: matches of prefix k ending at an
+    # event = cumulative prefix-(k-1) count strictly before it in
+    # (ts, event_id) order — one window cumsum CTE per pattern stage
+    head = f"""
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts,
+         CAST(event_id AS BIGINT) AS eid, event_type
+  FROM events
+  WHERE user_id IS NOT NULL
+    AND event_type IN ({", ".join("'%s'" % t for t in TREND_PATTERN)})
+), d0 AS (
+  SELECT user_id, ts, eid, event_type,
+         CASE WHEN event_type = '{TREND_PATTERN[0]}'
+              THEN 1 ELSE 0 END AS dp
+  FROM e
+)"""
+    stages = []
+    for k in range(1, len(TREND_PATTERN)):
+        stages.append(
+            f""", d{k} AS (
+  SELECT user_id, ts, eid, event_type,
+         CASE WHEN event_type = '{TREND_PATTERN[k]}' THEN
+           coalesce(sum(dp) OVER (PARTITION BY user_id
+             ORDER BY ts, eid
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         ELSE 0 END AS dp
+  FROM d{k - 1}
+)"""
+        )
+    last = len(TREND_PATTERN) - 1
+    return (
+        head
+        + "".join(stages)
+        + f"""
+SELECT user_id, CAST(sum(dp) AS BIGINT) AS n_trends
+FROM d{last} GROUP BY user_id HAVING sum(dp) > 0
+ORDER BY user_id
+"""
+    )
+
+
+DATA_ORACLES["event_trends"] = _event_trends_oracle_sql()

@@ -962,3 +962,99 @@ def funnel_counts(
         .map_batches(rename, batch_format="pyarrow")
         .sort("step")
     )
+
+
+def event_trend_counts(
+    ds,
+    pattern: "list[str]",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+):
+    """Event trend aggregation (Poppe et al., SIGMOD 2019, "Event Trend
+    Aggregation Under Rich Event Matching Semantics" — the aggregation-
+    pushdown insight): count ALL subsequences of each key's event stream
+    matching the SEQ ``pattern`` under skip-till-any-match semantics,
+    WITHOUT enumerating the (exponentially many) trends. The count is a
+    per-stage dynamic program — matches of prefix k ending at event e =
+    cumulative prefix-(k-1) count strictly before e — i.e. len(pattern)
+    segmented cumsum passes, not a pattern-automaton walk per trend.
+    Unlike the funnel operator (first-touch chain, one conversion per
+    user), this counts every interleaving.
+
+    Sequence order is (ts, id) — total and identical in SQL. Pattern types
+    must be pairwise distinct (the strictly-before exclusion is then free:
+    the current event can never extend its own stage). Rows:
+    (key, n_trends) for keys with ≥1 complete trend; counts are exact
+    int64 (a key with m events holds < C(m, len(pattern)) trends — raise
+    your own cap upstream if a single key can exceed 2^63).
+
+    Scale shape: the corpus projects to (key, ts, id, small-int stage
+    type) at the first map; each key's DP runs inside its hash bucket as
+    len(pattern) vectorized groupby-cumsum passes — no per-key Python, no
+    global sort, only per-key counts leave the bucket."""
+    import pyarrow.compute as pc
+
+    from .aggregate import bucket_by_key
+
+    if len(set(pattern)) != len(pattern):
+        raise ValueError("pattern types must be pairwise distinct")
+    pat = pa.array(pattern, type=pa.string())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            pc.and_(
+                pc.is_valid(batch[key_col]),
+                pc.is_valid(
+                    pc.index_in(batch[type_col], value_set=pat)
+                ),
+            )
+        )
+        ts = t[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "_ts": ts,
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "_stage": pc.index_in(t[type_col], value_set=pat),
+            }
+        )
+
+    prepped = bucket_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"), key_col, num_buckets
+    )
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, "_ts", id_col])
+        g = b.groupby(key_col, sort=False, dropna=False)
+        stage = b["_stage"].to_numpy()
+        # dp = matches of prefix k ending at each event; prev = cumulative
+        # prefix-(k-1) counts STRICTLY before (groupby-shifted cumsum)
+        dp = (stage == 0).astype(np.int64)
+        for k in range(1, len(pattern)):
+            prev = (
+                pd.Series(dp, index=b.index)
+                .groupby(g.ngroup().to_numpy())
+                .cumsum()
+                .groupby(g.ngroup().to_numpy())
+                .shift(1, fill_value=0)
+                .to_numpy()
+            )
+            dp = np.where(stage == k, prev, 0)
+        out = (
+            pd.DataFrame({key_col: b[key_col].to_numpy(), "n_trends": dp})
+            .groupby(key_col, sort=False, dropna=False)["n_trends"]
+            .sum()
+            .reset_index()
+        )
+        return out[out["n_trends"] > 0]
+
+    return (
+        prepped.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(key_col)
+    )

@@ -67,7 +67,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "top_terms", "collocations", "repetition_filter", "simhash_pairs",
      "shared_paragraphs", "dedup_paragraphs", "url_dedup_spectrum",
      "dsir_selected", "aggregated_tasks", "xml_order_stats",
-     "temperature_mix", "transliterated_labels",
+     "temperature_mix", "transliterated_labels", "event_trends",
      "quality_top_decile", "bloom_dedup",
      "dedup_filtered_embeddings", "rag_chunks", "freq_spectrum",
      "dup_ngram_spans", "top_docs_per_lang", "video_frames",
@@ -3480,3 +3480,44 @@ def test_temperature_quotas_exact_arithmetic():
     q = temperature_quotas({"a": 75, "b": 25}, 4, alpha_num=1, alpha_den=1)
     assert q == {"a": 3, "b": 1}
     assert temperature_quotas({"a": 0, "b": 0}, 10) == {"a": 0, "b": 0}
+
+
+def test_event_trend_counts_dp(ray_session):
+    """Hand-countable trend vectors: all interleavings counted (not just
+    first-touch), order violations and incomplete prefixes yield nothing,
+    ties in ts break by event id, distinct-pattern guard raises."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.windows import event_trend_counts
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1] * 5 + [2, 2] + [3] + [4, 4, 4], pa.int64()),
+            "ts": pa.array(
+                [1, 2, 3, 4, 5,   # A B A B C → 3 trends
+                 1, 2,            # C A (wrong order) → 0
+                 1,               # A only → 0
+                 7, 7, 7],        # A B C all at one ts: id order ⇒ 1
+                pa.int64(),
+            ).cast(pa.timestamp("us")),
+            "event_id": pa.array(list(range(11)), pa.int64()),
+            "event_type": [
+                "view", "click", "view", "click", "purchase",
+                "purchase", "view",
+                "view",
+                "view", "click", "purchase",
+            ],
+        }
+    )
+    got = event_trend_counts(
+        ray.data.from_arrow(tbl), ["view", "click", "purchase"],
+        num_buckets=3,
+    ).to_pandas()
+    assert got.to_dict("records") == [
+        {"user_id": 1, "n_trends": 3},
+        {"user_id": 4, "n_trends": 1},
+    ]
+    with pytest.raises(ValueError):
+        event_trend_counts(
+            ray.data.from_arrow(tbl), ["view", "view", "purchase"]
+        )

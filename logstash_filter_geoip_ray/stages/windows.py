@@ -1030,28 +1030,34 @@ def event_trend_counts(
 
     def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
         b = block.sort_values([key_col, "_ts", id_col])
-        g = b.groupby(key_col, sort=False, dropna=False)
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame({key_col: [], "n_trends": []})
+        # one C factorize pass → int codes; keys are contiguous runs after
+        # the sort, so every later step is pure numpy segment arithmetic
+        codes = pd.factorize(b[key_col], use_na_sentinel=False)[0]
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=new_seg[1:])
+        seg_start = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
         stage = b["_stage"].to_numpy()
         # dp = matches of prefix k ending at each event; prev = cumulative
-        # prefix-(k-1) counts STRICTLY before (groupby-shifted cumsum)
+        # prefix-(k-1) count STRICTLY before it within the segment =
+        # global exclusive cumsum rebased to the segment start
         dp = (stage == 0).astype(np.int64)
         for k in range(1, len(pattern)):
-            prev = (
-                pd.Series(dp, index=b.index)
-                .groupby(g.ngroup().to_numpy())
-                .cumsum()
-                .groupby(g.ngroup().to_numpy())
-                .shift(1, fill_value=0)
-                .to_numpy()
-            )
+            excl = np.concatenate(([0], np.cumsum(dp)[:-1]))
+            prev = excl - excl[seg_start][seg_id]
             dp = np.where(stage == k, prev, 0)
-        out = (
-            pd.DataFrame({key_col: b[key_col].to_numpy(), "n_trends": dp})
-            .groupby(key_col, sort=False, dropna=False)["n_trends"]
-            .sum()
-            .reset_index()
+        totals = np.add.reduceat(dp, seg_start)
+        keep = totals > 0
+        return pd.DataFrame(
+            {
+                key_col: b[key_col].to_numpy()[seg_start][keep],
+                "n_trends": totals[keep],
+            }
         )
-        return out[out["n_trends"] > 0]
 
     return (
         prepped.groupby("_bucket")

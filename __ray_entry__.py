@@ -1169,6 +1169,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     chain's clusters→anti-join tail is driver-checked via
     #     dedup_filtered_docs_minhash with the grid self-join pinned by
     #     test_embedding_grid_equals_broadcast + its pytest oracle row
+    #   join_sample — registered demoted from the start (the
+    #     weighted_sample precedent): the factorized nL·nR index-space
+    #     arithmetic is driver-side math over the provably-small key-count
+    #     table, pinned by its duplicate-rank pytest and oracle rows; the
+    #     distributed half (broadcast is_in filter + bucketed rank fetch)
+    #     is the sample_stratified / balanced_shards family, driver-checked
+    #     via their siblings in the window
     #   cust_order_distribution — demoted to admit event_trends (SIGMOD-
     #     2019-style event trend aggregation, a NEW per-stage segmented-DP
     #     kernel counting ALL pattern subsequences without enumeration):
@@ -1308,6 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "temperature_mix",
             "transliterated_labels",
             "cust_order_distribution",
+            "join_sample",
         )
         if n in out
     ]

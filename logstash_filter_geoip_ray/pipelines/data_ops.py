@@ -2881,6 +2881,35 @@ def q_value_outliers(sf_dir: str):
     )
 
 
+#: join-sample size + MINSTD seed (shared by the Ray query and the
+#: generated oracle)
+JOIN_SAMPLE_K = 60
+JOIN_SAMPLE_SEED = 20240801
+
+
+def q_join_sample(sf_dir: str):
+    """Sampling over joins without the join (EDBT-2023-style): 60
+    deterministic tuples of the events⋈orders-on-user/custkey virtual
+    result (~96k tuples at sf0.01), drawn from the factorized nL·nR index
+    space — only per-key counts and the ≤k sampled rows ever move; the
+    join itself never materializes in either engine's Ray path."""
+    from ..stages.joins import join_sample
+
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey"],
+    )
+    return join_sample(
+        _events(sf_dir, ["user_id", "event_id"]),
+        orders,
+        left_key="user_id", right_key="o_custkey",
+        left_id="event_id", right_id="o_orderkey",
+        k=JOIN_SAMPLE_K, seed=JOIN_SAMPLE_SEED,
+    )
+
+
 #: SEQ pattern for event trend aggregation — shared by the Ray query and
 #: the generated oracle
 TREND_PATTERN = ["view", "click", "purchase"]
@@ -3177,6 +3206,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "temperature_mix": q_temperature_mix,
     "transliterated_labels": q_transliterated_labels,
     "event_trends": q_event_trends,
+    "join_sample": q_join_sample,
     "quality_top_decile": q_quality_top_decile,
     "media_features": q_media_features,
     "video_frames": q_video_frames,
@@ -4997,3 +5027,59 @@ ORDER BY user_id
 
 
 DATA_ORACLES["event_trends"] = _event_trends_oracle_sql()
+
+
+def _join_sample_oracle_sql() -> str:
+    # replays the factorized index space: per-key nL·nR weights with
+    # cumulative bases, the SAME fixed-length MINSTD stream (first k
+    # distinct values mod N, in stream order), range-lookup to (key, i, j)
+    # and row_number ranks — the join materializes HERE only because SQL
+    # may; the Ray path never builds it
+    k, seed = JOIN_SAMPLE_K, JOIN_SAMPLE_SEED
+    return f"""
+WITH RECURSIVE seq(step, x) AS (
+  SELECT 0, CAST({seed} AS BIGINT)
+  UNION ALL
+  SELECT step + 1, x * 48271 % 2147483647 FROM seq WHERE step < {8 * k}
+), cl AS (
+  SELECT user_id AS key, CAST(count(*) AS BIGINT) AS nl
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), cr AS (
+  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS nr
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT cl.key, nl, nr, nl * nr AS w FROM cl JOIN cr USING (key)
+), b AS (
+  SELECT key, nl, nr, w,
+         coalesce(sum(w) OVER (ORDER BY key
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM w
+), g0 AS (
+  SELECT step, x % (SELECT sum(w) FROM w) AS g FROM seq WHERE step >= 1
+), gd AS (
+  SELECT g, min(step) AS first_step FROM g0 GROUP BY g
+), gk AS (
+  SELECT g FROM gd ORDER BY first_step LIMIT {k}
+), map AS (
+  SELECT b.key, (gk.g - b.base) // b.nr AS i, (gk.g - b.base) % b.nr AS j
+  FROM gk JOIN b ON gk.g >= b.base AND gk.g < b.base + b.w
+), lr AS (
+  SELECT user_id AS key, CAST(event_id AS BIGINT) AS event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+           AS i
+  FROM events WHERE user_id IS NOT NULL
+), rr AS (
+  SELECT o_custkey AS key, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1
+           AS j
+  FROM orders
+)
+SELECT m.key AS user_id, lr.event_id, rr.o_orderkey
+FROM map m
+JOIN lr ON lr.key = m.key AND lr.i = m.i
+JOIN rr ON rr.key = m.key AND rr.j = m.j
+ORDER BY 1, 2, 3
+"""
+
+
+DATA_ORACLES["join_sample"] = _join_sample_oracle_sql()

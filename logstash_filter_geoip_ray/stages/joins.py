@@ -700,3 +700,127 @@ def bloom_prefilter_join(
     return hash_join(
         survivors, right_ds, left_key, right_key, num_buckets=num_buckets
     )
+
+
+def join_sample(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    left_id: str,
+    right_id: str,
+    k: int,
+    seed: int = 20240801,
+    num_buckets: int = 32,
+):
+    """Deterministic sample of ``k`` join tuples WITHOUT materializing the
+    join (the streaming-sampling-over-joins idea, EDBT 2023: the join's
+    tuple count factorizes per key as nL·nR, so a global index space over
+    the virtual result exists before any tuple does).
+
+    1. Per-key counts on each side (tiny groupby each) → inner-merge on
+       the key → per-key weight w = nL·nR, cumulative bases, total N.
+       The count table is the join-key stratum index and must fit the
+       driver — the operator's documented partitioning assumption (join
+       keys are dimension-like; for web-scale key spaces, sample the key
+       table hierarchically first).
+    2. The first ``k`` DISTINCT values of a fixed-length MINSTD stream
+       (x → x·48271 mod 2³¹−1, 8k steps) taken mod N are the sampled
+       global indices — reproducible in SQL by a recursive CTE, no RNG
+       state ambiguity. Index g maps to (key, i, j) by range lookup:
+       i = (g−base)//nR is the left rank, j = (g−base) mod nR the right.
+    3. Each side filters to the sampled keys (broadcast ``pc.is_in``),
+       ranks the survivors per key by id (bucketed sort+cumcount) and
+       keeps exactly the wanted ranks — only sampled-key rows move, and
+       only ≤k rows leave each side.
+
+    Returns a pandas DataFrame (left_key, <left_id>, <right_id>) sorted by
+    all three — ≤k rows (fewer only if the stream yields <k distinct
+    indices, identically in both engines)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .aggregate import bucket_by_key, grouped_counts
+
+    cl = grouped_counts(left_ds, [left_key], count_alias="_nl").to_pandas()
+    cr = grouped_counts(right_ds, [right_key], count_alias="_nr").to_pandas()
+    cl = cl[cl[left_key].notna()]
+    m = cl.merge(
+        cr, left_on=left_key, right_on=right_key, how="inner"
+    ).sort_values(left_key)
+    if not len(m):
+        return pd.DataFrame({left_key: [], left_id: [], right_id: []})
+    w = (m["_nl"] * m["_nr"]).to_numpy(dtype=np.int64)
+    base = np.concatenate(([0], np.cumsum(w)[:-1]))
+    total = int(w.sum())
+
+    x, seen, idx = seed, set(), []
+    for _ in range(8 * k):
+        x = x * 48271 % 2147483647
+        g = x % total
+        if g not in seen:
+            seen.add(g)
+            idx.append(g)
+            if len(idx) == k:
+                break
+    g_arr = np.array(idx, dtype=np.int64)
+    pos = np.searchsorted(base, g_arr, side="right") - 1
+    off = g_arr - base[pos]
+    nr = m["_nr"].to_numpy(dtype=np.int64)[pos]
+    keys = m[left_key].to_numpy()[pos]
+    want = pd.DataFrame(
+        {"_key": keys, "_i": off // nr, "_j": off % nr}
+    )
+
+    def fetch(ds, key_col, id_col, rank_col, wanted: pd.DataFrame):
+        kset = pa.array(pd.unique(wanted["_key"]))
+
+        def filt(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.is_in(batch[key_col], value_set=kset))
+            return pa.table(
+                {
+                    key_col: t[key_col],
+                    id_col: pc.cast(t[id_col], pa.int64()),
+                }
+            )
+
+        # two sampled tuples may share this side's (key, rank) — dedupe so
+        # the row-fetch merge stays one row per wanted rank
+        ranks = (
+            wanted[["_key", rank_col]]
+            .drop_duplicates()
+            .rename(columns={"_key": key_col, rank_col: "_rk"})
+        )
+
+        def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+            b = block.sort_values([key_col, id_col])
+            rk = b.groupby(key_col, sort=False).cumcount()
+            b = b.assign(_rk=rk.to_numpy())
+            sel = b.merge(ranks, on=[key_col, "_rk"])
+            return sel[[key_col, id_col, "_rk"]]
+
+        bucketed = bucket_by_key(
+            ds.map_batches(filt, batch_format="pyarrow"), key_col, num_buckets
+        )
+        return (
+            bucketed.groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas")
+            .to_pandas()  # ≤k rows by construction
+        )
+
+    lrows = fetch(left_ds, left_key, left_id, "_i", want)
+    rrows = fetch(right_ds, right_key, right_id, "_j", want)
+    out = (
+        want.merge(
+            lrows.rename(columns={left_key: "_key", "_rk": "_i"}),
+            on=["_key", "_i"],
+        )
+        .merge(
+            rrows.rename(columns={right_key: "_key", "_rk": "_j"}),
+            on=["_key", "_j"],
+        )
+        .rename(columns={"_key": left_key})[[left_key, left_id, right_id]]
+        .sort_values([left_key, left_id, right_id])
+        .reset_index(drop=True)
+    )
+    return out

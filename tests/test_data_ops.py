@@ -68,6 +68,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "shared_paragraphs", "dedup_paragraphs", "url_dedup_spectrum",
      "dsir_selected", "aggregated_tasks", "xml_order_stats",
      "temperature_mix", "transliterated_labels", "event_trends",
+     "join_sample",
      "quality_top_decile", "bloom_dedup",
      "dedup_filtered_embeddings", "rag_chunks", "freq_spectrum",
      "dup_ngram_spans", "top_docs_per_lang", "video_frames",
@@ -3521,3 +3522,41 @@ def test_event_trend_counts_dp(ray_session):
         event_trend_counts(
             ray.data.from_arrow(tbl), ["view", "view", "purchase"]
         )
+
+
+def test_join_sample_exhaustive_equals_virtual_join(ray_session):
+    """With k ≥ N the sample IS the whole virtual join (every (key,i,j)
+    index drawn) — compare against the materialized join directly; also
+    covers duplicate per-side ranks, null keys and one-side-only keys."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.joins import join_sample
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, None, 9], pa.int64()),
+            "lid": pa.array([10, 11, 12, 20, 30, 90], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 7], pa.int64()),
+            "rid": pa.array([100, 101, 200, 700], pa.int64()),
+        }
+    )
+    # N = 3*2 + 1*1 = 7 virtual tuples; k=50 → 8k=400 MINSTD draws mod 7
+    # hit every index with probability ~1 (and deterministically here)
+    got = join_sample(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        "k", "k", "lid", "rid", k=50, num_buckets=2,
+    )
+    expect = (
+        left.to_pandas().dropna()
+        .merge(right.to_pandas(), on="k")
+        .astype({"k": "int64"})
+        .sort_values(["k", "lid", "rid"])
+        .reset_index(drop=True)[["k", "lid", "rid"]]
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), expect.astype("int64")
+    )

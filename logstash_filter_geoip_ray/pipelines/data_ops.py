@@ -658,6 +658,68 @@ def q_media_features(sf_dir: str):
     return feats.map_batches(to_ints, batch_format="pyarrow").sort("media_id")
 
 
+def q_resized_media(sf_dir: str):
+    """Decode → RESIZE → re-decode roundtrip over real self-decoded
+    payloads: the media_features PNGs are bilinear-resized 8×8 → 4×4 by
+    the actor-pool ResizeImageStage (pure-numpy kernel, PPM re-encode),
+    decoded AGAIN, and reduced to exact integer pixel sums per image.
+    Rows-only driver check; the resize kernel is pinned by hand-value and
+    naive-reference unit tests."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.multimodal import (
+        IMAGE_META_TYPE,
+        ResizeImageStage,
+        decode_ppm,
+        encode_png,
+    )
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads, metas = [], []
+        for i in ids:
+            base = np.arange(192, dtype=np.int64) * (7 + int(i) % 251) + int(i)
+            px = (base % 256).astype(np.uint8).reshape(8, 8, 3)
+            payloads.append(encode_png(px, filter_type="mixed"))
+            metas.append({"width": 8, "height": 8, "format": "png"})
+        return pa.table(
+            {
+                "media_id": pa.array(ids),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "meta": pa.array(metas, type=IMAGE_META_TYPE),
+            }
+        )
+
+    resized = docs.map_batches(render, batch_format="pyarrow").map_batches(
+        ResizeImageStage,
+        fn_constructor_kwargs={
+            "out_h": 4, "out_w": 4, "method": "bilinear", "strict": True,
+        },
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+    )
+
+    def pixel_sums(batch: pa.Table) -> pa.Table:
+        sums = [
+            int(decode_ppm(p).astype(np.int64).sum())
+            for p in batch["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "pixel_sum": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return resized.map_batches(pixel_sums, batch_format="pyarrow").sort(
+        "media_id"
+    )
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic epoch shuffle: global order by md5(seed:doc_id) —
     reproducible across cluster sizes, rerunnable per epoch by seed."""
@@ -3207,6 +3269,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "transliterated_labels": q_transliterated_labels,
     "event_trends": q_event_trends,
     "join_sample": q_join_sample,
+    "resized_media": q_resized_media,
     "quality_top_decile": q_quality_top_decile,
     "media_features": q_media_features,
     "video_frames": q_video_frames,

@@ -356,6 +356,122 @@ class AudioFeatureStage:
         return out
 
 
+def decode_any_image(payload: bytes, meta: dict, strict: bool = False):
+    """Magic-byte dispatch over the native decoders (PPM, PNG, baseline
+    JPEG, GIF, BMP) → H×W×C uint8 array, or None for unrecognized /
+    corrupt payloads (strict=True re-raises instead). Shared by the
+    decode-features and resize stages. Per-row degrade rationale: a
+    2-byte magic matches ~2^-16 of opaque binaries — guaranteed hits at
+    scale — so a corrupt payload must fail its row, not the task."""
+    fmt = (meta or {}).get("format")
+    try:
+        if payload.startswith(b"P6") or fmt == "ppm":
+            return decode_ppm(payload)
+        if payload.startswith(_PNG_SIG):
+            return decode_png(payload)
+        if payload.startswith(b"\xff\xd8"):
+            from ..functions.jpeg import decode_jpeg
+
+            px = decode_jpeg(payload)
+            if px.ndim == 2:  # grayscale → 1-channel plane
+                px = px[:, :, None]
+            return px
+        if payload.startswith((b"GIF87a", b"GIF89a")):
+            from ..functions.gif import decode_gif
+
+            return decode_gif(payload)
+        if payload.startswith(b"BM"):
+            from ..functions.bmp import decode_bmp
+
+            return decode_bmp(payload)
+    except ValueError:
+        if strict:
+            raise
+    return None
+
+
+def resize_image(
+    px: np.ndarray, out_h: int, out_w: int, method: str = "bilinear"
+) -> np.ndarray:
+    """Pure-numpy image resize, uint8 in/out. ``nearest`` uses the
+    pixel-center map floor((i+0.5)·in/out); ``bilinear`` the standard
+    align_corners=False convention (src = (i+0.5)·scale − 0.5, edge
+    clamp, round-half-even via np.rint) — both fully vectorized and
+    bit-deterministic (IEEE doubles, no platform-dependent SIMD paths)."""
+    h, w = px.shape[0], px.shape[1]
+    if method == "nearest":
+        ri = np.minimum(
+            ((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1
+        )
+        ci = np.minimum(
+            ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1
+        )
+        return px[ri][:, ci]
+    if method != "bilinear":
+        raise ValueError("method must be nearest|bilinear")
+    sy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    sx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(sy), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(sx), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(sy - y0, 0.0, 1.0)[:, None, None]
+    fx = np.clip(sx - x0, 0.0, 1.0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1.0 - fx) + p[y0][:, x1] * fx
+    bot = p[y1][:, x0] * (1.0 - fx) + p[y1][:, x1] * fx
+    out = top * (1.0 - fy) + bot * fy
+    return np.rint(out).clip(0, 255).astype(np.uint8)
+
+
+class ResizeImageStage:
+    """Actor-pool stage: image payload → resized image payload (PPM).
+
+    The missing quarter of the decode / features / RESIZE / frame-sample
+    quartet: decodes any native format, resizes with :func:`resize_image`
+    (converting to RGB first, the feature stage's channel convention) and
+    re-encodes as PPM — the batch keeps (resized payload, out dims,
+    ``resize_ok``); undecodable rows carry a null payload and False.
+    Like every payload stage, run it with small ``batch_size`` and drop
+    the payload column before any shuffle."""
+
+    def __init__(
+        self,
+        out_h: int = 8,
+        out_w: int = 8,
+        method: str = "bilinear",
+        strict: bool = False,
+    ):
+        resize_image(np.zeros((1, 1, 3), np.uint8), 1, 1, method)  # validate
+        self.out_h, self.out_w = out_h, out_w
+        self.method = method
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = batch.drop_columns(["payload"])
+        if batch.num_rows == 0:
+            return out.append_column(
+                "payload", pa.array([], type=pa.binary())
+            ).append_column("resize_ok", pa.array([], type=pa.bool_()))
+        payloads = batch["payload"].to_pylist()
+        metas = batch["meta"].to_pylist()
+        blobs, ok = [], []
+        for p, m in zip(payloads, metas):
+            px = decode_any_image(p, m, strict=self.strict)
+            if px is None:
+                blobs.append(None)
+                ok.append(False)
+                continue
+            rgb = DecodeImageStage._as_rgb(px)
+            blobs.append(
+                encode_ppm(resize_image(rgb, self.out_h, self.out_w, self.method))
+            )
+            ok.append(True)
+        return out.append_column(
+            "payload", pa.array(blobs, type=pa.binary())
+        ).append_column("resize_ok", pa.array(ok, type=pa.bool_()))
+
+
 class DecodeImageStage:
     """Actor-pool stage: binary payload → fixed-shape feature vector.
 
@@ -390,60 +506,9 @@ class DecodeImageStage:
         return feats
 
     def _decode_features(self, payload: bytes, meta: dict) -> np.ndarray:
-        # REAL decode paths: PPM and PNG need no external codec
-        fmt = (meta or {}).get("format")
-        px = None
-        if payload.startswith(b"P6") or fmt == "ppm":
-            try:
-                px = decode_ppm(payload).astype(np.float32)
-            except ValueError:
-                if self.strict:
-                    raise
-                # per-row degrade: an opaque payload that merely starts with
-                # b'P6' (2^-16 of random binaries — guaranteed at scale), or
-                # a truncated PPM, must not kill the task; fall through to
-                # the deterministic fake features
-                px = None
-        elif payload.startswith(_PNG_SIG):
-            try:
-                px = decode_png(payload).astype(np.float32)
-            except ValueError:
-                if self.strict:
-                    raise
-                px = None
-        elif payload.startswith(b"\xff\xd8"):
-            from ..functions.jpeg import decode_jpeg
-
-            try:
-                px = decode_jpeg(payload).astype(np.float32)
-                if px.ndim == 2:  # grayscale → 1-channel plane
-                    px = px[:, :, None]
-            except ValueError:
-                if self.strict:
-                    raise
-                px = None
-        elif payload.startswith((b"GIF87a", b"GIF89a")):
-            from ..functions.gif import decode_gif
-
-            try:
-                px = decode_gif(payload).astype(np.float32)
-            except ValueError:
-                if self.strict:
-                    raise
-                px = None
-        elif payload.startswith(b"BM"):
-            from ..functions.bmp import decode_bmp
-
-            try:
-                px = decode_bmp(payload).astype(np.float32)
-            except ValueError:
-                # 2-byte magic: ~2^-16 of opaque binaries start with "BM";
-                # the header validation inside decode_bmp rejects them here
-                if self.strict:
-                    raise
-                px = None
+        px = decode_any_image(payload, meta, strict=self.strict)
         if px is not None:
-            return self._pixel_features(px)
+            return self._pixel_features(px.astype(np.float32))
         if self.strict:
             raise NotImplementedError(
                 "unrecognized image payload (PPM, PNG, GIF, BMP and baseline "

@@ -3560,3 +3560,77 @@ def test_join_sample_exhaustive_equals_virtual_join(ray_session):
     pd.testing.assert_frame_equal(
         got.astype("int64"), expect.astype("int64")
     )
+
+
+def test_resize_image_kernels_and_stage(ray_session):
+    """Hand-computed resize vectors (nearest block replication, bilinear
+    boundary values, same-size identity), a naive-loop reference sweep,
+    and the actor-pool stage roundtrip incl. per-row corrupt-payload
+    degrade."""
+    import numpy as np
+
+    from logstash_filter_geoip_ray.stages.multimodal import (
+        ResizeImageStage,
+        decode_ppm,
+        encode_png,
+        resize_image,
+    )
+
+    cb = np.array([[[0], [255]], [[255], [0]]], dtype=np.uint8)
+    assert (
+        resize_image(cb, 4, 4, "nearest")[:, :, 0]
+        == np.array(
+            [[0, 0, 255, 255], [0, 0, 255, 255],
+             [255, 255, 0, 0], [255, 255, 0, 0]]
+        )
+    ).all()
+    g = np.array([[[0], [255]]], dtype=np.uint8)
+    assert resize_image(g, 1, 4, "bilinear")[0, :, 0].tolist() == [
+        0, 64, 191, 255,
+    ]
+    r = np.random.default_rng(3).integers(0, 256, (7, 5, 3), np.uint8)
+    assert (resize_image(r, 7, 5, "bilinear") == r).all()
+
+    def naive(px, oh, ow):
+        h, w, _ = px.shape
+        out = np.zeros((oh, ow, px.shape[2]))
+        for i in range(oh):
+            for j in range(ow):
+                sy, sx = (i + 0.5) * h / oh - 0.5, (j + 0.5) * w / ow - 0.5
+                y0 = int(np.clip(np.floor(sy), 0, h - 1))
+                x0 = int(np.clip(np.floor(sx), 0, w - 1))
+                y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                fy = min(max(sy - y0, 0), 1)
+                fx = min(max(sx - x0, 0), 1)
+                out[i, j] = (
+                    px[y0, x0] * (1 - fx) + px[y0, x1] * fx
+                ) * (1 - fy) + (px[y1, x0] * (1 - fx) + px[y1, x1] * fx) * fy
+        return np.rint(out).clip(0, 255).astype(np.uint8)
+
+    for h, w, oh, ow in [(3, 3, 7, 5), (8, 6, 3, 2), (1, 1, 4, 4), (5, 9, 9, 5)]:
+        px = np.random.default_rng(h * 100 + w).integers(
+            0, 256, (h, w, 3), np.uint8
+        )
+        assert (resize_image(px, oh, ow) == naive(px, oh, ow)).all()
+
+    # stage roundtrip: PNG in → resized PPM out, corrupt row degrades alone
+    px = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    stage = ResizeImageStage(out_h=4, out_w=4, method="bilinear")
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array(
+                [encode_png(px), b"not an image"], type=pa.binary()
+            ),
+            "meta": pa.array([None, None], type=pa.null()).cast(
+                pa.struct([("width", pa.int64()), ("height", pa.int64()),
+                           ("format", pa.string())])
+            ),
+        }
+    )
+    out = stage(batch)
+    assert out["resize_ok"].to_pylist() == [True, False]
+    resized = decode_ppm(out["payload"][0].as_py())
+    assert resized.shape == (4, 4, 3)
+    assert (resized == resize_image(px, 4, 4, "bilinear")).all()
+    assert out["payload"][1].as_py() is None

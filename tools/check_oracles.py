@@ -2,7 +2,7 @@
 and compare against its ``oracle_sql()`` DuckDB result, the same way the
 round driver does (sorted columns, stringified value hash).
 
-Usage:  PYTHONPATH=/root/repo python tools/check_oracles.py [sf_dir]
+Usage:  PYTHONPATH=/root/repo python tools/check_oracles.py [sf_dir] [--only name1,name2]
 
 NOTE: the transcript-pipeline oracles (sink_counts, *_counts, routed_rows,
 conv_*, parse_tokens, log_field_counts, frequent_tokens) embed absolute
@@ -39,7 +39,13 @@ def norm_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
     sys.path.insert(0, REPO)
     import ray
 
@@ -65,6 +71,8 @@ def main() -> int:
 
     fails = []
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         try:
             res = fn(sf)
             df = res.to_pandas() if hasattr(res, "to_pandas") else res

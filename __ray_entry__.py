@@ -1212,6 +1212,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     _chunk_starts core stays driver-checked via pack_sequences and
     #     the overlap-chunk reshape is a per-batch map with no exchange;
     #     pinned by its own pytest oracle row
+    #   label_centroids — demoted to admit embedding_gram (NEW one-pass
+    #     distributed Gram kernel): the exact-integer floor(v·1000)
+    #     embedding reduction contract it pinned is now driver-checked by
+    #     the strictly wider cross-moment matrix (every centroid sum is a
+    #     marginal of the same quantized stream), and its per-label
+    #     grouping half by knn_labels / lang_stats; oracle row stays in
+    #     tests/ + tools/check_oracles.py
     demote = [
         n
         for n in (
@@ -1316,6 +1323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "transliterated_labels",
             "cust_order_distribution",
             "join_sample",
+            "label_centroids",
         )
         if n in out
     ]

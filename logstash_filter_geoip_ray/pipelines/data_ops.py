@@ -901,6 +901,54 @@ def q_dedup_filtered_embeddings(sf_dir: str):
     )
 
 
+#: eigenvalues reported by pca_components (d=64 upstream; top-8 carries
+#: ~all the variance signal and keeps the rows-only check table tiny)
+PCA_TOP_K = 8
+
+
+def q_embedding_gram(sf_dir: str):
+    """Distributed exact-integer Gram matrix of the embeddings table:
+    one matmul per batch reduces each (n × 64) slice to 64² int64 partials,
+    tree-combined — O(d²) numbers cross the exchange regardless of row
+    count (the one-pass distributed-PCA shape). Oracle: DuckDB unnest
+    self-join over the same floor(v·1000) quantization."""
+    from ..stages.linalg import gram_triplets
+
+    return gram_triplets(_emb(sf_dir, ["embedding"])).sort(["i", "j"])
+
+
+def q_pca_components(sf_dir: str):
+    """PCA over the embeddings: top-8 eigenvalues of the sample covariance
+    assembled from the single Gram/moments exchange (driver sees exactly
+    d² + d + 1 integers), eigendecomposed on the driver. Exact-integer
+    milli outputs; rows-only driver check (SQL has no eigensolver) — the
+    distributed path is pinned in-test against a local numpy PCA of the
+    same quantized matrix."""
+    import pyarrow as pa
+
+    from ..stages.linalg import covariance_eig
+
+    evals, _, n = covariance_eig(
+        _emb(sf_dir, ["embedding"]), top=PCA_TOP_K
+    )
+    total = float(evals.sum()) if evals.sum() else 1.0
+    cum = 0.0
+    rows_k, rows_ev, rows_cum = [], [], []
+    for k, ev in enumerate(evals):
+        cum += float(ev)
+        rows_k.append(k)
+        rows_ev.append(int(ev * 1_000_000))  # micro: evals are ~1/d each
+        rows_cum.append(int(1000 * cum / total))
+    return pa.table(
+        {
+            "component": pa.array(rows_k, type=pa.int64()),
+            "eigenvalue_micro": pa.array(rows_ev, type=pa.int64()),
+            "cum_var_milli_of_topk": pa.array(rows_cum, type=pa.int64()),
+            "n_rows": pa.array([n] * len(rows_k), type=pa.int64()),
+        }
+    )
+
+
 def q_ann_topk(sf_dir: str):
     from ..stages.similarity import brute_force_topk
 
@@ -3290,6 +3338,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "embedding_gram": q_embedding_gram,
+    "pca_components": q_pca_components,
     "dedup_filtered_embeddings": q_dedup_filtered_embeddings,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
@@ -3350,6 +3400,25 @@ FROM v ORDER BY z, event_id
 
 
 DATA_ORACLES: Dict[str, str] = {
+    # embedding_gram: the same floor(v·1000) quantization as the Ray kernel;
+    # SUM over BIGINT products is HUGEINT in DuckDB and pandas renders
+    # HUGEINT as float ("123.0" ≠ "123" under the stringified compare), so
+    # the final CAST back to BIGINT is part of the contract
+    "embedding_gram": """
+WITH e AS (
+  SELECT vec_id, UNNEST(embedding) AS v,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+), q AS (
+  SELECT vec_id, idx - 1 AS i,
+         CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS qv
+  FROM e
+)
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS g
+FROM q a JOIN q b ON a.vec_id = b.vec_id
+GROUP BY a.i, b.i
+ORDER BY i, j
+""",
     "label_centroids": """
 SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS dim,
        CAST(sum(CAST(floor(v * 1000) AS BIGINT)) AS BIGINT) AS sum_milli,

@@ -89,7 +89,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "click_attribution", "label_centroids", "segment_activity",
      "weighted_sample", "lineitem_measures", "zorder_layout",
      "event_cooccurrence", "balanced_shards", "high_value_counts",
-     "user_type_profile"],
+     "user_type_profile", "embedding_gram"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     res = DATA_QUERIES[name](SF)
@@ -3634,3 +3634,66 @@ def test_resize_image_kernels_and_stage(ray_session):
     assert resized.shape == (4, 4, 3)
     assert (resized == resize_image(px, 4, 4, "bilinear")).all()
     assert out["payload"][1].as_py() is None
+
+
+def test_pca_matches_local_numpy(ray_session):
+    """The distributed Gram/moments path must reproduce a local numpy PCA
+    of the same quantized matrix exactly (identical integers enter the same
+    driver-side eigensolver), eigenvectors must be orthonormal, and
+    pca_project must equal the plain matmul."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.linalg import (
+        covariance_eig,
+        pca_project,
+    )
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    evals, evecs, n = covariance_eig(ds)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    q = np.floor(m * 1000).astype(np.int64)
+    cov = (q.T @ q - np.outer(q.sum(0), q.sum(0)) / len(q)) / (
+        (len(q) - 1) * 1000.0**2
+    )
+    le, lv = np.linalg.eigh(cov)
+    le = le[np.argsort(le)[::-1]]
+    assert n == len(q)
+    np.testing.assert_allclose(evals, le, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(evecs.T @ evecs, np.eye(64), atol=1e-9)
+
+    proj = (
+        pca_project(ds, evecs[:, :2], id_cols=["vec_id"])
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    got = np.stack(proj["pc"].to_numpy())
+    # rows of the fixture table are already in vec_id order; guard it so
+    # the row-for-row compare below is valid
+    assert (np.diff(t["vec_id"].to_numpy()) > 0).all()
+    np.testing.assert_allclose(got, m @ evecs[:, :2], atol=1e-9)
+
+
+def test_gram_null_and_ragged_guards(ray_session):
+    """batch_matrix must refuse null embeddings and ragged lengths."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from logstash_filter_geoip_ray.stages.linalg import batch_matrix
+
+    ok = pa.table({"embedding": pa.array([[1.0, 2.0], [3.0, 4.0]],
+                                         type=pa.list_(pa.float32()))})
+    assert batch_matrix(ok, "embedding").shape == (2, 2)
+    nulls = pa.table({"embedding": pa.array([[1.0, 2.0], None],
+                                            type=pa.list_(pa.float32()))})
+    with _pytest.raises(ValueError, match="null"):
+        batch_matrix(nulls, "embedding")
+    ragged = pa.table({"embedding": pa.array([[1.0, 2.0], [3.0]],
+                                             type=pa.list_(pa.float32()))})
+    with _pytest.raises(ValueError, match="ragged"):
+        batch_matrix(ragged, "embedding")

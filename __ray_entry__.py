@@ -1212,6 +1212,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     _chunk_starts core stays driver-checked via pack_sequences and
     #     the overlap-chunk reshape is a per-batch map with no exchange;
     #     pinned by its own pytest oracle row
+    #   csv_roundtrip_stats — demoted to admit orc_roundtrip_stats (NEW
+    #     machinery: the roundtrip goes THROUGH DISK via the stripe-
+    #     parallel read_orc source + per-block write_orc sink, a third
+    #     file format end-to-end); the render→parse→aggregate envelope it
+    #     shared stays driver-checked via json_field_stats, and the
+    #     RFC-4180 quote/escape parse kernel is pinned by its pytest
+    #     vectors + its oracle row in tests/ + tools/check_oracles.py
     #   label_centroids — demoted to admit embedding_gram (NEW one-pass
     #     distributed Gram kernel): the exact-integer floor(v·1000)
     #     embedding reduction contract it pinned is now driver-checked by
@@ -1324,6 +1331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cust_order_distribution",
             "join_sample",
             "label_centroids",
+            "csv_roundtrip_stats",
         )
         if n in out
     ]

@@ -1558,6 +1558,58 @@ _ZM_X_RANGE = (100, 200)  # scaled user_id
 _ZM_Y_RANGE = (256, 384)  # scaled value_milli
 
 
+def q_orc_roundtrip_stats(sf_dir: str):
+    """Third file format end-to-end THROUGH DISK: the events table is
+    written to ORC (one file per block, inside the map tasks), read back
+    stripe-parallel by :func:`sources.readers.read_orc` (one Ray task per
+    stripe — ORC's row-group analog), and aggregated from the re-read
+    columns. The oracle aggregates the source parquet directly, so any
+    value/row loss across the ORC write→read hop breaks the hash."""
+    import hashlib
+    import shutil
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..sources.readers import read_orc, write_orc
+    from ..stages.aggregate import tree_sum
+
+    staging = "/tmp/orc_roundtrip_%s" % hashlib.sha256(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:12]
+    # destination hygiene (same contract as write_routed_bucketed): the
+    # staging dir must hold exactly THIS run's files, or a schema change
+    # upstream would silently mix stale stripes into the read
+    shutil.rmtree(staging, ignore_errors=True)
+    write_orc(
+        _events(sf_dir, ["event_type", "value"]), staging, compression="zlib"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        milli = np.floor(
+            v.to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "value_milli": pa.array(milli, type=pa.int64()),
+                "n": pa.array(np.ones(len(milli), np.int64)),
+            }
+        )
+        return t.group_by(["event_type"]).aggregate(
+            [("value_milli", "sum"), ("n", "sum")]
+        ).rename_columns(["event_type", "value_milli", "n"])
+
+    return tree_sum(
+        read_orc(staging).map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        ["value_milli", "n"],
+    )
+
+
 def q_zonemap_stats(sf_dir: str):
     """Zone-map / data-skipping audit for the Z-order layout: every event
     maps to a Morton-curve chunk (top 6 interleaved bits = up to 64
@@ -3256,6 +3308,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "json_field_stats": q_json_field_stats,
     "csv_roundtrip_stats": q_csv_roundtrip_stats,
     "zonemap_stats": q_zonemap_stats,
+    "orc_roundtrip_stats": q_orc_roundtrip_stats,
     "model_scores": q_model_scores,
     "elapsed_times": q_elapsed_times,
     "compression_quality": q_compression_quality,
@@ -3667,6 +3720,12 @@ SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
        CAST(sum(length('priority, "note": ' || o_orderpriority)) AS BIGINT) AS note_chars
 FROM orders GROUP BY 1 ORDER BY 1
+""",
+    "orc_roundtrip_stats": """
+SELECT event_type, CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+         AS value_milli,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY 1
 """,
     "zonemap_stats": f"""
 WITH b AS (

@@ -98,3 +98,82 @@ def write_csv(ds, path: str, drop_nested: bool = True, **kwargs):
     out = ds.map_batches(flatten, batch_format="pyarrow") if drop_nested else ds
     out.write_csv(path, **kwargs)
     return path
+
+
+def read_orc(paths, columns: Optional[Sequence[str]] = None):
+    """ORC source (Ray 2.49 ships no ``read_orc``; built on the public
+    ``from_items`` + ``map_batches`` surface): the driver lists files and
+    reads only their FOOTERS (stripe counts — O(files) metadata, never
+    data), then one Ray task reads exactly one stripe via ``pyarrow.orc``.
+    Stripes are ORC's row-group analog, so read parallelism matches the
+    file's native layout exactly as ``read_parquet`` does for parquet, and
+    a 100-file × 50-stripe input fans out to 5000 independent tasks with
+    no driver-side data movement. Column pruning pushes into the stripe
+    read."""
+    import glob as _glob
+    import os as _os
+
+    import ray.data
+    from pyarrow import orc as _orc
+
+    file_list: List[str] = []
+    for p in paths if isinstance(paths, (list, tuple)) else [paths]:
+        if _os.path.isdir(p):
+            file_list.extend(sorted(_glob.glob(_os.path.join(p, "*.orc"))))
+        else:
+            file_list.append(p)
+    items = []
+    for f in file_list:
+        for s in range(_orc.ORCFile(f).nstripes):
+            items.append({"path": f, "stripe": s})
+    if not items:
+        raise FileNotFoundError("read_orc: no ORC stripes under %r" % (paths,))
+
+    cols = list(columns) if columns else None
+
+    def read_stripe(batch: pa.Table) -> pa.Table:
+        out = []
+        for path, stripe in zip(
+            batch["path"].to_pylist(), batch["stripe"].to_pylist()
+        ):
+            rb = _orc.ORCFile(path).read_stripe(stripe, columns=cols)
+            out.append(pa.Table.from_batches([rb]))
+        return pa.concat_tables(out)
+
+    return ray.data.from_items(items).map_batches(
+        read_stripe, batch_size=1, batch_format="pyarrow"
+    )
+
+
+def write_orc(ds, path: str, compression: str = "zlib"):
+    """ORC sink: one file per block, written inside the map tasks (the
+    sink streams — nothing funnels through the driver). File names are
+    content-hashed from the block's first/last rows + row count, so a
+    retried task overwrites its own file instead of duplicating it
+    (idempotent under Ray task retry). Returns (path, files, rows)."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from pyarrow import orc as _orc
+
+    _os.makedirs(path, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"rows": pa.array([], pa.int64()),
+                             "file": pa.array([], pa.string())})
+        h = _hashlib.sha256()
+        h.update(str(batch.num_rows).encode())
+        h.update(str(batch.slice(0, 1).to_pydict()).encode())
+        h.update(str(batch.slice(batch.num_rows - 1, 1).to_pydict()).encode())
+        name = "part-%s.orc" % h.hexdigest()[:16]
+        _orc.write_table(batch, _os.path.join(path, name),
+                         compression=compression)
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64()),
+                         "file": pa.array([name], pa.string())})
+
+    stats = write_block  # applied per block, batch_size=None keeps blocks
+    manifest = ds.map_batches(
+        stats, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    return path, len(manifest), int(manifest["rows"].sum()) if len(manifest) else 0

@@ -89,7 +89,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "click_attribution", "label_centroids", "segment_activity",
      "weighted_sample", "lineitem_measures", "zorder_layout",
      "event_cooccurrence", "balanced_shards", "high_value_counts",
-     "user_type_profile", "embedding_gram"],
+     "user_type_profile", "embedding_gram", "orc_roundtrip_stats"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     res = DATA_QUERIES[name](SF)
@@ -3697,3 +3697,42 @@ def test_gram_null_and_ragged_guards(ray_session):
                                              type=pa.list_(pa.float32()))})
     with _pytest.raises(ValueError, match="ragged"):
         batch_matrix(ragged, "embedding")
+
+
+def test_orc_reader_writer(ray_session, tmp_path):
+    """read_orc fans out one task per stripe across files, prunes columns,
+    and write_orc is idempotent under re-run (content-hashed names)."""
+    import pyarrow.orc as orc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.readers import read_orc, write_orc
+
+    import os
+
+    d = str(tmp_path / "orcs")
+    os.makedirs(d)
+    # two files, the first with two stripes (stripe_size forces the split)
+    t1 = pa.table({"a": list(range(100_000)), "b": ["x"] * 100_000})
+    orc.write_table(t1, os.path.join(d, "f1.orc"), stripe_size=64 * 1024)
+    t2 = pa.table({"a": [7, 8], "b": ["y", "z"]})
+    orc.write_table(t2, os.path.join(d, "f2.orc"))
+    assert orc.ORCFile(os.path.join(d, "f1.orc")).nstripes > 1
+
+    full = read_orc(d).to_pandas()
+    assert len(full) == 100_002 and sorted(full.columns) == ["a", "b"]
+    assert full["a"].sum() == sum(range(100_000)) + 15
+
+    pruned = read_orc(d, columns=["a"])
+    assert pruned.schema().names == ["a"]
+
+    out = str(tmp_path / "sink")
+    src = ray.data.from_arrow(t2)
+    _, files1, rows1 = write_orc(src, out)
+    _, files2, rows2 = write_orc(src, out)  # rerun: same names, no dupes
+    assert rows1 == rows2 == 2
+    assert len(os.listdir(out)) == files1 == files2
+    back = read_orc(out).to_pandas().sort_values("a").reset_index(drop=True)
+    assert back["a"].tolist() == [7, 8] and back["b"].tolist() == ["y", "z"]
+
+    with pytest.raises(FileNotFoundError):
+        read_orc(str(tmp_path / "empty_nowhere"))

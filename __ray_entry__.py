@@ -87,6 +87,15 @@ def _q_sink_counts_ecs(sf_dir: str):
     )
 
 
+def _q_geohash_counts(sf_dir: str):
+    """Spatial rollup of the City lat/lon output: turns per geohash-5 cell
+    (vectorized bit-interleave kernel; independent SQL bit-arithmetic
+    oracle)."""
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import geohash_counts
+
+    return geohash_counts(sf_dir)
+
+
 def _q_asn_counts_salted(sf_dir: str):
     """ASN-database pipeline with salted two-stage aggregation (hot ASNs)."""
     from logstash_filter_geoip_ray.pipelines.geoip_pipeline import asn_salted_counts
@@ -917,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shaped_turns": _q_shaped_turns,
         "extracted_number_stats": _q_extracted_number_stats,
         "cidr_token_classes": _q_cidr_token_classes,
+        "geohash_counts": _q_geohash_counts,
         "frequent_tokens": _q_frequent_tokens,
         "conv_documents": _q_conv_documents,
     }
@@ -1212,6 +1222,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     _chunk_starts core stays driver-checked via pack_sequences and
     #     the overlap-chunk reshape is a per-batch map with no exchange;
     #     pinned by its own pytest oracle row
+    #   zonemap_stats — demoted to admit geohash_counts (NEW machinery:
+    #     the vectorized geohash kernel over the ENRICHED lat/lon output,
+    #     checked against an INDEPENDENT SQL bit-arithmetic geohash);
+    #     zonemap's generated sum-of-shifts bit-interleave oracle family
+    #     is exactly what the geohash oracle now exercises in-window, and
+    #     its zone-map min/max + scan-flag half stays pinned by its pytest
+    #     oracle row in tests/ + tools/check_oracles.py
     #   csv_roundtrip_stats — demoted to admit orc_roundtrip_stats (NEW
     #     machinery: the roundtrip goes THROUGH DISK via the stripe-
     #     parallel read_orc source + per-block write_orc sink, a third
@@ -1332,6 +1349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "join_sample",
             "label_centroids",
             "csv_roundtrip_stats",
+            "zonemap_stats",
         )
         if n in out
     ]
@@ -1394,8 +1412,13 @@ GROUP BY 1 ORDER BY 1
         oracle_db_key_counts_sql,
     )
 
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        oracle_geohash_counts_sql,
+    )
+
     out = {
         "sink_counts": oracle_sink_counts_sql(sf),
+        "geohash_counts": oracle_geohash_counts_sql(sf),
         "sink_counts_ecs": oracle_sink_counts_sql(sf),
         "asn_counts_salted": oracle_asn_counts_sql(sf),
         "sink_counts_custom_db": oracle_sink_counts_sql(sf),

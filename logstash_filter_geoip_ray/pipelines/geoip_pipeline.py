@@ -413,6 +413,112 @@ GROUP BY 1 ORDER BY 1
 # ---------------------------------------------------------------------------
 
 
+def geohash_counts(sf_dir: str, rows: Optional[int] = None,
+                   precision: int = 5):
+    """Spatial rollup of the City enrichment's lat/lon output (E5/E12
+    downstream consumer): turns per geohash-``precision`` cell. The
+    geohash kernel is 25 vectorized bit passes per batch
+    (:mod:`..functions.geo`); rows whose lookup missed or whose City
+    record carries no location land in the ``_miss`` cell. Reads only
+    ``text`` and sheds it at extraction — the fleet scan shape; the
+    exchange is |distinct cells| partial-count rows per block."""
+    import numpy as np
+
+    from ..functions.geo import geohash_encode
+    from ..stages.aggregate import grouped_counts
+
+    # default_config pins the vendored GeoIP2-City fixture explicitly —
+    # GeoIPConfig(database=None) would resolve to the GeoLite2 default
+    # (geoip.rb parity), whose records carry different locations than the
+    # golden side table the oracle joins
+    cfg = default_config()
+    ds = build_enriched(
+        sf_dir, config=cfg, rows=rows, add_routing=False,
+        columns=["text"], drop_text=True,
+    )
+    target_col = cfg.resolved_target()
+
+    def keyfn(batch: pa.Table) -> pa.Table:
+        target = batch[target_col]
+        if isinstance(target, pa.ChunkedArray):
+            target = target.combine_chunks()
+        lat = pc.struct_field(target, ["latitude"]).to_numpy(
+            zero_copy_only=False
+        )
+        lon = pc.struct_field(target, ["longitude"]).to_numpy(
+            zero_copy_only=False
+        )
+        ok = ~(np.isnan(lat) | np.isnan(lon))
+        gh = np.full(len(lat), MISS_KEY, dtype=object)
+        if ok.any():
+            gh[ok] = geohash_encode(lat[ok], lon[ok], precision)
+        return pa.table({"geohash": pa.array(gh, type=pa.string())})
+
+    keyed = ds.map_batches(keyfn, batch_format="pyarrow")
+    return grouped_counts(keyed, ["geohash"], "n", sort_result=True)
+
+
+def oracle_geohash_counts_sql(sf_dir: str, rows: Optional[int] = None,
+                              precision: int = 5) -> str:
+    """DuckDB oracle for :func:`geohash_counts`: the token→(lat, lon) side
+    table is GENERATED from the same ``GeoIPLookup`` trust root as
+    ``ip_geo.parquet`` (the fixture pool is small), but the geohash itself
+    is computed by SQL bit arithmetic generated in
+    :mod:`..functions.geo` — an independent second implementation of the
+    interleave/base32 encode, like the zonemap Morton oracle."""
+    from ..functions.config import GeoIPConfig as _Cfg
+    from ..functions.fields import Field
+    from ..functions.geo import (
+        geohash_chars_sql,
+        geohash_idx_sql,
+        geohash_interleave_sql,
+    )
+    from ..sources.transcripts import (
+        DEFAULT_CITY_DB,
+        MALFORMED_TOKENS,
+        MISS_TOKENS,
+        _ip_pool,
+        transcripts_path,
+    )
+    from ..stages.enrich import GeoIPLookup
+
+    t = transcripts_path(sf_dir, rows)
+    lookup = GeoIPLookup(_Cfg(source="x", database=DEFAULT_CITY_DB))
+    vals = []
+    for tok in list(_ip_pool(DEFAULT_CITY_DB)) + list(MISS_TOKENS) + list(
+        MALFORMED_TOKENS
+    ):
+        ok, values = lookup.lookup(tok)
+        lat = values.get(Field.LATITUDE) if ok else None
+        lon = values.get(Field.LONGITUDE) if ok else None
+        vals.append(
+            "('%s', %s, %s)"
+            % (
+                tok,
+                "CAST(NULL AS DOUBLE)" if lat is None else repr(float(lat)),
+                "CAST(NULL AS DOUBLE)" if lon is None else repr(float(lon)),
+            )
+        )
+    lat_idx, lon_idx = geohash_idx_sql("g.lat", "g.lon", precision)
+    inter = geohash_interleave_sql("la", "lo", precision)
+    chars = geohash_chars_sql("gbits", precision)
+    return f"""
+WITH geo(ip, lat, lon) AS (VALUES {', '.join(vals)}),
+parsed AS (
+  SELECT nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS tok
+  FROM read_parquet('{t}/*.parquet')
+),
+idx AS (
+  SELECT {lat_idx} AS la, {lon_idx} AS lo
+  FROM parsed p LEFT JOIN geo g ON p.tok = g.ip
+),
+inter AS (SELECT {inter} AS gbits FROM idx)
+SELECT coalesce({chars}, '{MISS_KEY}') AS geohash,
+       CAST(count(*) AS BIGINT) AS n
+FROM inter GROUP BY 1 ORDER BY 1
+"""
+
+
 def oracle_sink_counts_sql(sf_dir: str, rows: Optional[int] = None) -> str:
     t = transcripts_path(sf_dir, rows)
     g = ip_geo_path(sf_dir, rows)

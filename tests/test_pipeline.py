@@ -286,3 +286,86 @@ def test_bucketed_routed_write_clears_stale_sinks(ray_session, tmp_path):
 
     got = pq.read_table(os.path.join(out, "country=US", "tool=a", "part-00000.parquet"))
     assert got["v"].to_pylist() == [3]
+
+
+def test_geohash_kernel_vectors_and_sql_parity():
+    """Known geohash vectors (Niemeyer's canonical u4pru…, plus world
+    cities), numpy ≡ generated-SQL parity on a random sweep, edge clamp,
+    and NULL propagation through the SQL twin (DuckDB LEAST/GREATEST skip
+    nulls — the CASE guard must re-assert them)."""
+    import numpy as np
+
+    from logstash_filter_geoip_ray.functions.geo import (
+        geohash_chars_sql,
+        geohash_encode,
+        geohash_idx_sql,
+        geohash_interleave_sql,
+    )
+
+    lat = np.array([57.64911, 38.8977, -33.8688, 0.0, 90.0, -90.0])
+    lon = np.array([10.40744, -77.0365, 151.2093, 0.0, 180.0, -180.0])
+    got = geohash_encode(lat, lon, 5).tolist()
+    assert got[0] == "u4pru"  # canonical example prefix
+    assert got[3] == "s0000"  # origin
+    assert len(set(got)) == 6
+
+    # precision sweep against the pure-python reference implementation
+    def ref(lat_v, lon_v, p):
+        lo, hi = {"lat": [-90.0, 90.0], "lon": [-180.0, 180.0]}, None
+        intervals = {"lat": [-90.0, 90.0], "lon": [-180.0, 180.0]}
+        bits, axis, out = 0, "lon", 0
+        chars = []
+        alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+        for _ in range(5 * p):
+            iv = intervals[axis]
+            mid = (iv[0] + iv[1]) / 2
+            v = lon_v if axis == "lon" else lat_v
+            out <<= 1
+            if v >= mid:
+                out |= 1
+                iv[0] = mid
+            else:
+                iv[1] = mid
+            axis = "lat" if axis == "lon" else "lon"
+            bits += 1
+            if bits == 5:
+                chars.append(alphabet[out])
+                bits, out = 0, 0
+        return "".join(chars)
+
+    rng = np.random.default_rng(7)
+    rl = rng.uniform(-89.9, 89.9, 64)
+    rg = rng.uniform(-179.9, 179.9, 64)
+    for p in (1, 5, 7):
+        enc = geohash_encode(rl, rg, p)
+        for a, b, e in zip(rl, rg, enc):
+            assert e == ref(a, b, p), (a, b, p)
+
+    # SQL twin parity incl. NULL propagation
+    la, lo = geohash_idx_sql("lat", "lon", 5)
+    inter = geohash_interleave_sql("la", "lo", 5)
+    chars = geohash_chars_sql("g", 5)
+    rows = ", ".join(f"({a!r}, {b!r})" for a, b in zip(rl, rg))
+    sql = f"""
+WITH pts(lat, lon) AS (VALUES {rows}, (CAST(NULL AS DOUBLE), 10.0)),
+ idx AS (SELECT {la} AS la, {lo} AS lo FROM pts),
+ inter AS (SELECT *, {inter} AS g FROM idx)
+SELECT coalesce({chars}, '_miss') AS gh FROM inter
+"""
+    got_sql = duckdb.sql(sql).df()["gh"].tolist()
+    assert got_sql[:-1] == geohash_encode(rl, rg, 5).tolist()
+    assert got_sql[-1] == "_miss"
+
+
+def test_geohash_counts_match_oracle(ray_session):
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        geohash_counts,
+        oracle_geohash_counts_sql,
+    )
+
+    counts = geohash_counts(SF).to_pandas()
+    oracle = duckdb.sql(oracle_geohash_counts_sql(SF)).df()
+    merged = counts.merge(oracle, on="geohash", how="outer", suffixes=("_r", "_o"))
+    assert len(merged) == len(counts) == len(oracle)
+    assert (merged["n_r"] == merged["n_o"]).all()
+    assert counts["n"].sum() == 6000

@@ -1222,6 +1222,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     _chunk_starts core stays driver-checked via pack_sequences and
     #     the overlap-chunk reshape is a per-batch map with no exchange;
     #     pinned by its own pytest oracle row
+    #   pricing_summary — demoted to admit order_skyline (NEW machinery:
+    #     distributed Pareto frontier via per-block local skylines + union
+    #     frontier, checked against the independent NOT EXISTS dominance
+    #     oracle); pricing_summary's Q1-shape partial-aggregate path stays
+    #     driver-checked via revenue_rollup (same lineitem partial-measure
+    #     kernels) and its own oracle row runs in tests/ +
+    #     tools/check_oracles.py
+    #   lm_scores — registered demoted from the start: every stage of the
+    #     bigram-LM scorer (contamination gram explode, vocabulary-sized
+    #     native hash aggregate, partitioned hash_join back to the corpus,
+    #     per-key integer reduce) is driver-checked via top_terms +
+    #     collocations; the score arithmetic itself is pinned by its
+    #     oracle row in tests/ + tools/check_oracles.py
     #   zonemap_stats — demoted to admit geohash_counts (NEW machinery:
     #     the vectorized geohash kernel over the ENRICHED lat/lon output,
     #     checked against an INDEPENDENT SQL bit-arithmetic geohash);
@@ -1350,6 +1363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "label_centroids",
             "csv_roundtrip_stats",
             "zonemap_stats",
+            "lm_scores",
+            "pricing_summary",
         )
         if n in out
     ]

@@ -270,6 +270,107 @@ def q_collocations(sf_dir: str):
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def q_lm_scores(sf_dir: str):
+    """Bigram-LM document scoring (the KenLM-shaped fluency signal of a
+    training-data quality pipeline, as an exact-integer surrogate): per
+    document, the mean corpus-transition score of its bigrams —
+    ``lm_milli = (Σ_occurrences (1000·c(ab)) // c(a)) // n_bigrams`` with
+    corpus-global counts. Pipeline shape at fleet scale: one text scan
+    emits distinct (doc, bigram, multiplicity) rows; global bigram /
+    unigram count tables come from native hash aggregates (vocabulary-
+    cardinality keys); both count tables join back via PARTITIONED
+    hash_join (each side is vocabulary-sized — no broadcast); the final
+    per-doc reduce is a plain groupby. Nothing driver-side at any point.
+    Int64 bounds: 1000·c(ab) caps at ~10¹⁵ for a 10¹²-bigram corpus.
+    Single-word and empty docs carry no bigram and are absent by
+    definition (SQL's big CTE drops them identically)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.contamination import _doc_ngrams
+    from ..stages.joins import hash_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        g, idx = _doc_ngrams(text, 2)
+        ids = pc.take(pc.cast(batch["doc_id"], pa.int64()), pa.array(idx))
+        t = pa.table({"doc_id": ids, "g": g})
+        gr = t.group_by(["doc_id", "g"]).aggregate([([], "count_all")])
+        gr = gr.rename_columns(["doc_id", "g", "m"])
+        # first word = the unigram key; carried from explode time so the
+        # join side never string-splits (split_pattern is codepoint-safe
+        # for multibyte words, unlike a byte-offset slice)
+        a = pc.list_element(
+            pc.split_pattern(gr["g"], " ", max_splits=1), 0
+        )
+        return gr.append_column("a", a)
+
+    # one text scan feeds the bigram aggregate, the unigram aggregate and
+    # the join (lazy would re-explode per consumer)
+    dg = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    bigc = (
+        dg.groupby("g")
+        .aggregate(Sum("m", alias_name="c2"))
+        .materialize()  # hash_join peeks schema(); avoid double-execute
+    )
+    unic = (
+        dg.map_batches(
+            lambda b: pa.table({"w": b["a"], "mm": b["m"]}),
+            batch_format="pyarrow",
+        )
+        .groupby("w")
+        .aggregate(Sum("mm", alias_name="c1"))
+        .materialize()
+    )
+    # NOTE: c1 counts word occurrences AS BIGRAM PREFIXES (not raw unigram
+    # frequency): every occurrence of `a` except document-final ones starts
+    # exactly one bigram, so Σ_b c(ab) is the natural LM denominator — the
+    # oracle derives the same quantity from its big CTE
+    j1 = hash_join(dg, bigc, "g", "g")
+    j2 = hash_join(j1, unic, "a", "w")
+
+    def score(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = batch["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = batch["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = batch["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = m * ((1000 * c2) // c1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "s": pa.array(s, type=pa.int64()),
+                "m": pa.array(m, type=pa.int64()),
+            }
+        )
+
+    scored = (
+        j2.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("s", alias_name="s_sum"), Sum("m", alias_name="n_bigrams"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = batch["s_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pa.array(n, type=pa.int64()),
+                "lm_milli": pa.array(s // n, type=pa.int64()),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 def q_mix_sample(sf_dir: str):
     """Domain mixing: downsample each source at its own rate (the
     training-mixture reweighting step). Stateless vectorized filter — keep
@@ -2655,6 +2756,43 @@ def q_knn_labels(sf_dir: str):
     )
 
 
+def q_order_skyline(sf_dir: str):
+    """Pareto frontier of orders (maximize price, minimize date — "the
+    earliest expensive orders"): distributed 2-D skyline via per-block
+    local frontiers + one union frontier; the exchange carries frontiers
+    only. Exact-integer measures (cents, epoch days); oracle = the NOT
+    EXISTS dominance query, a genuinely independent O(n²) definition."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from ..stages.relational import skyline_2d
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def measures(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64()
+        )
+        day = pc.divide(
+            pc.cast(batch["o_orderdate"], pa.int64()), 86_400_000_000
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "cents": cents,
+                "day": day,
+            }
+        )
+
+    return skyline_2d(
+        orders.map_batches(measures, batch_format="pyarrow"), "cents", "day"
+    ).sort("o_orderkey")
+
+
 def q_winsorized_values(sf_dir: str):
     """Per-event-type percentile winsorization: every event's milli value
     clipped into its type's exact [p05, p95] quantile_disc band — computed
@@ -3329,6 +3467,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "curated_chunks": q_curated_chunks,
     "dataset_splits": q_dataset_splits,
     "quantized_embeddings": q_quantized_embeddings,
+    "order_skyline": q_order_skyline,
     "winsorized_values": q_winsorized_values,
     "value_trend": q_value_trend,
     "knn_labels": q_knn_labels,
@@ -3380,6 +3519,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "mix_sample": q_mix_sample,
     "top_terms": q_top_terms,
     "collocations": q_collocations,
+    "lm_scores": q_lm_scores,
     "packed_chunks": q_packed_chunks,
     "jaccard_pairs": q_jaccard_pairs,
     "ngram_jaccard": q_ngram_jaccard,
@@ -4614,6 +4754,47 @@ FROM bigc
 JOIN uni u1 ON u1.w = split_part(g, ' ', 1)
 JOIN uni u2 ON u2.w = split_part(g, ' ', 2)
 ORDER BY pmi_milli DESC, bigram LIMIT 50
+""",
+    # order_skyline: the oracle is the O(n²) NOT EXISTS dominance
+    # definition — a genuinely independent second implementation of the
+    # frontier the distributed local-skyline merge computes
+    "order_skyline": """
+WITH v AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day
+  FROM orders
+)
+SELECT o_orderkey, cents, day FROM v t
+WHERE NOT EXISTS (
+  SELECT 1 FROM v u
+  WHERE u.cents >= t.cents AND u.day <= t.day
+    AND (u.cents > t.cents OR u.day < t.day)
+)
+ORDER BY o_orderkey
+""",
+    # lm_scores: the denominator counts word occurrences AS BIGRAM PREFIXES
+    # (derived from the same big CTE), matching the Ray kernel's NOTE
+    "lm_scores": r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)), '\s+') AS ws
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
+), big AS (
+  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      ELSE CAST(NULL AS VARCHAR[]) END) AS g
+  FROM t
+), bigc AS (
+  SELECT g, count(*) AS c2 FROM big GROUP BY 1
+), unic AS (
+  SELECT split_part(g, ' ', 1) AS w, count(*) AS c1 FROM big GROUP BY 1
+), scored AS (
+  SELECT b.doc_id, (1000 * bc.c2) // u.c1 AS s
+  FROM big b JOIN bigc bc ON b.g = bc.g
+  JOIN unic u ON u.w = split_part(b.g, ' ', 1)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(s) // count(*) AS BIGINT) AS lm_milli
+FROM scored GROUP BY 1 ORDER BY 1
 """,
     "packed_chunks": r"""
 WITH t AS (

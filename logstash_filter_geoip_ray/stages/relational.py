@@ -742,3 +742,59 @@ def big_part_revenue(sf_dir: str, num_buckets: int = 32):
         ["rev_micro", "n_items"],
         sort_result=True,
     )
+
+
+# -- distributed skyline (Pareto frontier) -----------------------------------
+
+
+def _skyline_kernel(batch: pa.Table, max_col: str, min_col: str) -> pa.Table:
+    """Local 2-D skyline of one block, fully vectorized: a row survives iff
+    no other row has ``max_col ≥`` AND ``min_col ≤`` with at least one
+    strict. Two prefix-max passes over the (min asc, max desc) sort order —
+    ``max_le``/``max_lt`` are the best ``max_col`` among rows at ≤ / <
+    this ``min_col``; equal (max, min) twins never dominate each other, so
+    exact duplicates survive together (same as SQL NOT EXISTS dominance).
+    Null measures are dropped (a null never participates in dominance —
+    both engines filter them identically)."""
+    import numpy as np
+
+    mask = pc.and_(
+        pc.is_valid(batch[max_col]), pc.is_valid(batch[min_col])
+    )
+    batch = batch.filter(mask)
+    if batch.num_rows == 0:
+        return batch
+    v = batch[max_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = batch[min_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((-v, d))  # min_col asc, max_col desc
+    ds_, vs = d[order], v[order]
+    new = np.empty(len(ds_), dtype=bool)
+    new[0] = True
+    new[1:] = ds_[1:] != ds_[:-1]
+    gid = np.cumsum(new) - 1
+    gmax = vs[new]  # per-group max = first element (v desc within group)
+    run = np.maximum.accumulate(gmax)
+    before = np.concatenate(([np.iinfo(np.int64).min], run[:-1]))
+    keep = ~((run[gid] > vs) | (before[gid] >= vs))
+    return batch.take(pa.array(np.sort(order[keep])))
+
+
+def skyline_2d(ds, max_col: str, min_col: str):
+    """Distributed Pareto frontier (maximize ``max_col``, minimize
+    ``min_col``): per-block local skylines → one final skyline over their
+    union. Correct because the global skyline is a subset of every
+    superset's skyline, so no global-skyline row can be eliminated
+    locally. The exchange carries only the local frontiers — expected
+    O(log n) rows per block for independent dimensions; the documented
+    worst case is fully anti-correlated data where the frontier IS the
+    dataset and no skyline algorithm beats a full collect."""
+    local = ds.map_batches(
+        lambda b: _skyline_kernel(b, max_col, min_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return local.repartition(1).map_batches(
+        lambda b: _skyline_kernel(b, max_col, min_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -89,7 +89,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "click_attribution", "label_centroids", "segment_activity",
      "weighted_sample", "lineitem_measures", "zorder_layout",
      "event_cooccurrence", "balanced_shards", "high_value_counts",
-     "user_type_profile", "embedding_gram", "orc_roundtrip_stats"],
+     "user_type_profile", "embedding_gram", "orc_roundtrip_stats",
+     "lm_scores", "order_skyline", "pricing_summary"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     res = DATA_QUERIES[name](SF)
@@ -3736,3 +3737,55 @@ def test_orc_reader_writer(ray_session, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_orc(str(tmp_path / "empty_nowhere"))
+
+
+def test_skyline_kernel_vs_naive(ray_session):
+    """Local skyline kernel ≡ the O(n²) dominance definition on random,
+    duplicated and anti-correlated data; the distributed two-level compose
+    equals a single-level skyline of the whole set."""
+    import numpy as np
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.relational import (
+        _skyline_kernel,
+        skyline_2d,
+    )
+
+    def naive(v, d):
+        keep = []
+        for i in range(len(v)):
+            dom = any(
+                (v[j] >= v[i] and d[j] <= d[i] and (v[j] > v[i] or d[j] < d[i]))
+                for j in range(len(v))
+            )
+            if not dom:
+                keep.append(i)
+        return set(keep)
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (rng.integers(0, 50, 200), rng.integers(0, 50, 200)),  # dup-heavy
+        (rng.integers(0, 10**6, 300), rng.integers(0, 10**6, 300)),
+        (np.arange(100), np.arange(100)),            # fully anti-correlated
+        (np.arange(100), np.arange(100)[::-1]),      # fully correlated
+        (np.array([5, 5, 5]), np.array([2, 2, 2])),  # exact twins survive
+    ]
+    for v, d in cases:
+        t = pa.table({"id": np.arange(len(v)), "v": v.astype(np.int64),
+                      "d": d.astype(np.int64)})
+        got = set(_skyline_kernel(t, "v", "d")["id"].to_pylist())
+        assert got == naive(v, d), (v[:10], d[:10])
+
+    # null measures drop
+    tn = pa.table({"id": [0, 1], "v": pa.array([None, 3], pa.int64()),
+                   "d": pa.array([1, 1], pa.int64())})
+    assert _skyline_kernel(tn, "v", "d")["id"].to_pylist() == [1]
+
+    # distributed compose over many blocks ≡ single-block kernel
+    v = rng.integers(0, 10**4, 5000).astype(np.int64)
+    d = rng.integers(0, 10**4, 5000).astype(np.int64)
+    t = pa.table({"id": np.arange(5000), "v": v, "d": d})
+    ds = ray.data.from_arrow(t).repartition(17)
+    got = sorted(skyline_2d(ds, "v", "d").to_pandas()["id"])
+    want = sorted(_skyline_kernel(t, "v", "d")["id"].to_pylist())
+    assert got == want

@@ -276,11 +276,13 @@ def q_lm_scores(sf_dir: str):
     document, the mean corpus-transition score of its bigrams —
     ``lm_milli = (Σ_occurrences (1000·c(ab)) // c(a)) // n_bigrams`` with
     corpus-global counts. Pipeline shape at fleet scale: one text scan
-    emits distinct (doc, bigram, multiplicity) rows; global bigram /
-    unigram count tables come from native hash aggregates (vocabulary-
-    cardinality keys); both count tables join back via PARTITIONED
-    hash_join (each side is vocabulary-sized — no broadcast); the final
-    per-doc reduce is a plain groupby. Nothing driver-side at any point.
+    emits distinct (doc, bigram, multiplicity) rows; ONE native hash
+    aggregate produces the global bigram counts; the prefix counts derive
+    from that VOCABULARY-SIZED table (c(a·) = Σ_b c(ab) — never a second
+    corpus pass), the per-gram score joins vocab-to-vocab, and only one
+    corpus-sized PARTITIONED hash_join ships the (doc, gram) rows (no
+    broadcast — the vocab is unbounded); the final per-doc reduce is a
+    plain groupby. Nothing driver-side at any point.
     Int64 bounds: 1000·c(ab) caps at ~10¹⁵ for a 10¹²-bigram corpus.
     Single-word and empty docs carry no bigram and are absent by
     definition (SQL's big CTE drops them identically)."""
@@ -300,57 +302,71 @@ def q_lm_scores(sf_dir: str):
         ids = pc.take(pc.cast(batch["doc_id"], pa.int64()), pa.array(idx))
         t = pa.table({"doc_id": ids, "g": g})
         gr = t.group_by(["doc_id", "g"]).aggregate([([], "count_all")])
-        gr = gr.rename_columns(["doc_id", "g", "m"])
-        # first word = the unigram key; carried from explode time so the
-        # join side never string-splits (split_pattern is codepoint-safe
-        # for multibyte words, unlike a byte-offset slice)
-        a = pc.list_element(
-            pc.split_pattern(gr["g"], " ", max_splits=1), 0
-        )
-        return gr.append_column("a", a)
+        return gr.rename_columns(["doc_id", "g", "m"])
 
-    # one text scan feeds the bigram aggregate, the unigram aggregate and
-    # the join (lazy would re-explode per consumer)
+    # one text scan feeds the bigram aggregate and the score join (lazy
+    # would re-explode per consumer)
     dg = docs.map_batches(explode, batch_format="pyarrow").materialize()
 
-    bigc = (
-        dg.groupby("g")
-        .aggregate(Sum("m", alias_name="c2"))
-        .materialize()  # hash_join peeks schema(); avoid double-execute
-    )
+    bigc = dg.groupby("g").aggregate(Sum("m", alias_name="c2"))
+
+    def add_prefix(batch: pa.Table) -> pa.Table:
+        # first word = the prefix key (split_pattern is codepoint-safe for
+        # multibyte words, unlike a byte-offset slice)
+        a = pc.list_element(
+            pc.split_pattern(batch["g"], " ", max_splits=1), 0
+        )
+        return batch.append_column("a", a)
+
+    # NOTE: prefix counts c(a·) = Σ_b c(ab) derive from the VOCAB-sized
+    # bigram table, not a second corpus pass. They count word occurrences
+    # AS BIGRAM PREFIXES (doc-final words excluded) — the natural LM
+    # denominator; the oracle derives the same quantity from its big CTE.
+    bigca = bigc.map_batches(add_prefix, batch_format="pyarrow").materialize()
     unic = (
-        dg.map_batches(
-            lambda b: pa.table({"w": b["a"], "mm": b["m"]}),
+        bigca.map_batches(
+            lambda b: pa.table({"w": b["a"], "mm": b["c2"]}),
             batch_format="pyarrow",
         )
         .groupby("w")
         .aggregate(Sum("mm", alias_name="c1"))
-        .materialize()
+        .materialize()  # hash_join peeks schema(); avoid double-execute
     )
-    # NOTE: c1 counts word occurrences AS BIGRAM PREFIXES (not raw unigram
-    # frequency): every occurrence of `a` except document-final ones starts
-    # exactly one bigram, so Σ_b c(ab) is the natural LM denominator — the
-    # oracle derives the same quantity from its big CTE
-    j1 = hash_join(dg, bigc, "g", "g")
-    j2 = hash_join(j1, unic, "a", "w")
+    # per-gram score: vocab ⋈ vocab — tiny next to the corpus
+    sg = hash_join(bigca, unic, "a", "w")
 
-    def score(batch: pa.Table) -> pa.Table:
+    def per_gram(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c2 = batch["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = batch["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "g": batch["g"],
+                "sg": pa.array((1000 * c2) // c1, type=pa.int64()),
+            }
+        )
+
+    score_tbl = sg.map_batches(per_gram, batch_format="pyarrow").materialize()
+
+    # the ONE corpus-sized exchange: (doc, gram, m) ⋈ (gram, score)
+    j = hash_join(dg, score_tbl, "g", "g")
+
+    def weigh(batch: pa.Table) -> pa.Table:
         import numpy as np
 
         m = batch["m"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c2 = batch["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c1 = batch["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
-        s = m * ((1000 * c2) // c1)
+        s = batch["sg"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "s": pa.array(s, type=pa.int64()),
+                "s": pa.array(m * s, type=pa.int64()),
                 "m": pa.array(m, type=pa.int64()),
             }
         )
 
     scored = (
-        j2.map_batches(score, batch_format="pyarrow")
+        j.map_batches(weigh, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Sum("s", alias_name="s_sum"), Sum("m", alias_name="n_bigrams"))
     )

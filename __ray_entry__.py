@@ -1229,6 +1229,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     driver-checked via revenue_rollup (same lineitem partial-measure
     #     kernels) and its own oracle row runs in tests/ +
     #     tools/check_oracles.py
+    #   resampled_series — registered demoted from the start: the bucketed
+    #     per-key vectorized window machinery is driver-checked via
+    #     rolling_windows / running_totals' family; the spine+ffill kernel
+    #     itself is pinned by its oracle row (IGNORE NULLS window twin) in
+    #     tests/ + tools/check_oracles.py
     #   lm_scores — registered demoted from the start: every stage of the
     #     bigram-LM scorer (contamination gram explode, vocabulary-sized
     #     native hash aggregate, partitioned hash_join back to the corpus,
@@ -1365,6 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "zonemap_stats",
             "lm_scores",
             "pricing_summary",
+            "resampled_series",
         )
         if n in out
     ]

@@ -2772,6 +2772,38 @@ def q_knn_labels(sf_dir: str):
     )
 
 
+def q_resampled_series(sf_dir: str):
+    """Daily resample + forward fill of each user's value series (the
+    time-series gap-filling feature step): one row per (user, day) from
+    the user's first event day to the global horizon, carrying the latest
+    at-or-before value in exact integer milli. The horizon is a one-column
+    streamed max over ts (tiny aggregate, driver scalar by contract);
+    everything else is the bucketed one-pass vectorized ffill in
+    ``stages.windows.resample_daily_ffill``."""
+    import pyarrow.compute as pc
+
+    from ..stages.windows import resample_daily_ffill
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.divide(
+                    pc.cast(batch["ts"], pa.int64()), 86_400_000_000
+                )
+            }
+        )
+
+    end_day = int(
+        _events(sf_dir, ["ts"])
+        .map_batches(to_day, batch_format="pyarrow")
+        .max("day")
+    )
+    return resample_daily_ffill(
+        _events(sf_dir, ["user_id", "event_id", "ts", "value"]),
+        end_day=end_day,
+    )
+
+
 def q_order_skyline(sf_dir: str):
     """Pareto frontier of orders (maximize price, minimize date — "the
     earliest expensive orders"): distributed 2-D skyline via per-block
@@ -3484,6 +3516,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "dataset_splits": q_dataset_splits,
     "quantized_embeddings": q_quantized_embeddings,
     "order_skyline": q_order_skyline,
+    "resampled_series": q_resampled_series,
     "winsorized_values": q_winsorized_values,
     "value_trend": q_value_trend,
     "knn_labels": q_knn_labels,
@@ -4770,6 +4803,32 @@ FROM bigc
 JOIN uni u1 ON u1.w = split_part(g, ' ', 1)
 JOIN uni u2 ON u2.w = split_part(g, ' ', 2)
 ORDER BY pmi_milli DESC, bigram LIMIT 50
+""",
+    # resampled_series: daily spine per user from first event day to the
+    # global horizon; IGNORE NULLS window ffill is DuckDB's native
+    # equivalent of the engine's searchsorted fill
+    "resampled_series": """
+WITH ev AS (
+  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(floor(value * 1000) AS BIGINT) AS vm, ts, event_id
+  FROM events
+), daily AS (
+  SELECT user_id, day, vm FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1
+), bounds AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1),
+gmax AS (SELECT max(day) AS d1 FROM ev),
+spine AS (
+  SELECT b.user_id, unnest(range(b.d0, (SELECT d1 FROM gmax) + 1)) AS day
+  FROM bounds b
+)
+SELECT s.user_id, s.day,
+       last_value(d.vm IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS UNBOUNDED PRECEDING) AS value_milli
+FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+ORDER BY 1, 2
 """,
     # order_skyline: the oracle is the O(n²) NOT EXISTS dominance
     # definition — a genuinely independent second implementation of the

@@ -1064,3 +1064,95 @@ def event_trend_counts(
         .map_groups(per_bucket, batch_format="pandas")
         .sort(key_col)
     )
+
+
+def resample_daily_ffill(
+    ds,
+    end_day: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int = 64,
+):
+    """Time-series resampling with forward fill (the gap-filling step of a
+    feature/metrics pipeline): one output row per (key, day) from the
+    key's first event day through ``end_day``, carrying the integer-milli
+    value of the latest event at-or-before that day (within a day the
+    latest (ts, id) wins).
+
+    Scale shape: key-hash buckets; inside a bucket every key is expanded
+    and filled in ONE vectorized pass — daily-last rows and the dense day
+    spine are merged through a single ``searchsorted`` over a combined
+    (key_index, day) integer keyspace, no per-key loop. Only (key, day,
+    value) rows cross the exchange; output size is Σ_keys span_days by
+    construction (callers own the span blowup — pass a bounded end_day).
+
+    ``end_day`` is the global horizon (e.g. ``max(day)`` over the input —
+    a one-column streamed aggregate the caller runs first).
+    """
+    from .aggregate import bucket_by_key
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, ts_col, id_col])
+        keys = b[key_col].to_numpy()
+        day = (
+            b[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        vm = np.floor(b[value_col].to_numpy() * 1000.0).astype(np.int64)
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame(
+                {key_col: np.array([], keys.dtype),
+                 "day": np.array([], np.int64),
+                 "value_milli": np.array([], np.int64)}
+            )
+        # daily last = last row of each (key, day) run in (ts, id) order
+        last = np.ones(n, dtype=bool)
+        last[:-1] = (keys[1:] != keys[:-1]) | (day[1:] != day[:-1])
+        dk, dd, dv = keys[last], day[last], vm[last]
+        # per-key spine: first event day .. end_day
+        first = np.ones(len(dk), dtype=bool)
+        first[1:] = dk[1:] != dk[:-1]
+        uk = dk[first]
+        d0 = dd[first]
+        span = (end_day - d0 + 1).astype(np.int64)
+        if (span <= 0).any():
+            raise ValueError(
+                "resample_daily_ffill: end_day precedes a key's first day"
+            )
+        total = int(span.sum())
+        out_key = np.repeat(uk, span)
+        starts = np.concatenate(([0], np.cumsum(span)[:-1]))
+        out_day = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(starts, span)
+            + np.repeat(d0, span)
+        )
+        # one searchsorted over the combined (key_index, day) keyspace:
+        # the spine's first day per key equals the key's first daily-last
+        # day, so the match can never bleed into the previous key
+        kidx_daily = np.cumsum(first) - 1
+        kidx_out = np.repeat(np.arange(len(uk), dtype=np.int64), span)
+        SHIFT = np.int64(1) << 32  # day < 2^32 by construction (epoch days)
+        pos = (
+            np.searchsorted(
+                kidx_daily * SHIFT + dd, kidx_out * SHIFT + out_day, "right"
+            )
+            - 1
+        )
+        return pd.DataFrame(
+            {key_col: out_key, "day": out_day, "value_milli": dv[pos]}
+        )
+
+    bucketed = bucket_by_key(
+        ds.select_columns([key_col, ts_col, id_col, value_col]),
+        key_col,
+        num_buckets,
+    )
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort([key_col, "day"])
+    )

@@ -90,7 +90,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "weighted_sample", "lineitem_measures", "zorder_layout",
      "event_cooccurrence", "balanced_shards", "high_value_counts",
      "user_type_profile", "embedding_gram", "orc_roundtrip_stats",
-     "lm_scores", "order_skyline", "pricing_summary"],
+     "lm_scores", "order_skyline", "pricing_summary",
+     "resampled_series"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     res = DATA_QUERIES[name](SF)
@@ -3789,3 +3790,46 @@ def test_skyline_kernel_vs_naive(ray_session):
     got = sorted(skyline_2d(ds, "v", "d").to_pandas()["id"])
     want = sorted(_skyline_kernel(t, "v", "d")["id"].to_pylist())
     assert got == want
+
+
+def test_resample_ffill_kernel(ray_session):
+    """Gap days carry the latest prior value, same-day ties resolve by
+    (ts, id), every key extends to the shared horizon, and a horizon
+    before a key's first day raises."""
+    import numpy as np
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.windows import resample_daily_ffill
+
+    US_DAY = 86_400_000_000
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "event_id": pa.array([10, 11, 12, 20, 21], pa.int64()),
+            "ts": pa.array(
+                [0 * US_DAY + 5, 0 * US_DAY + 9, 3 * US_DAY, 2 * US_DAY,
+                 2 * US_DAY],  # user 2: two events at the same ts
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0, 2.0, 3.0, 7.0, 8.0], pa.float64()),
+        }
+    )
+    out = (
+        resample_daily_ffill(ray.data.from_arrow(t), end_day=4, num_buckets=3)
+        .to_pandas()
+    )
+    got = {
+        (int(r.user_id), int(r.day)): int(r.value_milli)
+        for r in out.itertuples()
+    }
+    # user 1: day0 last = 2.0 (later ts wins), days 1-2 gap-fill, day3 = 3.0
+    assert got[(1, 0)] == 2000 and got[(1, 1)] == 2000
+    assert got[(1, 2)] == 2000 and got[(1, 3)] == 3000 and got[(1, 4)] == 3000
+    # user 2: same-ts tie → higher event_id wins
+    assert got[(2, 2)] == 8000 and got[(2, 3)] == 8000 and got[(2, 4)] == 8000
+    assert len(got) == 5 + 3
+
+    with pytest.raises(Exception):  # raises inside the Ray task
+        resample_daily_ffill(
+            ray.data.from_arrow(t), end_day=1, num_buckets=2
+        ).to_pandas()

@@ -1229,6 +1229,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     driver-checked via revenue_rollup (same lineitem partial-measure
     #     kernels) and its own oracle row runs in tests/ +
     #     tools/check_oracles.py
+    #   cdc_merged_state — registered demoted from the start: the bucketed
+    #     two-sided co-location it rides is hash_join's machinery
+    #     (driver-checked via orders_per_nation / segment_activity) and
+    #     latest-wins extraction is latest_events' (its sibling); the
+    #     MERGE delete/upsert/passthrough rule itself is pinned by its
+    #     FULL OUTER oracle row in tests/ + tools/check_oracles.py
     #   resampled_series — registered demoted from the start: the bucketed
     #     per-key vectorized window machinery is driver-checked via
     #     rolling_windows / running_totals' family; the spine+ffill kernel
@@ -1371,6 +1377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lm_scores",
             "pricing_summary",
             "resampled_series",
+            "cdc_merged_state",
         )
         if n in out
     ]

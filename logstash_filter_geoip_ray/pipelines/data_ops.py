@@ -2772,6 +2772,98 @@ def q_knn_labels(sf_dir: str):
     )
 
 
+def q_cdc_merged_state(sf_dir: str):
+    """Lakehouse MERGE (CDC apply): the events stream is a changelog over
+    the customer base table — per key the LATEST change wins (``error``
+    events are deletes, everything else an upsert of the event value);
+    untouched base keys pass through, upserts of unknown keys insert.
+    Scale shape: latest-change extraction is a bucketed vectorized
+    segment-last (never a per-key loop); base and changelog co-locate by
+    the SAME key-hash bucket and merge per bucket — one exchange total,
+    both sides large. Exact integer milli values throughout."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ..stages.aggregate import bucket_by_key
+
+    NBK = 32
+
+    def chg_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vm = pc.cast(
+            pc.floor(pc.multiply(batch["value"], 1000.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "k": pc.cast(batch["user_id"], pa.int64()),
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "event_id": batch["event_id"],
+                "is_del": pc.equal(batch["event_type"], "error"),
+                "vm": vm,
+                "side": pa.array(["c"] * batch.num_rows, pa.string()),
+            }
+        )
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vm = pc.cast(
+            pc.floor(pc.multiply(batch["c_acctbal"], 1000.0)), pa.int64()
+        )
+        n = batch.num_rows
+        return pa.table(
+            {
+                "k": pc.cast(batch["c_custkey"], pa.int64()),
+                "ts_us": pa.nulls(n, pa.int64()),
+                "event_id": pa.nulls(n, pa.int64()),
+                "is_del": pa.nulls(n, pa.bool_()),
+                "vm": vm,
+                "side": pa.array(["b"] * n, pa.string()),
+            }
+        )
+
+    chg = _events(
+        sf_dir, ["user_id", "ts", "event_id", "event_type", "value"]
+    ).map_batches(chg_rows, batch_format="pyarrow")
+    base = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"],
+    ).map_batches(base_rows, batch_format="pyarrow")
+
+    def merge_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        c = block[block["side"] == "c"]
+        b = block[block["side"] == "b"]
+        out_k, out_v = [b["k"].to_numpy()], [b["vm"].to_numpy()]
+        if len(c):
+            cs = c.sort_values(["k", "ts_us", "event_id"])
+            keys = cs["k"].to_numpy()
+            last = np.ones(len(cs), dtype=bool)
+            last[:-1] = keys[1:] != keys[:-1]
+            lk = keys[last]
+            ldel = cs["is_del"].to_numpy()[last].astype(bool)
+            lvm = cs["vm"].to_numpy()[last]
+            # drop base rows for every changed key, then re-add upserts
+            changed = np.isin(out_k[0], lk)
+            out_k[0], out_v[0] = out_k[0][~changed], out_v[0][~changed]
+            out_k.append(lk[~ldel])
+            out_v.append(lvm[~ldel])
+        return pd.DataFrame(
+            {
+                "user_id": np.concatenate(out_k),
+                "value_milli": np.concatenate(out_v),
+            }
+        )
+
+    unioned = bucket_by_key(chg.union(base), "k", NBK)
+    return (
+        unioned.groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
 def q_resampled_series(sf_dir: str):
     """Daily resample + forward fill of each user's value series (the
     time-series gap-filling feature step): one row per (user, day) from
@@ -3516,6 +3608,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "dataset_splits": q_dataset_splits,
     "quantized_embeddings": q_quantized_embeddings,
     "order_skyline": q_order_skyline,
+    "cdc_merged_state": q_cdc_merged_state,
     "resampled_series": q_resampled_series,
     "winsorized_values": q_winsorized_values,
     "value_trend": q_value_trend,
@@ -4803,6 +4896,28 @@ FROM bigc
 JOIN uni u1 ON u1.w = split_part(g, ' ', 1)
 JOIN uni u2 ON u2.w = split_part(g, ' ', 2)
 ORDER BY pmi_milli DESC, bigram LIMIT 50
+""",
+    # cdc_merged_state: MERGE semantics as SQL — latest change per key via
+    # one descending row_number, FULL OUTER against the base, deletes
+    # filtered; matches the engine's per-bucket latest-wins apply
+    "cdc_merged_state": """
+WITH chg AS (
+  SELECT user_id AS k, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS vm,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), latest AS (
+  SELECT k, (event_type = 'error') AS is_del, vm FROM chg WHERE rn = 1
+), base AS (
+  SELECT c_custkey AS k, CAST(floor(c_acctbal * 1000) AS BIGINT) AS vm
+  FROM customer
+)
+SELECT coalesce(l.k, b.k) AS user_id,
+       CASE WHEN l.k IS NOT NULL THEN l.vm ELSE b.vm END AS value_milli
+FROM base b FULL OUTER JOIN latest l ON b.k = l.k
+WHERE l.k IS NULL OR NOT l.is_del
+ORDER BY 1
 """,
     # resampled_series: daily spine per user from first event day to the
     # global horizon; IGNORE NULLS window ffill is DuckDB's native

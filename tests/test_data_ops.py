@@ -91,7 +91,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "event_cooccurrence", "balanced_shards", "high_value_counts",
      "user_type_profile", "embedding_gram", "orc_roundtrip_stats",
      "lm_scores", "order_skyline", "pricing_summary",
-     "resampled_series"],
+     "resampled_series", "cdc_merged_state"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     res = DATA_QUERIES[name](SF)

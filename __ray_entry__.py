@@ -1229,6 +1229,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     driver-checked via revenue_rollup (same lineitem partial-measure
     #     kernels) and its own oracle row runs in tests/ +
     #     tools/check_oracles.py
+    #   bfs_levels — registered demoted from the start: the per-round
+    #     machinery (partitioned hash_join frontier expansion + anti-join
+    #     against the known set + lineage-severing checkpoint) is exactly
+    #     the driver-checked pagerank_nodes / user_communities iteration
+    #     family; the min-distance frontier rule itself is pinned by its
+    #     recursive-CTE oracle row in tests/ + tools/check_oracles.py
     #   cdc_merged_state — registered demoted from the start: the bucketed
     #     two-sided co-location it rides is hash_join's machinery
     #     (driver-checked via orders_per_nation / segment_activity) and
@@ -1378,6 +1384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pricing_summary",
             "resampled_series",
             "cdc_merged_state",
+            "bfs_levels",
         )
         if n in out
     ]

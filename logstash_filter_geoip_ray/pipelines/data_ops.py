@@ -3241,6 +3241,58 @@ def q_table_row_counts(sf_dir: str):
     return out.sort_values("tbl").reset_index(drop=True)
 
 
+#: BFS seed rule: every node ≡ 0 (mod BFS_SEED_MOD) is a source — a
+#: deterministic multi-source frontier both engines derive identically
+BFS_SEED_MOD = 10
+
+
+def q_bfs_levels(sf_dir: str):
+    """Multi-source BFS over the co-occurrence graph: minimum hop distance
+    from any seed (user_id ≡ 0 mod 10) — frontier expansion with one
+    partitioned hash_join + anti-join per round, O(diameter) rounds
+    (``stages.graph.bfs_levels``). Oracle: DuckDB recursive CTE min
+    distance over the same symmetrized edges."""
+    import pyarrow.compute as pc
+    import ray.data  # noqa: F401
+
+    from ..stages.graph import bfs_levels
+
+    e = _cooccurrence_edges(sf_dir)  # materialized — both consumers reuse it
+    edges = e.map_batches(
+        lambda b: pa.table({"src": b["a"], "dst": b["b"]}),
+        batch_format="pyarrow",
+    )
+    nodes = (
+        e.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            b["a"].combine_chunks()
+                            if isinstance(b["a"], pa.ChunkedArray)
+                            else b["a"],
+                            b["b"].combine_chunks()
+                            if isinstance(b["b"], pa.ChunkedArray)
+                            else b["b"],
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    )
+    def pick_seeds(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array(n % BFS_SEED_MOD == 0))
+
+    seeds = nodes.map_batches(pick_seeds, batch_format="pyarrow")
+    return bfs_levels(edges, seeds)
+
+
 def q_user_communities(sf_dir: str):
     """Connected components END-TO-END on the join-based min-label
     propagation scale path (pointer doubling, O(log diameter) rounds) —
@@ -3597,6 +3649,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "value_outliers": q_value_outliers,
     "user_triangles": q_user_triangles,
     "user_communities": q_user_communities,
+    "bfs_levels": q_bfs_levels,
     "table_row_counts": q_table_row_counts,
     "events_profile": q_events_profile,
     "edit_distance_pairs": q_edit_distance_pairs,
@@ -4151,6 +4204,35 @@ SELECT node AS user_id, community,
        CAST(count(*) OVER (PARTITION BY community) AS BIGINT)
          AS community_size
 FROM comp ORDER BY user_id
+""",
+    # bfs_levels: recursive min-distance CTE over the SAME symmetrized
+    # co-occurrence edges as user_communities; UNION (not UNION ALL)
+    # bounds the recursion, min() collapses to hop distance
+    "bfs_levels": f"""
+WITH RECURSIVE occ AS (
+  SELECT DISTINCT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k, user_id
+  FROM events
+), e AS (
+  SELECT DISTINCT o1.user_id AS a, o2.user_id AS b
+  FROM occ o1
+  JOIN occ o2 ON o1.event_type = o2.event_type AND o1.hr = o2.hr
+             AND o1.k = o2.k AND o1.user_id < o2.user_id
+), sym AS (
+  SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e
+), walk(node, lvl) AS (
+  SELECT u, 0 FROM (SELECT DISTINCT u FROM sym) WHERE u % {BFS_SEED_MOD} = 0
+  UNION
+  -- lvl < 200 bounds the recursion on cycles (UNION dedups exact
+  -- (node, lvl) pairs, so a cycle would otherwise mint ever-larger
+  -- lvls forever); any real co-occurrence diameter is far below it and
+  -- the Ray side RAISES past 64 rounds rather than silently diverging
+  SELECT s.v, w.lvl + 1 FROM walk w JOIN sym s ON w.node = s.u
+  WHERE w.lvl < 200
+)
+SELECT node, CAST(min(lvl) AS BIGINT) AS level
+FROM walk GROUP BY 1 ORDER BY 1
 """,
     "edit_distance_pairs": """
 WITH d AS (

@@ -358,3 +358,106 @@ def triangle_counts(
         .rename_columns({"sum(n_tri)": "n_tri"})
         .sort("node")
     )
+
+
+def bfs_levels(
+    edges_ds,
+    seeds_ds,
+    num_buckets: int = 16,
+    max_rounds: int = 64,
+):
+    """Multi-source BFS: minimum hop distance from any seed, as rows
+    ``(node, level)`` — only REACHED nodes appear. The missing graph
+    primitive next to PageRank/components: frontier expansion, one
+    partitioned hash_join + one anti-join per round, O(diameter) rounds.
+
+    Inputs: ``edges_ds`` with int64 (src, dst) treated as UNDIRECTED
+    (symmetrized internally), ``seeds_ds`` with an int64 ``node`` column.
+    Per round the frontier joins the symmetrized edges (both sides
+    sharded — the frontier is never broadcast), discovered nodes
+    anti-join against the known set (shuffle ships distinct keys only),
+    and the driver reads ONE scalar (the new-frontier count) to decide
+    termination — the classic bulk-synchronous BFS, correct for any
+    block split since min-distance is confluent. Raises past
+    ``max_rounds`` (a diameter that large on a co-occurrence graph means
+    a pathological input, not a longer loop)."""
+    import ray.data
+
+    from .joins import hash_anti_join, hash_join
+
+    def bundle(ds):
+        return ds.map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=1 << 20,
+            num_cpus=0.9,
+        )
+
+    def checkpoint(ds):
+        # sever lineage: an iterative plan otherwise doubles per round
+        return ray.data.from_arrow_refs(bundle(ds).to_arrow_refs())
+
+    def norm(batch: pa.Table) -> pa.Table:
+        u = batch["src"]
+        v = batch["dst"]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        u, v = u.cast(pa.int64()), v.cast(pa.int64())
+        return pa.table(
+            {
+                "u": pa.concat_arrays([u, v]),
+                "v": pa.concat_arrays([v, u]),
+            }
+        )
+
+    sym = checkpoint(
+        edges_ds.map_batches(norm, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    )
+
+    def as_level(ds, level: int):
+        return ds.map_batches(
+            lambda b, lv=level: pa.table(
+                {
+                    "node": b["node"].cast(pa.int64())
+                    if not isinstance(b["node"], pa.ChunkedArray)
+                    else b["node"].combine_chunks().cast(pa.int64()),
+                    "level": pa.array([lv] * b.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    frontier = checkpoint(as_level(seeds_ds, 0))
+    levels = frontier
+    for round_no in range(1, max_rounds + 1):
+        hops = hash_join(
+            frontier.select_columns(["node"]),
+            sym,
+            "node",
+            "u",
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda b: pa.table({"node": b["v"]}), batch_format="pyarrow"
+        )
+        # distinct discovered nodes, then drop already-known ones
+        distinct = hops.groupby("node").map_groups(
+            lambda t: t.slice(0, 1), batch_format="pyarrow"
+        )
+        new = checkpoint(
+            as_level(
+                hash_anti_join(
+                    distinct, levels.select_columns(["node"]), "node",
+                    "node", num_buckets=num_buckets,
+                ),
+                round_no,
+            )
+        )
+        if new.count() == 0:
+            return levels.sort("node")
+        levels = checkpoint(levels.union(new))
+        frontier = new
+    raise ValueError(
+        "bfs_levels: frontier still growing after max_rounds=%d" % max_rounds
+    )

@@ -91,7 +91,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "event_cooccurrence", "balanced_shards", "high_value_counts",
      "user_type_profile", "embedding_gram", "orc_roundtrip_stats",
      "lm_scores", "order_skyline", "pricing_summary",
-     "resampled_series", "cdc_merged_state"],
+     "resampled_series", "cdc_merged_state", "bfs_levels"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     res = DATA_QUERIES[name](SF)
@@ -3832,4 +3832,42 @@ def test_resample_ffill_kernel(ray_session):
     with pytest.raises(Exception):  # raises inside the Ray task
         resample_daily_ffill(
             ray.data.from_arrow(t), end_day=1, num_buckets=2
+        ).to_pandas()
+
+
+def test_bfs_levels_known_graph(ray_session):
+    """Line graph distances, unreachable components absent, multi-source
+    min wins, and the max_rounds guard raises on a too-deep graph."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.graph import bfs_levels
+
+    # path 0-1-2-3-4, separate component 10-11 (unreachable from seed 0)
+    edges = pa.table(
+        {
+            "src": pa.array([0, 1, 2, 3, 10], pa.int64()),
+            "dst": pa.array([1, 2, 3, 4, 11], pa.int64()),
+        }
+    )
+    seeds = pa.table({"node": pa.array([0], pa.int64())})
+    out = bfs_levels(
+        ray.data.from_arrow(edges), ray.data.from_arrow(seeds), num_buckets=4
+    ).to_pandas()
+    assert dict(zip(out["node"], out["level"])) == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+    # multi-source: seeds at both ends of the path → min distance wins
+    seeds2 = pa.table({"node": pa.array([0, 4], pa.int64())})
+    out2 = bfs_levels(
+        ray.data.from_arrow(edges), ray.data.from_arrow(seeds2), num_buckets=4
+    ).to_pandas()
+    assert dict(zip(out2["node"], out2["level"])) == {
+        0: 0, 1: 1, 2: 2, 3: 1, 4: 0,
+    }
+
+    with pytest.raises(Exception):
+        bfs_levels(
+            ray.data.from_arrow(edges),
+            ray.data.from_arrow(seeds),
+            num_buckets=2,
+            max_rounds=2,
         ).to_pandas()

@@ -1229,6 +1229,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #     driver-checked via revenue_rollup (same lineitem partial-measure
     #     kernels) and its own oracle row runs in tests/ +
     #     tools/check_oracles.py
+    #   event_pairs_within — registered demoted from the start: the
+    #     bucketed sort + searchsorted + repeat/arange machinery is the
+    #     driver-checked sessions / rolling_windows family; the interval-
+    #     pair rule itself is pinned by its BETWEEN-join oracle row in
+    #     tests/ + tools/check_oracles.py
     #   bfs_levels — registered demoted from the start: the per-round
     #     machinery (partitioned hash_join frontier expansion + anti-join
     #     against the known set + lineage-severing checkpoint) is exactly
@@ -1385,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "resampled_series",
             "cdc_merged_state",
             "bfs_levels",
+            "event_pairs_within",
         )
         if n in out
     ]

@@ -2772,6 +2772,26 @@ def q_knn_labels(sf_dir: str):
     )
 
 
+#: interval self-join window: same-user event pairs at most 2h apart —
+#: wide enough to produce pairs at every SF, narrow enough to stay sparse
+EVENT_PAIR_WINDOW_US = 2 * 3_600_000_000
+
+
+def q_event_pairs_within(sf_dir: str):
+    """Interval self-join (the band/range-join family member beside the
+    as-of join): every ordered pair of same-user events ≤ 2h apart, with
+    the exact µs delta. One sort + one searchsorted + repeat/arange
+    explosion per bucket (``stages.windows.interval_self_pairs``); a
+    burst-key quadratic blowup raises at a documented pair cap instead of
+    materializing silently."""
+    from ..stages.windows import interval_self_pairs
+
+    return interval_self_pairs(
+        _events(sf_dir, ["user_id", "ts", "event_id"]),
+        window_us=EVENT_PAIR_WINDOW_US,
+    )
+
+
 def q_cdc_merged_state(sf_dir: str):
     """Lakehouse MERGE (CDC apply): the events stream is a changelog over
     the customer base table — per key the LATEST change wins (``error``
@@ -3662,6 +3682,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "quantized_embeddings": q_quantized_embeddings,
     "order_skyline": q_order_skyline,
     "cdc_merged_state": q_cdc_merged_state,
+    "event_pairs_within": q_event_pairs_within,
     "resampled_series": q_resampled_series,
     "winsorized_values": q_winsorized_values,
     "value_trend": q_value_trend,
@@ -4978,6 +4999,17 @@ FROM bigc
 JOIN uni u1 ON u1.w = split_part(g, ' ', 1)
 JOIN uni u2 ON u2.w = split_part(g, ' ', 2)
 ORDER BY pmi_milli DESC, bigram LIMIT 50
+""",
+    # event_pairs_within: ordered-pair semantics — (ts, id) strict order on
+    # the left endpoint, inclusive window on the right
+    "event_pairs_within": f"""
+SELECT a.user_id, a.event_id AS a, b.event_id AS b,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS delta_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= {EVENT_PAIR_WINDOW_US}
+ORDER BY a.user_id, a, b
 """,
     # cdc_merged_state: MERGE semantics as SQL — latest change per key via
     # one descending row_number, FULL OUTER against the base, deletes

@@ -1156,3 +1156,84 @@ def resample_daily_ffill(
         .map_groups(per_bucket, batch_format="pandas")
         .sort([key_col, "day"])
     )
+
+
+def interval_self_pairs(
+    ds,
+    window_us: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+    max_pairs_per_block: int = 50_000_000,
+):
+    """Interval self-join: every ordered pair of same-key events at most
+    ``window_us`` apart — rows ``(key, a, b, delta_us)`` where ``a``
+    precedes ``b`` in (ts, id) order. The band/range-join family member
+    next to the as-of join (which keeps only the LATEST match).
+
+    Scale shape: key-hash buckets; per bucket ONE (key, ts, id) sort and
+    ONE ``searchsorted`` over a combined (key_index, ts) keyspace finds
+    every row's match range, pairs explode by repeat/arange arithmetic —
+    no per-key or per-row loop. Output size is data-dependent (Σ window
+    co-occurrence); the per-block pair count is guarded so a pathological
+    burst fails loudly instead of materializing an accidental n²."""
+    from .aggregate import bucket_by_key
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, ts_col, id_col])
+        keys = b[key_col].to_numpy()
+        ts = (
+            b[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        )
+        ids = b[id_col].to_numpy()
+        n = len(b)
+        empty = pd.DataFrame(
+            {
+                key_col: np.array([], keys.dtype if n else np.int64),
+                "a": np.array([], np.int64),
+                "b": np.array([], np.int64),
+                "delta_us": np.array([], np.int64),
+            }
+        )
+        if n == 0:
+            return empty
+        new = np.ones(n, dtype=bool)
+        new[1:] = keys[1:] != keys[:-1]
+        kidx = np.cumsum(new) - 1
+        # ts spans stay far below 2^40 µs (≈ 12 days short of 35 years);
+        # the key index shift keeps search ranges inside one key
+        SHIFT = np.int64(1) << 42
+        ck = kidx * SHIFT + ts
+        hi = np.searchsorted(ck, kidx * SHIFT + ts + window_us, "right")
+        pos = np.arange(n, dtype=np.int64)
+        cnt = hi - pos - 1  # strictly-later rows within the window
+        total = int(cnt.sum())
+        if total > max_pairs_per_block:
+            raise ValueError(
+                "interval_self_pairs: %d pairs in one block exceeds the "
+                "%d cap — a burst key makes the window join quadratic; "
+                "shrink window_us or split the key" % (total, max_pairs_per_block)
+            )
+        if total == 0:
+            return empty
+        left = np.repeat(pos, cnt)
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        right = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt) + left + 1
+        return pd.DataFrame(
+            {
+                key_col: keys[left],
+                "a": ids[left].astype(np.int64),
+                "b": ids[right].astype(np.int64),
+                "delta_us": ts[right] - ts[left],
+            }
+        )
+
+    bucketed = bucket_by_key(
+        ds.select_columns([key_col, ts_col, id_col]), key_col, num_buckets
+    )
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort([key_col, "a", "b"])
+    )

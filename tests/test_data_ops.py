@@ -91,7 +91,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "event_cooccurrence", "balanced_shards", "high_value_counts",
      "user_type_profile", "embedding_gram", "orc_roundtrip_stats",
      "lm_scores", "order_skyline", "pricing_summary",
-     "resampled_series", "cdc_merged_state", "bfs_levels"],
+     "resampled_series", "cdc_merged_state", "bfs_levels",
+     "event_pairs_within"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     res = DATA_QUERIES[name](SF)
@@ -3870,4 +3871,35 @@ def test_bfs_levels_known_graph(ray_session):
             ray.data.from_arrow(seeds),
             num_buckets=2,
             max_rounds=2,
+        ).to_pandas()
+
+
+def test_interval_self_pairs_kernel(ray_session):
+    """Same-ts tie ordering, window inclusivity at the exact boundary,
+    cross-key isolation, and the pair-cap guard."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.windows import interval_self_pairs
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "event_id": pa.array([10, 11, 12, 13, 20], pa.int64()),
+            "ts": pa.array([0, 0, 100, 201, 50], pa.timestamp("us")),
+        }
+    )
+    out = interval_self_pairs(
+        ray.data.from_arrow(t), window_us=100, num_buckets=3
+    ).to_pandas()
+    pairs = {(int(r.a), int(r.b)): int(r.delta_us) for r in out.itertuples()}
+    # same-ts pair ordered by id; 100 is INSIDE the window; 201-100=101 out
+    assert (10, 11) in pairs and pairs[(10, 11)] == 0
+    assert pairs[(10, 12)] == 100 and pairs[(11, 12)] == 100
+    assert (12, 13) not in pairs  # delta 101 > 100
+    assert all(a != 20 and b != 20 for a, b in pairs)  # user 2 isolated
+
+    with pytest.raises(Exception):
+        interval_self_pairs(
+            ray.data.from_arrow(t), window_us=100, num_buckets=2,
+            max_pairs_per_block=1,
         ).to_pandas()

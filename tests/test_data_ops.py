@@ -3903,3 +3903,74 @@ def test_interval_self_pairs_kernel(ray_session):
             ray.data.from_arrow(t), window_us=100, num_buckets=2,
             max_pairs_per_block=1,
         ).to_pandas()
+
+
+def test_interval_and_resample_vs_naive_random(ray_session):
+    """Randomized cross-check of the two vectorized time kernels against
+    O(n²)/per-key naive references — boundary and tie behavior included
+    (duplicate timestamps are generated on purpose)."""
+    import numpy as np
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.windows import (
+        interval_self_pairs,
+        resample_daily_ffill,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 400
+    keys = rng.integers(0, 8, n)
+    ts = rng.integers(0, 50, n) * 1000  # duplicates guaranteed
+    ids = np.arange(n)
+    vals = rng.integers(0, 100, n) / 10.0
+    t = pa.table(
+        {
+            "user_id": pa.array(keys, pa.int64()),
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    W = 7000
+    got = interval_self_pairs(
+        ray.data.from_arrow(t), window_us=W, num_buckets=5
+    ).to_pandas()
+    got_set = {(int(r.a), int(r.b), int(r.delta_us)) for r in got.itertuples()}
+    want = set()
+    for i in range(n):
+        for j in range(n):
+            if keys[i] != keys[j] or i == j:
+                continue
+            if (ts[j], ids[j]) > (ts[i], ids[i]) and ts[j] - ts[i] <= W:
+                want.add((i, j, int(ts[j] - ts[i])))
+    assert got_set == want
+
+    # resample: per-key naive ffill on a daily grid (days are tiny here)
+    US_DAY = 86_400_000_000
+    ts2 = rng.integers(0, 5 * US_DAY, n)
+    t2 = pa.table(
+        {
+            "user_id": pa.array(keys, pa.int64()),
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(ts2, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    end_day = int(ts2.max() // US_DAY)
+    got2 = resample_daily_ffill(
+        ray.data.from_arrow(t2), end_day=end_day, num_buckets=5
+    ).to_pandas()
+    got_map = {
+        (int(r.user_id), int(r.day)): int(r.value_milli)
+        for r in got2.itertuples()
+    }
+    want_map = {}
+    for k in np.unique(keys):
+        rows = sorted(
+            [(ts2[i], ids[i], vals[i]) for i in range(n) if keys[i] == k]
+        )
+        d0 = int(rows[0][0] // US_DAY)
+        for day in range(d0, end_day + 1):
+            eligible = [r for r in rows if r[0] // US_DAY <= day]
+            want_map[(int(k), day)] = int(np.floor(eligible[-1][2] * 1000))
+    assert got_map == want_map

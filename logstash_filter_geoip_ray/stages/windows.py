@@ -1201,11 +1201,22 @@ def interval_self_pairs(
         new = np.ones(n, dtype=bool)
         new[1:] = keys[1:] != keys[:-1]
         kidx = np.cumsum(new) - 1
-        # ts spans stay far below 2^40 µs (≈ 12 days short of 35 years);
-        # the key index shift keeps search ranges inside one key
-        SHIFT = np.int64(1) << 42
-        ck = kidx * SHIFT + ts
-        hi = np.searchsorted(ck, kidx * SHIFT + ts + window_us, "right")
+        # remap each key's ts range onto disjoint increasing intervals with
+        # a > window gap between keys: adj is then globally sorted and a
+        # window probe can never cross a key boundary. Unlike a fixed
+        # key-index shift this is exact for ANY ts span and any key count
+        # (adj grows by Σ spans + keys·(window+1) — bounded by the block's
+        # own data, far inside int64).
+        seg_start = np.flatnonzero(new)
+        seg_end = np.concatenate((seg_start[1:], [n])) - 1
+        mins, maxs = ts[seg_start], ts[seg_end]
+        base = np.zeros(len(seg_start), dtype=np.int64)
+        if len(base) > 1:
+            base[1:] = np.cumsum(
+                maxs[:-1] + np.int64(window_us) + 1 - mins[1:]
+            )
+        adj = ts + base[kidx]
+        hi = np.searchsorted(adj, adj + window_us, "right")
         pos = np.arange(n, dtype=np.int64)
         cnt = hi - pos - 1  # strictly-later rows within the window
         total = int(cnt.sum())

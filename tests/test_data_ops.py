@@ -3904,6 +3904,26 @@ def test_interval_self_pairs_kernel(ray_session):
             max_pairs_per_block=1,
         ).to_pandas()
 
+    # multi-year span across keys: the per-key offset remap must not let
+    # a window probe bleed into the next key (a fixed key-index shift
+    # would overflow/overlap here)
+    YEAR = 365 * 86_400_000_000
+    t3 = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [0, 10 * YEAR, 10 * YEAR + 50, 20 * YEAR], pa.timestamp("us")
+            ),
+        }
+    )
+    out3 = interval_self_pairs(
+        ray.data.from_arrow(t3), window_us=100, num_buckets=1
+    ).to_pandas()
+    # user 1's 10-year gap: no pair; user 2's events 10 years apart: none;
+    # and user 1's event at 10Y must NOT pair with user 2's at 10Y+50
+    assert len(out3) == 0
+
 
 def test_interval_and_resample_vs_naive_random(ray_session):
     """Randomized cross-check of the two vectorized time kernels against

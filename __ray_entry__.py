@@ -1391,6 +1391,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cdc_merged_state",
             "bfs_levels",
             "event_pairs_within",
+            "shipping_priority",
+            "late_priority_counts",
+            "ohlc_bars",
+            "value_hour_corr",
         )
         if n in out
     ]

@@ -1510,6 +1510,41 @@ def q_revenue_rollup(sf_dir: str):
     return revenue_rollup(sf_dir)
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-flavored top-10 unshipped-revenue orders (segment filter →
+    two partitioned hash joins over keyed partials → per-bucket partial
+    top-k; integer micro revenue)."""
+    from ..stages.relational import shipping_priority
+
+    return shipping_priority(sf_dir)
+
+
+def q_late_priority_counts(sf_dir: str):
+    """TPC-H-Q4-flavored EXISTS semi-join: orders per priority with any
+    line item shipped >90 days after the order date (per-batch max-ship
+    partials, orderkey-bucketed resolve, priority-sized combine)."""
+    from ..stages.relational import late_priority_counts
+
+    return late_priority_counts(sf_dir)
+
+
+def q_ohlc_bars(sf_dir: str):
+    """Time-series OHLC candlesticks per (user, epoch-day): open/high/low/
+    close value_milli under (ts, event_id) ordering plus the bar count —
+    partial bars per batch, user-bucketed exact resolve."""
+    from ..stages.relational import ohlc_bars
+
+    return ohlc_bars(sf_dir)
+
+
+def q_value_hour_corr(sf_dir: str):
+    """Distributed exact correlation components (six int64 moment sums)
+    between value_milli and hour-of-day per event_type."""
+    from ..stages.relational import value_hour_corr
+
+    return value_hour_corr(sf_dir)
+
+
 def q_bm25_topk(sf_dir: str):
     """BM25-style retrieval: top-20 docs for a fixed query-term set under
     an integer-exact BM25 variant (two corpus streams, no shuffle)."""
@@ -3697,6 +3732,10 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "hourly_pivot": q_hourly_pivot,
     "pricing_summary": q_pricing_summary,
     "revenue_rollup": q_revenue_rollup,
+    "shipping_priority": q_shipping_priority,
+    "late_priority_counts": q_late_priority_counts,
+    "ohlc_bars": q_ohlc_bars,
+    "value_hour_corr": q_value_hour_corr,
     "bm25_topk": q_bm25_topk,
     "word_rarity": q_word_rarity,
     "bpe_pairs": q_bpe_pairs,
@@ -4638,6 +4677,76 @@ SELECT l_returnflag, l_linestatus,
        CAST(sum((price_milli * (1000 - disc_milli) * (1000 + tax_milli)) // 1000000) AS BIGINT) AS sum_charge_milli,
        CAST(count(*) AS BIGINT) AS n
 FROM m GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "shipping_priority": """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * 1000) AS BIGINT)
+           * (1000 - CAST(floor(l_discount * 1000) AS BIGINT)) AS r
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'
+)
+SELECT o_orderkey, o_orderdate, CAST(sum(r) AS BIGINT) AS rev_micro
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN rev ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+ORDER BY rev_micro DESC, o_orderkey
+LIMIT 10
+""",
+    "late_priority_counts": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + 90 * 86400000000
+)
+GROUP BY 1 ORDER BY 1
+""",
+    "ohlc_bars": """
+WITH ev AS (
+  SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(floor(value * 1000) AS BIGINT) AS vm,
+         epoch_us(ts) AS ts_us, event_id
+  FROM events
+), o AS (
+  SELECT user_id, day, vm AS open_milli FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, day ORDER BY ts_us, event_id) AS rn FROM ev)
+  WHERE rn = 1
+), c AS (
+  SELECT user_id, day, vm AS close_milli FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, day ORDER BY ts_us DESC, event_id DESC) AS rn FROM ev)
+  WHERE rn = 1
+)
+SELECT e.user_id, e.day,
+       max(o.open_milli) AS open_milli,
+       max(e.vm) AS high_milli,
+       min(e.vm) AS low_milli,
+       max(c.close_milli) AS close_milli,
+       CAST(count(*) AS BIGINT) AS n
+FROM ev e
+JOIN o ON o.user_id = e.user_id AND o.day = e.day
+JOIN c ON c.user_id = e.user_id AND c.day = e.day
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    "value_hour_corr": """
+WITH m AS (
+  SELECT event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS x,
+         (epoch_us(ts) // 3600000000) % 24 AS y
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(x) AS BIGINT) AS sum_x,
+       CAST(sum(y) AS BIGINT) AS sum_y,
+       CAST(sum(x * x) AS BIGINT) AS sum_xx,
+       CAST(sum(y * y) AS BIGINT) AS sum_yy,
+       CAST(sum(x * y) AS BIGINT) AS sum_xy
+FROM m GROUP BY 1 ORDER BY 1
 """,
     "revenue_rollup": """
 SELECT r_name, n_name,

@@ -798,3 +798,314 @@ def skyline_2d(ds, max_col: str, min_col: str):
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+# -- Q3/Q4-flavored order analytics + OHLC / correlation moments -------------
+
+#: Q3-style split date: orders strictly before, shipments strictly after.
+#: Mid-range of the synthetic order/ship spans so both sides are populated
+#: at every SF.
+SHIPPING_CUTOFF = "1998-01-01"
+
+#: Q4-flavored lateness threshold: an order is "late" when ANY of its line
+#: items shipped more than this many days after the order date.
+LATE_SHIP_DAYS = 90
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = SHIPPING_CUTOFF,
+    top_k: int = 10,
+    num_buckets: int = 32,
+):
+    """TPC-H-Q3-flavored shipping priority: the ``top_k`` unshipped-revenue
+    orders — customers in ``segment``, orders placed before ``cutoff``,
+    revenue from line items shipped after it. Ties break by o_orderkey asc.
+
+    Scale shape: both date predicates and the segment predicate are pushed
+    into the parquet reads (row-group pruning); lineitem pre-aggregates
+    rev_micro per orderkey inside each batch, so the two partitioned
+    ``hash_join`` exchanges (orders x customer-keys on custkey, survivors x
+    lineitem partials on orderkey) ship only keyed partials, never raw line
+    items. The per-order final sum re-buckets by orderkey — one bucket =
+    one task = every partial of an orderkey (block boundaries carry no
+    correctness weight) — and each bucket emits only its local top-k, so
+    the final Sort sees <= num_buckets x top_k rows.
+
+    Exactness: rev_micro = floor(price*1000) * (1000 - floor(disc*1000))
+    summed in int64, mirrored verbatim in the oracle."""
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from .aggregate import bucket_by_key
+    from .joins import hash_join
+
+    cut = np.datetime64(cutoff).astype("datetime64[us]")
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"],
+        filter=(pads.field("c_mktsegment") == segment),
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") < pa.scalar(cut)),
+    )
+    ord_cust = hash_join(
+        orders, cust, "o_custkey", "c_custkey", num_buckets=num_buckets
+    ).select_columns(["o_orderkey", "o_orderdate"])
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") > pa.scalar(cut)),
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price = _milli(batch["l_extendedprice"]).to_numpy()
+        disc = _milli(batch["l_discount"]).to_numpy()
+        work = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "rev_micro": pa.array(price * (1000 - disc), type=pa.int64()),
+            }
+        )
+        g = work.group_by(["l_orderkey"]).aggregate([("rev_micro", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_micro"])
+
+    li_agg = li.map_batches(li_partial, batch_format="pyarrow")
+    joined = hash_join(
+        ord_cust, li_agg, "o_orderkey", "l_orderkey", num_buckets=num_buckets
+    ).select_columns(["o_orderkey", "o_orderdate", "rev_micro"])
+
+    bucketed = bucket_by_key(joined, "o_orderkey", num_buckets)
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["o_orderkey", "o_orderdate"], as_index=False, sort=False)[
+            "rev_micro"
+        ].sum()
+        return g.sort_values(
+            ["rev_micro", "o_orderkey"], ascending=[False, True]
+        ).head(top_k)[["o_orderkey", "o_orderdate", "rev_micro"]]
+
+    tops = bucketed.groupby("_bucket").map_groups(
+        bucket_topk, batch_format="pandas"
+    )
+    return tops.sort(["rev_micro", "o_orderkey"], descending=[True, False]).limit(
+        top_k
+    )
+
+
+def late_priority_counts(
+    sf_dir: str, late_days: int = LATE_SHIP_DAYS, num_buckets: int = 32
+):
+    """TPC-H-Q4-flavored order-priority check: per o_orderpriority, how
+    many orders had at least one line item shipped more than ``late_days``
+    after the order date (the EXISTS semi-join of Q4, adapted to this
+    schema's shipdate-only lineitem).
+
+    Scale shape: lineitem collapses to one (orderkey, max_ship_us) partial
+    per batch before the exchange; the partitioned ``hash_join`` against
+    orders co-locates by orderkey, a re-bucketed per-order final max
+    resolves batch-split orderkeys, and only priority-sized count partials
+    reach the final combine."""
+    import os
+
+    import ray.data
+
+    from .aggregate import bucket_by_key, tree_sum
+    from .joins import hash_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "ship_us": pc.cast(batch["l_shipdate"], pa.int64()),
+            }
+        )
+        g = t.group_by(["l_orderkey"]).aggregate([("ship_us", "max")])
+        return g.rename_columns(["l_orderkey", "max_ship_us"])
+
+    li_max = li.map_batches(li_partial, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def ord_prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "order_us": pc.cast(batch["o_orderdate"], pa.int64()),
+                "o_orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    orders_us = orders.map_batches(ord_prep, batch_format="pyarrow")
+    joined = hash_join(
+        orders_us, li_max, "o_orderkey", "l_orderkey", num_buckets=num_buckets
+    ).select_columns(["o_orderkey", "order_us", "o_orderpriority", "max_ship_us"])
+
+    bucketed = bucket_by_key(joined, "o_orderkey", num_buckets)
+    late_us = int(late_days) * 86_400_000_000
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderkey", as_index=False, sort=False).agg(
+            max_ship_us=("max_ship_us", "max"),
+            order_us=("order_us", "first"),
+            o_orderpriority=("o_orderpriority", "first"),
+        )
+        late = g[g["max_ship_us"] > g["order_us"] + late_us]
+        out = late.groupby("o_orderpriority", as_index=False, sort=False).size()
+        out = out.rename(columns={"size": "n_late"})
+        out["n_late"] = out["n_late"].astype("int64")
+        return out[["o_orderpriority", "n_late"]]
+
+    partials = bucketed.groupby("_bucket").map_groups(
+        bucket_counts, batch_format="pandas"
+    )
+    return tree_sum(partials, ["o_orderpriority"], ["n_late"], sort_result=True)
+
+
+def ohlc_bars(sf_dir: str, num_buckets: int = 64):
+    """Time-series OHLC bars: per (user_id, epoch-day) the opening / high /
+    low / closing value_milli and the event count, with (ts, event_id)
+    ordering — the candlestick rollup every metrics pipeline runs.
+
+    Scale shape: each batch collapses to one partial row per (user, day)
+    carrying the open/close candidates WITH their (ts_us, event_id) sort
+    keys, so batch splits inside a day are harmless; partials re-bucket by
+    user_id and each bucket resolves open (min ts,id), close (max ts,id),
+    high/low/n in three vectorized pandas passes. The exchange moves only
+    partial rows, never raw events."""
+    import os
+
+    import ray.data
+
+    from .aggregate import bucket_by_key
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch["ts"], pa.int64())
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pa.array(
+                    ts_us.to_numpy() // 86_400_000_000, type=pa.int64()
+                ),
+                "ts_us": ts_us,
+                "event_id": batch["event_id"],
+                "vm": _milli(batch["value"]),
+            }
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "day", "ts_us", "event_id"])
+        g = df.groupby(["user_id", "day"], sort=False)
+        first = g[["ts_us", "event_id", "vm"]].first().rename(
+            columns={"ts_us": "o_ts", "event_id": "o_id", "vm": "open_milli"}
+        )
+        last = g[["ts_us", "event_id", "vm"]].last().rename(
+            columns={"ts_us": "c_ts", "event_id": "c_id", "vm": "close_milli"}
+        )
+        mm = g["vm"].agg(high_milli="max", low_milli="min", n="size")
+        out = first.join(last).join(mm).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = ev.map_batches(prep, batch_format="pyarrow").map_batches(
+        partial, batch_format="pandas"
+    )
+    bucketed = bucket_by_key(partials, "user_id", num_buckets)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ["user_id", "day"]
+        o = (
+            df.sort_values(keys + ["o_ts", "o_id"])
+            .groupby(keys, sort=False, as_index=False)
+            .first()[keys + ["open_milli"]]
+        )
+        c = (
+            df.sort_values(keys + ["c_ts", "c_id"], ascending=[True, True, False, False])
+            .groupby(keys, sort=False, as_index=False)
+            .first()[keys + ["close_milli"]]
+        )
+        mm = df.groupby(keys, as_index=False, sort=False).agg(
+            high_milli=("high_milli", "max"),
+            low_milli=("low_milli", "min"),
+            n=("n", "sum"),
+        )
+        out = o.merge(c, on=keys).merge(mm, on=keys)
+        out["n"] = out["n"].astype("int64")
+        return out[
+            ["user_id", "day", "open_milli", "high_milli", "low_milli",
+             "close_milli", "n"]
+        ]
+
+    # final presentation sort over bar-count rows (days x users, already
+    # aggregated — orders of magnitude below the event count)
+    return bucketed.groupby("_bucket").map_groups(
+        final, batch_format="pandas"
+    ).sort(["user_id", "day"])
+
+
+def value_hour_corr(sf_dir: str):
+    """Distributed exact correlation components between value_milli and
+    hour-of-day, per event_type: the six int64 moment sums (n, sum_x,
+    sum_y, sum_xx, sum_yy, sum_xy) from which Pearson r is a driver-side
+    scalar formula. Sums stay integer-exact (mirrored in the oracle); a
+    10^12-row deployment would widen to 128-bit or per-partition Welford —
+    the combine shape (tiny keyed partials, tree merge) is unchanged."""
+    import os
+
+    import ray.data
+
+    from .aggregate import tree_sum
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _milli(batch["value"]).to_numpy()
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy()
+        y = (ts_us // 3_600_000_000) % 24
+        work = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                "sum_x": pa.array(x, type=pa.int64()),
+                "sum_y": pa.array(y, type=pa.int64()),
+                "sum_xx": pa.array(x * x, type=pa.int64()),
+                "sum_yy": pa.array(y * y, type=pa.int64()),
+                "sum_xy": pa.array(x * y, type=pa.int64()),
+            }
+        )
+        g = work.group_by(["event_type"]).aggregate(
+            [(c, "sum") for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")]
+        )
+        return g.rename_columns(
+            ["event_type", "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+        )
+
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    return tree_sum(
+        partials,
+        ["event_type"],
+        ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"],
+        sort_result=True,
+    )

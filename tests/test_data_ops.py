@@ -91,6 +91,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "event_cooccurrence", "balanced_shards", "high_value_counts",
      "user_type_profile", "embedding_gram", "orc_roundtrip_stats",
      "lm_scores", "order_skyline", "pricing_summary",
+     "shipping_priority", "late_priority_counts", "ohlc_bars",
+     "value_hour_corr",
      "resampled_series", "cdc_merged_state", "bfs_levels",
      "event_pairs_within"],
 )

@@ -1391,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cdc_merged_state",
             "bfs_levels",
             "event_pairs_within",
+            "ppjoin_pairs",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",

@@ -873,6 +873,18 @@ def q_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs_by_block(_docs(sf_dir))
 
 
+def q_ppjoin_pairs(sf_dir: str):
+    """GLOBAL (no blocking key) token-set Jaccard ≥ 9/10 pairs via the
+    PPJoin-style prefix-filter join — the scale path that makes the
+    O(n²)-per-block validators unnecessary when no safe blocking column
+    exists. Exact (a, b, inter, union_) output."""
+    from ..stages.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        _docs(sf_dir), threshold_num=9, threshold_den=10
+    )
+
+
 def q_dup_clusters(sf_dir: str):
     """Connected components over the verified token-set Jaccard pairs:
     (doc_id, cluster_id=min id in component)."""
@@ -3777,6 +3789,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "lm_scores": q_lm_scores,
     "packed_chunks": q_packed_chunks,
     "jaccard_pairs": q_jaccard_pairs,
+    "ppjoin_pairs": q_ppjoin_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
     "dedup_filtered_docs": q_dedup_filtered_docs,
@@ -5283,6 +5296,26 @@ SELECT doc_id,
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text
 FROM documents ORDER BY doc_id
+""",
+    "ppjoin_pairs": f"""
+WITH sets AS (
+  SELECT DISTINCT doc_id, lower(unnest({_TOKENS})) AS w
+  FROM documents WHERE {_TRIMMED} <> ''
+), counts AS (
+  SELECT doc_id, count(*) AS c FROM sets GROUP BY 1
+), inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
+  FROM sets s1 JOIN sets s2 ON s1.w = s2.w AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(ca.c + cb.c - inter AS BIGINT) AS union_
+FROM inter
+JOIN counts ca ON ca.doc_id = a
+JOIN counts cb ON cb.doc_id = b
+WHERE inter * 10 >= (ca.c + cb.c - inter) * 9
+ORDER BY a, b
 """,
     "jaccard_pairs": f"""
 WITH sets AS (

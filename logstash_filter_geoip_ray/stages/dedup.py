@@ -1324,3 +1324,181 @@ def edit_distance_pairs(
         .map_groups(pairs, batch_format="pandas")
         .sort(["a", "b"])
     )
+
+
+# -- prefix-filter set-similarity join (PPJoin-style) -----------------------
+
+#: skew guard for one prefix-token candidate group — prefix tokens are each
+#: doc's RAREST tokens under the global (count, token) order, so a group this
+#: large means the corpus or threshold is pathological; fail loudly rather
+#: than emit a quadratic candidate block.
+PREFIX_MAX_GROUP = 5000
+
+
+def prefix_filter_jaccard_pairs(
+    docs_ds,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+    max_group: int = PREFIX_MAX_GROUP,
+):
+    """GLOBAL (blocking-free) token-set Jaccard join via prefix filtering —
+    the PPJoin-family scale path that replaces the O(n²)-per-block
+    validators (`jaccard_pairs_by_block`) when no safe blocking key exists.
+    Rows (a, b, inter, union_) with a < b and
+    ``inter * threshold_den >= union_ * threshold_num``.
+
+    Algorithm (public: Chaudhuri et al. SSJoin / Xiao et al. PPJoin):
+    order all tokens by ascending global frequency (total order =
+    (count, token)); a pair with Jaccard ≥ t MUST share a token inside each
+    side's first ``|x| - ceil(t·|x|) + 1`` tokens under that order, so only
+    prefix-token groups generate candidates, with the size filter
+    ``larger·num ≤ smaller·den`` applied inside the group. Candidates are
+    then verified exactly.
+
+    Scale shape: every stage is a partitioned exchange —
+    (1) per-batch vectorized explode to distinct (doc, token);
+    (2) token counts (vocab-sized groupby);
+    (3) one hash_join tok ⋈ counts (both sides large, no broadcast);
+    (4) doc-bucketed prefix selection (vectorized rank-vs-prefix-len);
+    (5) token-bucketed candidate pair generation (numpy triu, skew-capped,
+        per-bucket dedup after an a-bucketed distinct);
+    (6) verification joins the (small-by-filter-design) candidate set to
+        per-doc token lists with two more hash_joins; the only per-row
+        Python is the final set-intersection over verified candidates.
+    Nothing whole-corpus ever reaches the driver."""
+    import pandas as pd
+
+    from .contamination import _flat_words
+    from ..stages.aggregate import bucket_by_key, grouped_counts
+    from ..stages.joins import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, idx = _flat_words(text)  # lowercased, empty rows removed
+        ids = pc.take(pc.cast(batch[id_col], pa.int64()), pa.array(idx))
+        df = pd.DataFrame(
+            {"doc": ids.to_numpy(zero_copy_only=False),
+             "w": flat.to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()  # a doc is one row → batch-local distinct is global
+        return pa.table(
+            {"doc": pa.array(df["doc"].to_numpy(), type=pa.int64()),
+             "w": pa.array(df["w"], type=pa.string())}
+        )
+
+    tok = docs_ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    ).materialize()  # reused by counts, prefixes AND verification
+
+    counts = grouped_counts(tok.select_columns(["w"]), ["w"], count_alias="cnt")
+    tok_cnt = hash_join(tok, counts, "w", "w", num_buckets=num_buckets)
+
+    def prefixes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc", "cnt", "w"])
+        size = df.groupby("doc", sort=False)["w"].transform("size").to_numpy()
+        rank = df.groupby("doc", sort=False).cumcount().to_numpy()
+        # prefix length for Jaccard t = num/den: s - ceil(t*s) + 1
+        ceil_ts = (threshold_num * size + threshold_den - 1) // threshold_den
+        keep = rank < (size - ceil_ts + 1)
+        out = df[keep][["w", "doc"]].copy()
+        out["size"] = size[keep]
+        return out
+
+    pref = (
+        bucket_by_key(tok_cnt.select_columns(["doc", "w", "cnt"]), "doc", num_buckets)
+        .groupby("_bucket")
+        .map_groups(prefixes, batch_format="pandas")
+    )
+
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for w, g in df.groupby("w", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            if n > max_group:
+                raise ValueError(
+                    "prefix_filter_jaccard_pairs: prefix-token group %r has "
+                    "%d docs (> max_group=%d) — quadratic candidate block; "
+                    "raise the threshold or max_group explicitly" % (w, n, max_group)
+                )
+            g = g.sort_values(["size", "doc"])
+            docs = g["doc"].to_numpy()
+            sizes = g["size"].to_numpy()
+            ai, bi = np.triu_indices(n, 1)
+            # size filter: i < j ⇒ sizes[ai] <= sizes[bi]; J >= t needs
+            # larger * num <= smaller * den
+            ok = sizes[bi] * threshold_num <= sizes[ai] * threshold_den
+            ai, bi = ai[ok], bi[ok]
+            outs.append(pd.DataFrame({
+                "a": np.minimum(docs[ai], docs[bi]),
+                "b": np.maximum(docs[ai], docs[bi]),
+            }))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.concat(outs).drop_duplicates()
+
+    cand = (
+        bucket_by_key(pref, "w", num_buckets)
+        .groupby("_bucket")
+        .map_groups(gen_pairs, batch_format="pandas")
+    )
+    # global pair dedup: same (a,b) from different prefix tokens lands in the
+    # same a-bucket, so a per-bucket distinct is globally distinct
+    cand = (
+        bucket_by_key(cand, "a", num_buckets)
+        .groupby("_bucket")
+        .map_groups(
+            lambda df: df[["a", "b"]].drop_duplicates(), batch_format="pandas"
+        )
+    )
+
+    def toklists(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc", sort=False)["w"].agg(list).reset_index()
+        g.columns = ["doc", "toks"]
+        g["size"] = g["toks"].map(len).astype("int64")
+        return g
+
+    lists = (
+        bucket_by_key(tok, "doc", num_buckets)
+        .groupby("_bucket")
+        .map_groups(toklists, batch_format="pandas")
+    )
+
+    la = lists.map_batches(
+        lambda t: t.rename_columns(["a", "toks_a", "size_a"]),
+        batch_format="pyarrow",
+    )
+    lb = lists.map_batches(
+        lambda t: t.rename_columns(["b", "toks_b", "size_b"]),
+        batch_format="pyarrow",
+    )
+    j = hash_join(cand, la, "a", "a", num_buckets=num_buckets)
+    j = hash_join(j, lb, "b", "b", num_buckets=num_buckets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        df = batch.select(["a", "b", "toks_a", "toks_b"]).to_pandas()
+        rows = []
+        # candidate-bound loop: the prefix+size filters already pruned the
+        # quadratic space; survivors are the (small) verified-pair class
+        for a, b, ta, tb in df.itertuples(index=False):
+            sa, sb = set(ta), set(tb)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and inter * threshold_den >= union * threshold_num:
+                rows.append((int(a), int(b), inter, union))
+        return pa.table(
+            {
+                "a": pa.array([r[0] for r in rows], type=pa.int64()),
+                "b": pa.array([r[1] for r in rows], type=pa.int64()),
+                "inter": pa.array([r[2] for r in rows], type=pa.int64()),
+                "union_": pa.array([r[3] for r in rows], type=pa.int64()),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])

@@ -92,7 +92,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "user_type_profile", "embedding_gram", "orc_roundtrip_stats",
      "lm_scores", "order_skyline", "pricing_summary",
      "shipping_priority", "late_priority_counts", "ohlc_bars",
-     "value_hour_corr",
+     "value_hour_corr", "ppjoin_pairs",
      "resampled_series", "cdc_merged_state", "bfs_levels",
      "event_pairs_within"],
 )
@@ -3996,3 +3996,74 @@ def test_interval_and_resample_vs_naive_random(ray_session):
             eligible = [r for r in rows if r[0] // US_DAY <= day]
             want_map[(int(k), day)] = int(np.floor(eligible[-1][2] * 1000))
     assert got_map == want_map
+
+
+def test_ppjoin_equals_naive_all_pairs(ray_session):
+    """Prefix-filter join must equal the naive all-pairs Jaccard on a
+    corpus with boundary-threshold pairs, identical twins, an empty doc
+    and a whitespace-only doc."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),          # identical twin of 1
+        (3, "alpha beta gamma epsilon"),        # J = 3/5 vs 1
+        (4, "alpha beta"),                      # J = 2/4 = 0.5 vs 1 (boundary)
+        (5, ""),                                # empty → excluded
+        (6, "   "),                             # whitespace-only → excluded
+        (7, "zeta eta theta iota kappa"),       # disjoint
+        (8, "Alpha BETA gamma delta"),          # case-folds to doc 1
+    ]
+    num, den = 1, 2
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "text": [t for _, t in docs],
+        }
+    )
+    got = (
+        prefix_filter_jaccard_pairs(
+            ray.data.from_arrow(tbl), threshold_num=num, threshold_den=den,
+            num_buckets=4,
+        )
+        .to_pandas()
+    )
+    # naive reference
+    sets = {d: set(t.lower().split()) for d, t in docs if t.split()}
+    want = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * den >= union * num:
+                want.append((a, b, inter, union))
+    want_df = pd.DataFrame(want, columns=["a", "b", "inter", "union_"])
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    want_df = want_df.sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want_df.astype("int64"))
+
+
+def test_ppjoin_skew_guard_raises(ray_session):
+    """A prefix-token group larger than max_group must fail loudly."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    # every doc shares the same single token → one group of size 5 > cap 4
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(5)), type=pa.int64()),
+            "text": ["same"] * 5,
+        }
+    )
+    with pytest.raises(Exception, match="max_group"):
+        prefix_filter_jaccard_pairs(
+            ray.data.from_arrow(tbl), num_buckets=2, max_group=4
+        ).to_pandas()

@@ -3360,6 +3360,28 @@ def q_bfs_levels(sf_dir: str):
     return bfs_levels(edges, seeds)
 
 
+def q_kcore_members(sf_dir: str):
+    """k-core decomposition (k=2) of the payload-k co-occurrence graph:
+    iterative bulk-synchronous peeling (`stages.graph.kcore_nodes`) —
+    degree count + two bucketed semi-joins per round, driver reads one
+    scalar to detect the fixpoint. Rows (user_id, degree) with degree
+    measured inside the core. Iterative → no single-statement SQL oracle;
+    pinned instead by `test_kcore_known_graph` naive-peel equality."""
+    from ..stages.graph import kcore_nodes
+
+    edges = _cooccurrence_edges(sf_dir).map_batches(
+        lambda b: pa.table({"src": b["a"], "dst": b["b"]}),
+        batch_format="pyarrow",
+    )
+    core = kcore_nodes(edges, k=2)
+    if not hasattr(core, "map_batches"):  # empty-core DataFrame guard
+        return core.rename(columns={"node": "user_id"})
+    return core.map_batches(
+        lambda b: b.rename_columns(["user_id", "degree"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_user_communities(sf_dir: str):
     """Connected components END-TO-END on the join-based min-label
     propagation scale path (pointer doubling, O(log diameter) rounds) —
@@ -3717,6 +3739,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "user_triangles": q_user_triangles,
     "user_communities": q_user_communities,
     "bfs_levels": q_bfs_levels,
+    "kcore_members": q_kcore_members,
     "table_row_counts": q_table_row_counts,
     "events_profile": q_events_profile,
     "edit_distance_pairs": q_edit_distance_pairs,

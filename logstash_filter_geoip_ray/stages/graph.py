@@ -461,3 +461,111 @@ def bfs_levels(
     raise ValueError(
         "bfs_levels: frontier still growing after max_rounds=%d" % max_rounds
     )
+
+
+def kcore_nodes(
+    edges_ds,
+    k: int,
+    num_buckets: int = 16,
+    max_rounds: int = 100,
+):
+    """k-core decomposition membership: the maximal subgraph in which every
+    node has degree ≥ ``k``, as rows ``(node, degree)`` — degree measured
+    INSIDE the core. The classic iterative-peeling graph primitive next to
+    PageRank / components / BFS.
+
+    Inputs: ``edges_ds`` with int64 (src, dst), treated as UNDIRECTED and
+    deduplicated (self-loops dropped — a self-loop is not a neighbour).
+
+    Scale shape: bulk-synchronous peeling — per round ONE degree count
+    (distinct-node-sized groupby), a filter, and TWO bucketed semi-joins
+    that keep only edges whose both endpoints survive; the exchange ships
+    the edge list plus distinct surviving keys, never a broadcast. The
+    driver reads ONE scalar per round (the surviving-node count) to detect
+    the fixpoint; lineage is severed per round so the plan stays O(1).
+    Rounds are bounded by ``max_rounds`` — real co-occurrence graphs peel
+    in far fewer; hitting the cap raises rather than looping forever."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .joins import hash_semi_join
+    from ..stages.aggregate import grouped_counts
+
+    def bundle(ds):
+        return ds.map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=1 << 20,
+            num_cpus=0.9,
+        )
+
+    def checkpoint(ds):
+        return ray.data.from_arrow_refs(bundle(ds).to_arrow_refs())
+
+    def norm(batch: pa.Table) -> pa.Table:
+        u = batch["src"]
+        v = batch["dst"]
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        u, v = u.cast(pa.int64()), v.cast(pa.int64())
+        t = pa.table(
+            {
+                "u": pa.concat_arrays([u, v]),
+                "v": pa.concat_arrays([v, u]),
+            }
+        )
+        return t.filter(pc.invert(pc.equal(t["u"], t["v"])))
+
+    edges = checkpoint(
+        edges_ds.map_batches(norm, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    )
+
+    prev_nodes = None
+    for _ in range(max_rounds):
+        deg = grouped_counts(
+            edges.select_columns(["u"]), ["u"], count_alias="degree"
+        )
+        surv = checkpoint(
+            deg.map_batches(
+                lambda b: b.filter(pc.greater_equal(b["degree"], k)),
+                batch_format="pyarrow",
+            )
+        )
+        n_surv = surv.count()
+        if n_surv == 0:
+            # empty-core guard: Ray's to_pandas() on a 0-row Dataset drops
+            # the schema, so hand back a typed DataFrame directly (the
+            # driver contract allows Dataset | DataFrame)
+            import pandas as pd
+
+            return pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="int64"),
+                    "degree": pd.Series([], dtype="int64"),
+                }
+            )
+        if prev_nodes is not None and n_surv == prev_nodes:
+            # fixpoint: nobody dropped this round → degrees are final
+            return surv.map_batches(
+                lambda b: pa.table(
+                    {"node": b["u"], "degree": b["degree"]}
+                ),
+                batch_format="pyarrow",
+            ).sort("node")
+        prev_nodes = n_surv
+        keep = surv.select_columns(["u"])
+        edges = checkpoint(
+            hash_semi_join(
+                hash_semi_join(edges, keep, "u", "u", num_buckets=num_buckets),
+                keep,
+                "v",
+                "u",
+                num_buckets=num_buckets,
+            )
+        )
+    raise RuntimeError(
+        "kcore_nodes: no fixpoint after %d rounds — pathological input "
+        "or max_rounds too low" % max_rounds
+    )

@@ -129,3 +129,52 @@ def test_grouped_topk_ties_and_order(ray_session):
         ("b", 3, 20),
         ("b", 3, 21),
     ]
+
+
+def test_kcore_known_graph(ray_session):
+    """k-core peeling vs a naive reference on a graph whose 2-core peel
+    cascades: a triangle + pendant chain (chain peels in waves), plus a
+    4-clique 3-core and an isolated edge."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.graph import kcore_nodes
+
+    edges = [
+        # triangle 1-2-3 with chain 3-4-5 hanging off
+        (1, 2), (2, 3), (1, 3), (3, 4), (4, 5),
+        # 4-clique 10-11-12-13
+        (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13),
+        # isolated edge
+        (20, 21),
+        # duplicate + reversed + self-loop noise
+        (2, 1), (1, 1),
+    ]
+    tbl = pa.table(
+        {
+            "src": pa.array([a for a, _ in edges], type=pa.int64()),
+            "dst": pa.array([b for _, b in edges], type=pa.int64()),
+        }
+    )
+
+    def naive_kcore(pairs, k):
+        adj = {}
+        for a, b in pairs:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in list(adj):
+                if len(adj[n]) < k:
+                    for m in adj.pop(n):
+                        adj[m].discard(n)
+                    changed = True
+        return sorted((n, len(ns)) for n, ns in adj.items())
+
+    for k in (2, 3, 4):
+        res = kcore_nodes(ray.data.from_arrow(tbl), k=k, num_buckets=4)
+        got = res.to_pandas() if hasattr(res, "to_pandas") else res
+        want = naive_kcore(edges, k)
+        assert list(map(tuple, got[["node", "degree"]].to_numpy())) == want, k

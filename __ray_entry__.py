@@ -142,6 +142,41 @@ def _make_db_counts_query(spec_name: str):
     return q
 
 
+def _q_log_templates(sf_dir: str):
+    """Log-template mining (the Drain-family 'what are my log shapes'
+    query, deterministic variant): numbers → <n>, whitespace collapsed,
+    then the top-5 templates per tool by count (ties → template asc).
+    One vectorized pc.replace_substring_regex pass per batch; counts via
+    grouped partial sums; top-k via the two-stage partial-top-k (the Sort
+    operator never sees more than buckets × tools × k rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import (
+        grouped_counts,
+        grouped_topk,
+    )
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["tool", "text"])
+
+    def to_template(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        tpl = pc.replace_substring_regex(text, "[0-9]+", "<n>")
+        tpl = pc.replace_substring_regex(tpl, r"\s+", " ")
+        tpl = pc.utf8_trim_whitespace(tpl)
+        return pa.table({"tool": batch["tool"], "template": tpl})
+
+    tpl = ds.map_batches(to_template, batch_format="pyarrow")
+    counts = grouped_counts(tpl, ["tool", "template"], "n")
+    return grouped_topk(
+        counts, key_col="tool", order_col="n", id_col="template", k=5
+    )
+
+
 def _q_sink_counts_checkpointed(sf_dir: str):
     """P8 end-to-end: checkpointed per-shard enrich (rerun = resume) →
     aggregate over the checkpoint outputs; same oracle as sink_counts."""
@@ -912,6 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_counts_checkpointed": _q_sink_counts_checkpointed,
         "parse_tokens": _q_parse_tokens,
         "log_field_counts": _q_log_field_counts,
+        "log_templates": _q_log_templates,
         "kv_pair_stats": _q_kv_pair_stats,
         "dissect_status": _q_dissect_status,
         "multiformat_dates": _q_multiformat_dates,
@@ -1392,6 +1428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "bfs_levels",
             "event_pairs_within",
             "ppjoin_pairs",
+            "log_templates",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",
@@ -1490,6 +1527,21 @@ WITH parsed AS (
 SELECT source_ip, CAST(count(*) AS BIGINT) AS n
 FROM parsed WHERE source_ip IS NOT NULL
 GROUP BY 1 HAVING count(*) >= 100 ORDER BY 1
+"""
+    out["log_templates"] = f"""
+WITH tpl AS (
+  SELECT tool,
+         trim(regexp_replace(regexp_replace(text, '[0-9]+', '<n>', 'g'),
+                             '\\s+', ' ', 'g')) AS template
+  FROM read_parquet('{t}/*.parquet')
+)
+SELECT tool, n, template FROM (
+  SELECT tool, template, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY tool
+                            ORDER BY count(*) DESC, template) AS rn
+  FROM tpl GROUP BY 1, 2)
+WHERE rn <= 5
+ORDER BY tool, n DESC, template
 """
     out["log_field_counts"] = f"""
 SELECT coalesce(nullif(regexp_extract(text, 'path=([^\\s"]+)', 1), ''), '_none') AS path,

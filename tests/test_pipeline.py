@@ -369,3 +369,40 @@ def test_geohash_counts_match_oracle(ray_session):
     assert len(merged) == len(counts) == len(oracle)
     assert (merged["n_r"] == merged["n_o"]).all()
     assert counts["n"].sum() == 6000
+
+
+def test_log_templates_match_oracle(ray_session):
+    """Template mining: vectorized number/whitespace normalization plus
+    per-tool top-5 must equal the DuckDB window-rank oracle at sf0.001
+    (the registered oracle embeds the driver's sf0.01 path, so the SQL is
+    re-derived here against SF)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry_test__",
+        os.path.join(os.path.dirname(__file__), "..", "__ray_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    got = mod.queries()["log_templates"](SF).to_pandas()
+    t = transcripts_path(SF)
+    oracle = duckdb.sql(f"""
+WITH tpl AS (
+  SELECT tool,
+         trim(regexp_replace(regexp_replace(text, '[0-9]+', '<n>', 'g'),
+                             '\\s+', ' ', 'g')) AS template
+  FROM read_parquet('{t}/*.parquet')
+)
+SELECT tool, n, template FROM (
+  SELECT tool, template, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY tool
+                            ORDER BY count(*) DESC, template) AS rn
+  FROM tpl GROUP BY 1, 2)
+WHERE rn <= 5
+ORDER BY tool, n DESC, template
+""").df()
+    cols = sorted(got.columns)
+    a = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    b = oracle[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)

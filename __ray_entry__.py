@@ -1429,6 +1429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_pairs_within",
             "ppjoin_pairs",
             "log_templates",
+            "novelty_scores",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",

@@ -1421,6 +1421,15 @@ def q_word_rarity(sf_dir: str):
     return word_rarity_scores(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_novelty_scores(sf_dir: str):
+    """Per-doc 3-gram novelty (fraction of distinct grams with corpus
+    df = 1, integer milli) — the uniqueness-ranking curation signal;
+    vectorized gram explode + one grams ⋈ df hash_join."""
+    from ..stages.textops import ngram_novelty_scores
+
+    return ngram_novelty_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_bpe_pairs(sf_dir: str):
     """One BPE-trainer merge round: top-50 adjacent codepoint pairs inside
     words, corpus-wide."""
@@ -3773,6 +3782,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "value_hour_corr": q_value_hour_corr,
     "bm25_topk": q_bm25_topk,
     "word_rarity": q_word_rarity,
+    "novelty_scores": q_novelty_scores,
     "bpe_pairs": q_bpe_pairs,
     "customers_without_events": q_customers_without_events,
     "dedup_exact": q_dedup_exact,
@@ -5319,6 +5329,28 @@ SELECT doc_id,
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text
 FROM documents ORDER BY doc_id
+""",
+    "novelty_scores": f"""
+WITH toks AS (
+  SELECT doc_id, list_transform({_TOKENS}, w -> lower(w)) AS t
+  FROM documents WHERE {_TRIMMED} <> ''
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks WHERE len(t) >= 3
+), sets AS (
+  SELECT DISTINCT doc_id, g FROM grams
+), df AS (
+  SELECT g, count(*) AS c FROM sets GROUP BY 1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST((1000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+         AS novelty_milli
+FROM sets JOIN df USING (g)
+GROUP BY 1 ORDER BY 1
 """,
     "ppjoin_pairs": f"""
 WITH sets AS (

@@ -1646,3 +1646,89 @@ def dsir_select(
         .map_groups(final_bucket, batch_format="pandas")
         .sort([lang_col, id_col])
     )
+
+
+def ngram_novelty_scores(
+    docs_ds,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+):
+    """Per-document n-gram novelty: of the doc's DISTINCT lowercased word
+    ``n``-grams, how many appear in NO other document (corpus document
+    frequency 1) — rows (doc_id, n_grams, n_unique, novelty_milli) with
+    ``novelty_milli = 1000·n_unique // n_grams``. The uniqueness-scoring
+    signal curation pipelines rank on (high novelty = fresh content, low =
+    boilerplate). Docs with fewer than ``n`` words are excluded.
+
+    Scale shape: vectorized per-batch gram explode (shared
+    ``_ngrams_from_flat`` core) with batch-local distinct (one doc = one
+    row, so it is globally distinct); gram document frequencies via the
+    partial-sum groupby; ONE partitioned hash_join grams ⋈ df (both sides
+    large, no broadcast); per-doc totals re-bucket by doc id. Only (doc,
+    gram) pairs and gram counts cross the exchanges."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .contamination import _doc_ngrams
+    from ..stages.aggregate import bucket_by_key, grouped_counts
+    from ..stages.joins import hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        grams, idx = _doc_ngrams(text, n)
+        ids = pc.take(pc.cast(batch[id_col], pa.int64()), pa.array(idx))
+        df = pd.DataFrame(
+            {"doc": ids.to_numpy(zero_copy_only=False),
+             "g": grams.to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        return pa.table(
+            {"doc": pa.array(df["doc"].to_numpy(), type=pa.int64()),
+             "g": pa.array(df["g"], type=pa.string())}
+        )
+
+    sets = docs_ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    ).materialize()  # reused by the df count AND the join probe side
+
+    df_counts = grouped_counts(sets.select_columns(["g"]), ["g"], count_alias="c")
+    joined = hash_join(sets, df_counts, "g", "g", num_buckets=num_buckets)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uniq = pc.cast(pc.equal(batch["c"], 1), pa.int64())
+        work = pa.table(
+            {
+                "doc": batch["doc"],
+                "n_grams": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+                "n_unique": uniq,
+            }
+        )
+        g = work.group_by(["doc"]).aggregate(
+            [("n_grams", "sum"), ("n_unique", "sum")]
+        )
+        return g.rename_columns(["doc", "n_grams", "n_unique"])
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    bucketed = bucket_by_key(partials, "doc", num_buckets)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc", as_index=False, sort=False).agg(
+            n_grams=("n_grams", "sum"), n_unique=("n_unique", "sum")
+        )
+        g["novelty_milli"] = (1000 * g["n_unique"]) // g["n_grams"]
+        g = g.rename(columns={"doc": "doc_id"})
+        return g[["doc_id", "n_grams", "n_unique", "novelty_milli"]].astype(
+            "int64"
+        )
+
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+        .sort("doc_id")
+    )

@@ -1430,6 +1430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ppjoin_pairs",
             "log_templates",
             "novelty_scores",
+            "ann_filtered",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",

@@ -1096,6 +1096,24 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(_emb(sf_dir, ["vec_id", "embedding"]), ANN_QUERY_IDS, k=ANN_K)
 
 
+def q_ann_filtered(sf_dir: str):
+    """Metadata-filtered exact vector search (the RAG-stack shape): cosine
+    top-k per query over ONLY the corpus rows with label in (0, 1, 2) —
+    the predicate is applied as a vectorized Arrow filter at the scan
+    (zero extra exchange); query vectors still come from the full table."""
+    import pyarrow.compute as pc
+
+    from ..stages.similarity import brute_force_topk
+
+    emb = _emb(sf_dir)
+    allowed = pa.array([0, 1, 2], type=pa.int32())
+    corpus = emb.map_batches(
+        lambda b: b.filter(pc.is_in(b["label"], value_set=allowed)),
+        batch_format="pyarrow",
+    )
+    return brute_force_topk(emb, ANN_QUERY_IDS, k=ANN_K, corpus_ds=corpus)
+
+
 def q_customers_per_region(sf_dir: str):
     """Broadcast dimension join: customer ⨝ nation ⨝ region (both dims tiny,
     shipped once) → customer counts per region name."""
@@ -3838,6 +3856,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_filtered": q_ann_filtered,
     "customers_per_region": q_customers_per_region,
     "orders_per_nation": q_orders_per_nation,
     "pagerank_nodes": q_pagerank_nodes,
@@ -5543,6 +5562,23 @@ WITH q AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          list_cosine_similarity(q.embedding, e.embedding) AS sim
   FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM sims
+) WHERE rn <= {ANN_K}
+ORDER BY query_id, rank
+""",
+    "ann_filtered": f"""
+WITH q AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+), sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+  WHERE e.label IN (0, 1, 2)
 )
 SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
   SELECT query_id, neighbor_id,

@@ -119,14 +119,22 @@ def brute_force_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    corpus_ds=None,
 ):
     """Exact cosine top-k per query (self excluded): rows
     (query_id, neighbor_id, rank) with rank 1..k ordered by similarity desc,
-    id asc on ties. Integer-only output → exact oracle comparison."""
+    id asc on ties. Integer-only output → exact oracle comparison.
+
+    ``corpus_ds`` (optional) restricts the SEARCHED side to a different —
+    typically predicate-filtered — dataset while query vectors still come
+    from ``ds``: the metadata-filtered vector search every RAG stack runs
+    (filter pushed into the scan; the query matrix is broadcast once via
+    ``ray.put`` either way)."""
     import ray
 
     qids, qmat = _collect_queries(ds, query_ids, id_col, vec_col)
     ref = ray.put((qids, qmat))
+    corpus = ds if corpus_ds is None else corpus_ds
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         ref_ids, ref_mat = ray.get(ref)
@@ -135,7 +143,7 @@ def brute_force_topk(
             return _empty_partial()
         return _select_topk(ref_ids, ref_mat @ bmat.T, bids, k)
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+    partials = corpus.map_batches(partial_topk, batch_format="pyarrow")
     return _finalize(partials, k)
 
 

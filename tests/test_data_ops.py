@@ -92,7 +92,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "user_type_profile", "embedding_gram", "orc_roundtrip_stats",
      "lm_scores", "order_skyline", "pricing_summary",
      "shipping_priority", "late_priority_counts", "ohlc_bars",
-     "value_hour_corr", "ppjoin_pairs", "novelty_scores",
+     "value_hour_corr", "ppjoin_pairs", "novelty_scores", "ann_filtered",
      "resampled_series", "cdc_merged_state", "bfs_levels",
      "event_pairs_within"],
 )

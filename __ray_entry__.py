@@ -1431,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "log_templates",
             "novelty_scores",
             "ann_filtered",
+            "twap_values",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",

@@ -1515,6 +1515,18 @@ def q_event_deltas(sf_dir: str):
     return event_deltas(_events(sf_dir, ["user_id", "event_id", "ts"]))
 
 
+def q_twap_values(sf_dir: str):
+    """Per-user time-weighted average value (TWAP): step-function integral
+    over each user's own [first, last] span under (ts, event_id) order —
+    integer numerator/denominator, single-observation users emit their
+    value. One vectorized diff+reduceat pass per key bucket."""
+    from ..stages.windows import time_weighted_averages
+
+    return time_weighted_averages(
+        _events(sf_dir, ["user_id", "ts", "event_id", "value"])
+    )
+
+
 def q_rolling_windows(sf_dir: str):
     """Trailing range window per event: count + integer-milli value sum of
     the same user's events in the last hour (RANGE frame, peers included)."""
@@ -3790,6 +3802,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "type_transitions": q_type_transitions,
     "stopword_filter": q_stopword_filter,
     "event_deltas": q_event_deltas,
+    "twap_values": q_twap_values,
     "rolling_windows": q_rolling_windows,
     "hourly_pivot": q_hourly_pivot,
     "pricing_summary": q_pricing_summary,
@@ -5348,6 +5361,31 @@ SELECT doc_id,
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text
 FROM documents ORDER BY doc_id
+""",
+    "twap_values": """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events
+), w AS (
+  SELECT user_id, ts_us, vm,
+         coalesce(lead(ts_us) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id), ts_us)
+           - ts_us AS width,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) AS rn
+  FROM ev
+), agg AS (
+  SELECT user_id,
+         CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us,
+         CAST(sum(vm * width) AS BIGINT) AS twap_num,
+         CAST(max(CASE WHEN rn = 1 THEN vm END) AS BIGINT) AS first_vm
+  FROM w GROUP BY 1
+)
+SELECT user_id, span_us, twap_num,
+       CAST(CASE WHEN span_us > 0 THEN twap_num // span_us
+            ELSE first_vm END AS BIGINT) AS twap_milli
+FROM agg ORDER BY user_id
 """,
     "novelty_scores": f"""
 WITH toks AS (

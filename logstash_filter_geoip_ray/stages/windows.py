@@ -1248,3 +1248,71 @@ def interval_self_pairs(
         .map_groups(per_bucket, batch_format="pandas")
         .sort([key_col, "a", "b"])
     )
+
+
+def time_weighted_averages(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_buckets: int = 64,
+):
+    """Per-key time-weighted average (TWAP): treat each key's value as a
+    step function under (ts, id) order and integrate it over the key's own
+    [first_ts, last_ts] span — rows (key, span_us, twap_num, twap_milli)
+    with ``twap_num = Σ value_milli_i · (ts_{i+1} − ts_i)`` (the last
+    observation has zero width) and ``twap_milli = twap_num // span_us``.
+    Keys with a single event (span 0) are emitted with span_us = 0 and
+    twap_milli = their value (the step function is a point). All integer →
+    exact oracle comparison; per-key numerators stay ≤ max_value_milli ×
+    span_us ≈ 10^17 « int64.
+
+    Scale shape: same as :func:`event_deltas` — key-hash buckets co-locate
+    a key's events, ONE vectorized pass per bucket (sort + diff + segment
+    sums via np.add.reduceat); only (key, ts, id, value_milli) crosses the
+    exchange."""
+    from .aggregate import bucket_by_key
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, ts_col, id_col])
+        ts_us = b[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        keys = b[key_col].to_numpy()
+        vm = np.floor(b[value_col].to_numpy() * 1000.0).astype("int64")
+        n = len(b)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        # width of each observation: next ts − this ts inside the key,
+        # 0 for each key's last observation
+        width = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            d = ts_us[1:] - ts_us[:-1]
+            same = keys[1:] == keys[:-1]
+            width[:-1] = np.where(same, d, 0)
+        num = np.add.reduceat(vm * width, starts)
+        ends = np.append(starts[1:], n) - 1
+        span = ts_us[ends] - ts_us[starts]
+        twap = np.where(span > 0, num // np.maximum(span, 1), vm[starts])
+        # span==0 keys: single observation (or all-equal ts) → the value of
+        # the FIRST observation in (ts, id) order, matching the oracle
+        return pd.DataFrame(
+            {
+                key_col: keys[starts],
+                "span_us": span,
+                "twap_num": num,
+                "twap_milli": twap,
+            }
+        )
+
+    bucketed = bucket_by_key(
+        ds.select_columns([key_col, ts_col, id_col, value_col]),
+        key_col,
+        num_buckets,
+    )
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(key_col)
+    )

@@ -93,6 +93,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "lm_scores", "order_skyline", "pricing_summary",
      "shipping_priority", "late_priority_counts", "ohlc_bars",
      "value_hour_corr", "ppjoin_pairs", "novelty_scores", "ann_filtered",
+     "twap_values",
      "resampled_series", "cdc_merged_state", "bfs_levels",
      "event_pairs_within"],
 )
@@ -4067,3 +4068,43 @@ def test_ppjoin_skew_guard_raises(ray_session):
         prefix_filter_jaccard_pairs(
             ray.data.from_arrow(tbl), num_buckets=2, max_group=4
         ).to_pandas()
+
+
+def test_twap_kernel_edge_cases(ray_session):
+    """TWAP: single-event key, all-equal-timestamps key (span 0 → first
+    value), step integral vs hand computation, key-boundary isolation."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.windows import time_weighted_averages
+
+    rows = [
+        # user 1: v=1.0 for 10us, then v=3.0 for 0 (last) → num=1000*10
+        (1, 0, 100, 1.0),
+        (1, 10, 101, 3.0),
+        # user 2: single event
+        (2, 5, 200, 7.5),
+        # user 3: two events at the SAME ts (span 0) → first by id = 2.0
+        (3, 50, 300, 2.0),
+        (3, 50, 301, 9.0),
+        # user 4: three steps 1.0(5us) 2.0(5us) 4.0(end)
+        (4, 0, 400, 1.0),
+        (4, 5, 401, 2.0),
+        (4, 10, 402, 4.0),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "value": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+    )
+    got = time_weighted_averages(
+        ray.data.from_arrow(tbl), num_buckets=4
+    ).to_pandas().set_index("user_id")
+    assert got.loc[1, "span_us"] == 10 and got.loc[1, "twap_num"] == 10000
+    assert got.loc[1, "twap_milli"] == 1000
+    assert got.loc[2, "span_us"] == 0 and got.loc[2, "twap_milli"] == 7500
+    assert got.loc[3, "span_us"] == 0 and got.loc[3, "twap_milli"] == 2000
+    assert got.loc[4, "twap_num"] == 1000 * 5 + 2000 * 5
+    assert got.loc[4, "twap_milli"] == (1000 * 5 + 2000 * 5) // 10

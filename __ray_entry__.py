@@ -1432,6 +1432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "novelty_scores",
             "ann_filtered",
             "twap_values",
+            "event_fingerprints",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",

@@ -1515,6 +1515,21 @@ def q_event_deltas(sf_dir: str):
     return event_deltas(_events(sf_dir, ["user_id", "event_id", "ts"]))
 
 
+def q_event_fingerprints(sf_dir: str):
+    """Logstash fingerprint-filter analog: SHA256 over the concatenated
+    name=value serialization of (event_id, user_id, event_type) per event —
+    the content-addressing / idempotency-key filter. Message built in one
+    vectorized pass; digest per row (inherently per-row C call)."""
+    from ..stages.logfilters import make_fingerprint
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type"])
+    fp = ev.map_batches(
+        make_fingerprint(["event_id", "user_id", "event_type"]),
+        batch_format="pyarrow",
+    )
+    return fp.select_columns(["event_id", "fingerprint"]).sort("event_id")
+
+
 def q_twap_values(sf_dir: str):
     """Per-user time-weighted average value (TWAP): step-function integral
     over each user's own [first, last] span under (ts, event_id) order —
@@ -3803,6 +3818,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "stopword_filter": q_stopword_filter,
     "event_deltas": q_event_deltas,
     "twap_values": q_twap_values,
+    "event_fingerprints": q_event_fingerprints,
     "rolling_windows": q_rolling_windows,
     "hourly_pivot": q_hourly_pivot,
     "pricing_summary": q_pricing_summary,
@@ -5361,6 +5377,13 @@ SELECT doc_id,
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text
 FROM documents ORDER BY doc_id
+""",
+    "event_fingerprints": """
+SELECT event_id,
+       sha256('event_id=' || CAST(event_id AS VARCHAR) ||
+              '|user_id=' || coalesce(CAST(user_id AS VARCHAR), '') ||
+              '|event_type=' || coalesce(event_type, '')) AS fingerprint
+FROM events ORDER BY event_id
 """,
     "twap_values": """
 WITH ev AS (

@@ -1650,3 +1650,55 @@ def make_transliterate(cols: Sequence[str], suffix: str = "_ascii"):
         return batch
 
     return transliterate
+
+
+def make_fingerprint(
+    source_cols: Sequence[str],
+    target_col: str = "fingerprint",
+    method: str = "SHA256",
+    key: Optional[str] = None,
+):
+    """Logstash fingerprint-filter analog (logstash-filter-fingerprint's
+    ``concatenate_sources`` mode): the named source fields are serialized
+    as ``name=value`` joined with ``|`` (nulls serialize as the empty
+    string, mirroring the reference's to_s) and hashed — SHA256/SHA1/MD5
+    hex, or HMAC-SHA256 when ``key`` is given (the keyed variant has no
+    SQL twin; the unkeyed ones are oracle-exact via DuckDB sha256/md5).
+
+    Batch shape: the message column is built with ONE vectorized
+    ``pc.binary_join_element_wise`` pass; the digest itself is a per-row C
+    hashlib call (a hash is inherently per-row — same cost class as the
+    md5 oracle variant of epoch_shuffle)."""
+    import hashlib
+    import hmac as hmac_mod
+
+    methods = {"SHA256": hashlib.sha256, "SHA1": hashlib.sha1, "MD5": hashlib.md5}
+    if method not in methods:
+        raise ValueError("make_fingerprint: unsupported method %r" % method)
+    key_bytes = key.encode() if key is not None else None
+
+    def fn(batch: pa.Table) -> pa.Table:
+        parts = []
+        for i, c in enumerate(source_cols):
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            sval = pc.fill_null(pc.cast(col, pa.string()), "")
+            prefix = ("" if i == 0 else "|") + c + "="
+            parts.append(pa.array([prefix] * batch.num_rows, type=pa.string()))
+            parts.append(sval)
+        msg = pc.binary_join_element_wise(*parts, "")
+        if key_bytes is None:
+            h = methods[method]
+            digests = [
+                h(m.encode("utf-8")).hexdigest()
+                for m in msg.to_pylist()
+            ]
+        else:
+            digests = [
+                hmac_mod.new(key_bytes, m.encode("utf-8"), methods[method]).hexdigest()
+                for m in msg.to_pylist()
+            ]
+        return batch.append_column(target_col, pa.array(digests, type=pa.string()))
+
+    return fn

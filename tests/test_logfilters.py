@@ -1418,3 +1418,34 @@ def test_aggregate_tasks_null_type_and_null_values(ray_session):
     assert got.loc[2, "status"] == "timeout"
     assert got.loc[2, "n_events"] == 2
     assert pd.isna(got.loc[2, "sum_value_milli"])
+
+
+def test_fingerprint_hmac_and_methods():
+    """HMAC-SHA256 keyed digests differ from unkeyed; null values
+    serialize as empty; unsupported method raises."""
+    import hashlib
+    import hmac
+
+    import pyarrow as pa
+    import pytest
+
+    from logstash_filter_geoip_ray.stages.logfilters import make_fingerprint
+
+    batch = pa.table(
+        {
+            "a": pa.array([1, None], type=pa.int64()),
+            "b": pa.array(["x", "y"], type=pa.string()),
+        }
+    )
+    plain = make_fingerprint(["a", "b"])(batch)["fingerprint"].to_pylist()
+    assert plain[0] == hashlib.sha256(b"a=1|b=x").hexdigest()
+    assert plain[1] == hashlib.sha256(b"a=|b=y").hexdigest()
+    keyed = make_fingerprint(["a", "b"], key="s3cr3t")(batch)[
+        "fingerprint"
+    ].to_pylist()
+    assert keyed[0] == hmac.new(b"s3cr3t", b"a=1|b=x", hashlib.sha256).hexdigest()
+    assert keyed != plain
+    md5 = make_fingerprint(["b"], method="MD5")(batch)["fingerprint"].to_pylist()
+    assert md5[0] == hashlib.md5(b"b=x").hexdigest()
+    with pytest.raises(ValueError, match="unsupported method"):
+        make_fingerprint(["a"], method="CRC32")

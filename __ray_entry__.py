@@ -177,6 +177,77 @@ def _q_log_templates(sf_dir: str):
     )
 
 
+def _q_latency_slo(sf_dir: str):
+    """SLO latency report per status: exact p50/p95/p99 of the grok'd
+    latency=…ms field plus the sample count — the dashboard query of every
+    log pipeline. Exactness at scale WITHOUT a global sort: latency is a
+    bounded-domain integer, so per-batch (status, ms) counts collapse to a
+    tiny histogram (statuses × distinct ms values), the tree combine ships
+    only that, and the quantile is a cumulative-sum walk in the final task
+    — the classic counting-quantile for integer metrics (equals the
+    ceil(p·n)-th order statistic the oracle selects by row_number)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import tree_sum
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["text"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        st = pc.struct_field(
+            pc.extract_regex(text, r"status=(?P<v>\d+)"), "v"
+        )
+        ms = pc.cast(
+            pc.struct_field(pc.extract_regex(text, r"latency=(?P<v>\d+)ms"), "v"),
+            pa.int64(),
+        )
+        t = pa.table({"status": st, "ms": ms,
+                      "n": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+        t = t.filter(pc.and_(pc.is_valid(t["status"]), pc.is_valid(t["ms"])))
+        g = t.group_by(["status", "ms"]).aggregate([("n", "sum")])
+        return g.rename_columns(["status", "ms", "n"])
+
+    hist = tree_sum(
+        ds.map_batches(extract, batch_format="pyarrow"),
+        ["status", "ms"],
+        ["n"],
+        sort_result=False,
+    )
+
+    def quantiles(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas().sort_values(["status", "ms"])
+        out = []
+        for status, g in df.groupby("status", sort=True):
+            cum = g["n"].cumsum().to_numpy()
+            n = int(cum[-1])
+            ms = g["ms"].to_numpy()
+            def pick(p):
+                target = -(-p * n // 100)  # ceil(p*n/100)
+                return int(ms[np.searchsorted(cum, target)])
+            out.append((status, n, pick(50), pick(95), pick(99)))
+        return pa.table(
+            {
+                "status": pa.array([o[0] for o in out], type=pa.string()),
+                "n": pa.array([o[1] for o in out], type=pa.int64()),
+                "p50_ms": pa.array([o[2] for o in out], type=pa.int64()),
+                "p95_ms": pa.array([o[3] for o in out], type=pa.int64()),
+                "p99_ms": pa.array([o[4] for o in out], type=pa.int64()),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        quantiles, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _q_sink_counts_checkpointed(sf_dir: str):
     """P8 end-to-end: checkpointed per-shard enrich (rerun = resume) →
     aggregate over the checkpoint outputs; same oracle as sink_counts."""
@@ -948,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_tokens": _q_parse_tokens,
         "log_field_counts": _q_log_field_counts,
         "log_templates": _q_log_templates,
+        "latency_slo": _q_latency_slo,
         "kv_pair_stats": _q_kv_pair_stats,
         "dissect_status": _q_dissect_status,
         "multiformat_dates": _q_multiformat_dates,
@@ -1433,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_filtered",
             "twap_values",
             "event_fingerprints",
+            "latency_slo",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",
@@ -1546,6 +1619,25 @@ SELECT tool, n, template FROM (
   FROM tpl GROUP BY 1, 2)
 WHERE rn <= 5
 ORDER BY tool, n DESC, template
+"""
+    out["latency_slo"] = f"""
+WITH lat AS (
+  SELECT regexp_extract(text, 'status=(\\d+)', 1) AS status,
+         CAST(regexp_extract(text, 'latency=(\\d+)ms', 1) AS BIGINT) AS ms
+  FROM read_parquet('{t}/*.parquet')
+  WHERE regexp_extract(text, 'latency=(\\d+)ms', 1) <> ''
+    AND regexp_extract(text, 'status=(\\d+)', 1) <> ''
+), r AS (
+  SELECT status, ms,
+         row_number() OVER (PARTITION BY status ORDER BY ms) AS rn,
+         count(*) OVER (PARTITION BY status) AS n
+  FROM lat
+)
+SELECT status, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN ms END) AS BIGINT) AS p50_ms,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN ms END) AS BIGINT) AS p95_ms,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN ms END) AS BIGINT) AS p99_ms
+FROM r GROUP BY status ORDER BY status
 """
     out["log_field_counts"] = f"""
 SELECT coalesce(nullif(regexp_extract(text, 'path=([^\\s"]+)', 1), ''), '_none') AS path,

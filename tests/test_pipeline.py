@@ -406,3 +406,42 @@ ORDER BY tool, n DESC, template
     a = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
     b = oracle[cols].astype(str).sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_latency_slo_match_oracle(ray_session):
+    """Counting-quantile SLO report must equal the DuckDB order-statistic
+    oracle at sf0.001 (SQL re-derived at this SF)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry_test2__",
+        os.path.join(os.path.dirname(__file__), "..", "__ray_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    got = mod.queries()["latency_slo"](SF).to_pandas()
+    t = transcripts_path(SF)
+    oracle = duckdb.sql(f"""
+WITH lat AS (
+  SELECT regexp_extract(text, 'status=(\\d+)', 1) AS status,
+         CAST(regexp_extract(text, 'latency=(\\d+)ms', 1) AS BIGINT) AS ms
+  FROM read_parquet('{t}/*.parquet')
+  WHERE regexp_extract(text, 'latency=(\\d+)ms', 1) <> ''
+    AND regexp_extract(text, 'status=(\\d+)', 1) <> ''
+), r AS (
+  SELECT status, ms,
+         row_number() OVER (PARTITION BY status ORDER BY ms) AS rn,
+         count(*) OVER (PARTITION BY status) AS n
+  FROM lat
+)
+SELECT status, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN ms END) AS BIGINT) AS p50_ms,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN ms END) AS BIGINT) AS p95_ms,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN ms END) AS BIGINT) AS p99_ms
+FROM r GROUP BY status ORDER BY status
+""").df()
+    cols = sorted(got.columns)
+    a = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    b = oracle[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)

@@ -1506,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "twap_values",
             "event_fingerprints",
             "latency_slo",
+            "ipc_roundtrip_stats",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",

@@ -1828,6 +1828,59 @@ def q_orc_roundtrip_stats(sf_dir: str):
     )
 
 
+def q_ipc_roundtrip_stats(sf_dir: str):
+    """Fourth file format end-to-end THROUGH DISK: the events table is
+    written to Arrow IPC / Feather-V2 (one .arrow file per block, inside
+    the map tasks), read back record-batch-parallel by
+    :func:`sources.readers.read_ipc`, and aggregated per user-id decade —
+    a DIFFERENT key than the ORC roundtrip so the two format hops are
+    pinned by independent aggregates. The oracle reads the source parquet
+    directly, so any value/row loss across the IPC write→read hop breaks
+    the hash."""
+    import hashlib
+    import shutil
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..sources.readers import read_ipc, write_ipc
+    from ..stages.aggregate import tree_sum
+
+    staging = "/tmp/ipc_roundtrip_%s" % hashlib.sha256(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:12]
+    shutil.rmtree(staging, ignore_errors=True)
+    write_ipc(_events(sf_dir, ["user_id", "value"]), staging)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        milli = np.floor(
+            v.to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        decade = pc.multiply(
+            pc.floor(pc.divide(pc.cast(batch["user_id"], pa.int64()), 10)),
+            1,
+        ).cast(pa.int64())
+        t = pa.table(
+            {
+                "user_decade": decade,
+                "value_milli": pa.array(milli, type=pa.int64()),
+                "n": pa.array(np.ones(len(milli), np.int64)),
+            }
+        )
+        return t.group_by(["user_decade"]).aggregate(
+            [("value_milli", "sum"), ("n", "sum")]
+        ).rename_columns(["user_decade", "value_milli", "n"])
+
+    return tree_sum(
+        read_ipc(staging).map_batches(partial, batch_format="pyarrow"),
+        ["user_decade"],
+        ["value_milli", "n"],
+    )
+
+
 def q_zonemap_stats(sf_dir: str):
     """Zone-map / data-skipping audit for the Z-order layout: every event
     maps to a Morton-curve chunk (top 6 interleaved bits = up to 64
@@ -3782,6 +3835,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "csv_roundtrip_stats": q_csv_roundtrip_stats,
     "zonemap_stats": q_zonemap_stats,
     "orc_roundtrip_stats": q_orc_roundtrip_stats,
+    "ipc_roundtrip_stats": q_ipc_roundtrip_stats,
     "model_scores": q_model_scores,
     "elapsed_times": q_elapsed_times,
     "compression_quality": q_compression_quality,
@@ -5384,6 +5438,12 @@ SELECT event_id,
               '|user_id=' || coalesce(CAST(user_id AS VARCHAR), '') ||
               '|event_type=' || coalesce(event_type, '')) AS fingerprint
 FROM events ORDER BY event_id
+""",
+    "ipc_roundtrip_stats": """
+SELECT CAST(user_id // 10 AS BIGINT) AS user_decade,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY 1
 """,
     "twap_values": """
 WITH ev AS (

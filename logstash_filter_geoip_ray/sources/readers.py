@@ -177,3 +177,80 @@ def write_orc(ds, path: str, compression: str = "zlib"):
         stats, batch_format="pyarrow", batch_size=None
     ).to_pandas()
     return path, len(manifest), int(manifest["rows"].sum()) if len(manifest) else 0
+
+
+def read_ipc(paths, columns: Optional[Sequence[str]] = None):
+    """Arrow IPC / Feather-V2 source (Ray 2.49 ships no IPC reader; built on
+    the public ``from_items`` + ``map_batches`` surface, same shape as
+    :func:`read_orc`): the driver opens only file FOOTERS (record-batch
+    counts — O(files) metadata), then one Ray task reads exactly one record
+    batch via ``pyarrow.ipc``. Record batches are IPC's row-group analog,
+    so read parallelism matches the writer's native layout. IPC is a
+    row-batch interchange format with no per-column pages, so column
+    pruning applies post-read inside the same task (zero-copy slice of the
+    mmapped batch, not a disk saving — documented, unlike parquet)."""
+    import glob as _glob
+    import os as _os
+
+    import ray.data
+
+    file_list: List[str] = []
+    for p in paths if isinstance(paths, (list, tuple)) else [paths]:
+        if _os.path.isdir(p):
+            file_list.extend(sorted(_glob.glob(_os.path.join(p, "*.arrow"))))
+        else:
+            file_list.append(p)
+    items = []
+    for f in file_list:
+        with pa.memory_map(f, "r") as src:
+            n = pa.ipc.open_file(src).num_record_batches
+        items.extend({"path": f, "batch": i} for i in range(n))
+    if not items:
+        raise FileNotFoundError("read_ipc: no IPC batches under %r" % (paths,))
+
+    cols = list(columns) if columns else None
+
+    def read_batch(batch: pa.Table) -> pa.Table:
+        out = []
+        for path, bi in zip(batch["path"].to_pylist(), batch["batch"].to_pylist()):
+            with pa.memory_map(path, "r") as src:
+                rb = pa.ipc.open_file(src).get_batch(bi)
+            t = pa.Table.from_batches([rb])
+            out.append(t.select(cols) if cols else t)
+        return pa.concat_tables(out)
+
+    return ray.data.from_items(items).map_batches(
+        read_batch, batch_size=1, batch_format="pyarrow"
+    )
+
+
+def write_ipc(ds, path: str):
+    """Arrow IPC / Feather-V2 sink: one ``.arrow`` file per block, written
+    inside the map tasks (streaming — nothing funnels through the driver);
+    content-hashed names make retried tasks overwrite their own file
+    (idempotent under Ray task retry, same contract as :func:`write_orc`).
+    Returns (path, files, rows)."""
+    import hashlib as _hashlib
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"rows": pa.array([], pa.int64()),
+                             "file": pa.array([], pa.string())})
+        h = _hashlib.sha256()
+        h.update(str(batch.num_rows).encode())
+        h.update(str(batch.slice(0, 1).to_pydict()).encode())
+        h.update(str(batch.slice(batch.num_rows - 1, 1).to_pydict()).encode())
+        name = "part-%s.arrow" % h.hexdigest()[:16]
+        with pa.OSFile(_os.path.join(path, name), "wb") as sink:
+            with pa.ipc.new_file(sink, batch.schema) as writer:
+                writer.write_table(batch)
+        return pa.table({"rows": pa.array([batch.num_rows], pa.int64()),
+                         "file": pa.array([name], pa.string())})
+
+    manifest = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    return path, len(manifest), int(manifest["rows"].sum()) if len(manifest) else 0

@@ -66,3 +66,32 @@ def test_bucket_by_key_stable(ray_session):
     assert (b1["_bucket"] == b2["_bucket"]).all()
     assert (b1.groupby("conv_id")["_bucket"].nunique() == 1).all()
     assert b1["_bucket"].between(0, 7).all()
+
+
+def test_ipc_roundtrip_exact(ray_session, tmp_path):
+    """IPC write → batch-parallel read must be value-exact and column
+    pruning must narrow the schema; empty dir raises."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.readers import read_ipc, write_ipc
+
+    tbl = pa.table(
+        {
+            "a": pa.array(range(1000), type=pa.int64()),
+            "b": pa.array([f"s{i}" for i in range(1000)], type=pa.string()),
+        }
+    )
+    out = str(tmp_path / "ipc")
+    path, files, rows = write_ipc(
+        ray.data.from_arrow(tbl).repartition(4), out
+    )
+    assert rows == 1000 and files >= 1
+    back = read_ipc(out).to_pandas().sort_values("a").reset_index(drop=True)
+    assert back["a"].tolist() == list(range(1000))
+    assert back["b"].tolist() == [f"s{i}" for i in range(1000)]
+    pruned = read_ipc(out, columns=["a"]).schema().names
+    assert pruned == ["a"]
+    with pytest.raises(FileNotFoundError):
+        read_ipc(str(tmp_path / "nothing_here"))

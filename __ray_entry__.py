@@ -1507,6 +1507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_fingerprints",
             "latency_slo",
             "ipc_roundtrip_stats",
+            "value_decile_bins",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",

@@ -1881,6 +1881,70 @@ def q_ipc_roundtrip_stats(sf_dir: str):
     )
 
 
+def q_value_decile_bins(sf_dir: str):
+    """ML feature discretization: equal-frequency (NTILE-10) binning of
+    value_milli — per bin its row count and [lo, hi] value bounds, the
+    bin-edge table a feature pipeline broadcasts to discretize at serving
+    time. Exact WITHOUT a global sort: value_milli is a bounded-domain
+    integer, so a (vm, n) histogram collapses per batch, the tree combine
+    ships only the tiny histogram, and every NTILE boundary is an order
+    statistic read off the cumulative counts (ties spanning a boundary
+    belong to both bins in SQL too, so min/max/count stay deterministic)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import tree_sum
+
+    ev = _events(sf_dir, ["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vm = pc.cast(
+            pc.floor(pc.multiply(batch["value"], 1000.0)), pa.int64()
+        )
+        t = pa.table({"vm": vm, "n": pa.array(
+            np.ones(batch.num_rows, dtype=np.int64))})
+        g = t.group_by(["vm"]).aggregate([("n", "sum")])
+        return g.rename_columns(["vm", "n"])
+
+    hist = tree_sum(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["vm"], ["n"], sort_result=False,
+    )
+
+    def bins(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values("vm")
+        vm = df["vm"].to_numpy()
+        cnt = df["n"].to_numpy()
+        cum = cnt.cumsum()
+        total = int(cum[-1])
+        k = 10
+        big = total % k          # first `big` bins take ceil(total/k)
+        size_hi, size_lo = -(-total // k), total // k
+        out = []
+        start = 0  # 0-indexed first row of the bin
+        for b in range(1, k + 1):
+            # NTILE: the first (total % k) bins take the ceil size; when
+            # total divides evenly size_hi == size_lo
+            size = size_hi if b <= big else size_lo
+            end = start + size - 1
+            lo = int(vm[np.searchsorted(cum, start + 1)])
+            hi = int(vm[np.searchsorted(cum, end + 1)])
+            out.append((b, size, lo, hi))
+            start = end + 1
+        return pa.table(
+            {
+                "bin": pa.array([o[0] for o in out], type=pa.int64()),
+                "n": pa.array([o[1] for o in out], type=pa.int64()),
+                "lo_milli": pa.array([o[2] for o in out], type=pa.int64()),
+                "hi_milli": pa.array([o[3] for o in out], type=pa.int64()),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        bins, batch_format="pyarrow", batch_size=None
+    )
+
+
 def q_zonemap_stats(sf_dir: str):
     """Zone-map / data-skipping audit for the Z-order layout: every event
     maps to a Morton-curve chunk (top 6 interleaved bits = up to 64
@@ -3836,6 +3900,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "zonemap_stats": q_zonemap_stats,
     "orc_roundtrip_stats": q_orc_roundtrip_stats,
     "ipc_roundtrip_stats": q_ipc_roundtrip_stats,
+    "value_decile_bins": q_value_decile_bins,
     "model_scores": q_model_scores,
     "elapsed_times": q_elapsed_times,
     "compression_quality": q_compression_quality,
@@ -5438,6 +5503,17 @@ SELECT event_id,
               '|user_id=' || coalesce(CAST(user_id AS VARCHAR), '') ||
               '|event_type=' || coalesce(event_type, '')) AS fingerprint
 FROM events ORDER BY event_id
+""",
+    "value_decile_bins": """
+WITH v AS (
+  SELECT CAST(floor(value * 1000) AS BIGINT) AS vm FROM events
+), b AS (
+  SELECT vm, CAST(ntile(10) OVER (ORDER BY vm) AS BIGINT) AS bin FROM v
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(vm) AS BIGINT) AS lo_milli,
+       CAST(max(vm) AS BIGINT) AS hi_milli
+FROM b GROUP BY 1 ORDER BY 1
 """,
     "ipc_roundtrip_stats": """
 SELECT CAST(user_id // 10 AS BIGINT) AS user_decade,

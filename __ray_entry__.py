@@ -258,6 +258,17 @@ def _q_sink_counts_checkpointed(sf_dir: str):
     return sink_counts_checkpointed(sf_dir)
 
 
+def _q_sink_counts_incremental(sf_dir: str):
+    """Streaming micro-batch mode: shards processed in arrival-order groups
+    with persisted, exactly-once partial counts; final = tree-sum of the
+    partials. Same oracle as sink_counts — incremental must equal batch."""
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        sink_counts_incremental,
+    )
+
+    return sink_counts_incremental(sf_dir)
+
+
 def _q_parse_tokens(sf_dir: str):
     """P2 alone: distinct extracted tokens with frequencies."""
     from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
@@ -1020,6 +1031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_field_counts": _q_log_field_counts,
         "log_templates": _q_log_templates,
         "latency_slo": _q_latency_slo,
+        "sink_counts_incremental": _q_sink_counts_incremental,
         "kv_pair_stats": _q_kv_pair_stats,
         "dissect_status": _q_dissect_status,
         "multiformat_dates": _q_multiformat_dates,
@@ -1508,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "latency_slo",
             "ipc_roundtrip_stats",
             "value_decile_bins",
+            "sink_counts_incremental",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",
@@ -1585,6 +1598,7 @@ GROUP BY 1 ORDER BY 1
         "asn_counts_salted": oracle_asn_counts_sql(sf),
         "sink_counts_custom_db": oracle_sink_counts_sql(sf),
         "sink_counts_checkpointed": oracle_sink_counts_sql(sf),
+        "sink_counts_incremental": oracle_sink_counts_sql(sf),
         "turn_histogram": oracle_turn_histogram_sql(sf),
         "routed_rows": routed,
         "parse_tokens": parse_tokens,

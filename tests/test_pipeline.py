@@ -445,3 +445,44 @@ FROM r GROUP BY status ORDER BY status
     a = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
     b = oracle[cols].astype(str).sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_sink_counts_incremental_exactly_once(ray_session, tmp_path):
+    """Micro-batch incremental aggregation: equals batch sink_counts, a
+    rerun recomputes nothing (state mtimes frozen), and a deleted partial
+    is the ONLY thing a subsequent run recomputes."""
+    import glob
+    import os
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        sink_counts_incremental,
+    )
+
+    sf = "/root/testdata/sf0.01"  # 4 row groups -> 2 micro-batches of 2
+    state = str(tmp_path / "incr")
+    got = sink_counts_incremental(
+        sf, micro_batch_units=2, state_root=state
+    ).to_pandas()
+    oracle = duckdb.sql(oracle_sink_counts_sql(sf)).df()
+    merged = got.merge(oracle, on=["country", "tool"], suffixes=("_r", "_o"))
+    assert len(merged) == len(got) == len(oracle)
+    assert (merged["n_r"] == merged["n_o"]).all()
+
+    parts = sorted(glob.glob(os.path.join(state, "*", "partial-*.parquet")))
+    assert len(parts) >= 2
+    mtimes = {p: os.path.getmtime(p) for p in parts}
+    again = sink_counts_incremental(
+        sf, micro_batch_units=2, state_root=state
+    ).to_pandas()
+    assert again.equals(got)
+    assert {p: os.path.getmtime(p) for p in parts} == mtimes  # pure resume
+
+    victim = parts[0]
+    os.remove(victim)
+    third = sink_counts_incremental(
+        sf, micro_batch_units=2, state_root=state
+    ).to_pandas()
+    assert third.equals(got)
+    assert os.path.exists(victim)  # only the deleted partial recomputed
+    for p in parts[1:]:
+        assert os.path.getmtime(p) == mtimes[p]

@@ -148,6 +148,8 @@ class _ShardWriter:
             "config_hash": self.chash,
             "engine_version": ENGINE_VERSION,
             "wall_ms": round((time.perf_counter() - t0) * 1000, 1),
+            "input_bytes": os.path.getsize(input_path),
+            "output_bytes": os.path.getsize(out_file),
             "written_at_unix": int(time.time()),
         }
         mpath = manifest_path(self.out_dir, input_path)
@@ -202,5 +204,10 @@ def run_checkpointed(
         "shards_skipped": len(inputs) - len(todo),
         "output_rows": sum(m["output_rows"] for m in done),
         "ok_rows": sum(m["ok_rows"] for m in done),
+        # fleet metrics: totals tolerate manifests written by older engine
+        # versions that lack the byte/wall fields
+        "wall_ms": round(sum(m.get("wall_ms", 0.0) for m in done), 1),
+        "input_bytes": sum(m.get("input_bytes", 0) for m in done),
+        "output_bytes": sum(m.get("output_bytes", 0) for m in done),
         "config_hash": chash,
     }

@@ -1521,6 +1521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ipc_roundtrip_stats",
             "value_decile_bins",
             "sink_counts_incremental",
+            "pii_inventory",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",

@@ -1945,6 +1945,54 @@ def q_value_decile_bins(sf_dir: str):
     )
 
 
+#: PII inventory patterns — the masking stage's IP/EMAIL pair plus URL,
+#: shared RE2/DuckDB syntax (mirrored verbatim in the oracle).
+PII_PATTERNS = (
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("url", r"https?://[^\s\"]+"),
+)
+
+
+def q_pii_inventory(sf_dir: str):
+    """Data-governance inventory: per PII kind (ip / email / url) the total
+    match count and the number of documents containing at least one —
+    the 'what leaks where' report a compliance pipeline runs BEFORE the
+    masking stage. One vectorized ``pc.count_substring_regex`` per kind per
+    batch; only a 3-row partial leaves each batch."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import tree_sum
+
+    docs = _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        kinds, totals, docs_any = [], [], []
+        for kind, pat in PII_PATTERNS:
+            c = pc.count_substring_regex(text, pat)
+            cn = c.to_numpy(zero_copy_only=False)
+            cn = np.nan_to_num(cn.astype("float64"), nan=0.0).astype("int64")
+            kinds.append(kind)
+            totals.append(int(cn.sum()))
+            docs_any.append(int((cn > 0).sum()))
+        return pa.table(
+            {
+                "kind": pa.array(kinds, type=pa.string()),
+                "total_matches": pa.array(totals, type=pa.int64()),
+                "docs_with_any": pa.array(docs_any, type=pa.int64()),
+            }
+        )
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    return tree_sum(
+        partials, ["kind"], ["total_matches", "docs_with_any"], sort_result=True
+    )
+
+
 def q_zonemap_stats(sf_dir: str):
     """Zone-map / data-skipping audit for the Z-order layout: every event
     maps to a Morton-curve chunk (top 6 interleaved bits = up to 64
@@ -3901,6 +3949,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "orc_roundtrip_stats": q_orc_roundtrip_stats,
     "ipc_roundtrip_stats": q_ipc_roundtrip_stats,
     "value_decile_bins": q_value_decile_bins,
+    "pii_inventory": q_pii_inventory,
     "model_scores": q_model_scores,
     "elapsed_times": q_elapsed_times,
     "compression_quality": q_compression_quality,
@@ -5503,6 +5552,20 @@ SELECT event_id,
               '|user_id=' || coalesce(CAST(user_id AS VARCHAR), '') ||
               '|event_type=' || coalesce(event_type, '')) AS fingerprint
 FROM events ORDER BY event_id
+""",
+    "pii_inventory": """
+WITH pats(kind, pat) AS (VALUES
+  ('ip', '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'),
+  ('email', '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'),
+  ('url', 'https?://[^\\s"]+')
+), m AS (
+  SELECT p.kind, len(regexp_extract_all(d.text, p.pat)) AS c
+  FROM documents d CROSS JOIN pats p
+)
+SELECT kind,
+       CAST(sum(c) AS BIGINT) AS total_matches,
+       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_any
+FROM m GROUP BY 1 ORDER BY 1
 """,
     "value_decile_bins": """
 WITH v AS (

@@ -1482,22 +1482,45 @@ def prefix_filter_jaccard_pairs(
     j = hash_join(j, lb, "b", "b", num_buckets=num_buckets)
 
     def verify(batch: pa.Table) -> pa.Table:
+        # vectorized exact verify: |a ∪ b| = nunique over the two token
+        # lists concatenated per pair (lists are already per-doc DISTINCT),
+        # so inter = |a| + |b| − union — one exploded groupby per batch,
+        # no per-pair Python loop
         df = batch.select(["a", "b", "toks_a", "toks_b"]).to_pandas()
-        rows = []
-        # candidate-bound loop: the prefix+size filters already pruned the
-        # quadratic space; survivors are the (small) verified-pair class
-        for a, b, ta, tb in df.itertuples(index=False):
-            sa, sb = set(ta), set(tb)
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            if union and inter * threshold_den >= union * threshold_num:
-                rows.append((int(a), int(b), inter, union))
+        if not len(df):
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "inter": pa.array([], type=pa.int64()),
+                    "union_": pa.array([], type=pa.int64()),
+                }
+            )
+        size_a = df["toks_a"].map(len).to_numpy(dtype="int64")
+        size_b = df["toks_b"].map(len).to_numpy(dtype="int64")
+        # Arrow lists arrive as numpy arrays per cell — explode each side
+        # (Series + would broadcast-add, not concatenate), factorize the
+        # token strings ONCE, then the per-pair distinct count is pure
+        # int64 numpy (unique over pair_idx·V + code)
+        ex_a = df["toks_a"].explode()
+        ex_b = df["toks_b"].explode()
+        idx = np.concatenate([ex_a.index.to_numpy(), ex_b.index.to_numpy()])
+        words = np.concatenate(
+            [ex_a.to_numpy(dtype=object), ex_b.to_numpy(dtype=object)]
+        )
+        codes, uniques = pd.factorize(words)
+        combined = idx.astype(np.int64) * np.int64(len(uniques)) + codes
+        distinct = np.unique(combined)
+        pair_of = distinct // np.int64(len(uniques))
+        union = np.bincount(pair_of, minlength=len(df)).astype(np.int64)
+        inter = size_a + size_b - union
+        keep = (union > 0) & (inter * threshold_den >= union * threshold_num)
         return pa.table(
             {
-                "a": pa.array([r[0] for r in rows], type=pa.int64()),
-                "b": pa.array([r[1] for r in rows], type=pa.int64()),
-                "inter": pa.array([r[2] for r in rows], type=pa.int64()),
-                "union_": pa.array([r[3] for r in rows], type=pa.int64()),
+                "a": pa.array(df["a"].to_numpy(dtype="int64")[keep]),
+                "b": pa.array(df["b"].to_numpy(dtype="int64")[keep]),
+                "inter": pa.array(inter[keep], type=pa.int64()),
+                "union_": pa.array(union[keep], type=pa.int64()),
             }
         )
 

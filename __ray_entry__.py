@@ -1522,6 +1522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "value_decile_bins",
             "sink_counts_incremental",
             "pii_inventory",
+            "scd2_intervals",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",

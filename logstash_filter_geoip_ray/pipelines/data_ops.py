@@ -1530,6 +1530,16 @@ def q_event_fingerprints(sf_dir: str):
     return fp.select_columns(["event_id", "fingerprint"]).sort("event_id")
 
 
+def q_scd2_intervals(sf_dir: str):
+    """SCD Type-2 dimension build: each user's event_type changelog
+    compressed to validity intervals (valid_from/valid_to, -1-sentinel
+    open current row) — one vectorized change-mask + shift pass per key
+    bucket."""
+    from ..stages.windows import scd2_intervals
+
+    return scd2_intervals(_events(sf_dir, ["user_id", "event_type", "ts", "event_id"]))
+
+
 def q_twap_values(sf_dir: str):
     """Per-user time-weighted average value (TWAP): step-function integral
     over each user's own [first, last] span under (ts, event_id) order —
@@ -3987,6 +3997,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "event_deltas": q_event_deltas,
     "twap_values": q_twap_values,
     "event_fingerprints": q_event_fingerprints,
+    "scd2_intervals": q_scd2_intervals,
     "rolling_windows": q_rolling_windows,
     "hourly_pivot": q_hourly_pivot,
     "pricing_summary": q_pricing_summary,
@@ -5545,6 +5556,22 @@ SELECT doc_id,
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text
 FROM documents ORDER BY doc_id
+""",
+    "scd2_intervals": """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+), ch AS (
+  SELECT user_id, event_type, ts_us, event_id
+  FROM e WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       CAST(ts_us AS BIGINT) AS valid_from_us,
+       CAST(coalesce(lead(ts_us) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id), -1) AS BIGINT) AS valid_to_us
+FROM ch ORDER BY user_id, valid_from_us, event_type
 """,
     "event_fingerprints": """
 SELECT event_id,

@@ -1316,3 +1316,68 @@ def time_weighted_averages(
         .map_groups(per_bucket, batch_format="pandas")
         .sort(key_col)
     )
+
+
+def scd2_intervals(
+    ds,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    num_buckets: int = 64,
+):
+    """Slowly-Changing-Dimension Type 2: compress each key's attribute
+    changelog into validity intervals — one row per CHANGE (first
+    observation or attribute differs from the previous one under (ts, id)
+    order) with ``valid_from_us`` and ``valid_to_us`` = the next change's
+    timestamp (null for the key's current row). The warehouse-dimension
+    builder next to CDC-merge (which keeps only the latest state; SCD2
+    keeps the full history as intervals).
+
+    Scale shape: key-hash buckets co-locate a key's rows; inside a bucket
+    ONE vectorized pass (sort, shift-compare for the change mask, shift
+    for the interval end) — no per-key Python. Only (key, attr, ts, id)
+    crosses the exchange."""
+    from .aggregate import bucket_by_key
+
+    def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([key_col, ts_col, id_col])
+        ts_us = b[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+        keys = b[key_col].to_numpy()
+        attrs = b[attr_col].to_numpy()
+        n = len(b)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        change = new_key.copy()
+        change[1:] |= attrs[1:] != attrs[:-1]
+        ck, ca, cts = keys[change], attrs[change], ts_us[change]
+        cnew = new_key[change]
+        # valid_to = next change row's ts within the same key (-1 at last)
+        to = np.empty(len(cts), dtype="int64")
+        to[:-1] = cts[1:]
+        to[-1] = -1
+        # a next row that starts a NEW key ends nothing: open interval
+        nxt_new = np.empty(len(cts), dtype=bool)
+        nxt_new[:-1] = cnew[1:]
+        nxt_new[-1] = True
+        to[nxt_new] = -1
+        return pd.DataFrame(
+            {
+                key_col: ck,
+                attr_col: ca,
+                "valid_from_us": cts,
+                "valid_to_us": to,
+            }
+        )
+
+    bucketed = bucket_by_key(
+        ds.select_columns([key_col, attr_col, ts_col, id_col]),
+        key_col,
+        num_buckets,
+    )
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort([key_col, "valid_from_us", attr_col])
+    )

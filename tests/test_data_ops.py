@@ -94,6 +94,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "shipping_priority", "late_priority_counts", "ohlc_bars",
      "value_hour_corr", "ppjoin_pairs", "novelty_scores", "ann_filtered",
      "twap_values", "event_fingerprints", "ipc_roundtrip_stats", "value_decile_bins", "pii_inventory",
+     "scd2_intervals",
      "resampled_series", "cdc_merged_state", "bfs_levels",
      "event_pairs_within"],
 )
@@ -4108,3 +4109,34 @@ def test_twap_kernel_edge_cases(ray_session):
     assert got.loc[3, "span_us"] == 0 and got.loc[3, "twap_milli"] == 2000
     assert got.loc[4, "twap_num"] == 1000 * 5 + 2000 * 5
     assert got.loc[4, "twap_milli"] == (1000 * 5 + 2000 * 5) // 10
+
+
+def test_scd2_kernel_edge_cases(ray_session):
+    """SCD2: consecutive-duplicate compression, per-key isolation, open
+    current interval, equal-timestamp change ordering by event_id."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.windows import scd2_intervals
+
+    rows = [
+        (1, "a", 0, 10), (1, "a", 5, 11), (1, "b", 9, 12), (1, "b", 15, 13),
+        (1, "a", 20, 14),
+        (2, "x", 3, 20),
+        # user 3: two changes at the SAME ts — order by event_id
+        (3, "p", 7, 30), (3, "q", 7, 31),
+    ]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_type": [r[1] for r in rows],
+            "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+            "event_id": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+    got = scd2_intervals(ray.data.from_arrow(tbl), num_buckets=4).to_pandas()
+    recs = list(map(tuple, got.to_numpy()))
+    assert recs == [
+        (1, "a", 0, 9), (1, "b", 9, 20), (1, "a", 20, -1),
+        (2, "x", 3, -1),
+        (3, "p", 7, 7), (3, "q", 7, -1),
+    ]

@@ -1869,10 +1869,9 @@ def q_ipc_roundtrip_stats(sf_dir: str):
         milli = np.floor(
             v.to_numpy(zero_copy_only=False) * 1000.0
         ).astype(np.int64)
-        decade = pc.multiply(
-            pc.floor(pc.divide(pc.cast(batch["user_id"], pa.int64()), 10)),
-            1,
-        ).cast(pa.int64())
+        # int64 pc.divide already truncates (== floor for the non-negative
+        # synthetic ids; the oracle's // has the same truncating semantics)
+        decade = pc.divide(pc.cast(batch["user_id"], pa.int64()), 10)
         t = pa.table(
             {
                 "user_decade": decade,
@@ -1934,8 +1933,11 @@ def q_value_decile_bins(sf_dir: str):
         start = 0  # 0-indexed first row of the bin
         for b in range(1, k + 1):
             # NTILE: the first (total % k) bins take the ceil size; when
-            # total divides evenly size_hi == size_lo
+            # total divides evenly size_hi == size_lo; with total < k the
+            # tail bins are EMPTY and ntile never emits them — skip
             size = size_hi if b <= big else size_lo
+            if size == 0:
+                continue
             end = start + size - 1
             lo = int(vm[np.searchsorted(cum, start + 1)])
             hi = int(vm[np.searchsorted(cum, end + 1)])
@@ -1955,11 +1957,14 @@ def q_value_decile_bins(sf_dir: str):
     )
 
 
-#: PII inventory patterns — the masking stage's IP/EMAIL pair plus URL,
-#: shared RE2/DuckDB syntax (mirrored verbatim in the oracle).
+#: PII inventory patterns — the masking stage's OWN regexes (imported, not
+#: re-typed, so inventory and mask cannot drift) plus URL; shared
+#: RE2/DuckDB syntax (mirrored verbatim in the oracle).
+from ..stages.textops import MASK_PATTERNS as _MASK_PATTERNS
+
 PII_PATTERNS = (
-    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", _MASK_PATTERNS[0][0]),
+    ("email", _MASK_PATTERNS[1][0]),
     ("url", r"https?://[^\s\"]+"),
 )
 

@@ -563,7 +563,9 @@ def sink_counts_incremental(
     """Streaming-ingestion mode: transcript (file, row-group) units are
     processed in arrival order as MICRO-BATCHES of ``micro_batch_units``
     units each, persisting one per-micro-batch (country, tool)
-    partial-count parquet under a content+code-keyed state dir — a rerun
+    partial-count parquet under a state dir keyed by code (module sources),
+    config database identity and input path, with per-unit keys covering
+    file size+mtime (content proxy) — a rerun
     (or a crash-rerun) skips every finished micro-batch (exactly-once per
     unit group) and only new arrivals compute. The final answer is the
     tree-sum of all persisted partials and must equal the batch
@@ -601,10 +603,17 @@ def sink_counts_incremental(
         for rg in range(_pq.ParquetFile(f).num_row_groups):
             units.append((f, rg))
 
+    import sys as _sys
+
     code = _hashlib.md5()
-    for mod in (_enrich_mod, _parse_mod):
+    # every module that shapes the output, INCLUDING this one (routing +
+    # config defaults live here), plus the configured GeoIP database bytes'
+    # identity (size+mtime) — the enrichment side table is an input too
+    for mod in (_enrich_mod, _parse_mod, _sys.modules[__name__]):
         with open(mod.__file__, "rb") as f:
             code.update(f.read())
+    dbst = os.stat(config.database)
+    code.update(("%d:%d" % (dbst.st_size, dbst.st_mtime_ns)).encode())
     state_dir = os.path.join(
         state_root,
         _hashlib.md5((path + code.hexdigest()).encode()).hexdigest()[:16],
@@ -625,8 +634,14 @@ def sink_counts_incremental(
     ]
     partial_paths = []
     for g in groups:
+        # unit key covers file identity AND content (size + mtime): a
+        # regenerated shard under the same name invalidates its partials
         key = _hashlib.md5(
-            "\x1f".join("%s#%d" % u for u in g).encode()
+            "\x1f".join(
+                "%s#%d#%d#%d"
+                % (p, rg, os.path.getsize(p), os.stat(p).st_mtime_ns)
+                for p, rg in g
+            ).encode()
         ).hexdigest()[:16]
         out = os.path.join(state_dir, "partial-%s.parquet" % key)
         partial_paths.append(out)

@@ -145,16 +145,15 @@ def read_orc(paths, columns: Optional[Sequence[str]] = None):
     )
 
 
-def write_orc(ds, path: str, compression: str = "zlib"):
-    """ORC sink: one file per block, written inside the map tasks (the
-    sink streams — nothing funnels through the driver). File names are
-    content-hashed from the block's first/last rows + row count, so a
-    retried task overwrites its own file instead of duplicating it
-    (idempotent under Ray task retry). Returns (path, files, rows)."""
+def _write_blocks(ds, path: str, ext: str, write_fn):
+    """Shared one-file-per-block sink core (ORC/IPC): files written inside
+    the map tasks (the sink streams — nothing funnels through the driver),
+    named by a content hash of row count, first/last rows, column names
+    and byte size, so a retried task overwrites its own file instead of
+    duplicating it (idempotent under Ray task retry). Returns
+    (path, files, rows)."""
     import hashlib as _hashlib
     import os as _os
-
-    from pyarrow import orc as _orc
 
     _os.makedirs(path, exist_ok=True)
 
@@ -164,19 +163,29 @@ def write_orc(ds, path: str, compression: str = "zlib"):
                              "file": pa.array([], pa.string())})
         h = _hashlib.sha256()
         h.update(str(batch.num_rows).encode())
+        h.update(str(batch.column_names).encode())
+        h.update(str(batch.nbytes).encode())
         h.update(str(batch.slice(0, 1).to_pydict()).encode())
         h.update(str(batch.slice(batch.num_rows - 1, 1).to_pydict()).encode())
-        name = "part-%s.orc" % h.hexdigest()[:16]
-        _orc.write_table(batch, _os.path.join(path, name),
-                         compression=compression)
+        name = "part-%s%s" % (h.hexdigest()[:16], ext)
+        write_fn(batch, _os.path.join(path, name))
         return pa.table({"rows": pa.array([batch.num_rows], pa.int64()),
                          "file": pa.array([name], pa.string())})
 
-    stats = write_block  # applied per block, batch_size=None keeps blocks
     manifest = ds.map_batches(
-        stats, batch_format="pyarrow", batch_size=None
+        write_block, batch_format="pyarrow", batch_size=None
     ).to_pandas()
     return path, len(manifest), int(manifest["rows"].sum()) if len(manifest) else 0
+
+
+def write_orc(ds, path: str, compression: str = "zlib"):
+    """ORC sink on the shared :func:`_write_blocks` core."""
+    from pyarrow import orc as _orc
+
+    return _write_blocks(
+        ds, path, ".orc",
+        lambda batch, out: _orc.write_table(batch, out, compression=compression),
+    )
 
 
 def read_ipc(paths, columns: Optional[Sequence[str]] = None):
@@ -224,33 +233,13 @@ def read_ipc(paths, columns: Optional[Sequence[str]] = None):
     )
 
 
+def _ipc_write_table(batch: pa.Table, out: str) -> None:
+    with pa.OSFile(out, "wb") as sink:
+        with pa.ipc.new_file(sink, batch.schema) as writer:
+            writer.write_table(batch)
+
+
 def write_ipc(ds, path: str):
-    """Arrow IPC / Feather-V2 sink: one ``.arrow`` file per block, written
-    inside the map tasks (streaming — nothing funnels through the driver);
-    content-hashed names make retried tasks overwrite their own file
-    (idempotent under Ray task retry, same contract as :func:`write_orc`).
-    Returns (path, files, rows)."""
-    import hashlib as _hashlib
-    import os as _os
-
-    _os.makedirs(path, exist_ok=True)
-
-    def write_block(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"rows": pa.array([], pa.int64()),
-                             "file": pa.array([], pa.string())})
-        h = _hashlib.sha256()
-        h.update(str(batch.num_rows).encode())
-        h.update(str(batch.slice(0, 1).to_pydict()).encode())
-        h.update(str(batch.slice(batch.num_rows - 1, 1).to_pydict()).encode())
-        name = "part-%s.arrow" % h.hexdigest()[:16]
-        with pa.OSFile(_os.path.join(path, name), "wb") as sink:
-            with pa.ipc.new_file(sink, batch.schema) as writer:
-                writer.write_table(batch)
-        return pa.table({"rows": pa.array([batch.num_rows], pa.int64()),
-                         "file": pa.array([name], pa.string())})
-
-    manifest = ds.map_batches(
-        write_block, batch_format="pyarrow", batch_size=None
-    ).to_pandas()
-    return path, len(manifest), int(manifest["rows"].sum()) if len(manifest) else 0
+    """Arrow IPC / Feather-V2 sink on the shared :func:`_write_blocks`
+    core (same idempotent-naming contract as :func:`write_orc`)."""
+    return _write_blocks(ds, path, ".arrow", _ipc_write_table)

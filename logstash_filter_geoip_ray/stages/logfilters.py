@@ -1684,8 +1684,9 @@ def make_fingerprint(
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             sval = pc.fill_null(pc.cast(col, pa.string()), "")
-            prefix = ("" if i == 0 else "|") + c + "="
-            parts.append(pa.array([prefix] * batch.num_rows, type=pa.string()))
+            # scalars broadcast in binary_join_element_wise — no N-row
+            # constant arrays in the hot path
+            parts.append(("" if i == 0 else "|") + c + "=")
             parts.append(sval)
         msg = pc.binary_join_element_wise(*parts, "")
         if key_bytes is None:

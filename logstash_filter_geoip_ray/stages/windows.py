@@ -1275,6 +1275,15 @@ def time_weighted_averages(
     from .aggregate import bucket_by_key
 
     def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):  # empty group block: typed empty frame
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    "span_us": pd.Series([], dtype="int64"),
+                    "twap_num": pd.Series([], dtype="int64"),
+                    "twap_milli": pd.Series([], dtype="int64"),
+                }
+            )
         b = block.sort_values([key_col, ts_col, id_col])
         ts_us = b[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
         keys = b[key_col].to_numpy()
@@ -1341,6 +1350,15 @@ def scd2_intervals(
     from .aggregate import bucket_by_key
 
     def per_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):  # empty group block: typed empty frame
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype="int64"),
+                    attr_col: pd.Series([], dtype="object"),
+                    "valid_from_us": pd.Series([], dtype="int64"),
+                    "valid_to_us": pd.Series([], dtype="int64"),
+                }
+            )
         b = block.sort_values([key_col, ts_col, id_col])
         ts_us = b[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
         keys = b[key_col].to_numpy()

@@ -1523,6 +1523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sink_counts_incremental",
             "pii_inventory",
             "scd2_intervals",
+            "state_at_cutoff",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",

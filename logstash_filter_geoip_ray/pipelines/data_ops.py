@@ -1540,6 +1540,52 @@ def q_scd2_intervals(sf_dir: str):
     return scd2_intervals(_events(sf_dir, ["user_id", "event_type", "ts", "event_id"]))
 
 
+#: bitemporal probe instant for state_at_cutoff — mid-January so every SF
+#: has both established and not-yet-changed states.
+STATE_CUTOFF = "2024-01-15T00:00:00"
+
+
+def q_state_at_cutoff(sf_dir: str):
+    """Bitemporal point-in-time query over the SCD2 dimension: each user's
+    event_type state AT the cutoff instant (interval containing T; users
+    whose first change is after T have no state), aggregated to
+    (event_type, n_users). Proves the interval table answers as-of
+    queries — filter is a vectorized predicate over the intervals, the
+    count a tiny tree combine."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import tree_sum
+    from ..stages.windows import scd2_intervals
+
+    cut_us = int(
+        np.datetime64(STATE_CUTOFF).astype("datetime64[us]").astype("int64")
+    )
+    iv = scd2_intervals(_events(sf_dir, ["user_id", "event_type", "ts", "event_id"]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        frm = batch["valid_from_us"]
+        to = batch["valid_to_us"]
+        live = pc.and_(
+            pc.less_equal(frm, cut_us),
+            pc.or_(pc.equal(to, -1), pc.greater(to, cut_us)),
+        )
+        t = batch.filter(live)
+        work = pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_users": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        g = work.group_by(["event_type"]).aggregate([("n_users", "sum")])
+        return g.rename_columns(["event_type", "n_users"])
+
+    return tree_sum(
+        iv.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"], ["n_users"], sort_result=True,
+    )
+
+
 def q_twap_values(sf_dir: str):
     """Per-user time-weighted average value (TWAP): step-function integral
     over each user's own [first, last] span under (ts, event_id) order —
@@ -4003,6 +4049,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "twap_values": q_twap_values,
     "event_fingerprints": q_event_fingerprints,
     "scd2_intervals": q_scd2_intervals,
+    "state_at_cutoff": q_state_at_cutoff,
     "rolling_windows": q_rolling_windows,
     "hourly_pivot": q_hourly_pivot,
     "pricing_summary": q_pricing_summary,
@@ -5561,6 +5608,27 @@ SELECT doc_id,
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text
 FROM documents ORDER BY doc_id
+""",
+    "state_at_cutoff": """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+), ch AS (
+  SELECT user_id, event_type, ts_us, event_id
+  FROM e WHERE prev IS NULL OR prev <> event_type
+), iv AS (
+  SELECT user_id, event_type, ts_us AS f,
+         coalesce(lead(ts_us) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id), -1) AS t
+  FROM ch
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+FROM iv
+WHERE f <= epoch_us(TIMESTAMP '2024-01-15 00:00:00')
+  AND (t = -1 OR t > epoch_us(TIMESTAMP '2024-01-15 00:00:00'))
+GROUP BY 1 ORDER BY 1
 """,
     "scd2_intervals": """
 WITH e AS (

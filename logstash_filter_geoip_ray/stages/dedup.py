@@ -1343,6 +1343,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str = "doc_id",
     num_buckets: int = 32,
     max_group: int = PREFIX_MAX_GROUP,
+    max_broadcast_docs: int = 500_000,
 ):
     """GLOBAL (blocking-free) token-set Jaccard join via prefix filtering —
     the PPJoin-family scale path that replaces the O(n²)-per-block
@@ -1458,70 +1459,93 @@ def prefix_filter_jaccard_pairs(
         )
     )
 
-    def toklists(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("doc", sort=False)["w"].agg(list).reset_index()
-        g.columns = ["doc", "toks"]
-        g["size"] = g["toks"].map(len).astype("int64")
-        return g
-
-    lists = (
-        bucket_by_key(tok, "doc", num_buckets)
-        .groupby("_bucket")
-        .map_groups(toklists, batch_format="pandas")
+    # -- verification: broadcast the CANDIDATE docs' token sets once ------
+    # The candidate-doc class is the near-dup class — small by the same
+    # argument as the MinHash candidate-text fetch (broadcast semi-join
+    # precedent). Shipping token lists per PAIR through a join would move
+    # each hot doc's tokens once per pair (quadratic duplication); the
+    # broadcast moves each doc's tokens exactly once. A cap raises if the
+    # candidate-doc set is not actually small.
+    cand = cand.materialize()
+    cand_ids_df = (
+        cand.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc": pa.concat_arrays(
+                        [
+                            t["a"].combine_chunks()
+                            if isinstance(t["a"], pa.ChunkedArray) else t["a"],
+                            t["b"].combine_chunks()
+                            if isinstance(t["b"], pa.ChunkedArray) else t["b"],
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("doc")
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+        .to_pandas()  # sanctioned: distinct candidate ids (provably small)
     )
+    if len(cand_ids_df) > max_broadcast_docs:
+        raise ValueError(
+            "prefix_filter_jaccard_pairs: %d candidate docs exceed "
+            "max_broadcast_docs=%d — the near-dup class is not small; "
+            "raise the threshold or the cap"
+            % (len(cand_ids_df), max_broadcast_docs)
+        )
+    cand_id_set = pa.array(cand_ids_df["doc"].to_numpy(), type=pa.int64())
 
-    la = lists.map_batches(
-        lambda t: t.rename_columns(["a", "toks_a", "size_a"]),
+    tok_small = tok.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc"], value_set=cand_id_set)),
         batch_format="pyarrow",
-    )
-    lb = lists.map_batches(
-        lambda t: t.rename_columns(["b", "toks_b", "size_b"]),
-        batch_format="pyarrow",
-    )
-    j = hash_join(cand, la, "a", "a", num_buckets=num_buckets)
-    j = hash_join(j, lb, "b", "b", num_buckets=num_buckets)
+    ).to_pandas()  # candidate docs' tokens only — bounded by the cap
+    doc_tokens: dict = {
+        d: g["w"].to_numpy(dtype=object)
+        for d, g in tok_small.groupby("doc", sort=False)
+    }
+    import ray
 
-    def verify(batch: pa.Table) -> pa.Table:
-        # vectorized exact verify: |a ∪ b| = nunique over the two token
-        # lists concatenated per pair (lists are already per-doc DISTINCT),
-        # so inter = |a| + |b| − union — one exploded groupby per batch,
-        # no per-pair Python loop
-        df = batch.select(["a", "b", "toks_a", "toks_b"]).to_pandas()
-        if not len(df):
+    tokens_ref = ray.put(doc_tokens)
+
+    class _VerifyPairs:
+        """Per-worker interned token sets: each doc's set is built ONCE per
+        actorless worker process (module cache), then every pair is one C
+        set-intersection — no per-pair set construction, no list shipping."""
+
+        def __init__(self):
+            self._sets = None
+
+        def _ensure(self):
+            if self._sets is None:
+                raw = ray.get(tokens_ref)
+                self._sets = {d: frozenset(v) for d, v in raw.items()}
+            return self._sets
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sets = self._ensure()
+            a = batch["a"].to_pylist()
+            b = batch["b"].to_pylist()
+            oa, ob, oi, ou = [], [], [], []
+            for x, y in zip(a, b):
+                sa = sets[x]
+                sb = sets[y]
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                if union and inter * threshold_den >= union * threshold_num:
+                    oa.append(x)
+                    ob.append(y)
+                    oi.append(inter)
+                    ou.append(union)
             return pa.table(
                 {
-                    "a": pa.array([], type=pa.int64()),
-                    "b": pa.array([], type=pa.int64()),
-                    "inter": pa.array([], type=pa.int64()),
-                    "union_": pa.array([], type=pa.int64()),
+                    "a": pa.array(oa, type=pa.int64()),
+                    "b": pa.array(ob, type=pa.int64()),
+                    "inter": pa.array(oi, type=pa.int64()),
+                    "union_": pa.array(ou, type=pa.int64()),
                 }
             )
-        size_a = df["toks_a"].map(len).to_numpy(dtype="int64")
-        size_b = df["toks_b"].map(len).to_numpy(dtype="int64")
-        # Arrow lists arrive as numpy arrays per cell — explode each side
-        # (Series + would broadcast-add, not concatenate), factorize the
-        # token strings ONCE, then the per-pair distinct count is pure
-        # int64 numpy (unique over pair_idx·V + code)
-        ex_a = df["toks_a"].explode()
-        ex_b = df["toks_b"].explode()
-        idx = np.concatenate([ex_a.index.to_numpy(), ex_b.index.to_numpy()])
-        words = np.concatenate(
-            [ex_a.to_numpy(dtype=object), ex_b.to_numpy(dtype=object)]
-        )
-        codes, uniques = pd.factorize(words)
-        combined = idx.astype(np.int64) * np.int64(len(uniques)) + codes
-        distinct = np.unique(combined)
-        pair_of = distinct // np.int64(len(uniques))
-        union = np.bincount(pair_of, minlength=len(df)).astype(np.int64)
-        inter = size_a + size_b - union
-        keep = (union > 0) & (inter * threshold_den >= union * threshold_num)
-        return pa.table(
-            {
-                "a": pa.array(df["a"].to_numpy(dtype="int64")[keep]),
-                "b": pa.array(df["b"].to_numpy(dtype="int64")[keep]),
-                "inter": pa.array(inter[keep], type=pa.int64()),
-                "union_": pa.array(union[keep], type=pa.int64()),
-            }
-        )
 
-    return j.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
+    return cand.map_batches(
+        _VerifyPairs, batch_format="pyarrow", concurrency=(1, 8)
+    ).sort(["a", "b"])

@@ -673,3 +673,73 @@ def sink_counts_incremental(
 
     final = ray.data.read_parquet(partial_paths)
     return tree_sum(final, ["country", "tool"], ["n"], sort_result=True)
+
+
+def delete_rows_partitioned(out_dir: str, column: str, values):
+    """GDPR-style targeted delete over a partitioned parquet store: remove
+    every row whose ``column`` is in ``values``, rewriting ONLY the files
+    that actually contain target rows — untouched files keep their bytes
+    and mtimes (minimal write amplification, the property that makes
+    right-to-be-forgotten viable on a 100 TB store).
+
+    Scale shape: one Ray task per file; each task first scans just the
+    predicate COLUMN (a column-pruned read — tiny vs the full file), exits
+    untouched when no target is present, and otherwise rewrites its file
+    atomically (tmp + rename, idempotent under retry). The driver sees only
+    per-file counters. Returns a dict: files_scanned / files_rewritten /
+    rows_deleted / rows_kept."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "**", "*.parquet"),
+                              recursive=True))
+    if not files:
+        raise FileNotFoundError("delete_rows_partitioned: no parquet under %r" % out_dir)
+    value_set = pa.array(sorted(set(values)))
+
+    def process(batch: pa.Table) -> pa.Table:
+        out = {"path": [], "rewritten": [], "deleted": [], "kept": []}
+        for path in batch["path"].to_pylist():
+            probe = _pq.read_table(path, columns=[column])
+            hit = pc.is_in(probe[column], value_set=value_set)
+            n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0
+            if n_hit == 0:
+                out["path"].append(path)
+                out["rewritten"].append(False)
+                out["deleted"].append(0)
+                out["kept"].append(probe.num_rows)
+                continue
+            full = _pq.read_table(path)
+            keep = pc.invert(
+                pc.fill_null(pc.is_in(full[column], value_set=value_set), False)
+            )
+            kept_tbl = full.filter(keep)
+            tmp = path + ".tmp"
+            _pq.write_table(kept_tbl, tmp)
+            os.replace(tmp, path)
+            out["path"].append(path)
+            out["rewritten"].append(True)
+            out["deleted"].append(n_hit)
+            out["kept"].append(kept_tbl.num_rows)
+        return pa.table(
+            {
+                "path": pa.array(out["path"], type=pa.string()),
+                "rewritten": pa.array(out["rewritten"], type=pa.bool_()),
+                "deleted": pa.array(out["deleted"], type=pa.int64()),
+                "kept": pa.array(out["kept"], type=pa.int64()),
+            }
+        )
+
+    report = (
+        ray.data.from_items([{"path": p} for p in files])
+        .map_batches(process, batch_size=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {
+        "files_scanned": len(report),
+        "files_rewritten": int(report["rewritten"].sum()),
+        "rows_deleted": int(report["deleted"].sum()),
+        "rows_kept": int(report["kept"].sum()),
+    }

@@ -486,3 +486,51 @@ def test_sink_counts_incremental_exactly_once(ray_session, tmp_path):
     assert os.path.exists(victim)  # only the deleted partial recomputed
     for p in parts[1:]:
         assert os.path.getmtime(p) == mtimes[p]
+
+
+def test_delete_rows_partitioned_minimal_rewrite(ray_session, tmp_path):
+    """GDPR delete: target rows gone, row parity holds, and files WITHOUT
+    targets keep their exact mtime (no write amplification)."""
+    import glob
+    import os
+
+    import duckdb as _duck
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        build_enriched,
+        delete_rows_partitioned,
+        write_routed,
+    )
+
+    out = str(tmp_path / "routed")
+    write_routed(build_enriched(SF), out)
+    files = sorted(glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True))
+    before = _duck.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/**/*.parquet')"
+    ).fetchone()[0]
+    # pick victims present in SOME files only
+    victims = _duck.sql(
+        f"SELECT DISTINCT conv_id FROM read_parquet('{out}/**/*.parquet') LIMIT 3"
+    ).df()["conv_id"].tolist()
+    n_victim_rows = _duck.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/**/*.parquet') "
+        f"WHERE conv_id IN ({', '.join(repr(v) for v in victims)})"
+    ).fetchone()[0]
+    mtimes = {p: os.path.getmtime(p) for p in files}
+
+    rep = delete_rows_partitioned(out, "conv_id", victims)
+    assert rep["files_scanned"] == len(files)
+    assert rep["rows_deleted"] == n_victim_rows > 0
+    assert rep["rows_kept"] == before - n_victim_rows
+    after = _duck.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/**/*.parquet')"
+    ).fetchone()[0]
+    assert after == before - n_victim_rows
+    left = _duck.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/**/*.parquet') "
+        f"WHERE conv_id IN ({', '.join(repr(v) for v in victims)})"
+    ).fetchone()[0]
+    assert left == 0
+    untouched = [p for p in files if os.path.getmtime(p) == mtimes[p]]
+    assert len(untouched) == rep["files_scanned"] - rep["files_rewritten"]
+    assert rep["files_rewritten"] < rep["files_scanned"]  # pruning was real

@@ -8,7 +8,7 @@ stages can rely on it (input_hint contract).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import pyarrow as pa
 
@@ -243,3 +243,87 @@ def write_ipc(ds, path: str):
     """Arrow IPC / Feather-V2 sink on the shared :func:`_write_blocks`
     core (same idempotent-naming contract as :func:`write_orc`)."""
     return _write_blocks(ds, path, ".arrow", _ipc_write_table)
+
+
+def read_parquet_evolved(paths, columns: Optional[Sequence[str]] = None):
+    """Schema-evolution-tolerant parquet source: files written at different
+    pipeline generations may disagree (columns added later, ints widened).
+    The driver unifies the per-file FOOTER schemas (metadata-only — no
+    data reads): missing columns null-fill with their evolved type, and
+    numeric widenings promote (int32 → int64, float32 → float64); an
+    incompatible conflict (e.g. string vs int64) raises at plan time with
+    the offending column named, never silently coerces. One Ray task per
+    file reads, casts and null-fills to the unified schema, so downstream
+    operators see ONE stable schema."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    file_list: List[str] = []
+    for p in paths if isinstance(paths, (list, tuple)) else [paths]:
+        if _os.path.isdir(p):
+            file_list.extend(
+                sorted(_glob.glob(_os.path.join(p, "**", "*.parquet"),
+                                  recursive=True))
+            )
+        else:
+            file_list.append(p)
+    if not file_list:
+        raise FileNotFoundError("read_parquet_evolved: no parquet under %r" % (paths,))
+
+    _WIDEN = {
+        (pa.int32(), pa.int64()): pa.int64(),
+        (pa.float32(), pa.float64()): pa.float64(),
+    }
+
+    def _unify(a: pa.DataType, b: pa.DataType, name: str) -> pa.DataType:
+        if a == b:
+            return a
+        for (lo, hi), out in _WIDEN.items():
+            if {a, b} == {lo, hi}:
+                return out
+        raise TypeError(
+            "read_parquet_evolved: column %r has incompatible types across "
+            "files: %s vs %s" % (name, a, b)
+        )
+
+    unified: Dict[str, pa.DataType] = {}
+    order: List[str] = []
+    for f in file_list:
+        sch = _pq.read_schema(f)
+        for name, typ in zip(sch.names, sch.types):
+            if name in unified:
+                unified[name] = _unify(unified[name], typ, name)
+            else:
+                unified[name] = typ
+                order.append(name)
+    if columns:
+        missing = [c for c in columns if c not in unified]
+        if missing:
+            raise KeyError(
+                "read_parquet_evolved: requested column(s) %s exist in no "
+                "file" % missing
+            )
+        order = [c for c in order if c in set(columns)]
+    target = pa.schema([(n, unified[n]) for n in order])
+
+    def read_file(batch: pa.Table) -> pa.Table:
+        out = []
+        for path in batch["path"].to_pylist():
+            have = set(_pq.read_schema(path).names)
+            want = [n for n in order if n in have]
+            t = _pq.read_table(path, columns=want)
+            arrays = []
+            for n in order:
+                if n in have:
+                    arrays.append(t[n].cast(unified[n]))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, type=unified[n]))
+            out.append(pa.Table.from_arrays(arrays, schema=target))
+        return pa.concat_tables(out)
+
+    return ray.data.from_items(
+        [{"path": p} for p in file_list]
+    ).map_batches(read_file, batch_size=1, batch_format="pyarrow")

@@ -95,3 +95,40 @@ def test_ipc_roundtrip_exact(ray_session, tmp_path):
     assert pruned == ["a"]
     with pytest.raises(FileNotFoundError):
         read_ipc(str(tmp_path / "nothing_here"))
+
+
+def test_read_parquet_evolved(ray_session, tmp_path):
+    """Heterogeneous file schemas unify: added column null-fills, int32
+    widens to int64, incompatible conflict raises with the column named."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from logstash_filter_geoip_ray.sources.readers import read_parquet_evolved
+
+    d = tmp_path / "evo"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int32()), "v": ["a", "b"]}),
+        str(d / "gen1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([3], pa.int64()),
+                "v": ["c"],
+                "extra": pa.array([9.5], pa.float64()),
+            }
+        ),
+        str(d / "gen2.parquet"),
+    )
+    got = read_parquet_evolved(str(d)).to_pandas().sort_values("id")
+    assert got["id"].tolist() == [1, 2, 3]
+    assert str(got["id"].dtype) == "int64"  # widened
+    assert got["extra"].isna().tolist() == [True, True, False]
+
+    pq.write_table(
+        pa.table({"id": ["oops"], "v": ["d"]}), str(d / "gen3.parquet")
+    )
+    with pytest.raises(TypeError, match="'id'"):
+        read_parquet_evolved(str(d))

@@ -743,3 +743,97 @@ def delete_rows_partitioned(out_dir: str, column: str, values):
         "rows_deleted": int(report["deleted"].sum()),
         "rows_kept": int(report["kept"].sum()),
     }
+
+
+def compact_partition_files(root: str, target_rows: int = 1_000_000):
+    """Small-file compaction for a partitioned parquet store: every leaf
+    directory holding more than one file gets its files merged into
+    ``ceil(total_rows / target_rows)`` files — the maintenance pass that
+    keeps a streaming-written store readable (thousands of tiny files are
+    the classic data-lake failure mode).
+
+    Crash safety: each directory writes a ``_compacting.json`` marker
+    (listing the files being replaced) BEFORE publishing, publishes the
+    merged files via tmp+rename, deletes the old files, then removes the
+    marker. A rerun that finds a marker completes the pending deletion
+    first (the merged files are already complete), so a crash at any point
+    leaves either the old view or the new view recoverable — never a
+    silent mix. One Ray task per directory; the driver sees counters only.
+    Returns dict: dirs_scanned / dirs_compacted / files_before /
+    files_after."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import json as _json
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    leaf_dirs = sorted(
+        {os.path.dirname(p) for p in _glob.glob(
+            os.path.join(root, "**", "*.parquet"), recursive=True)}
+    )
+    if not leaf_dirs:
+        raise FileNotFoundError("compact_partition_files: no parquet under %r" % root)
+
+    def process(batch: pa.Table) -> pa.Table:
+        rows = {"dir": [], "compacted": [], "before": [], "after": []}
+        for d in batch["dir"].to_pylist():
+            marker = os.path.join(d, "_compacting.json")
+            if os.path.exists(marker):
+                # recovery: merged files are complete — finish the deletion
+                with open(marker) as f:
+                    pending = _json.load(f)["replaced"]
+                for old in pending:
+                    if os.path.exists(old):
+                        os.remove(old)
+                os.remove(marker)
+            files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+            files = [f for f in files if not os.path.basename(f).startswith("compact-")]
+            if len(files) <= 1:
+                rows["dir"].append(d)
+                rows["compacted"].append(False)
+                rows["before"].append(len(files))
+                rows["after"].append(len(files))
+                continue
+            tbl = pa.concat_tables([_pq.read_table(f) for f in files])
+            n_out = max(1, -(-tbl.num_rows // target_rows))
+            step = -(-tbl.num_rows // n_out)
+            key = _hashlib.sha256("\x1f".join(files).encode()).hexdigest()[:12]
+            new_files = []
+            for i in range(n_out):
+                part = tbl.slice(i * step, step)
+                out = os.path.join(d, "compact-%s-%04d.parquet" % (key, i))
+                _pq.write_table(part, out + ".tmp")
+                new_files.append(out)
+            with open(marker + ".tmp", "w") as f:
+                _json.dump({"replaced": files}, f)
+            os.replace(marker + ".tmp", marker)
+            for out in new_files:
+                os.replace(out + ".tmp", out)
+            for old in files:
+                os.remove(old)
+            os.remove(marker)
+            rows["dir"].append(d)
+            rows["compacted"].append(True)
+            rows["before"].append(len(files))
+            rows["after"].append(n_out)
+        return pa.table(
+            {
+                "dir": pa.array(rows["dir"], type=pa.string()),
+                "compacted": pa.array(rows["compacted"], type=pa.bool_()),
+                "before": pa.array(rows["before"], type=pa.int64()),
+                "after": pa.array(rows["after"], type=pa.int64()),
+            }
+        )
+
+    rep = (
+        ray.data.from_items([{"dir": d} for d in leaf_dirs])
+        .map_batches(process, batch_size=1, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {
+        "dirs_scanned": len(rep),
+        "dirs_compacted": int(rep["compacted"].sum()),
+        "files_before": int(rep["before"].sum()),
+        "files_after": int(rep["after"].sum()),
+    }

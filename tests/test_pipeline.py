@@ -534,3 +534,63 @@ def test_delete_rows_partitioned_minimal_rewrite(ray_session, tmp_path):
     untouched = [p for p in files if os.path.getmtime(p) == mtimes[p]]
     assert len(untouched) == rep["files_scanned"] - rep["files_rewritten"]
     assert rep["files_rewritten"] < rep["files_scanned"]  # pruning was real
+
+
+def test_compact_partition_files(ray_session, tmp_path):
+    """Compaction: row/value parity, fewer files, single-file dirs
+    untouched, and marker-based crash recovery completes a pending
+    deletion instead of double-counting."""
+    import glob
+    import json
+    import os
+
+    import duckdb as _duck
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        compact_partition_files,
+    )
+
+    root = tmp_path / "store"
+    (root / "k=1").mkdir(parents=True)
+    (root / "k=2").mkdir(parents=True)
+    for i in range(4):
+        pq.write_table(
+            pa.table({"x": pa.array([i * 10 + j for j in range(5)], pa.int64())}),
+            str(root / "k=1" / f"part-{i}.parquet"),
+        )
+    pq.write_table(
+        pa.table({"x": pa.array([999], pa.int64())}),
+        str(root / "k=2" / "only.parquet"),
+    )
+    before = _duck.sql(
+        f"SELECT sum(x), count(*) FROM read_parquet('{root}/**/*.parquet')"
+    ).fetchone()
+    single = str(root / "k=2" / "only.parquet")
+    single_mtime = os.path.getmtime(single)
+
+    rep = compact_partition_files(str(root), target_rows=100)
+    assert rep == {
+        "dirs_scanned": 2, "dirs_compacted": 1,
+        "files_before": 5, "files_after": 2,
+    }
+    after = _duck.sql(
+        f"SELECT sum(x), count(*) FROM read_parquet('{root}/**/*.parquet')"
+    ).fetchone()
+    assert after == before
+    assert os.path.getmtime(single) == single_mtime
+    assert len(glob.glob(str(root / "k=1" / "*.parquet"))) == 1
+
+    # crash simulation: marker present, merged file complete, old file
+    # still on disk → recovery must delete the old file, not re-merge it
+    stale = str(root / "k=1" / "stale-old.parquet")
+    pq.write_table(pa.table({"x": pa.array([7], pa.int64())}), stale)
+    with open(str(root / "k=1" / "_compacting.json"), "w") as f:
+        json.dump({"replaced": [stale]}, f)
+    rep2 = compact_partition_files(str(root), target_rows=100)
+    assert not os.path.exists(stale)
+    final = _duck.sql(
+        f"SELECT sum(x), count(*) FROM read_parquet('{root}/**/*.parquet')"
+    ).fetchone()
+    assert final == before

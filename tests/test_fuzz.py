@@ -530,3 +530,110 @@ def test_aggregate_tasks_vs_naive(ray_session, events, timeout_us):
         assert (row["t1"] == t1) if t1 is not None else pd.isna(row["t1"])
         assert row["n_events"] == n
         assert row["sum_value_milli"] == sv
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),    # user
+            st.integers(min_value=0, max_value=50),   # ts (µs, dup-heavy)
+            st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_fuzz_twap_vs_naive(ray_session, rows):
+    """TWAP kernel vs a naive per-key step-integration reference."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.windows import time_weighted_averages
+
+    recs = [(u, t, i, v) for i, (u, t, v) in enumerate(rows)]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in recs], type=pa.int64()),
+            "ts": pa.array([r[1] for r in recs], type=pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in recs], type=pa.int64()),
+            "value": pa.array([r[3] for r in recs], type=pa.float64()),
+        }
+    )
+    got = (
+        time_weighted_averages(ray.data.from_arrow(tbl), num_buckets=3)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    import math
+
+    by_user = {}
+    for u, t, i, v in recs:
+        by_user.setdefault(u, []).append((t, i, int(math.floor(v * 1000))))
+    for u, evs in sorted(by_user.items()):
+        evs.sort()
+        span = evs[-1][0] - evs[0][0]
+        num = sum(
+            vm * (evs[k + 1][0] - t) for k, (t, _, vm) in enumerate(evs[:-1])
+        )
+        twap = num // span if span > 0 else evs[0][2]
+        assert got.loc[u, "span_us"] == span
+        assert got.loc[u, "twap_num"] == num
+        assert got.loc[u, "twap_milli"] == twap
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),            # user
+            st.integers(min_value=0, max_value=30),           # ts
+            st.sampled_from(["a", "b", "c"]),                 # attr
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_fuzz_scd2_vs_naive(ray_session, rows):
+    """SCD2 kernel vs a naive per-key changelog compression reference."""
+    import pyarrow as pa
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.windows import scd2_intervals
+
+    recs = [(u, t, i, a) for i, (u, t, a) in enumerate(rows)]
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in recs], type=pa.int64()),
+            "ts": pa.array([r[1] for r in recs], type=pa.timestamp("us")),
+            "event_id": pa.array([r[2] for r in recs], type=pa.int64()),
+            "event_type": [r[3] for r in recs],
+        }
+    )
+    got = list(
+        map(
+            tuple,
+            scd2_intervals(ray.data.from_arrow(tbl), num_buckets=3)
+            .to_pandas()
+            .to_numpy(),
+        )
+    )
+    want = []
+    by_user = {}
+    for u, t, i, a in recs:
+        by_user.setdefault(u, []).append((t, i, a))
+    for u, evs in sorted(by_user.items()):
+        evs.sort()
+        changes = []
+        prev = None
+        for t, i, a in evs:
+            if prev is None or a != prev:
+                changes.append((t, i, a))
+            prev = a
+        for k, (t, i, a) in enumerate(changes):
+            to = changes[k + 1][0] if k + 1 < len(changes) else -1
+            want.append((u, a, t, to))
+    want.sort(key=lambda r: (r[0], r[2], r[1]))
+    assert got == want

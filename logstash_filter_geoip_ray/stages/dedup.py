@@ -1391,14 +1391,34 @@ def prefix_filter_jaccard_pairs(
              "w": pa.array(df["w"], type=pa.string())}
         )
 
+    def _empty_pairs():
+        return pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "inter": pd.Series([], dtype="int64"),
+                "union_": pd.Series([], dtype="int64"),
+            }
+        )
+
     tok = docs_ds.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow"
     ).materialize()  # reused by counts, prefixes AND verification
+    if tok.count() == 0:  # all-empty corpus: no tokens, no pairs
+        return _empty_pairs()
 
     counts = grouped_counts(tok.select_columns(["w"]), ["w"], count_alias="cnt")
     tok_cnt = hash_join(tok, counts, "w", "w", num_buckets=num_buckets)
 
     def prefixes(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # empty group block
+            return pd.DataFrame(
+                {
+                    "w": pd.Series([], dtype="object"),
+                    "doc": pd.Series([], dtype="int64"),
+                    "size": pd.Series([], dtype="int64"),
+                }
+            )
         df = df.sort_values(["doc", "cnt", "w"])
         size = df.groupby("doc", sort=False)["w"].transform("size").to_numpy()
         rank = df.groupby("doc", sort=False).cumcount().to_numpy()
@@ -1467,6 +1487,8 @@ def prefix_filter_jaccard_pairs(
     # broadcast moves each doc's tokens exactly once. A cap raises if the
     # candidate-doc set is not actually small.
     cand = cand.materialize()
+    if cand.count() == 0:  # prefix filter eliminated every pair
+        return _empty_pairs()
     cand_ids_df = (
         cand.map_batches(
             lambda t: pa.table(

@@ -637,3 +637,54 @@ def test_fuzz_scd2_vs_naive(ray_session, rows):
             want.append((u, a, t, to))
     want.sort(key=lambda r: (r[0], r[2], r[1]))
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["w%d" % i for i in range(8)]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from([(1, 2), (7, 10), (9, 10)]),
+)
+def test_fuzz_ppjoin_vs_naive(ray_session, token_lists, thresh):
+    """Prefix-filter join vs naive all-pairs on dense random corpora —
+    exercises hot prefix tokens, empty docs and threshold boundaries."""
+    import pyarrow as pa
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    num, den = thresh
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "text": [t for _, t in docs],
+        }
+    )
+    res = prefix_filter_jaccard_pairs(
+        ray.data.from_arrow(tbl),
+        threshold_num=num,
+        threshold_den=den,
+        num_buckets=2,
+    )
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    got = sorted(map(tuple, df.to_numpy()))
+    sets = {d: set(t.split()) for d, t in docs if t.split()}
+    want = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * den >= union * num:
+                want.append((a, b, inter, union))
+    assert got == sorted(want)

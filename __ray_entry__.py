@@ -1524,6 +1524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pii_inventory",
             "scd2_intervals",
             "state_at_cutoff",
+            "cluster_canonicals",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",

@@ -894,6 +894,69 @@ def q_dup_clusters(sf_dir: str):
     return dup_clusters(pairs)
 
 
+def q_cluster_canonicals(sf_dir: str):
+    """Canonical-document selection per duplicate cluster: from the
+    verified-pair connected components, each cluster keeps its
+    highest-quality member (max n_chars, tie doc_id asc) — the
+    canonicalization step between clustering and dedup-filtering in a
+    curation pipeline. Cluster table ⋈ documents metadata via a
+    partitioned hash_join; winner via the two-stage partial top-k."""
+    import ray.data
+
+    from ..stages.aggregate import grouped_topk, tree_sum
+    from ..stages.dedup import dup_clusters, jaccard_pairs_by_block
+    from ..stages.joins import hash_join
+
+    pairs = jaccard_pairs_by_block(_docs(sf_dir), min_ratio=JACCARD_TAU)
+    clusters = dup_clusters(pairs)  # (doc_id, cluster_id)
+    meta = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        lambda t: t.rename_columns(["m_doc", "n_chars"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(clusters, meta, "doc_id", "m_doc", num_buckets=8)
+    wins = grouped_topk(
+        joined.select_columns(["cluster_id", "n_chars", "doc_id"]),
+        key_col="cluster_id",
+        order_col="n_chars",
+        id_col="doc_id",
+        k=1,
+    ).map_batches(
+        lambda t: t.rename_columns(["cluster_id", "n_chars", "canonical_doc"]),
+        batch_format="pyarrow",
+    )
+    sizes = tree_sum(
+        clusters.map_batches(
+            lambda t: pa.table(
+                {
+                    "cluster_id": t["cluster_id"],
+                    "size": pa.array([1] * t.num_rows, type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["cluster_id"],
+        ["size"],
+        sort_result=False,
+    )
+    out = hash_join(wins, sizes, "cluster_id", "cluster_id", num_buckets=8)
+    # one-sided-empty buckets transit pandas merge as float64 and Ray then
+    # promotes the WHOLE column — pin the declared int64 schema per block
+    target = pa.schema(
+        [
+            ("cluster_id", pa.int64()),
+            ("canonical_doc", pa.int64()),
+            ("n_chars", pa.int64()),
+            ("size", pa.int64()),
+        ]
+    )
+    return out.map_batches(
+        lambda t: t.select(
+            ["cluster_id", "canonical_doc", "n_chars", "size"]
+        ).cast(target),
+        batch_format="pyarrow",
+    ).sort("cluster_id")
+
+
 def q_dedup_filtered_docs(sf_dir: str):
     """End-to-end near-dup dedup: pairs → clusters → broadcast anti-join
     filter; returns the surviving doc ids."""
@@ -4103,6 +4166,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "ppjoin_pairs": q_ppjoin_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
+    "cluster_canonicals": q_cluster_canonicals,
     "dedup_filtered_docs": q_dedup_filtered_docs,
     "dedup_filtered_docs_minhash": q_dedup_filtered_docs_minhash,
     "sink_counts_custom_db": q_sink_counts_custom_db,
@@ -5822,6 +5886,43 @@ WITH RECURSIVE sets AS (
 )
 SELECT node AS doc_id, CAST(min(reach) AS BIGINT) AS cluster_id
 FROM walk GROUP BY 1 ORDER BY 1
+""",
+    "cluster_canonicals": f"""
+WITH RECURSIVE sets AS (
+  SELECT DISTINCT doc_id, source, lower(unnest({_TOKENS})) AS w
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
+), counts AS (
+  SELECT doc_id, count(*) AS c FROM sets GROUP BY 1
+), inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
+  FROM sets s1 JOIN sets s2
+    ON s1.source = s2.source AND s1.w = s2.w AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a, b FROM inter
+  JOIN counts ca ON ca.doc_id = a
+  JOIN counts cb ON cb.doc_id = b
+  WHERE inter >= {JACCARD_TAU} * (ca.c + cb.c - inter)
+), e AS (
+  SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+), walk(node, reach) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM e)
+  UNION
+  SELECT w.node, e.d FROM walk w JOIN e ON e.s = w.reach
+), clusters AS (
+  SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY 1
+), ranked AS (
+  SELECT c.cluster_id, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS size
+  FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(doc_id AS BIGINT) AS canonical_doc,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(size AS BIGINT) AS size
+FROM ranked WHERE rn = 1 ORDER BY cluster_id
 """,
     "dedup_filtered_docs": f"""
 WITH RECURSIVE sets AS (

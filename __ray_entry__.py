@@ -1525,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "scd2_intervals",
             "state_at_cutoff",
             "cluster_canonicals",
+            "value_drift_bins",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",

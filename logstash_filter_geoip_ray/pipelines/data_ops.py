@@ -1608,6 +1608,56 @@ def q_scd2_intervals(sf_dir: str):
 STATE_CUTOFF = "2024-01-15T00:00:00"
 
 
+#: drift split instant — first half vs second half of the synthetic January
+DRIFT_SPLIT = "2024-01-16T00:00:00"
+
+
+def q_value_drift_bins(sf_dir: str):
+    """Distribution-drift monitor (the exact-count core of a PSI report):
+    per (event_type, equi-width value bin) the row counts of the BEFORE
+    and AFTER periods around a split instant — the binned two-period table
+    an MLOps pipeline feeds into PSI/chi-square scoring (the float score
+    itself is a driver-side formula over this tiny exact table). One
+    bounded-domain histogram pass; partials collapse per batch; the
+    exchange ships only (type, bin, n_before, n_after) rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import tree_sum
+
+    split_us = int(
+        np.datetime64(DRIFT_SPLIT).astype("datetime64[us]").astype("int64")
+    )
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy()
+        vm = pc.cast(
+            pc.floor(pc.multiply(batch["value"], 1000.0)), pa.int64()
+        ).to_numpy()
+        bins = vm // 50_000  # 50-unit-wide value bins (bounded domain)
+        before = (ts_us < split_us).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "bin": pa.array(bins, type=pa.int64()),
+                "n_before": pa.array(before),
+                "n_after": pa.array(1 - before),
+            }
+        )
+        g = t.group_by(["event_type", "bin"]).aggregate(
+            [("n_before", "sum"), ("n_after", "sum")]
+        )
+        return g.rename_columns(["event_type", "bin", "n_before", "n_after"])
+
+    return tree_sum(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "bin"],
+        ["n_before", "n_after"],
+        sort_result=True,
+    )
+
+
 def q_state_at_cutoff(sf_dir: str):
     """Bitemporal point-in-time query over the SCD2 dimension: each user's
     event_type state AT the cutoff instant (interval containing T; users
@@ -4113,6 +4163,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "event_fingerprints": q_event_fingerprints,
     "scd2_intervals": q_scd2_intervals,
     "state_at_cutoff": q_state_at_cutoff,
+    "value_drift_bins": q_value_drift_bins,
     "rolling_windows": q_rolling_windows,
     "hourly_pivot": q_hourly_pivot,
     "pricing_summary": q_pricing_summary,
@@ -5672,6 +5723,15 @@ SELECT doc_id,
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text
 FROM documents ORDER BY doc_id
+""",
+    "value_drift_bins": """
+SELECT event_type,
+       CAST(CAST(floor(value * 1000) AS BIGINT) // 50000 AS BIGINT) AS bin,
+       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_after
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
     "state_at_cutoff": """
 WITH e AS (

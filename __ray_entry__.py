@@ -177,6 +177,59 @@ def _q_log_templates(sf_dir: str):
     )
 
 
+def _q_new_client_ips(sf_dir: str):
+    """New-entity detection (the 'first-seen today' security-analytics
+    query): client IPs appearing in the AFTER period that were never seen
+    in the BEFORE period, with their after-period counts. Both periods
+    stream once; the BEFORE side ships only per-batch-distinct keys into a
+    bucketed anti semi-join (no driver set, no broadcast)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import grouped_counts
+    from logstash_filter_geoip_ray.stages.joins import hash_anti_join
+    from logstash_filter_geoip_ray.stages.parse import make_extract_ips
+
+    import numpy as np
+
+    split_us = int(
+        np.datetime64("2023-11-14T23:00:00").astype("datetime64[us]").astype("int64")
+    )
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["ts", "text"])
+    ds = ds.map_batches(make_extract_ips(drop_text=True), batch_format="pyarrow")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "ip": batch["source_ip"],
+            }
+        )
+        return t.filter(pc.is_valid(t["ip"]))
+
+    parsed = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    before = parsed.map_batches(
+        lambda t: t.filter(pc.less(t["ts_us"], split_us))
+        .select(["ip"])
+        .group_by(["ip"])
+        .aggregate([]),
+        batch_format="pyarrow",
+    )
+    after_counts = grouped_counts(
+        parsed.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["ts_us"], split_us)).select(["ip"]),
+            batch_format="pyarrow",
+        ),
+        ["ip"],
+        "n",
+    )
+    new = hash_anti_join(after_counts, before, "ip", "ip", num_buckets=16)
+    return new.sort(["n", "ip"], descending=[True, False])
+
+
 def _q_latency_slo(sf_dir: str):
     """SLO latency report per status: exact p50/p95/p99 of the grok'd
     latency=…ms field plus the sample count — the dashboard query of every
@@ -1032,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_templates": _q_log_templates,
         "latency_slo": _q_latency_slo,
         "sink_counts_incremental": _q_sink_counts_incremental,
+        "new_client_ips": _q_new_client_ips,
         "kv_pair_stats": _q_kv_pair_stats,
         "dissect_status": _q_dissect_status,
         "multiformat_dates": _q_multiformat_dates,
@@ -1526,6 +1580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "state_at_cutoff",
             "cluster_canonicals",
             "value_drift_bins",
+            "new_client_ips",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",
@@ -1640,6 +1695,21 @@ SELECT tool, n, template FROM (
   FROM tpl GROUP BY 1, 2)
 WHERE rn <= 5
 ORDER BY tool, n DESC, template
+"""
+    out["new_client_ips"] = f"""
+WITH parsed AS (
+  SELECT ts, nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS ip
+  FROM read_parquet('{t}/*.parquet')
+), p1 AS (
+  SELECT DISTINCT ip FROM parsed
+  WHERE ip IS NOT NULL AND ts < TIMESTAMP '2023-11-14 23:00:00'
+), p2 AS (
+  SELECT ip, CAST(count(*) AS BIGINT) AS n FROM parsed
+  WHERE ip IS NOT NULL AND ts >= TIMESTAMP '2023-11-14 23:00:00'
+  GROUP BY 1
+)
+SELECT ip, n FROM p2 ANTI JOIN p1 USING (ip)
+ORDER BY n DESC, ip
 """
     out["latency_slo"] = f"""
 WITH lat AS (

@@ -177,6 +177,54 @@ def _q_log_templates(sf_dir: str):
     )
 
 
+def _q_multi_country_convs(sf_dir: str):
+    """'Impossible travel' security analytic over the GeoIP enrichment:
+    conversations whose turns resolve to TWO OR MORE distinct countries
+    (real hits only — misses excluded), with the distinct-country count.
+    Per-batch distinct (conv, country) pairs collapse before the exchange;
+    a conv-bucketed distinct count finishes exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        MISS_KEY,
+        build_enriched,
+    )
+    from logstash_filter_geoip_ray.stages.aggregate import bucket_by_key
+
+    ds = build_enriched(sf_dir, columns=["conv_id", "text"], drop_text=True)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"conv_id": batch["conv_id"], "country": batch["country"]}
+        )
+        t = t.filter(pc.invert(pc.equal(t["country"], MISS_KEY)))
+        return t.group_by(["conv_id", "country"]).aggregate([])
+
+    distinct_pairs = ds.map_batches(pairs, batch_format="pyarrow")
+    bucketed = bucket_by_key(distinct_pairs, "conv_id", 16)
+
+    def per_bucket(df):
+        import pandas as pd
+
+        g = (
+            df[["conv_id", "country"]]
+            .drop_duplicates()
+            .groupby("conv_id", sort=False)
+            .size()
+            .reset_index(name="n_countries")
+        )
+        g = g[g["n_countries"] >= 2]
+        g["n_countries"] = g["n_countries"].astype("int64")
+        return g
+
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort("conv_id")
+    )
+
+
 def _q_new_client_ips(sf_dir: str):
     """New-entity detection (the 'first-seen today' security-analytics
     query): client IPs appearing in the AFTER period that were never seen
@@ -1086,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latency_slo": _q_latency_slo,
         "sink_counts_incremental": _q_sink_counts_incremental,
         "new_client_ips": _q_new_client_ips,
+        "multi_country_convs": _q_multi_country_convs,
         "kv_pair_stats": _q_kv_pair_stats,
         "dissect_status": _q_dissect_status,
         "multiformat_dates": _q_multiformat_dates,
@@ -1581,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cluster_canonicals",
             "value_drift_bins",
             "new_client_ips",
+            "multi_country_convs",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",
@@ -1695,6 +1745,19 @@ SELECT tool, n, template FROM (
   FROM tpl GROUP BY 1, 2)
 WHERE rn <= 5
 ORDER BY tool, n DESC, template
+"""
+    out["multi_country_convs"] = f"""
+WITH parsed AS (
+  SELECT conv_id,
+         nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS tok
+  FROM read_parquet('{t}/*.parquet')
+), j AS (
+  SELECT p.conv_id, g.country_code2 AS c
+  FROM parsed p JOIN read_parquet('{g}') g ON p.tok = g.ip
+  WHERE g.country_code2 IS NOT NULL
+)
+SELECT conv_id, CAST(count(DISTINCT c) AS BIGINT) AS n_countries
+FROM j GROUP BY 1 HAVING count(DISTINCT c) >= 2 ORDER BY 1
 """
     out["new_client_ips"] = f"""
 WITH parsed AS (

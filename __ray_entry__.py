@@ -177,6 +177,76 @@ def _q_log_templates(sf_dir: str):
     )
 
 
+def _q_beacon_candidates(sf_dir: str):
+    """Beaconing detection core (C2-style regular callbacks): per client
+    IP the exact integer inter-arrival moments — gap count, sum and sum of
+    squares in MILLISECONDS (squares bounded: max gap ~6e7 ms squared is
+    3.7e15, far inside int64 at per-IP hit counts) — from which variance /
+    coefficient-of-variation is a driver-side formula; only IPs with ≥ 5
+    gaps emit. Key-bucketed ONE vectorized sort+diff pass per bucket (ties
+    in ts give zero gaps identically in both engines: the gap MULTISET is
+    tie-order-independent)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import bucket_by_key
+    from logstash_filter_geoip_ray.stages.parse import make_extract_ips
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["ts", "text"])
+    ds = ds.map_batches(make_extract_ips(drop_text=True), batch_format="pyarrow")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "ip": batch["source_ip"],
+                "ms": pc.divide(pc.cast(batch["ts"], pa.int64()), 1000),
+            }
+        )
+        return t.filter(pc.is_valid(t["ip"]))
+
+    parsed = ds.map_batches(prep, batch_format="pyarrow")
+    bucketed = bucket_by_key(parsed, "ip", 16)
+
+    def per_bucket(df):
+        import pandas as pd
+
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "ip": pd.Series([], dtype="object"),
+                    "n_gaps": pd.Series([], dtype="int64"),
+                    "sum_gap_ms": pd.Series([], dtype="int64"),
+                    "sum_gap2": pd.Series([], dtype="int64"),
+                }
+            )
+        b = df.sort_values(["ip", "ms"])
+        ms = b["ms"].to_numpy()
+        ips = b["ip"].to_numpy()
+        same = np.empty(len(b), dtype=bool)
+        same[0] = False
+        same[1:] = ips[1:] == ips[:-1]
+        gaps = np.where(same, np.concatenate(([0], np.diff(ms))), 0)
+        g = pd.DataFrame({"ip": ips, "gap": gaps, "is_gap": same.astype("int64")})
+        agg = g.groupby("ip", sort=False).agg(
+            n_gaps=("is_gap", "sum"),
+            sum_gap_ms=("gap", "sum"),
+            sum_gap2=("gap", lambda x: int((x.to_numpy() ** 2).sum())),
+        ).reset_index()
+        agg = agg[agg["n_gaps"] >= 5]
+        for c in ("n_gaps", "sum_gap_ms", "sum_gap2"):
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort("ip")
+    )
+
+
 def _q_multi_country_convs(sf_dir: str):
     """'Impossible travel' security analytic over the GeoIP enrichment:
     conversations whose turns resolve to TWO OR MORE distinct countries
@@ -1135,6 +1205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sink_counts_incremental": _q_sink_counts_incremental,
         "new_client_ips": _q_new_client_ips,
         "multi_country_convs": _q_multi_country_convs,
+        "beacon_candidates": _q_beacon_candidates,
         "kv_pair_stats": _q_kv_pair_stats,
         "dissect_status": _q_dissect_status,
         "multiformat_dates": _q_multiformat_dates,
@@ -1631,6 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "value_drift_bins",
             "new_client_ips",
             "multi_country_convs",
+            "beacon_candidates",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",
@@ -1745,6 +1817,20 @@ SELECT tool, n, template FROM (
   FROM tpl GROUP BY 1, 2)
 WHERE rn <= 5
 ORDER BY tool, n DESC, template
+"""
+    out["beacon_candidates"] = f"""
+WITH parsed AS (
+  SELECT epoch_us(ts) // 1000 AS ms,
+         nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS ip
+  FROM read_parquet('{t}/*.parquet')
+), w AS (
+  SELECT ip, ms - lag(ms) OVER (PARTITION BY ip ORDER BY ms) AS gap
+  FROM parsed WHERE ip IS NOT NULL
+), g AS (SELECT ip, gap FROM w WHERE gap IS NOT NULL)
+SELECT ip, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap) AS BIGINT) AS sum_gap_ms,
+       CAST(sum(gap * gap) AS BIGINT) AS sum_gap2
+FROM g GROUP BY 1 HAVING count(*) >= 5 ORDER BY 1
 """
     out["multi_country_convs"] = f"""
 WITH parsed AS (

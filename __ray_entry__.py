@@ -229,6 +229,14 @@ def _q_beacon_candidates(sf_dir: str):
         same[0] = False
         same[1:] = ips[1:] == ips[:-1]
         gaps = np.where(same, np.concatenate(([0], np.diff(ms))), 0)
+        if gaps.size and int(gaps.max()) > 3_000_000_000:
+            # gap² past ~3e9 ms would wrap int64 SILENTLY in numpy while
+            # the SQL oracle errors — fail loudly instead of diverging
+            raise ValueError(
+                "beacon_candidates: max gap %d ms exceeds the int64-safe "
+                "square bound (3e9 ms); widen to object/float accumulation "
+                "for this data" % int(gaps.max())
+            )
         g = pd.DataFrame({"ip": ips, "gap": gaps, "is_gap": same.astype("int64")})
         agg = g.groupby("ip", sort=False).agg(
             n_gaps=("is_gap", "sum"),

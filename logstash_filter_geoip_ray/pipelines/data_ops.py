@@ -1635,7 +1635,9 @@ def q_value_drift_bins(sf_dir: str):
         vm = pc.cast(
             pc.floor(pc.multiply(batch["value"], 1000.0)), pa.int64()
         ).to_numpy()
-        bins = vm // 50_000  # 50-unit-wide value bins (bounded domain)
+        # 50-unit-wide value bins; TRUNCATING division to match DuckDB's
+        # `//` (numpy // floors: -7 // 50000 is -1 there but 0 in SQL)
+        bins = (np.sign(vm) * (np.abs(vm) // 50_000)).astype(np.int64)
         before = (ts_us < split_us).astype(np.int64)
         t = pa.table(
             {

@@ -685,8 +685,11 @@ def delete_rows_partitioned(out_dir: str, column: str, values):
     Scale shape: one Ray task per file; each task first scans just the
     predicate COLUMN (a column-pruned read — tiny vs the full file), exits
     untouched when no target is present, and otherwise rewrites its file
-    atomically (tmp + rename, idempotent under retry). The driver sees only
-    per-file counters. Returns a dict: files_scanned / files_rewritten /
+    atomically (tmp + rename — the DATA is exactly-once under retry; the
+    COUNTERS are not: a task retried after its rename sees a clean file
+    and reports 0 for it, so the report reflects work done by this
+    invocation, not cumulative history). The driver sees only per-file
+    counters. Returns a dict: files_scanned / files_rewritten /
     rows_deleted / rows_kept."""
     import glob as _glob
 
@@ -747,20 +750,23 @@ def delete_rows_partitioned(out_dir: str, column: str, values):
 
 def compact_partition_files(root: str, target_rows: int = 1_000_000):
     """Small-file compaction for a partitioned parquet store: every leaf
-    directory holding more than one file gets its files merged into
-    ``ceil(total_rows / target_rows)`` files — the maintenance pass that
-    keeps a streaming-written store readable (thousands of tiny files are
-    the classic data-lake failure mode).
+    directory holding more than one file (INCLUDING earlier compact-*
+    outputs, so repeated maintenance rounds converge instead of
+    accumulating one file per round) gets its files merged into
+    ~ceil(total_rows / target_rows) files, streamed one input row group at
+    a time through a rolling ParquetWriter — per-task memory is one row
+    group, not the partition.
 
-    Crash safety: each directory writes a ``_compacting.json`` marker
-    (listing the files being replaced) BEFORE publishing, publishes the
-    merged files via tmp+rename, deletes the old files, then removes the
-    marker. A rerun that finds a marker completes the pending deletion
-    first (the merged files are already complete), so a crash at any point
-    leaves either the old view or the new view recoverable — never a
-    silent mix. One Ray task per directory; the driver sees counters only.
-    Returns dict: dirs_scanned / dirs_compacted / files_before /
-    files_after."""
+    Crash safety: merged files are fully written as ``*.tmp`` FIRST, then
+    a ``_compacting.json`` marker (listing both the replaced files and the
+    new tmp→final names) is published, then the tmps rename, the old files
+    delete, and the marker is removed. Recovery on any rerun/task-retry:
+    a marker means every tmp is complete — finish the pending renames,
+    finish the pending deletions, drop the marker. A crash BEFORE the
+    marker leaves only stray tmps (ignored and overwritten next round);
+    a crash after it is always completable — no window loses data. One
+    Ray task per directory. Returns dict: dirs_scanned / dirs_compacted /
+    files_before / files_after."""
     import glob as _glob
     import hashlib as _hashlib
     import json as _json
@@ -775,48 +781,73 @@ def compact_partition_files(root: str, target_rows: int = 1_000_000):
     if not leaf_dirs:
         raise FileNotFoundError("compact_partition_files: no parquet under %r" % root)
 
+    def _recover(d: str, marker: str) -> None:
+        with open(marker) as f:
+            m = _json.load(f)
+        for tmp, final in m["publish"]:
+            if os.path.exists(tmp):
+                os.replace(tmp, final)
+        for old in m["replaced"]:
+            if os.path.exists(old):
+                os.remove(old)
+        os.remove(marker)
+
     def process(batch: pa.Table) -> pa.Table:
         rows = {"dir": [], "compacted": [], "before": [], "after": []}
         for d in batch["dir"].to_pylist():
             marker = os.path.join(d, "_compacting.json")
             if os.path.exists(marker):
-                # recovery: merged files are complete — finish the deletion
-                with open(marker) as f:
-                    pending = _json.load(f)["replaced"]
-                for old in pending:
-                    if os.path.exists(old):
-                        os.remove(old)
-                os.remove(marker)
+                _recover(d, marker)
             files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
-            files = [f for f in files if not os.path.basename(f).startswith("compact-")]
             if len(files) <= 1:
                 rows["dir"].append(d)
                 rows["compacted"].append(False)
                 rows["before"].append(len(files))
                 rows["after"].append(len(files))
                 continue
-            tbl = pa.concat_tables([_pq.read_table(f) for f in files])
-            n_out = max(1, -(-tbl.num_rows // target_rows))
-            step = -(-tbl.num_rows // n_out)
             key = _hashlib.sha256("\x1f".join(files).encode()).hexdigest()[:12]
             new_files = []
-            for i in range(n_out):
-                part = tbl.slice(i * step, step)
-                out = os.path.join(d, "compact-%s-%04d.parquet" % (key, i))
-                _pq.write_table(part, out + ".tmp")
-                new_files.append(out)
+            writer = None
+            written = 0
+            idx = 0
+
+            def roll():
+                nonlocal writer
+                if writer is not None:
+                    writer.close()
+                    writer = None
+
+            schema = _pq.read_schema(files[0])
+            for f in files:
+                pf = _pq.ParquetFile(f)
+                for rg in range(pf.num_row_groups):
+                    tbl = pf.read_row_group(rg).cast(schema)
+                    if writer is None or written >= target_rows:
+                        roll()
+                        out = os.path.join(
+                            d, "compact-%s-%04d.parquet" % (key, idx)
+                        )
+                        idx += 1
+                        new_files.append(out)
+                        writer = _pq.ParquetWriter(out + ".tmp", schema)
+                        written = 0
+                    writer.write_table(tbl)
+                    written += tbl.num_rows
+            roll()
             with open(marker + ".tmp", "w") as f:
-                _json.dump({"replaced": files}, f)
+                _json.dump(
+                    {
+                        "replaced": files,
+                        "publish": [[o + ".tmp", o] for o in new_files],
+                    },
+                    f,
+                )
             os.replace(marker + ".tmp", marker)
-            for out in new_files:
-                os.replace(out + ".tmp", out)
-            for old in files:
-                os.remove(old)
-            os.remove(marker)
+            _recover(d, marker)
             rows["dir"].append(d)
             rows["compacted"].append(True)
             rows["before"].append(len(files))
-            rows["after"].append(n_out)
+            rows["after"].append(len(new_files))
         return pa.table(
             {
                 "dir": pa.array(rows["dir"], type=pa.string()),

@@ -289,11 +289,14 @@ def read_parquet_evolved(paths, columns: Optional[Sequence[str]] = None):
             "files: %s vs %s" % (name, a, b)
         )
 
+    wanted = set(columns) if columns else None
     unified: Dict[str, pa.DataType] = {}
     order: List[str] = []
     for f in file_list:
         sch = _pq.read_schema(f)
         for name, typ in zip(sch.names, sch.types):
+            if wanted is not None and name not in wanted:
+                continue  # a conflict in an unrequested column must not abort
             if name in unified:
                 unified[name] = _unify(unified[name], typ, name)
             else:
@@ -306,7 +309,6 @@ def read_parquet_evolved(paths, columns: Optional[Sequence[str]] = None):
                 "read_parquet_evolved: requested column(s) %s exist in no "
                 "file" % missing
             )
-        order = [c for c in order if c in set(columns)]
     target = pa.schema([(n, unified[n]) for n in order])
 
     def read_file(batch: pa.Table) -> pa.Table:

@@ -1392,13 +1392,20 @@ def prefix_filter_jaccard_pairs(
         )
 
     def _empty_pairs():
-        return pd.DataFrame(
-            {
-                "a": pd.Series([], dtype="int64"),
-                "b": pd.Series([], dtype="int64"),
-                "inter": pd.Series([], dtype="int64"),
-                "union_": pd.Series([], dtype="int64"),
-            }
+        # one return type everywhere: an empty typed Dataset (callers chain
+        # Dataset ops; NOTE Ray's to_pandas drops columns on 0 rows — use
+        # .schema() for names on the empty path)
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "inter": pa.array([], type=pa.int64()),
+                    "union_": pa.array([], type=pa.int64()),
+                }
+            )
         )
 
     tok = docs_ds.select_columns([id_col, text_col]).map_batches(

@@ -538,8 +538,9 @@ def test_delete_rows_partitioned_minimal_rewrite(ray_session, tmp_path):
 
 def test_compact_partition_files(ray_session, tmp_path):
     """Compaction: row/value parity, fewer files, single-file dirs
-    untouched, and marker-based crash recovery completes a pending
-    deletion instead of double-counting."""
+    untouched, repeated rounds converge over earlier compact outputs, and
+    marker recovery completes BOTH crash windows (tmp written + marker
+    published; old files pending deletion)."""
     import glob
     import json
     import os
@@ -582,15 +583,35 @@ def test_compact_partition_files(ray_session, tmp_path):
     assert os.path.getmtime(single) == single_mtime
     assert len(glob.glob(str(root / "k=1" / "*.parquet"))) == 1
 
-    # crash simulation: marker present, merged file complete, old file
-    # still on disk → recovery must delete the old file, not re-merge it
-    stale = str(root / "k=1" / "stale-old.parquet")
-    pq.write_table(pa.table({"x": pa.array([7], pa.int64())}), stale)
-    with open(str(root / "k=1" / "_compacting.json"), "w") as f:
-        json.dump({"replaced": [stale]}, f)
+    # convergence: a NEW small file beside the earlier compact output must
+    # merge WITH it (compact-* files are inputs too)
+    pq.write_table(
+        pa.table({"x": pa.array([1000], pa.int64())}),
+        str(root / "k=1" / "late-arrival.parquet"),
+    )
     rep2 = compact_partition_files(str(root), target_rows=100)
-    assert not os.path.exists(stale)
-    final = _duck.sql(
+    assert rep2["dirs_compacted"] == 1
+    assert len(glob.glob(str(root / "k=1" / "*.parquet"))) == 1
+    total2 = _duck.sql(
         f"SELECT sum(x), count(*) FROM read_parquet('{root}/**/*.parquet')"
     ).fetchone()
-    assert final == before
+    assert total2 == (before[0] + 1000, before[1] + 1)
+
+    # crash window A (tmp complete, marker published, nothing renamed):
+    # recovery must rename the tmp and delete the old file — no data loss
+    old_file = glob.glob(str(root / "k=1" / "*.parquet"))[0]
+    stale = str(root / "k=1" / "zz-stale.parquet")
+    os.rename(old_file, stale)
+    final = str(root / "k=1" / "compact-recover-0000.parquet")
+    src = pq.read_table(stale)
+    pq.write_table(src, final + ".tmp")
+    with open(str(root / "k=1" / "_compacting.json"), "w") as f:
+        json.dump({"replaced": [stale], "publish": [[final + ".tmp", final]]}, f)
+    rep3 = compact_partition_files(str(root), target_rows=100)
+    assert not os.path.exists(stale)
+    assert not os.path.exists(final + ".tmp")
+    assert os.path.exists(final)
+    total3 = _duck.sql(
+        f"SELECT sum(x), count(*) FROM read_parquet('{root}/**/*.parquet')"
+    ).fetchone()
+    assert total3 == total2

@@ -177,6 +177,74 @@ def _q_log_templates(sf_dir: str):
     )
 
 
+def _q_asn_country_diversity(sf_dir: str):
+    """CHAINED multi-database enrichment (the multiple-geoip-filters
+    Logstash pattern: one event through an ASN filter THEN a City filter,
+    distinct targets): per ASN, how many distinct countries its IPs
+    geolocate to — the BGP-hygiene / anycast-detection rollup. Both
+    lookups run in the same map chain over one extraction; per-batch
+    distinct (asn, country) pairs collapse before the exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.functions.config import GeoIPConfig
+    from logstash_filter_geoip_ray.sources.transcripts import (
+        DEFAULT_ASN_DB,
+        DEFAULT_CITY_DB,
+        transcripts_path,
+    )
+    from logstash_filter_geoip_ray.stages.aggregate import bucket_by_key
+    from logstash_filter_geoip_ray.stages.enrich import WorkerCachedEnricher
+    from logstash_filter_geoip_ray.stages.parse import make_extract_ips
+
+    cfg_asn = GeoIPConfig(source="source_ip", database=DEFAULT_ASN_DB,
+                          target="asn_geo")
+    cfg_city = GeoIPConfig(source="source_ip", database=DEFAULT_CITY_DB,
+                           target="geoip")
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["text"])
+    ds = ds.map_batches(make_extract_ips(drop_text=True), batch_format="pyarrow")
+    ds = ds.map_batches(WorkerCachedEnricher(cfg_asn), batch_format="pyarrow")
+    ds = ds.map_batches(WorkerCachedEnricher(cfg_city), batch_format="pyarrow")
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        asn_t = batch["asn_geo"]
+        city_t = batch["geoip"]
+        if isinstance(asn_t, pa.ChunkedArray):
+            asn_t = asn_t.combine_chunks()
+        if isinstance(city_t, pa.ChunkedArray):
+            city_t = city_t.combine_chunks()
+        t = pa.table(
+            {
+                "asn": pc.struct_field(asn_t, ["asn"]),
+                "country": pc.struct_field(city_t, ["country_code2"]),
+            }
+        )
+        t = t.filter(pc.and_(pc.is_valid(t["asn"]), pc.is_valid(t["country"])))
+        return t.group_by(["asn", "country"]).aggregate([])
+
+    distinct_pairs = ds.map_batches(pairs, batch_format="pyarrow")
+    bucketed = bucket_by_key(distinct_pairs, "asn", 8)
+
+    def per_bucket(df):
+        g = (
+            df[["asn", "country"]]
+            .drop_duplicates()
+            .groupby("asn", sort=False)
+            .size()
+            .reset_index(name="n_countries")
+        )
+        g["asn"] = g["asn"].astype("int64")
+        g["n_countries"] = g["n_countries"].astype("int64")
+        return g
+
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort("asn")
+    )
+
+
 def _q_beacon_candidates(sf_dir: str):
     """Beaconing detection core (C2-style regular callbacks): per client
     IP the exact integer inter-arrival moments — gap count, sum and sum of
@@ -1214,6 +1282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_client_ips": _q_new_client_ips,
         "multi_country_convs": _q_multi_country_convs,
         "beacon_candidates": _q_beacon_candidates,
+        "asn_country_diversity": _q_asn_country_diversity,
         "kv_pair_stats": _q_kv_pair_stats,
         "dissect_status": _q_dissect_status,
         "multiformat_dates": _q_multiformat_dates,
@@ -1711,6 +1780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "new_client_ips",
             "multi_country_convs",
             "beacon_candidates",
+            "asn_country_diversity",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",
@@ -1825,6 +1895,19 @@ SELECT tool, n, template FROM (
   FROM tpl GROUP BY 1, 2)
 WHERE rn <= 5
 ORDER BY tool, n DESC, template
+"""
+    out["asn_country_diversity"] = f"""
+WITH parsed AS (
+  SELECT nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS tok
+  FROM read_parquet('{t}/*.parquet')
+), j AS (
+  SELECT g.asn, g.country_code2 AS c
+  FROM parsed p JOIN read_parquet('{g}') g ON p.tok = g.ip
+  WHERE g.asn IS NOT NULL AND g.country_code2 IS NOT NULL
+)
+SELECT CAST(asn AS BIGINT) AS asn,
+       CAST(count(DISTINCT c) AS BIGINT) AS n_countries
+FROM j GROUP BY 1 ORDER BY 1
 """
     out["beacon_candidates"] = f"""
 WITH parsed AS (

@@ -177,6 +177,76 @@ def _q_log_templates(sf_dir: str):
     )
 
 
+def _q_multiline_events(sf_dir: str):
+    """Logstash MULTILINE-CODEC analog (pattern => '^session opened',
+    negate => true, what => previous — logstash-codec-multiline's classic
+    config): within each conversation's (turn_idx) order, a turn starting
+    with 'session opened;' BEGINS a new assembled event and every other
+    turn continues the previous one (a conversation's first turn always
+    begins one). Emits per assembled event: line count, first/last
+    turn_idx and total text chars. The stateful-across-rows assembly is a
+    conv-bucketed vectorized cumsum over start flags — no per-row Python,
+    and block boundaries carry no state because the bucket holds the whole
+    conversation."""
+    import pandas as pd
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import bucket_by_key
+
+    ds = ray.data.read_parquet(
+        transcripts_path(sf_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+    bucketed = bucket_by_key(ds, "conv_id", 16)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series([], dtype="object"),
+                    "event_seq": pd.Series([], dtype="int64"),
+                    "n_lines": pd.Series([], dtype="int64"),
+                    "first_turn": pd.Series([], dtype="int64"),
+                    "last_turn": pd.Series([], dtype="int64"),
+                    "text_chars": pd.Series([], dtype="int64"),
+                }
+            )
+        b = df.sort_values(["conv_id", "turn_idx"])
+        convs = b["conv_id"].to_numpy()
+        new_conv = np.empty(len(b), dtype=bool)
+        new_conv[0] = True
+        new_conv[1:] = convs[1:] != convs[:-1]
+        starts = (
+            b["text"].str.startswith("session opened;").to_numpy() | new_conv
+        )
+        seq = np.cumsum(starts)
+        # rebase to a per-conv 1..k sequence: subtract the running count at
+        # each conversation's first row
+        base = np.maximum.accumulate(np.where(new_conv, seq - 1, 0))
+        ev = seq - base
+        b = b.assign(
+            event_seq=ev.astype("int64"),
+            chars=b["text"].str.len().astype("int64"),
+        )
+        g = b.groupby(["conv_id", "event_seq"], sort=False).agg(
+            n_lines=("turn_idx", "size"),
+            first_turn=("turn_idx", "min"),
+            last_turn=("turn_idx", "max"),
+            text_chars=("chars", "sum"),
+        ).reset_index()
+        for c in ("n_lines", "first_turn", "last_turn", "text_chars"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    return (
+        bucketed.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .sort(["conv_id", "event_seq"])
+    )
+
+
 def _q_asn_country_diversity(sf_dir: str):
     """CHAINED multi-database enrichment (the multiple-geoip-filters
     Logstash pattern: one event through an ASN filter THEN a City filter,
@@ -1283,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_country_convs": _q_multi_country_convs,
         "beacon_candidates": _q_beacon_candidates,
         "asn_country_diversity": _q_asn_country_diversity,
+        "multiline_events": _q_multiline_events,
         "kv_pair_stats": _q_kv_pair_stats,
         "dissect_status": _q_dissect_status,
         "multiformat_dates": _q_multiformat_dates,
@@ -1781,6 +1852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "multi_country_convs",
             "beacon_candidates",
             "asn_country_diversity",
+            "multiline_events",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",
@@ -1895,6 +1967,27 @@ SELECT tool, n, template FROM (
   FROM tpl GROUP BY 1, 2)
 WHERE rn <= 5
 ORDER BY tool, n DESC, template
+"""
+    out["multiline_events"] = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, text,
+         CASE WHEN starts_with(text, 'session opened;')
+                   OR row_number() OVER (PARTITION BY conv_id
+                                         ORDER BY turn_idx) = 1
+              THEN 1 ELSE 0 END AS is_start
+  FROM read_parquet('{t}/*.parquet')
+), ev AS (
+  SELECT conv_id, turn_idx, length(text) AS chars,
+         sum(is_start) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS event_seq
+  FROM t
+)
+SELECT conv_id, CAST(event_seq AS BIGINT) AS event_seq,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(min(turn_idx) AS BIGINT) AS first_turn,
+       CAST(max(turn_idx) AS BIGINT) AS last_turn,
+       CAST(sum(chars) AS BIGINT) AS text_chars
+FROM ev GROUP BY 1, 2 ORDER BY 1, 2
 """
     out["asn_country_diversity"] = f"""
 WITH parsed AS (

@@ -91,3 +91,86 @@ def make_extract_log_fields(
         return out
 
     return extract_log_fields
+
+
+#: minimal public grok pattern bank (the handful the reference ecosystem's
+#: grok-patterns file defines that this corpus needs; RE2-safe — no
+#: backtracking constructs). Users extend via the ``bank`` argument.
+GROK_BANK = {
+    "IPV4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "WORD": r"\w+",
+    "NOTSPACE": r"[^\s]+",
+    "GREEDYDATA": r".*",
+    "PATH": r"/[^\s\"]*",
+}
+
+_GROK_REF = __import__("re").compile(
+    r"%\{(?P<name>[A-Z0-9_]+)(?::(?P<field>[A-Za-z0-9_]+))?\}"
+)
+
+
+def compile_grok(template: str, bank: dict | None = None) -> str:
+    """Compile a logstash-grok template (``%{PATTERN:field}`` references,
+    e.g. ``'client=%{IPV4:ip} status=%{INT:status}'``) into one RE2 regex
+    with named capture groups — the syntax surface of logstash-filter-grok
+    (grok-patterns file + %{} expansion; cite: logstash-patterns-core).
+    Unnamed references (``%{IPV4}``) become non-capturing; literal text
+    between references is escaped verbatim; an unknown pattern name raises
+    with the name. Nested pattern definitions (a bank value containing
+    ``%{...}``) expand recursively with a depth cap."""
+    import re as _re
+
+    bank = {**GROK_BANK, **(bank or {})}
+
+    def expand(tpl: str, depth: int) -> str:
+        if depth > 8:
+            raise ValueError("compile_grok: pattern nesting deeper than 8")
+        out = []
+        pos = 0
+        for m in _GROK_REF.finditer(tpl):
+            out.append(_re.escape(tpl[pos:m.start()]))
+            name, field = m.group("name"), m.group("field")
+            if name not in bank:
+                raise KeyError("compile_grok: unknown grok pattern %r" % name)
+            body = expand(bank[name], depth + 1) if "%{" in bank[name] else bank[name]
+            if field:
+                out.append("(?P<%s>%s)" % (field, body))
+            else:
+                out.append("(?:%s)" % body)
+            pos = m.end()
+        out.append(_re.escape(tpl[pos:]))
+        return "".join(out)
+
+    return expand(template, 0)
+
+
+def make_grok(template: str, text_column: str = "text", bank: dict | None = None,
+              drop_text: bool = False):
+    """Grok filter: one vectorized ``pc.extract_regex`` per batch with the
+    compiled template — every ``%{PATTERN:field}`` reference becomes an
+    output column (null on no-match), exactly logstash-filter-grok's
+    contract re-expressed columnar."""
+    import re as _re
+
+    regex = compile_grok(template, bank)
+    fields = _re.findall(r"\(\?P<([A-Za-z0-9_]+)>", regex)
+    if not fields:
+        raise ValueError("make_grok: template captures no fields")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch[text_column]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        matches = pc.extract_regex(text, regex)
+        if drop_text:
+            batch = batch.drop_columns([text_column])
+        for f in fields:
+            col = pc.struct_field(matches, f)
+            if f in batch.column_names:
+                batch = batch.drop_columns([f])
+            batch = batch.append_column(f, col)
+        return batch
+
+    return fn

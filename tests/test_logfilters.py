@@ -1449,3 +1449,44 @@ def test_fingerprint_hmac_and_methods():
     assert md5[0] == hashlib.md5(b"b=x").hexdigest()
     with pytest.raises(ValueError, match="unsupported method"):
         make_fingerprint(["a"], method="CRC32")
+
+
+def test_grok_compiler_and_filter():
+    """%{PATTERN:field} expansion: literal escaping, unnamed refs,
+    nested bank entries, unknown-name raise, end-to-end extraction."""
+    import pyarrow as pa
+    import pytest
+
+    from logstash_filter_geoip_ray.stages.parse import compile_grok, make_grok
+
+    rx = compile_grok("client=%{IPV4:ip} status=%{INT:status}")
+    assert "(?P<ip>" in rx and "(?P<status>" in rx
+    # literal regex metacharacters between refs must be escaped
+    rx2 = compile_grok("a.b%{INT:n}")
+    assert rx2.startswith("a\\.b")
+    # unnamed reference: non-capturing
+    assert "(?P<" not in compile_grok("x %{IPV4} y")
+    with pytest.raises(KeyError, match="NOPE"):
+        compile_grok("%{NOPE:x}")
+    # nested bank entry expands recursively
+    nested = compile_grok(
+        "%{HOSTPORT:hp}", bank={"HOSTPORT": r"%{NOTSPACE}:%{INT}"}
+    )
+    assert "(?P<hp>" in nested
+    with pytest.raises(ValueError, match="nesting"):
+        compile_grok("%{A:x}", bank={"A": "%{A}"})
+
+    batch = pa.table(
+        {
+            "text": [
+                "client=1.2.3.4 status=200 tail",
+                "no match here",
+                "client=9.8.7.6 status=404",
+            ]
+        }
+    )
+    out = make_grok("client=%{IPV4:ip} status=%{INT:status}")(batch)
+    assert out["ip"].to_pylist() == ["1.2.3.4", None, "9.8.7.6"]
+    assert out["status"].to_pylist() == ["200", None, "404"]
+    with pytest.raises(ValueError, match="captures no fields"):
+        make_grok("%{IPV4} only")

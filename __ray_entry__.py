@@ -177,6 +177,31 @@ def _q_log_templates(sf_dir: str):
     )
 
 
+def _q_grok_ua_counts(sf_dir: str):
+    """End-to-end grok-SYNTAX pipeline: the `%{IPV4:ip} ua=%{NOTSPACE:ua}`
+    template compiles through `compile_grok` into one vectorized
+    extract_regex, then counts per user-agent token — proving the
+    logstash-grok syntax surface drives a full distributed aggregate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import grouped_counts
+    from logstash_filter_geoip_ray.stages.parse import make_grok
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["text"])
+    ds = ds.map_batches(
+        make_grok("request from %{IPV4:ip} ua=%{NOTSPACE:ua}", drop_text=True),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_valid(t["ua"])).select(["ua"]),
+        batch_format="pyarrow",
+    )
+    return grouped_counts(ds, ["ua"], "n", sort_result=True)
+
+
 def _q_multiline_events(sf_dir: str):
     """Logstash MULTILINE-CODEC analog (pattern => '^session opened',
     negate => true, what => previous — logstash-codec-multiline's classic
@@ -1354,6 +1379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "beacon_candidates": _q_beacon_candidates,
         "asn_country_diversity": _q_asn_country_diversity,
         "multiline_events": _q_multiline_events,
+        "grok_ua_counts": _q_grok_ua_counts,
         "kv_pair_stats": _q_kv_pair_stats,
         "dissect_status": _q_dissect_status,
         "multiformat_dates": _q_multiformat_dates,
@@ -1853,6 +1879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "beacon_candidates",
             "asn_country_diversity",
             "multiline_events",
+            "grok_ua_counts",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",
@@ -1967,6 +1994,15 @@ SELECT tool, n, template FROM (
   FROM tpl GROUP BY 1, 2)
 WHERE rn <= 5
 ORDER BY tool, n DESC, template
+"""
+    out["grok_ua_counts"] = f"""
+WITH m AS (
+  SELECT nullif(regexp_extract(text,
+    'request from (\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}) ua=([^\\s]+)', 2), '') AS ua
+  FROM read_parquet('{t}/*.parquet')
+)
+SELECT ua, CAST(count(*) AS BIGINT) AS n FROM m
+WHERE ua IS NOT NULL GROUP BY 1 ORDER BY 1
 """
     out["multiline_events"] = f"""
 WITH t AS (

@@ -177,6 +177,49 @@ def _q_log_templates(sf_dir: str):
     )
 
 
+def _q_failure_rates(sf_dir: str):
+    """Dead-letter-queue metric: per tool the total rows, enrichment
+    misses (no token or no DB hit — the rows a logstash DLQ would hold)
+    and the integer miss rate in permille. One pass over the enriched
+    stream; partials collapse per batch."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        MISS_KEY,
+        build_enriched,
+    )
+    from logstash_filter_geoip_ray.stages.aggregate import tree_sum
+
+    ds = build_enriched(sf_dir, columns=["tool", "text"], drop_text=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        miss = pc.cast(pc.equal(batch["country"], MISS_KEY), pa.int64())
+        t = pa.table(
+            {
+                "tool": batch["tool"],
+                "n_total": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "n_miss": miss,
+            }
+        )
+        g = t.group_by(["tool"]).aggregate([("n_total", "sum"), ("n_miss", "sum")])
+        return g.rename_columns(["tool", "n_total", "n_miss"])
+
+    sums = tree_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["tool"], ["n_total", "n_miss"], sort_result=True,
+    )
+
+    def rate(batch: pa.Table) -> pa.Table:
+        permille = pc.divide(
+            pc.multiply(batch["n_miss"], 1000), batch["n_total"]
+        )
+        return batch.append_column("miss_permille", pc.cast(permille, pa.int64()))
+
+    return sums.map_batches(rate, batch_format="pyarrow")
+
+
 def _q_grok_ua_counts(sf_dir: str):
     """End-to-end grok-SYNTAX pipeline: the `%{IPV4:ip} ua=%{NOTSPACE:ua}`
     template compiles through `compile_grok` into one vectorized
@@ -1380,6 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asn_country_diversity": _q_asn_country_diversity,
         "multiline_events": _q_multiline_events,
         "grok_ua_counts": _q_grok_ua_counts,
+        "failure_rates": _q_failure_rates,
         "kv_pair_stats": _q_kv_pair_stats,
         "dissect_status": _q_dissect_status,
         "multiformat_dates": _q_multiformat_dates,
@@ -1880,6 +1924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "asn_country_diversity",
             "multiline_events",
             "grok_ua_counts",
+            "failure_rates",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",
@@ -1994,6 +2039,21 @@ SELECT tool, n, template FROM (
   FROM tpl GROUP BY 1, 2)
 WHERE rn <= 5
 ORDER BY tool, n DESC, template
+"""
+    out["failure_rates"] = f"""
+WITH parsed AS (
+  SELECT tool,
+         nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS tok
+  FROM read_parquet('{t}/*.parquet')
+), enr AS (
+  SELECT p.tool, g.country_code2
+  FROM parsed p LEFT JOIN read_parquet('{g}') g ON p.tok = g.ip
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN country_code2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_miss,
+       CAST((1000 * sum(CASE WHEN country_code2 IS NULL THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS miss_permille
+FROM enr GROUP BY 1 ORDER BY 1
 """
     out["grok_ua_counts"] = f"""
 WITH m AS (

@@ -700,6 +700,16 @@ def delete_rows_partitioned(out_dir: str, column: str, values):
                               recursive=True))
     if not files:
         raise FileNotFoundError("delete_rows_partitioned: no parquet under %r" % out_dir)
+    # fail at plan time, not inside a task, when the predicate column is
+    # absent from the store
+    probe_schema = _pq.read_schema(files[0])
+    if column not in probe_schema.names:
+        raise KeyError(
+            "delete_rows_partitioned: column %r not in store schema %s"
+            % (column, probe_schema.names)
+        )
+    if not values:
+        raise ValueError("delete_rows_partitioned: empty values set")
     value_set = pa.array(sorted(set(values)))
 
     def process(batch: pa.Table) -> pa.Table:

@@ -615,3 +615,24 @@ def test_compact_partition_files(ray_session, tmp_path):
         f"SELECT sum(x), count(*) FROM read_parquet('{root}/**/*.parquet')"
     ).fetchone()
     assert total3 == total2
+
+
+def test_delete_rows_partitioned_guards(ray_session, tmp_path):
+    """Plan-time guards: unknown predicate column and empty values raise."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        delete_rows_partitioned,
+    )
+
+    d = tmp_path / "s"
+    d.mkdir()
+    pq.write_table(pa.table({"x": pa.array([1], pa.int64())}), str(d / "a.parquet"))
+    with pytest.raises(KeyError, match="'nope'"):
+        delete_rows_partitioned(str(d), "nope", [1])
+    with pytest.raises(ValueError, match="empty values"):
+        delete_rows_partitioned(str(d), "x", [])
+    with pytest.raises(FileNotFoundError):
+        delete_rows_partitioned(str(tmp_path / "missing"), "x", [1])

@@ -700,21 +700,30 @@ def delete_rows_partitioned(out_dir: str, column: str, values):
                               recursive=True))
     if not files:
         raise FileNotFoundError("delete_rows_partitioned: no parquet under %r" % out_dir)
-    # fail at plan time, not inside a task, when the predicate column is
-    # absent from the store
-    probe_schema = _pq.read_schema(files[0])
-    if column not in probe_schema.names:
-        raise KeyError(
-            "delete_rows_partitioned: column %r not in store schema %s"
-            % (column, probe_schema.names)
-        )
-    if not values:
+    vals = sorted(set(values))  # materialize first: numpy/pandas inputs
+    if not vals:
         raise ValueError("delete_rows_partitioned: empty values set")
-    value_set = pa.array(sorted(set(values)))
+    # plan-time guard: the column must exist SOMEWHERE in the store; a
+    # schema-evolved file lacking it simply cannot contain victims and is
+    # skipped per task below
+    if not any(column in _pq.read_schema(f).names for f in files):
+        raise KeyError(
+            "delete_rows_partitioned: column %r in no file under %r"
+            % (column, out_dir)
+        )
+    value_set = pa.array(vals)
 
     def process(batch: pa.Table) -> pa.Table:
         out = {"path": [], "rewritten": [], "deleted": [], "kept": []}
         for path in batch["path"].to_pylist():
+            if column not in _pq.read_schema(path).names:
+                # schema-evolved file without the column: no victims here
+                n = _pq.ParquetFile(path).metadata.num_rows
+                out["path"].append(path)
+                out["rewritten"].append(False)
+                out["deleted"].append(0)
+                out["kept"].append(n)
+                continue
             probe = _pq.read_table(path, columns=[column])
             hit = pc.is_in(probe[column], value_set=value_set)
             n_hit = pc.sum(pc.cast(hit, pa.int64())).as_py() or 0

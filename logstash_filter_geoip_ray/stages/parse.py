@@ -124,26 +124,34 @@ def compile_grok(template: str, bank: dict | None = None) -> str:
 
     bank = {**GROK_BANK, **(bank or {})}
 
-    def expand(tpl: str, depth: int) -> str:
+    def expand(tpl: str, depth: int, escape_literals: bool) -> str:
+        # only the TOP-LEVEL template's literal text is escaped; bank
+        # values are regexes themselves, so their non-%{} segments insert
+        # raw (escaping would corrupt \s, +, [] inside mixed entries)
         if depth > 8:
             raise ValueError("compile_grok: pattern nesting deeper than 8")
+        lit = _re.escape if escape_literals else (lambda x: x)
         out = []
         pos = 0
         for m in _GROK_REF.finditer(tpl):
-            out.append(_re.escape(tpl[pos:m.start()]))
+            out.append(lit(tpl[pos:m.start()]))
             name, field = m.group("name"), m.group("field")
             if name not in bank:
                 raise KeyError("compile_grok: unknown grok pattern %r" % name)
-            body = expand(bank[name], depth + 1) if "%{" in bank[name] else bank[name]
+            body = (
+                expand(bank[name], depth + 1, escape_literals=False)
+                if "%{" in bank[name]
+                else bank[name]
+            )
             if field:
                 out.append("(?P<%s>%s)" % (field, body))
             else:
                 out.append("(?:%s)" % body)
             pos = m.end()
-        out.append(_re.escape(tpl[pos:]))
+        out.append(lit(tpl[pos:]))
         return "".join(out)
 
-    return expand(template, 0)
+    return expand(template, 0, escape_literals=True)
 
 
 def make_grok(template: str, text_column: str = "text", bank: dict | None = None,
@@ -158,6 +166,13 @@ def make_grok(template: str, text_column: str = "text", bank: dict | None = None
     fields = _re.findall(r"\(\?P<([A-Za-z0-9_]+)>", regex)
     if not fields:
         raise ValueError("make_grok: template captures no fields")
+    if len(fields) != len(set(fields)):
+        # catch at plan time — a duplicate named group only explodes later
+        # inside the distributed batch fn as a cryptic ArrowInvalid
+        raise ValueError(
+            "make_grok: duplicate capture field(s) %s"
+            % sorted({f for f in fields if fields.count(f) > 1})
+        )
 
     def fn(batch: pa.Table) -> pa.Table:
         text = batch[text_column]

@@ -1473,6 +1473,14 @@ def test_grok_compiler_and_filter():
         "%{HOSTPORT:hp}", bank={"HOSTPORT": r"%{NOTSPACE}:%{INT}"}
     )
     assert "(?P<hp>" in nested
+    # bank values are regexes: literal segments between refs must insert
+    # RAW (e.g. \s+), only the top-level template escapes
+    import re as _re
+
+    mixed = compile_grok("%{HP:hp}", bank={"HP": r"%{WORD}\s+%{INT}"})
+    assert _re.fullmatch(mixed, "abc   42")
+    with pytest.raises(ValueError, match="duplicate capture"):
+        make_grok("%{INT:n} %{INT:n}")
     with pytest.raises(ValueError, match="nesting"):
         compile_grok("%{A:x}", bank={"A": "%{A}"})
 

@@ -636,3 +636,17 @@ def test_delete_rows_partitioned_guards(ray_session, tmp_path):
         delete_rows_partitioned(str(d), "x", [])
     with pytest.raises(FileNotFoundError):
         delete_rows_partitioned(str(tmp_path / "missing"), "x", [1])
+    # schema-evolved file WITHOUT the predicate column: skipped, not crashed
+    pq.write_table(
+        pa.table({"x": pa.array([2], pa.int64()), "region": ["eu"]}),
+        str(d / "b.parquet"),
+    )
+    rep = delete_rows_partitioned(str(d), "region", ["eu"])
+    assert rep["files_scanned"] == 2
+    assert rep["rows_deleted"] == 1        # only b.parquet had the column
+    assert rep["files_rewritten"] == 1
+    # numpy array input works (materialized before truthiness)
+    import numpy as np
+
+    rep2 = delete_rows_partitioned(str(d), "x", np.array([1, 2]))
+    assert rep2["rows_deleted"] >= 1

@@ -177,6 +177,25 @@ def _q_log_templates(sf_dir: str):
     )
 
 
+def _q_country_top_tools(sf_dir: str):
+    """Per-country top-3 tools by enriched-turn count (ties → tool asc) —
+    the drill-down ranking over the flagship (country, tool) aggregate:
+    partial counts collapse per batch, the two-stage partial top-k keeps
+    the Sort at buckets × countries × 3 rows."""
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        build_enriched,
+        sink_counts,
+    )
+    from logstash_filter_geoip_ray.stages.aggregate import grouped_topk
+
+    counts = sink_counts(
+        build_enriched(sf_dir, columns=["text", "tool"], drop_text=True)
+    )
+    return grouped_topk(
+        counts, key_col="country", order_col="n", id_col="tool", k=3
+    )
+
+
 def _q_failure_rates(sf_dir: str):
     """Dead-letter-queue metric: per tool the total rows, enrichment
     misses (no token or no DB hit — the rows a logstash DLQ would hold)
@@ -1424,6 +1443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiline_events": _q_multiline_events,
         "grok_ua_counts": _q_grok_ua_counts,
         "failure_rates": _q_failure_rates,
+        "country_top_tools": _q_country_top_tools,
         "kv_pair_stats": _q_kv_pair_stats,
         "dissect_status": _q_dissect_status,
         "multiformat_dates": _q_multiformat_dates,
@@ -1925,6 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "multiline_events",
             "grok_ua_counts",
             "failure_rates",
+            "country_top_tools",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",
@@ -2039,6 +2060,23 @@ SELECT tool, n, template FROM (
   FROM tpl GROUP BY 1, 2)
 WHERE rn <= 5
 ORDER BY tool, n DESC, template
+"""
+    out["country_top_tools"] = f"""
+WITH parsed AS (
+  SELECT tool,
+         nullif(regexp_extract(text, '(?:request from|client=)\\s*([^\\s"]+)', 1), '') AS tok
+  FROM read_parquet('{t}/*.parquet')
+), enr AS (
+  SELECT p.tool, coalesce(g.country_code2, '{MISS_KEY}') AS country
+  FROM parsed p LEFT JOIN read_parquet('{g}') g ON p.tok = g.ip
+), c AS (
+  SELECT country, tool, CAST(count(*) AS BIGINT) AS n FROM enr GROUP BY 1, 2
+)
+SELECT country, n, tool FROM (
+  SELECT country, tool, n,
+         row_number() OVER (PARTITION BY country ORDER BY n DESC, tool) AS rn
+  FROM c)
+WHERE rn <= 3 ORDER BY country, n DESC, tool
 """
     out["failure_rates"] = f"""
 WITH parsed AS (

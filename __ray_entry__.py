@@ -177,6 +177,54 @@ def _q_log_templates(sf_dir: str):
     )
 
 
+def _q_conv_duration_histogram(sf_dir: str):
+    """Conversation-duration distribution: per SECOND-bucket the number of
+    conversations whose (max ts − min ts) falls in it — the latency-curve
+    rollup at CONVERSATION grain. Per-batch (conv, min, max) partials
+    collapse first (a conv may span batches), a conv-bucketed exact
+    min/max resolve follows, and only minute-bucket counts reach the final
+    combine."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import bucket_by_key, tree_sum
+
+    ds = ray.data.read_parquet(
+        transcripts_path(sf_dir), columns=["conv_id", "ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+            }
+        )
+        g = t.group_by(["conv_id"]).aggregate([("ts_us", "min"), ("ts_us", "max")])
+        return g.rename_columns(["conv_id", "lo", "hi"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    bucketed = bucket_by_key(partials, "conv_id", 16)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("conv_id", as_index=False, sort=False).agg(
+            lo=("lo", "min"), hi=("hi", "max")
+        )
+        seconds = ((g["hi"] - g["lo"]) // 1_000_000).astype("int64")
+        out = seconds.value_counts().rename_axis("seconds").reset_index(name="n_convs")
+        out["seconds"] = out["seconds"].astype("int64")
+        out["n_convs"] = out["n_convs"].astype("int64")
+        return out[["seconds", "n_convs"]]
+
+    hist = bucketed.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+    return tree_sum(hist, ["seconds"], ["n_convs"], sort_result=True)
+
+
 def _q_country_top_tools(sf_dir: str):
     """Per-country top-3 tools by enriched-turn count (ties → tool asc) —
     the drill-down ranking over the flagship (country, tool) aggregate:
@@ -1444,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grok_ua_counts": _q_grok_ua_counts,
         "failure_rates": _q_failure_rates,
         "country_top_tools": _q_country_top_tools,
+        "conv_duration_histogram": _q_conv_duration_histogram,
         "kv_pair_stats": _q_kv_pair_stats,
         "dissect_status": _q_dissect_status,
         "multiformat_dates": _q_multiformat_dates,
@@ -1946,6 +1995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "grok_ua_counts",
             "failure_rates",
             "country_top_tools",
+            "conv_duration_histogram",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",
@@ -2060,6 +2110,16 @@ SELECT tool, n, template FROM (
   FROM tpl GROUP BY 1, 2)
 WHERE rn <= 5
 ORDER BY tool, n DESC, template
+"""
+    out["conv_duration_histogram"] = f"""
+WITH c AS (
+  SELECT conv_id,
+         (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS seconds
+  FROM read_parquet('{t}/*.parquet') GROUP BY 1
+)
+SELECT CAST(seconds AS BIGINT) AS seconds,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM c GROUP BY 1 ORDER BY 1
 """
     out["country_top_tools"] = f"""
 WITH parsed AS (

@@ -1996,6 +1996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "failure_rates",
             "country_top_tools",
             "conv_duration_histogram",
+            "dedup_ratio_report",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",

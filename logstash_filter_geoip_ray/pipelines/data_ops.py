@@ -42,6 +42,65 @@ def _events(sf_dir: str, columns=None):
 # -- queries ----------------------------------------------------------------
 
 
+def q_dedup_ratio_report(sf_dir: str):
+    """Curation dedup report: per source, total docs vs distinct texts and
+    the duplicate rate in permille — the before/after table a dedup run
+    publishes. Shape: per-batch (source, md5) distinct pairs collapse
+    before ONE hash-bucketed exchange of fingerprints; totals ride the
+    same partials."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import md5_fingerprints
+    from ..stages.aggregate import bucket_by_key, tree_sum
+
+    docs = _docs(sf_dir, ["doc_id", "source", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if pa.types.is_null(text.type):
+            text = text.cast(pa.string())
+        h = pc.fill_null(md5_fingerprints(text), "__null_text__")
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "_h": h,
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["source", "_h"]).aggregate([("n", "sum")])
+        return g.rename_columns(["source", "_h", "n"])
+
+    pairs = docs.map_batches(explode, batch_format="pyarrow")
+    bucketed = bucket_by_key(pairs, "_h", 16)
+
+    def per_bucket(df):
+        g = df.groupby(["source", "_h"], as_index=False, sort=False)["n"].sum()
+        out = g.groupby("source", as_index=False, sort=False).agg(
+            n_docs=("n", "sum"), n_distinct=("n", "size")
+        )
+        for c in ("n_docs", "n_distinct"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    partials = bucketed.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+    sums = tree_sum(partials, ["source"], ["n_docs", "n_distinct"],
+                    sort_result=True)
+
+    def rate(batch: pa.Table) -> pa.Table:
+        dup = pc.subtract(batch["n_docs"], batch["n_distinct"])
+        permille = pc.divide(pc.multiply(dup, 1000), batch["n_docs"])
+        return batch.append_column(
+            "dup_permille", pc.cast(permille, pa.int64())
+        )
+
+    return sums.map_batches(rate, batch_format="pyarrow")
+
+
 def q_dedup_exact(sf_dir: str):
     from ..stages.dedup import exact_dedup_keepers
 
@@ -4180,6 +4239,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "bpe_pairs": q_bpe_pairs,
     "customers_without_events": q_customers_without_events,
     "dedup_exact": q_dedup_exact,
+    "dedup_ratio_report": q_dedup_ratio_report,
     "doc_stats": q_doc_stats,
     "doc_analysis": q_doc_analysis,
     "lang_stats": q_lang_stats,
@@ -5856,6 +5916,18 @@ SELECT doc_id,
          AS novelty_milli
 FROM sets JOIN df USING (g)
 GROUP BY 1 ORDER BY 1
+""",
+    "dedup_ratio_report": """
+WITH d AS (
+  SELECT source, coalesce(md5(text), '__null_text__') AS h FROM documents
+), g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+  FROM d GROUP BY 1
+)
+SELECT source, n_docs, n_distinct,
+       CAST((1000 * (n_docs - n_distinct)) // n_docs AS BIGINT) AS dup_permille
+FROM g ORDER BY source
 """,
     "ppjoin_pairs": f"""
 WITH sets AS (

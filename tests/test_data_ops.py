@@ -95,7 +95,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "value_hour_corr", "ppjoin_pairs", "novelty_scores", "ann_filtered",
      "twap_values", "event_fingerprints", "ipc_roundtrip_stats", "value_decile_bins", "pii_inventory",
      "scd2_intervals", "state_at_cutoff", "cluster_canonicals",
-     "value_drift_bins",
+     "value_drift_bins", "dedup_ratio_report",
      "resampled_series", "cdc_merged_state", "bfs_levels",
      "event_pairs_within"],
 )

@@ -177,6 +177,39 @@ def _q_log_templates(sf_dir: str):
     )
 
 
+def _q_tool_hour_heatmap(sf_dir: str):
+    """Operational heatmap: turns per (tool, hour-of-day) — the staffing /
+    load-shape rollup over the transcript stream; one vectorized hour
+    extraction per batch, tiny keyed partials."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+    from logstash_filter_geoip_ray.stages.aggregate import tree_sum
+
+    ds = ray.data.read_parquet(transcripts_path(sf_dir), columns=["tool", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy()
+        hour = (ts_us // 3_600_000_000) % 24
+        t = pa.table(
+            {
+                "tool": batch["tool"],
+                "hour": pa.array(hour, type=pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["tool", "hour"]).aggregate([("n", "sum")])
+        return g.rename_columns(["tool", "hour", "n"])
+
+    return tree_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["tool", "hour"], ["n"], sort_result=True,
+    )
+
+
 def _q_conv_duration_histogram(sf_dir: str):
     """Conversation-duration distribution: per SECOND-bucket the number of
     conversations whose (max ts − min ts) falls in it — the latency-curve
@@ -1493,6 +1526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "failure_rates": _q_failure_rates,
         "country_top_tools": _q_country_top_tools,
         "conv_duration_histogram": _q_conv_duration_histogram,
+        "tool_hour_heatmap": _q_tool_hour_heatmap,
         "kv_pair_stats": _q_kv_pair_stats,
         "dissect_status": _q_dissect_status,
         "multiformat_dates": _q_multiformat_dates,
@@ -1997,6 +2031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "country_top_tools",
             "conv_duration_histogram",
             "dedup_ratio_report",
+            "tool_hour_heatmap",
             "shipping_priority",
             "late_priority_counts",
             "ohlc_bars",
@@ -2111,6 +2146,12 @@ SELECT tool, n, template FROM (
   FROM tpl GROUP BY 1, 2)
 WHERE rn <= 5
 ORDER BY tool, n DESC, template
+"""
+    out["tool_hour_heatmap"] = f"""
+SELECT tool, CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM read_parquet('{t}/*.parquet')
+GROUP BY 1, 2 ORDER BY 1, 2
 """
     out["conv_duration_histogram"] = f"""
 WITH c AS (

@@ -150,24 +150,40 @@ def _run_bench() -> dict:
         best = min(best, time.perf_counter() - t0)
     queries["asn_counts_salted"] = round(best, 3)
 
-    out_dir = "/tmp/bench_routed_%d" % os.getpid()
-    t0 = time.perf_counter()
-    write_routed(build_enriched(SF_DIR, rows=bench_rows), out_dir)
-    queries["routed_write"] = round(time.perf_counter() - t0, 3)
-    subprocess.run(["rm", "-rf", out_dir], check=False)
+    # write legs get the same best-of-N de-noising as the headline (round-3
+    # verdict: a single run under loadavg 15.6 recorded 56.7 s for code that
+    # idles at 11.5 s); per-leg loadavg makes any residual jitter attributable
+    leg_loadavg = {}
+
+    best = float("inf")
+    for i in range(3):
+        leg_loadavg.setdefault("routed_write", []).append(round(os.getloadavg()[0], 2))
+        out_dir = "/tmp/bench_routed_%d_%d" % (os.getpid(), i)
+        t0 = time.perf_counter()
+        write_routed(build_enriched(SF_DIR, rows=bench_rows), out_dir)
+        best = min(best, time.perf_counter() - t0)
+        subprocess.run(["rm", "-rf", out_dir], check=False)
+    queries["routed_write"] = round(best, 3)
 
     from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
         write_routed_bucketed,
     )
 
-    out_dir2 = "/tmp/bench_routed_b_%d" % os.getpid()
-    t0 = time.perf_counter()
-    _, nfiles = write_routed_bucketed(
-        build_enriched(SF_DIR, rows=bench_rows), out_dir2, num_buckets=NUM_CPUS
-    )
-    queries["routed_write_bucketed"] = round(time.perf_counter() - t0, 3)
+    best = float("inf")
+    nfiles = 0
+    for i in range(3):
+        leg_loadavg.setdefault("routed_write_bucketed", []).append(
+            round(os.getloadavg()[0], 2)
+        )
+        out_dir2 = "/tmp/bench_routed_b_%d_%d" % (os.getpid(), i)
+        t0 = time.perf_counter()
+        _, nfiles = write_routed_bucketed(
+            build_enriched(SF_DIR, rows=bench_rows), out_dir2, num_buckets=NUM_CPUS
+        )
+        best = min(best, time.perf_counter() - t0)
+        subprocess.run(["rm", "-rf", out_dir2], check=False)
+    queries["routed_write_bucketed"] = round(best, 3)
     queries["routed_write_bucketed_files"] = nfiles
-    subprocess.run(["rm", "-rf", out_dir2], check=False)
 
     ray.shutdown()
 
@@ -182,6 +198,7 @@ def _run_bench() -> dict:
         "rows": rows,
         "turns_per_sec": round(rows / headline, 1) if headline else None,
         "loadavg_at_start": loadavg,
+        "loadavg_per_write_leg": leg_loadavg,
     }
 
 

@@ -79,8 +79,20 @@ class GeoIPConfig:
     #: Default False: DNS in a hot batch path is a scale hazard, so
     #: non-literals are failed lookups unless explicitly enabled.
     resolve_hostnames: bool = False
+    #: Reference-parity preset: one switch that restores the reference
+    #: plugin's runtime defaults for a migrating Logstash user. Currently
+    #: flips ``resolve_hostnames`` to True (GeoIPFilter.java:172 resolves
+    #: hostnames unconditionally). The two remaining divergences are
+    #: *timing*, not behavior, and cannot be restored by config: (1) an
+    #: UNKNOWN database type raises at pipeline build instead of per event
+    #: (stages/enrich.py, "Unsupported database type"), and (2) an empty-list
+    #: source degrades to a tagged miss instead of the reference's per-event
+    #: IndexOutOfBounds crash. Both are documented in COVERAGE.md.
+    reference_defaults: bool = False
 
     def __post_init__(self):
+        if self.reference_defaults:
+            object.__setattr__(self, "resolve_hostnames", True)
         if self.ecs_compatibility not in ("disabled", "v1", "v8"):
             raise ConfigurationError(
                 "Unknown ECS version " + str(self.ecs_compatibility)

@@ -213,11 +213,22 @@ def write_routed(enriched_ds, out_dir: str, cluster: bool = False):
     return out_dir
 
 
+def _probe_write_marker(path: str) -> bool:
+    """Shared-storage probe body — runs inside a Ray worker task. Kept
+    module-level so :func:`write_routed_bucketed` tests can inject a stand-in
+    that writes somewhere else (modeling a worker whose ``out_dir`` resolves
+    to node-local disk)."""
+    with open(path, "w") as f:
+        f.write("ok")
+    return True
+
+
 def write_routed_bucketed(
     enriched_ds,
     out_dir: str,
     num_buckets: Optional[int] = None,
     key_cols: Sequence[str] = ("country", "tool"),
+    _probe_write=None,
 ):
     """Fleet-scale routed write with one output file per sink (file count =
     #sinks, independent of upstream task count) and no global sort.
@@ -258,6 +269,25 @@ def write_routed_bucketed(
     # that no longer occur (the destination is exactly this run's sinks)
     for stale in _glob.glob(os.path.join(out_dir, "%s=*" % key_cols[0])):
         shutil.rmtree(stale, ignore_errors=True)
+
+    # capability probe: the staging exchange assumes `out_dir` is shared
+    # storage (see docstring). Verify BEFORE phase 1 — one remote task writes
+    # a marker, the driver stats it — so a node-local path fails in
+    # milliseconds with a clear message instead of burning the whole phase-1
+    # write and producing a silently-empty compaction at fleet scale.
+    os.makedirs(staging, exist_ok=True)
+    probe_marker = os.path.join(staging, "_shared_fs_probe")
+    ray.get(ray.remote(_probe_write or _probe_write_marker).remote(probe_marker))
+    if not os.path.exists(probe_marker):
+        raise RuntimeError(
+            "write_routed_bucketed: staging dir %r is not visible to the "
+            "driver after a worker wrote to it — out_dir must be on shared "
+            "storage (NFS / object-store mount) reachable by every worker "
+            "and the driver; a node-local path only works single-node"
+            % staging
+        )
+    os.remove(probe_marker)
+
     enriched_ds.write_parquet(staging, partition_cols=key_cols)
 
     sink_dirs = sorted(

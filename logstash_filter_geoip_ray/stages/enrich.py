@@ -865,14 +865,23 @@ class GeoIPEnricher:
         n = batch.num_rows
         src_col = batch[self.source_column]
         if pa.types.is_list(src_col.type) or pa.types.is_large_list(src_col.type):
-            # E1: list → first element. Guard empty lists (the reference
-            # throws IndexOutOfBounds per event; at batch scale a crash would
-            # take thousands of healthy rows with it, so we degrade an empty
-            # list to a missing source → tagged failure). List-typed sources
-            # are a rare path; a row loop is acceptable here.
-            src_col = pa.array(
-                [x[0] if x else None for x in src_col.to_pylist()], type=pa.string()
+            # E1: list → first element, fully vectorized. Guard empty lists
+            # (the reference throws IndexOutOfBounds per event; at batch
+            # scale a crash would take thousands of healthy rows with it, so
+            # we degrade an empty/null list to a missing source → tagged
+            # failure). list_slice(0,1)+list_flatten emits one value per
+            # non-empty list in row order; scatter them back with a
+            # null-masked take.
+            nonempty = np.asarray(
+                pc.fill_null(pc.greater(pc.list_value_length(src_col), 0), False)
             )
+            flat = pc.list_flatten(pc.list_slice(src_col, 0, 1))
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            take_idx = pa.array(
+                np.cumsum(nonempty) - 1, type=pa.int64(), mask=~nonempty
+            )
+            src_col = flat.take(take_idx).cast(pa.string())
         elif pa.types.is_null(src_col.type):
             # an all-null column carries no type info; every row is the
             # reference's `input == null` skip path

@@ -215,6 +215,23 @@ def test_list_source_first_ip(db_paths):
     assert row["tgt"]["ip"] == "216.160.83.58"
 
 
+def test_list_source_mixed_rows_vectorized(db_paths):
+    """E1 vectorized list kernel: non-empty, empty, null-list, and
+    null-first-element rows in one batch stay row-aligned (the old per-row
+    loop's semantics, now list_slice+list_flatten+masked take)."""
+    cfg = GeoIPConfig(source="message", database=db_paths["country"], ecs_compatibility="v1", target="tgt")
+    col = pa.array(
+        [["216.160.83.58", "127.0.0.1"], [], None, [None, "216.160.83.58"]],
+        type=pa.list_(pa.string()),
+    )
+    rows = GeoIPEnricher(cfg)(pa.table({"message": col})).to_pylist()
+    assert rows[0]["tgt"]["ip"] == "216.160.83.58" and rows[0]["tags"] is None
+    # empty list / null list / null first element all degrade to tagged miss
+    for r in rows[1:]:
+        assert r["tgt"] is None
+        assert r["tags"] == ["_geoip_lookup_failure"]
+
+
 class TestFailureMatrix:
     """geoip_offline_spec.rb:11-85 — the three-state target/tags contract."""
 
@@ -372,6 +389,30 @@ def test_hostname_resolution_opt_in(db_paths):
             pa.table({"message": ["geo.example.test"]})
         ).to_pylist()
         assert rows[0]["tags"] == ["_geoip_lookup_failure"]
+    finally:
+        set_hostname_resolver(None)
+
+
+def test_reference_defaults_preset_resolves_hostnames(db_paths):
+    """`GeoIPConfig(reference_defaults=True)` restores the reference plugin's
+    unconditional hostname resolution (GeoIPFilter.java:172) with no explicit
+    resolve_hostnames opt-in — the one-switch migration preset."""
+    import ipaddress
+
+    from logstash_filter_geoip_ray.functions.iputil import set_hostname_resolver
+
+    fake_dns = {"geo.example.test": ipaddress.ip_address("216.160.83.58")}
+    set_hostname_resolver(lambda name: fake_dns.get(name))
+    try:
+        cfg = GeoIPConfig(
+            source="message", database=db_paths["city"], reference_defaults=True
+        )
+        assert cfg.resolve_hostnames is True
+        rows = GeoIPEnricher(cfg)(
+            pa.table({"message": ["geo.example.test"]})
+        ).to_pylist()
+        assert rows[0]["geoip"]["city_name"] == "Milton"
+        assert rows[0]["tags"] is None
     finally:
         set_hostname_resolver(None)
 

@@ -288,6 +288,42 @@ def test_bucketed_routed_write_clears_stale_sinks(ray_session, tmp_path):
     assert got["v"].to_pylist() == [3]
 
 
+def test_bucketed_routed_write_probes_shared_storage(ray_session, tmp_path):
+    """Capability probe: a staging dir the workers can write but the driver
+    cannot see (node-local disk on a real cluster) must fail fast with a
+    clear message BEFORE the phase-1 fan-out write burns fleet hours.
+    Simulated by injecting a probe body that writes to a different root."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        write_routed_bucketed,
+    )
+
+    elsewhere = str(tmp_path / "node_local")
+    os.makedirs(elsewhere, exist_ok=True)
+
+    def node_local_probe(path):
+        # models a worker resolving out_dir onto its own local disk: the
+        # write succeeds *somewhere*, but not where the driver looks
+        with open(os.path.join(elsewhere, os.path.basename(path)), "w") as f:
+            f.write("ok")
+        return True
+
+    t = pa.table({"country": ["US"], "tool": ["a"], "v": [1]})
+    with pytest.raises(RuntimeError, match="shared storage"):
+        write_routed_bucketed(
+            ray.data.from_arrow(t),
+            str(tmp_path / "routed_probe"),
+            _probe_write=node_local_probe,
+        )
+    # and nothing was fan-out written: phase 1 never started
+    import glob as _glob
+
+    assert not _glob.glob(str(tmp_path / "routed_probe") + "/**/*.parquet", recursive=True)
+
+
 def test_geohash_kernel_vectors_and_sql_parity():
     """Known geohash vectors (Niemeyer's canonical u4pru…, plus world
     cities), numpy ≡ generated-SQL parity on a random sweep, edge clamp,

@@ -1344,6 +1344,7 @@ def prefix_filter_jaccard_pairs(
     num_buckets: int = 32,
     max_group: int = PREFIX_MAX_GROUP,
     max_broadcast_docs: int = 500_000,
+    positional_filter: bool = True,
 ):
     """GLOBAL (blocking-free) token-set Jaccard join via prefix filtering —
     the PPJoin-family scale path that replaces the O(n²)-per-block
@@ -1424,6 +1425,7 @@ def prefix_filter_jaccard_pairs(
                     "w": pd.Series([], dtype="object"),
                     "doc": pd.Series([], dtype="int64"),
                     "size": pd.Series([], dtype="int64"),
+                    "rank": pd.Series([], dtype="int64"),
                 }
             )
         df = df.sort_values(["doc", "cnt", "w"])
@@ -1434,6 +1436,9 @@ def prefix_filter_jaccard_pairs(
         keep = rank < (size - ceil_ts + 1)
         out = df[keep][["w", "doc"]].copy()
         out["size"] = size[keep]
+        # token's 0-based position in the doc's frequency-ordered token list
+        # — carried for the positional filter in gen_pairs
+        out["rank"] = rank[keep]
         return out
 
     pref = (
@@ -1457,11 +1462,30 @@ def prefix_filter_jaccard_pairs(
             g = g.sort_values(["size", "doc"])
             docs = g["doc"].to_numpy()
             sizes = g["size"].to_numpy()
+            ranks = g["rank"].to_numpy()
             ai, bi = np.triu_indices(n, 1)
-            # size filter: i < j ⇒ sizes[ai] <= sizes[bi]; J >= t needs
-            # larger * num <= smaller * den
+            # LENGTH filter (PPJoin): i < j ⇒ sizes[ai] <= sizes[bi];
+            # J >= t needs larger * num <= smaller * den
             ok = sizes[bi] * threshold_num <= sizes[ai] * threshold_den
             ai, bi = ai[ok], bi[ok]
+            # POSITIONAL filter (PPJoin, Xiao et al.): J >= t needs overlap
+            # alpha = ceil(t/(1+t) * (sx+sy)); sharing THIS token at 0-based
+            # positions (px, py) bounds the overlap by
+            # 1 + min(sx-px-1, sy-py-1) = min(sx-px, sy-py). The bound is
+            # tight only at a pair's FIRST shared prefix token, but pairs
+            # are generated at EVERY shared token and unioned, so a true
+            # pair always survives via its first shared token — the filter
+            # only prunes, never loses (verification stays exact besides).
+            rem = sizes - ranks
+            alpha = (
+                threshold_num * (sizes[ai] + sizes[bi])
+                + threshold_num
+                + threshold_den
+                - 1
+            ) // (threshold_num + threshold_den)
+            if positional_filter:
+                okp = np.minimum(rem[ai], rem[bi]) >= alpha
+                ai, bi = ai[okp], bi[okp]
             outs.append(pd.DataFrame({
                 "a": np.minimum(docs[ai], docs[bi]),
                 "b": np.maximum(docs[ai], docs[bi]),
@@ -1494,7 +1518,17 @@ def prefix_filter_jaccard_pairs(
     # broadcast moves each doc's tokens exactly once. A cap raises if the
     # candidate-doc set is not actually small.
     cand = cand.materialize()
-    if cand.count() == 0:  # prefix filter eliminated every pair
+    n_cand = cand.count()
+    # surviving-candidate telemetry: the prefix+length+positional stack is
+    # the knob that decides verify cost — make its effect visible per run
+    import logging
+
+    logging.getLogger(__name__).info(
+        "prefix_filter_jaccard_pairs: %d candidate pairs survive "
+        "prefix+length+positional filters (t=%d/%d)",
+        n_cand, threshold_num, threshold_den,
+    )
+    if n_cand == 0:  # prefix filter eliminated every pair
         return _empty_pairs()
     cand_ids_df = (
         cand.map_batches(

@@ -604,7 +604,7 @@ class FrameSampleStage:
     """Actor-pool stage for video-shaped payloads: emit every k-th frame as
     its own row (flat_map-shaped output).
 
-    Four real kernels: MJPEG payloads (leading SOI marker) get frame
+    Five real kernels: MJPEG payloads (leading SOI marker) get frame
     extraction by SOI/EOI span split — every k-th frame re-emitted as a
     standalone JPEG, decodable by ``functions.jpeg.decode_jpeg`` — since
     motion-JPEG is just concatenated baseline JPEGs. AVI containers
@@ -614,7 +614,10 @@ class FrameSampleStage:
     decodable by :func:`decode_ppm`). Animated GIFs composite every
     frame onto the logical screen (GCE transparency + disposal methods,
     ``functions/gif.py decode_gif_frames``) and emit sampled frames as
-    PPM. Codec video (H.264/VP9/AV1 fourccs) needs ffmpeg, absent in
+    PPM. YUV4MPEG2 streams (``functions/y4m.py`` — C420 family / C444 /
+    Cmono planar layouts) decode to RGB and emit sampled frames as PPM,
+    the uncompressed TRUE-video tier that completes the matrix without
+    ffmpeg. Codec video (H.264/VP9/AV1 fourccs) needs ffmpeg, absent in
     this container: ``strict=True`` raises for such payloads; the
     default falls back to the deterministic fixed-stride byte chunking
     so the row-explosion plumbing stays exercised on opaque payloads."""
@@ -667,6 +670,26 @@ class FrameSampleStage:
             if payload.startswith(b"\xff\xd8"):
                 try:
                     all_frames = split_mjpeg(payload)
+                except ValueError:
+                    if self.strict:
+                        raise
+                    all_frames = None
+                if all_frames is not None:
+                    for f in range(0, len(all_frames), self.every_k):
+                        ids.append(media_id)
+                        frame_idx.append(f)
+                        frames.append(all_frames[f])
+                    continue
+            if payload.startswith(b"YUV4MPEG2 "):
+                # uncompressed true-video tier (functions/y4m.py): planar
+                # YUV stream → sampled frames re-encoded as PPM, standalone
+                # decodable like the DIB/GIF paths
+                from ..functions.y4m import decode_y4m_frames
+
+                try:
+                    all_frames = [
+                        encode_ppm(px) for px in decode_y4m_frames(payload)
+                    ]
                 except ValueError:
                     if self.strict:
                         raise

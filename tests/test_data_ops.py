@@ -486,6 +486,66 @@ class TestMultimodal:
         assert out.num_rows == 12
         assert out["frame_idx"].to_pylist()[:4] == [0, 4, 8, 12]
 
+    def test_y4m_roundtrip_pixel_exact(self):
+        """YUV4MPEG2 codec vectors: grayscale round-trips bit-exactly in
+        every colourspace (U=V=128 is lossless through the JFIF matrix and
+        constant 2x2 blocks survive 4:2:0); constant-colour frames survive
+        C444 within the documented ±1 rounding; malformed streams raise."""
+        import pytest
+
+        from logstash_filter_geoip_ray.functions.y4m import (
+            decode_y4m_frames,
+            encode_y4m,
+        )
+
+        # all 256 gray levels across 4 frames of 8x8
+        grays = np.arange(256, dtype=np.uint8).reshape(4, 8, 8)
+        frames = [np.repeat(g[..., None], 3, axis=-1) for g in grays]
+        for cs in ("Cmono", "C444", "C420jpeg", "C420"):
+            payload = encode_y4m(frames, fps=(30, 1), colourspace=cs)
+            got = decode_y4m_frames(payload)
+            assert len(got) == 4
+            for a, b in zip(got, frames):
+                assert (a == b).all(), cs
+
+        # constant-colour chroma content: C444 within ±1 per channel
+        col = np.zeros((4, 6, 3), np.uint8)
+        col[..., 0], col[..., 1], col[..., 2] = 200, 30, 90
+        got = decode_y4m_frames(encode_y4m([col], colourspace="C444"))[0]
+        assert np.abs(got.astype(int) - col.astype(int)).max() <= 1
+
+        with pytest.raises(ValueError, match="even dimensions"):
+            encode_y4m([np.zeros((5, 4, 3), np.uint8)])
+        with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+            decode_y4m_frames(b"RIFFxxxx")
+        ok = encode_y4m(frames)
+        with pytest.raises(ValueError, match="truncated"):
+            decode_y4m_frames(ok[:-5])
+
+    def test_frame_sampling_y4m(self):
+        """FrameSampleStage on a YUV4MPEG2 payload: every k-th frame emitted
+        as standalone PPM whose pixels equal the encoded source frames."""
+        from logstash_filter_geoip_ray.functions.y4m import encode_y4m
+        from logstash_filter_geoip_ray.stages.multimodal import (
+            FrameSampleStage,
+            decode_ppm,
+        )
+
+        frames = [
+            np.full((6, 8, 3), 17 * i, dtype=np.uint8) for i in range(8)
+        ]
+        payload = encode_y4m(frames, colourspace="C420jpeg")
+        tbl = pa.table(
+            {
+                "media_id": pa.array([7], type=pa.int64()),
+                "payload": pa.array([payload], type=pa.binary()),
+            }
+        )
+        out = FrameSampleStage(every_k=3, strict=True)(tbl)
+        assert out["frame_idx"].to_pylist() == [0, 3, 6]
+        for idx, frame in zip(out["frame_idx"].to_pylist(), out["frame"].to_pylist()):
+            assert (decode_ppm(frame) == frames[idx]).all()
+
 
 def test_dup_clusters_matches_recursive_oracle(ray_session, oracle_con):
     df = DATA_QUERIES["dup_clusters"](SF).to_pandas().sort_values("doc_id").reset_index(drop=True)

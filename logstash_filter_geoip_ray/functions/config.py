@@ -79,15 +79,18 @@ class GeoIPConfig:
     #: Default False: DNS in a hot batch path is a scale hazard, so
     #: non-literals are failed lookups unless explicitly enabled.
     resolve_hostnames: bool = False
-    #: Reference-parity preset: one switch that restores the reference
-    #: plugin's runtime defaults for a migrating Logstash user. Currently
-    #: flips ``resolve_hostnames`` to True (GeoIPFilter.java:172 resolves
-    #: hostnames unconditionally). The two remaining divergences are
-    #: *timing*, not behavior, and cannot be restored by config: (1) an
-    #: UNKNOWN database type raises at pipeline build instead of per event
-    #: (stages/enrich.py, "Unsupported database type"), and (2) an empty-list
-    #: source degrades to a tagged miss instead of the reference's per-event
-    #: IndexOutOfBounds crash. Both are documented in COVERAGE.md.
+    #: Reference-parity preset: one switch that restores ALL of the
+    #: reference plugin's runtime behaviors for a migrating Logstash user:
+    #: (1) flips ``resolve_hostnames`` to True (GeoIPFilter.java:172
+    #: resolves hostnames unconditionally); (2) an UNKNOWN database type
+    #: defers its "Unsupported database type" error from pipeline build to
+    #: the first attempted lookup (GeoIPFilter.java:194-196 throws
+    #: IllegalStateException per event); (3) an empty-list source raises
+    #: the reference's List.get(0) IndexOutOfBounds crash
+    #: (GeoIPFilter.java:165) instead of degrading to a tagged miss. The
+    #: engine defaults keep the safer batch-scale semantics (no DNS in the
+    #: hot path, build-time failure, tagged miss); the preset trades them
+    #: for bug-for-bug reference parity.
     reference_defaults: bool = False
 
     def __post_init__(self):

@@ -361,7 +361,20 @@ class GeoIPLookup:
         #: type ...") per event. Failing at construction preserves the
         #: fail-loudly intent without the reference's per-event throw —
         #: a mis-typed DB must not silently tag-fail 100% of rows.
+        #: Under ``reference_defaults=True`` the raise is DEFERRED to the
+        #: first attempted lookup instead, restoring the reference's exact
+        #: per-event error timing (build succeeds; the job fails when the
+        #: first event reaches the filter, same message).
+        self._deferred_unsupported: Optional[str] = None
         if self.db_type is DatabaseType.UNKNOWN:
+            if config.reference_defaults:
+                self._deferred_unsupported = self.reader.database_type
+                self.desired = frozenset()
+                self.effective = frozenset()
+                self._model = None
+                self._tree_is_v6 = self.reader.ip_version == 6
+                self.lookup = self._lookup_uncached
+                return
             raise ValueError(
                 "Unsupported database type %s" % self.reader.database_type
             )
@@ -377,6 +390,11 @@ class GeoIPLookup:
     # -- core ---------------------------------------------------------------
 
     def _lookup_uncached(self, raw: str) -> Tuple[bool, Optional[Dict[Field, Any]]]:
+        if self._deferred_unsupported is not None:
+            # reference_defaults per-event timing (GeoIPFilter.java:194-196)
+            raise ValueError(
+                "Unsupported database type %s" % self._deferred_unsupported
+            )
         addr = parse_ip(raw)
         if addr is None and self.config.resolve_hostnames:
             # InetAddress.getByName DNS path (GeoIPFilter.java:172), opt-in;
@@ -869,12 +887,19 @@ class GeoIPEnricher:
             # (the reference throws IndexOutOfBounds per event; at batch
             # scale a crash would take thousands of healthy rows with it, so
             # we degrade an empty/null list to a missing source → tagged
-            # failure). list_slice(0,1)+list_flatten emits one value per
-            # non-empty list in row order; scatter them back with a
-            # null-masked take.
-            nonempty = np.asarray(
-                pc.fill_null(pc.greater(pc.list_value_length(src_col), 0), False)
-            )
+            # failure — unless reference_defaults asks for the reference's
+            # exact crash semantics). list_slice(0,1)+list_flatten emits one
+            # value per non-empty list in row order; scatter them back with
+            # a null-masked take.
+            lengths = pc.list_value_length(src_col)
+            if self.config.reference_defaults and bool(
+                pc.any(pc.equal(lengths, 0)).as_py() or False
+            ):
+                # java.util.List.get(0) on an empty list
+                # (GeoIPFilter.java:165): null field = skip, empty list =
+                # per-event crash
+                raise IndexError("Index 0 out of bounds for length 0")
+            nonempty = np.asarray(pc.fill_null(pc.greater(lengths, 0), False))
             flat = pc.list_flatten(pc.list_slice(src_col, 0, 1))
             if isinstance(flat, pa.ChunkedArray):
                 flat = flat.combine_chunks()

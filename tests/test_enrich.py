@@ -417,6 +417,45 @@ def test_reference_defaults_preset_resolves_hostnames(db_paths):
         set_hostname_resolver(None)
 
 
+def test_reference_defaults_unknown_db_per_event_timing(tmp_path):
+    """Under the parity preset an unrecognized database_type no longer fails
+    at build: GeoIPFilter.java:194-196 throws IllegalStateException PER EVENT
+    at lookup, so the preset defers the same message to the first attempted
+    lookup. Blank/null sources never reach the lookup (handleEvent returns
+    before the switch), so an all-miss batch still passes — exactly the
+    reference's observable behavior."""
+    from logstash_filter_geoip_ray.state.mmdb_writer import build_mmdb
+
+    db = str(tmp_path / "odd.mmdb")
+    build_mmdb([("10.0.0.0/8", {"x": 1})], db, database_type="Frobnicator-DB")
+    cfg = GeoIPConfig(source="message", database=db, reference_defaults=True)
+    enricher = GeoIPEnricher(cfg)  # build succeeds (reference parity)
+    # no lookup attempted → no throw (null/blank short-circuit)
+    rows = enricher(pa.table({"message": pa.array([None, "  "], type=pa.string())})).to_pylist()
+    assert all(r["tags"] == ["_geoip_lookup_failure"] for r in rows)
+    # first real event → the reference's per-event error, verbatim message
+    with pytest.raises(ValueError, match="Unsupported database type Frobnicator-DB"):
+        enricher(pa.table({"message": ["216.160.83.58"]}))
+
+
+def test_reference_defaults_empty_list_source_crashes(db_paths):
+    """Under the parity preset an empty-list source reproduces the
+    reference's java.util.List.get(0) IndexOutOfBounds crash
+    (GeoIPFilter.java:165) instead of the engine's default tagged-miss
+    degradation; a NULL list field stays the `input == null` skip path."""
+    cfg = GeoIPConfig(
+        source="message", database=db_paths["country"], target="tgt",
+        reference_defaults=True,
+    )
+    ok = pa.array([["216.160.83.58"], None], type=pa.list_(pa.string()))
+    rows = GeoIPEnricher(cfg)(pa.table({"message": ok})).to_pylist()
+    assert rows[0]["tgt"]["country_name"] == "United States"
+    assert rows[1]["tgt"] is None  # null list = skip, not crash
+    bad = pa.array([["216.160.83.58"], []], type=pa.list_(pa.string()))
+    with pytest.raises(IndexError, match="Index 0 out of bounds for length 0"):
+        GeoIPEnricher(cfg)(pa.table({"message": bad}))
+
+
 def test_db_control_expire_and_hot_swap(db_paths, tmp_path):
     """Runtime DB manager hook (geoip.rb:156-171): :expire tags everything
     `_geoip_expired_database` with no lookup; :update hot-swaps the database

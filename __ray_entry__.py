@@ -1502,6 +1502,42 @@ def _q_conv_documents(sf_dir: str):
     )
 
 
+def _rotation_window(out: dict, sql: dict) -> list[str]:
+    """Compute the driver-checked 50-query window for THIS round.
+
+    Reads the committed CORRECTNESS_r*.json files (repo root, driver-written
+    at each round end) to learn which oracle-backed queries already have a
+    driver hash-compare row. Deterministic given the files on disk, so the
+    driver and any local run agree on the registration order."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    canaries = ["sink_counts", "routed_rows"]
+    oracle_backed = [n for n in out if n in sql and n not in canaries]
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    checked: dict[str, int] = {}  # name -> newest round index with a row
+    for i, p in enumerate(sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")))):
+        try:
+            with open(p) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for n in rows:
+            checked[n] = i
+    window = canaries + [n for n in oracle_backed if n not in checked][:48]
+    if len(window) < 50:
+        # every oracle-backed query has a driver row: refresh the least-
+        # recently-checked ones (stable tie-break by registration order)
+        reg = {n: i for i, n in enumerate(oracle_backed)}
+        rest = sorted(
+            (n for n in oracle_backed if n in checked),
+            key=lambda n: (checked[n], reg[n]),
+        )
+        window += [n for n in rest if n not in window][: 50 - len(window)]
+    return window[:50]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from logstash_filter_geoip_ray.pipelines.data_ops import DATA_QUERIES
 
@@ -1554,74 +1590,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # machinery shared with a checked sibling — rationale in git history at
     # tag `round 3`); every query outside the window is still verified
     # against its DuckDB oracle every round by tests/ and
-    # tools/check_oracles.py. From round 4 the window rotates so every
-    # oracle-backed query eventually earns a driver CORRECTNESS row:
+    # tools/check_oracles.py. From round 4 the window SELF-ADVANCES each
+    # round, computed from the CORRECTNESS_r*.json files committed in the
+    # repo root (deterministic: same files → same window):
     #   - two canaries stay in every window (sink_counts = the flagship
     #     aggregate, routed_rows = the 60k-row full-pipeline value hash)
     #   - the other 48 slots go to oracle-backed queries that have never
-    #     had a driver row (CORRECTNESS_r01..r03 union = 80 names), in
-    #     registration order.
+    #     had a driver row, in registration order; once every query has
+    #     one, slots refresh the least-recently-checked names.
     # tools/window_canary.py guards each rotation: any query that LEFT the
     # window must still pass its local oracle check, so rotation cannot
     # hide a regression.
-    window = [
-        "sink_counts",
-        "routed_rows",
-        "click_attribution",
-        "lang_centroids",
-        "hourly_pivot",
-        "bm25_topk",
-        "window_distinct_users",
-        "quartile_stats",
-        "active_customers",
-        "latest_events",
-        "promo_revenue",
-        "above_avg_orders",
-        "retention_cohorts",
-        "trending_types",
-        "priority_cube",
-        "repetition_filter",
-        "simhash_pairs",
-        "user_reconciliation",
-        "exact_distinct_users",
-        "event_deltas",
-        "top_docs_per_lang",
-        "running_totals",
-        "type_transitions",
-        "stopword_filter",
-        "supplier_revenue",
-        "quality_top_decile",
-        "dup_ngram_spans",
-        "exact_value_quantiles",
-        "freq_spectrum",
-        "video_frames",
-        "word_rarity",
-        "bpe_pairs",
-        "customers_without_events",
-        "conv_stats",
-        "part_supplier_counts",
-        "weighted_sample",
-        "lineitem_measures",
-        "zorder_layout",
-        "event_cooccurrence",
-        "balanced_shards",
-        "big_part_revenue",
-        "high_value_counts",
-        "user_type_profile",
-        "value_percent_ranks",
-        "value_outliers",
-        "user_top_event",
-        "table_row_counts",
-        "edit_distance_pairs",
-        "key_skew",
-        "events_profile",
-    ]
     sql = oracle_sql()
-    if len(window) > 50:
-        raise RuntimeError(
-            "queries(): window has %d entries; the driver hash-compares "
-            "only the first 50 — trim the rotation list" % len(window)
-        )
+    window = _rotation_window(out, sql)
     missing = [n for n in window if n not in out or n not in sql]
     if missing:
         raise RuntimeError(

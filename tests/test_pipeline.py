@@ -686,3 +686,43 @@ def test_delete_rows_partitioned_guards(ray_session, tmp_path):
 
     rep2 = delete_rows_partitioned(str(d), "x", np.array([1, 2]))
     assert rep2["rows_deleted"] >= 1
+
+
+def test_rotation_window_policy():
+    """The driver-checked 50-query window self-advances deterministically:
+    canaries always lead, the other 48 slots prefer oracle-backed queries
+    with no prior driver CORRECTNESS row (registration order), and once all
+    are covered the least-recently-checked refresh; every name is oracle-
+    backed and the window never exceeds 50."""
+    import importlib.util
+    import pathlib
+
+    entry = pathlib.Path(__file__).resolve().parents[1] / "__ray_entry__.py"
+    s = importlib.util.spec_from_file_location("_ray_entry_rot", entry)
+    mod = importlib.util.module_from_spec(s)
+    s.loader.exec_module(mod)
+
+    # synthetic registries: 6 oracle-backed + 1 rows-only
+    out = {n: (lambda sf: None) for n in ["sink_counts", "routed_rows", "a", "b", "c", "d", "rows_only"]}
+    sql = {n: "SELECT 1" for n in ["sink_counts", "routed_rows", "a", "b", "c", "d"]}
+    w = mod._rotation_window(out, sql)
+    assert w[:2] == ["sink_counts", "routed_rows"]
+    assert "rows_only" not in w
+    assert len(w) == len(set(w)) <= 50
+    # with the repo's real CORRECTNESS files the real window holds exactly
+    # 50 distinct oracle-backed names led by the canaries, and prefers
+    # never-driver-checked queries for every non-canary slot when enough
+    # exist
+    import glob
+    import json
+
+    real_q, real_sql = mod.queries(), mod.oracle_sql()
+    window = [n for n in real_q if n in real_sql][:50]
+    assert window[:2] == ["sink_counts", "routed_rows"]
+    assert len(set(window)) == 50
+    checked = set()
+    for p in sorted(glob.glob(str(entry.parent / "CORRECTNESS_r*.json"))):
+        checked.update(json.load(open(p)))
+    never = [n for n in real_sql if n not in checked and n not in window[:2]]
+    if len(never) >= 48:
+        assert all(n in never or n in window[:2] for n in window)

@@ -39,9 +39,18 @@ def _q_sink_counts(sf_dir: str):
         sink_counts,
     )
 
-    # aggregate-only consumer: prune the read to the two needed columns and
-    # drop text at extraction — the widest column never leaves stage one
-    return sink_counts(build_enriched(sf_dir, columns=["text", "tool"], drop_text=True))
+    # aggregate-only consumer: prune the read to the two needed columns, drop
+    # text at extraction, and push the projection through the enricher — the
+    # count routes on country_code2 alone, so the other 13 City leaves are
+    # never materialized
+    return sink_counts(
+        build_enriched(
+            sf_dir,
+            columns=["text", "tool"],
+            drop_text=True,
+            enrich_fields=("country_code2",),
+        )
+    )
 
 
 def _q_turn_histogram(sf_dir: str):
@@ -51,7 +60,12 @@ def _q_turn_histogram(sf_dir: str):
     )
 
     return country_turn_histogram(
-        build_enriched(sf_dir, columns=["text", "turn_idx"], drop_text=True)
+        build_enriched(
+            sf_dir,
+            columns=["text", "turn_idx"],
+            drop_text=True,
+            enrich_fields=("country_code2",),
+        )
     )
 
 

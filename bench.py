@@ -133,9 +133,18 @@ def _run_bench() -> dict:
         pass
 
     def enriched_pruned(cols):
-        # aggregate-only consumers read exactly the needed columns and shed
-        # text at extraction (the fleet-scale scan shape)
-        return build_enriched(SF_DIR, rows=bench_rows, columns=cols, drop_text=True)
+        # aggregate-only consumers read exactly the needed columns, shed text
+        # at extraction, and push the projection through the enricher — the
+        # routing key needs country_code2 only, so the other 13 City leaves
+        # are never materialized (the fleet-scale scan shape; same plan the
+        # driver-checked sink_counts/turn_histogram queries run)
+        return build_enriched(
+            SF_DIR,
+            rows=bench_rows,
+            columns=cols,
+            drop_text=True,
+            enrich_fields=("country_code2",),
+        )
 
     # untimed warmup: one full pass spins up every worker process and enrich
     # actor so the timed region measures steady-state compute + shuffle, not

@@ -65,6 +65,7 @@ def build_enriched(
     columns: Optional[list] = None,
     add_routing: bool = True,
     drop_text: bool = False,
+    enrich_fields: Optional[Sequence[str]] = None,
 ):
     """Dataset of transcripts + geoip struct + tags + country routing key.
 
@@ -73,6 +74,16 @@ def build_enriched(
     scale an unpruned read roughly doubles scanned bytes for the headline
     aggregates). ``drop_text=True`` additionally drops ``text`` right after
     token extraction so the widest column never leaves the first map stage.
+
+    ``enrich_fields`` pushes the projection down THROUGH the enrich stage:
+    the enricher materializes only the named geoip fields (the reference's
+    desired-fields selection, E14) instead of the full per-DB default set.
+    The aggregate-only consumers route on one struct child; building all 14
+    City leaves for them triples the enrich kernel cost (measured 22.9 →
+    7.4 ms per 64 Ki-row batch with ``("country_code2",)``). Success/failure
+    semantics, tags and the routing key are identical — only unused leaves
+    are skipped. Leave ``None`` wherever the full struct is consumed (e.g.
+    the routed writes).
 
     - ``enrich_mode="tasks"`` (default): stateless tasks with a per-worker-
       process enricher singleton (WorkerCachedEnricher) — fastest; read-only
@@ -84,12 +95,15 @@ def build_enriched(
       O(n) vectorized, so bigger batches amortize dispatch; blocks are one
       input shard (~64k rows) each (see transcripts ROWS_PER_SHARD).
     """
+    import dataclasses
     import glob
 
     import ray
     import ray.data
 
     config = config or default_config()
+    if enrich_fields is not None:
+        config = dataclasses.replace(config, fields=tuple(enrich_fields))
     path = transcripts_path(sf_dir, rows)
     nfiles = len(glob.glob(os.path.join(path, "*.parquet")))
     # block count: at least one per shard wave, at most ~4 blocks per cpu —
@@ -339,7 +353,13 @@ def asn_salted_counts(sf_dir: str, rows: Optional[int] = None, buckets: int = 8)
     from ..sources.transcripts import DEFAULT_ASN_DB
     from ..stages.aggregate import salted_grouped_counts
 
-    cfg = GeoIPConfig(source="source_ip", database=DEFAULT_ASN_DB)
+    # projection pushdown: the count keys off `asn` alone, so the enricher
+    # skips the as_org / network leaves (same E14 mechanism as the headline)
+    cfg = GeoIPConfig(
+        source="source_ip",
+        database=DEFAULT_ASN_DB,
+        fields=("autonomous_system_number",),
+    )
     ds = build_enriched(
         sf_dir, config=cfg, rows=rows, add_routing=False,
         columns=["text"], drop_text=True,

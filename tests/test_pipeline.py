@@ -98,6 +98,25 @@ def test_sink_counts_match_oracle(ray_session):
     assert counts["n"].sum() == 6000
 
 
+def test_enrich_fields_pushdown_equals_full(ray_session):
+    """Projection pushdown through the enricher (enrich_fields=E14 desired
+    fields) must be invisible to the aggregate: same (country, tool) counts
+    and same routing-miss behavior as the full 14-leaf City enrich."""
+    full = sink_counts(build_enriched(SF, columns=["text", "tool"])).to_pandas()
+    pruned = sink_counts(
+        build_enriched(
+            SF,
+            columns=["text", "tool"],
+            drop_text=True,
+            enrich_fields=("country_code2",),
+        )
+    ).to_pandas()
+    merged = full.merge(pruned, on=["country", "tool"], how="outer", suffixes=("_f", "_p"))
+    assert len(merged) == len(full) == len(pruned)
+    assert (merged["n_f"] == merged["n_p"]).all()
+    assert "_miss" in set(pruned["country"])
+
+
 def test_turn_histogram_matches_oracle(ray_session):
     hist = country_turn_histogram(build_enriched(SF)).to_pandas()
     oracle = duckdb.sql(oracle_turn_histogram_sql(SF)).df()

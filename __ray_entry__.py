@@ -1537,6 +1537,11 @@ def _rotation_window(out: dict, sql: dict) -> list[str]:
                 rows = _json.load(f)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            # driver format change — never let the window computation take
+            # queries() down with it; unknown files just don't count as
+            # "checked"
+            continue
         for n in rows:
             checked[n] = i
     window = canaries + [n for n in oracle_backed if n not in checked][:48]

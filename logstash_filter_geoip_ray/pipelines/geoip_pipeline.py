@@ -374,8 +374,10 @@ def asn_salted_counts(sf_dir: str, rows: Optional[int] = None, buckets: int = 8)
         return pa.table({"asn_key": key})
 
     keyed = ds.map_batches(add_asn_key, batch_format="pyarrow")
-    return salted_grouped_counts(keyed, ["asn_key"], "n", buckets=buckets).sort(
-        "asn_key"
+    # sort folds into the final combine (52 keys — a Sort operator here was
+    # a pure fixed-cost all-to-all)
+    return salted_grouped_counts(
+        keyed, ["asn_key"], "n", buckets=buckets, sort_result=True
     )
 
 

@@ -40,19 +40,35 @@ def _combine_sums(key_cols: Sequence[str], sum_cols: Sequence[str], sort: bool):
     return combine
 
 
+#: loud guard for the driver-side final combine: with combiner partials the
+#: surviving rows are #tasks × #keys — if they exceed this, the keys are not
+#: low-cardinality and grouped_counts is the wrong operator (use
+#: salted_grouped_counts / the native groupby), so fail with that message
+#: rather than silently ballooning the driver.
+MAX_DRIVER_COMBINE_ROWS = 50_000_000
+
+
 def tree_sum(ds, key_cols: Sequence[str], sum_cols: Sequence[str],
-             sort_result: bool = True):
-    """Sum ``sum_cols`` per key via a repartition tree instead of Ray's
-    native hash-aggregate: coalesce partial blocks → combine per task →
-    single final combine (+ sort inside that task).
+             sort_result: bool = True, final: str = "driver"):
+    """Sum ``sum_cols`` per key via a combine tree instead of Ray's native
+    hash-aggregate: combine per task (bundling many tiny partial blocks) →
+    one final combine (+ sort inside it).
 
     Why: with combiner-style partials the surviving data is #blocks × #keys
     rows — for hundreds of keys that is a few thousand rows even at 10^12
     input rows per 10^5 blocks per stage wave, and Ray's all-to-all
     Aggregate/Sort operators cost ~2s of fixed setup that dwarfs the work.
-    Block coalescing (repartition without shuffle) moves only these tiny
-    partials. For *high-cardinality* keys use the native
-    ``groupby().aggregate()`` instead (see salted_grouped_counts).
+    For *high-cardinality* keys use the native ``groupby().aggregate()``
+    instead (see salted_grouped_counts).
+
+    ``final="driver"`` (default) runs the last combine on the driver over
+    the pulled per-task partials (bounded by construction; loud cap at
+    MAX_DRIVER_COMBINE_ROWS) and returns a materialized single-block
+    Dataset — skipping the trailing ``repartition(1)`` exchange saves
+    ~0.2 s of fixed streaming-executor latency per query (measured at
+    41.9M rows / 32 cpus: 1.573 → 1.349 s headline). ``final="task"``
+    keeps the fully-lazy repartition tail (use when composing further
+    stages onto the result of a plan built but not yet executed).
     """
     c = _combine_sums(key_cols, sum_cols, sort=False)
     # first tier: map_batches with a large batch_size BUNDLES many tiny
@@ -64,12 +80,37 @@ def tree_sum(ds, key_cols: Sequence[str], sum_cols: Sequence[str],
     combined = ds.map_batches(
         c, batch_format="pyarrow", batch_size=1 << 20, num_cpus=0.9
     )
-    final = combined.repartition(1).map_batches(
+    if final == "driver":
+        import ray.data
+
+        final_c = _combine_sums(key_cols, sum_cols, sort=sort_result)
+        # stream the per-task combined blocks to the driver (iter_batches
+        # keeps the streaming executor path; to_arrow_refs() measured +1.4 s
+        # of materialize overhead on the same plan)
+        tbls = [
+            t
+            for t in combined.iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+        if tbls:
+            tbl = pa.concat_tables(tbls, promote_options="permissive")
+            if tbl.num_rows > MAX_DRIVER_COMBINE_ROWS:
+                raise RuntimeError(
+                    "tree_sum(final='driver'): %d partial rows exceed the "
+                    "driver-combine cap (%d) — the key set is not "
+                    "low-cardinality; use salted_grouped_counts or the "
+                    "native groupby().aggregate() for this key"
+                    % (tbl.num_rows, MAX_DRIVER_COMBINE_ROWS)
+                )
+            return ray.data.from_arrow(final_c(tbl.combine_chunks()))
+        # 0 surviving blocks (empty input): fall through to the lazy tail,
+        # which preserves the upstream schema end-to-end
+    final_ds = combined.repartition(1).map_batches(
         _combine_sums(key_cols, sum_cols, sort=sort_result),
         batch_format="pyarrow",
         batch_size=None,
     )
-    return final
+    return final_ds
 
 
 def tree_agg(ds, combine_fn):
@@ -175,10 +216,16 @@ def salted_grouped_counts(
     count_alias: str = "n",
     buckets: int = 8,
     batch_size: int = 65536,
+    sort_result: bool = False,
 ):
     """Two-stage salted count for hot keys: partials keyed by
-    (keys..., salt) shuffle into ``buckets`` reducers per key, then a second
-    (small) groupby over the keys sums the salted partials."""
+    (keys..., salt) shuffle into ``buckets`` reducers per key — no single
+    reducer ever sees a whole hot key — then the per-(key, salt) rows
+    (#keys × buckets, tiny by construction) fold through the combine tree.
+    Using :func:`tree_sum` for the second stage instead of another native
+    groupby (and ``sort_result`` instead of a trailing ``Dataset.sort``)
+    drops two fixed-cost all-to-all exchanges that operated on a few dozen
+    rows; the salted exchange — the part that matters at scale — stays."""
     from ray.data.aggregate import Sum
 
     salted = add_salt_column(ds, buckets)
@@ -190,8 +237,8 @@ def salted_grouped_counts(
     per_salt = stage1.groupby(list(key_cols) + ["_salt"]).aggregate(
         Sum(count_alias, alias_name=count_alias)
     )
-    return per_salt.groupby(list(key_cols)).aggregate(
-        Sum(count_alias, alias_name=count_alias)
+    return tree_sum(
+        per_salt, key_cols, [count_alias], sort_result=sort_result, final="driver"
     )
 
 

@@ -237,30 +237,108 @@ def _probe_write_marker(path: str) -> bool:
     return True
 
 
+def _hive_fanout_ipc(staging: str, key_cols: Sequence[str]):
+    """Phase-1 fan-out map fn for :func:`write_routed_bucketed` with
+    ``staging_format='ipc'``: split each block into per-sink runs (one sort +
+    zero-copy slices) and append each run as an lz4 Arrow-IPC stream file
+    under the hive dir for its sink. IPC encode is ~memcpy, so phase 1 costs
+    a fraction of a parquet encode — the data is parquet-encoded exactly ONCE
+    (in the phase-2 compaction) instead of twice. Emits one (sink, rows) row
+    per run so the consuming count() is tiny."""
+    import uuid
+
+    key_cols = list(key_cols)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"sink": pa.array([], type=pa.string()),
+                 "rows": pa.array([], type=pa.int64())}
+            )
+        import numpy as np
+
+        idx = pc.sort_indices(
+            batch, sort_keys=[(c, "ascending") for c in key_cols]
+        )
+        tbl = batch.take(idx)
+        n = tbl.num_rows
+        # run boundaries over the composite key: adjacent-row inequality on
+        # any key col (null-safe: a null != value edge is a boundary too)
+        change = np.zeros(n - 1, dtype=bool) if n > 1 else np.zeros(0, bool)
+        for c in key_cols:
+            col = tbl[c].combine_chunks()
+            if n > 1:
+                a, b = col.slice(0, n - 1), col.slice(1)
+                neq = pc.fill_null(pc.not_equal(a, b), False)
+                null_edge = pc.xor(pc.is_null(a), pc.is_null(b))
+                change |= pc.or_(neq, null_edge).to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(change) + 1, [n]))
+        payload_schema = tbl.drop_columns(key_cols).schema
+        opts = pa.ipc.IpcWriteOptions(compression="lz4")
+        sinks, counts = [], []
+        for i in range(len(starts) - 1):
+            s, e = int(starts[i]), int(starts[i + 1])
+            parts = []
+            for c in key_cols:
+                v = tbl[c][s].as_py()
+                # hive convention for null partition values (pyarrow parity)
+                parts.append(
+                    "%s=%s" % (c, "__HIVE_DEFAULT_PARTITION__" if v is None else v)
+                )
+            rel = "/".join(parts)
+            d = os.path.join(staging, rel)
+            os.makedirs(d, exist_ok=True)
+            run = tbl.slice(s, e - s).drop_columns(key_cols)
+            path = os.path.join(d, "part-%s.arrow" % uuid.uuid4().hex)
+            with pa.OSFile(path, "wb") as f, pa.ipc.new_stream(
+                f, payload_schema, options=opts
+            ) as w:
+                w.write_table(run)
+            sinks.append(rel)
+            counts.append(e - s)
+        return pa.table(
+            {"sink": pa.array(sinks, type=pa.string()),
+             "rows": pa.array(counts, type=pa.int64())}
+        )
+
+    return fn
+
+
 def write_routed_bucketed(
     enriched_ds,
     out_dir: str,
     num_buckets: Optional[int] = None,
     key_cols: Sequence[str] = ("country", "tool"),
+    staging_format: str = "ipc",
     _probe_write=None,
 ):
     """Fleet-scale routed write with one output file per sink (file count =
     #sinks, independent of upstream task count) and no global sort.
 
     Implementation: a DISK-STAGED exchange, like a MapReduce shuffle. Phase 1
-    is the streaming fan-out write into a hive-partitioned staging dir (each
-    map task appends its block's per-sink slices — no sort, no object-store
-    residency beyond one block per task). Phase 2 runs one raw-Ray compaction
-    task per sink directory, streaming its staged part-files into a single
-    output file part-by-part (bounded memory even for hot sinks). A first
-    raw-Ray attempt that exchanged per-bucket sub-tables through the object
-    store double-materialized the dataset and spilled (measured 237 s vs
-    15.5 s streaming at 41.9M rows); staging through the filesystem keeps
-    phase 1 identical to the streaming write and phase 2 sequential-IO.
-    Raw tasks are used only for compaction — the Dataset API has no
-    repartition-by-key (``sort`` is a range-sort, ``groupby`` is sort-based).
-    ``num_buckets`` caps concurrent compactions. Hot sinks can be salted
-    upstream into country=XX/tool=YY/part-N splits.
+    is a streaming fan-out write into a hive-partitioned staging dir (each
+    map task appends its block's per-sink slices — no global sort, no
+    object-store residency beyond one block per task). Phase 2 runs one
+    raw-Ray compaction task per sink directory, streaming its staged
+    part-files into a single output file part-by-part (bounded memory even
+    for hot sinks). A first raw-Ray attempt that exchanged per-bucket
+    sub-tables through the object store double-materialized the dataset and
+    spilled (measured 237 s vs 15.5 s streaming at 41.9M rows); staging
+    through the filesystem keeps phase 1 streaming and phase 2
+    sequential-IO. Raw tasks are used only for compaction — the Dataset API
+    has no repartition-by-key (``sort`` is a range-sort, ``groupby`` is
+    sort-based). ``num_buckets`` caps concurrent compactions. Hot sinks can
+    be salted upstream into country=XX/tool=YY/part-N splits.
+
+    ``staging_format='ipc'`` (default) stages lz4 Arrow-IPC stream files
+    (:func:`_hive_fanout_ipc`): IPC encode/decode is ~memcpy, so the rows
+    are parquet-encoded exactly ONCE (in phase 2) instead of twice. Measured
+    per-phase at 41.9M rows / 32 cpus, fresh processes, fs-synced, two
+    interleaved runs each: phase 1 15.4-15.9 → 13.1-14.5 s, phase 2
+    11.8-13.4 → **5.6-5.8 s**; staged bytes +19% (294 vs 247 MB per 4.2M
+    rows). ``'parquet'`` staging is kept for staging filesystems where the
+    +19% matters more than the encode (it is also what a resumable phase 1
+    would prefer — parquet parts are self-describing).
 
     Storage assumption (same as ANY distributed sink): ``out_dir`` must be
     on storage every worker AND the driver can reach — on a real cluster
@@ -302,7 +380,19 @@ def write_routed_bucketed(
         )
     os.remove(probe_marker)
 
-    enriched_ds.write_parquet(staging, partition_cols=key_cols)
+    if staging_format == "ipc":
+        part_glob = "*.arrow"
+        fanout = enriched_ds.map_batches(
+            _hive_fanout_ipc(staging, key_cols), batch_format="pyarrow"
+        )
+        # tiny consumption (one (sink, rows) row per block-run) drives the
+        # streaming fan-out to completion
+        fanout.count()
+    elif staging_format == "parquet":
+        part_glob = "*.parquet"
+        enriched_ds.write_parquet(staging, partition_cols=key_cols)
+    else:
+        raise ValueError("staging_format must be 'ipc' or 'parquet'")
 
     sink_dirs = sorted(
         _glob.glob(os.path.join(staging, *("%s=*" % c for c in key_cols)))
@@ -316,11 +406,15 @@ def write_routed_bucketed(
         dest_dir = os.path.join(out_dir, rel)
         os.makedirs(dest_dir, exist_ok=True)
         dest = os.path.join(dest_dir, "part-00000.parquet")
-        parts = sorted(_glob.glob(os.path.join(sink_dir, "*.parquet")))
+        parts = sorted(_glob.glob(os.path.join(sink_dir, part_glob)))
         writer = None
         try:
             for p in parts:  # stream part-by-part: bounded memory per task
-                t = _pq.read_table(p)
+                if staging_format == "ipc":
+                    with pa.OSFile(p, "rb") as f:
+                        t = pa.ipc.open_stream(f).read_all()
+                else:
+                    t = _pq.read_table(p)
                 if writer is None:
                     writer = _pq.ParquetWriter(dest + ".tmp", t.schema)
                 writer.write_table(t)

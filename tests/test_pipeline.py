@@ -282,6 +282,40 @@ def test_sink_counts_checkpointed_matches_oracle(ray_session, tmp_path):
     assert {m: os.path.getmtime(m) for m in manifests} == mtimes
 
 
+def test_bucketed_routed_write_staging_formats_equal(ray_session, tmp_path):
+    """The lz4-IPC staging path (default) and the parquet staging path must
+    produce byte-equal logical output: same sink layout, same schema (key
+    cols live in the dir name, not the file), same rows per sink."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        write_routed_bucketed,
+    )
+
+    outs = {}
+    for fmt in ("ipc", "parquet"):
+        out_dir = str(tmp_path / ("routed_" + fmt))
+        write_routed_bucketed(
+            build_enriched(SF), out_dir, num_buckets=4, staging_format=fmt
+        )
+        sinks = {}
+        for f in sorted(glob.glob(out_dir + "/country=*/tool=*/*.parquet")):
+            rel = os.path.relpath(f, out_dir)
+            t = pq.read_table(f)
+            # routed rows are unordered across staging parts: normalize
+            sinks[os.path.dirname(rel)] = t.sort_by(
+                [("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+        outs[fmt] = sinks
+    assert outs["ipc"].keys() == outs["parquet"].keys()
+    for k in outs["ipc"]:
+        a, b = outs["ipc"][k], outs["parquet"][k]
+        assert a.schema.names == b.schema.names
+        assert a.cast(b.schema).equals(b)
+
+
 def test_bucketed_routed_write_clears_stale_sinks(ray_session, tmp_path):
     """Rerunning into a reused out_dir with different input must not leave
     stale key-partition dirs from the previous run mixed into the output."""

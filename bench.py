@@ -208,6 +208,10 @@ def _run_bench() -> dict:
 
     best = float("inf")
     for i in range(3):
+        # fs-sync OUTSIDE the timed region: a write leg otherwise inherits
+        # the previous leg's dirty-page writeback (measured inverting an
+        # 18s-vs-28s A/B — see BASELINE.md IPC-staging entry)
+        subprocess.run(["sync"], check=False)
         leg_loadavg.setdefault("routed_write", []).append(round(os.getloadavg()[0], 2))
         out_dir = "/tmp/bench_routed_%d_%d" % (os.getpid(), i)
         t0 = time.perf_counter()
@@ -223,6 +227,7 @@ def _run_bench() -> dict:
     best = float("inf")
     nfiles = 0
     for i in range(3):
+        subprocess.run(["sync"], check=False)  # see routed_write note
         leg_loadavg.setdefault("routed_write_bucketed", []).append(
             round(os.getloadavg()[0], 2)
         )

@@ -1208,9 +1208,11 @@ def embedding_dup_pairs_broadcast(
     ref = ray.put((ids, matn))
 
     def batch_pairs(batch: pa.Table) -> pa.Table:
+        from .similarity import list_column_to_matrix
+
         ref_ids, ref_mat = ray.get(ref)
         bids = np.asarray(batch[id_col])
-        bmat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
+        bmat = list_column_to_matrix(batch[vec_col])
         bn = np.linalg.norm(bmat, axis=1)
         bn[bn == 0] = 1.0
         bmat = bmat / bn[:, None]

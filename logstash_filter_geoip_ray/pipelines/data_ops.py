@@ -712,6 +712,35 @@ def q_bloom_dedup(sf_dir: str):
     return bloom_incremental_dedup(new, old)
 
 
+def q_dedup_incremental_minhash(sf_dir: str):
+    """Cross-dump NEAR-dup dedup: the new crawl (doc_id % 3 != 0) keeps only
+    docs with no exact-word-3-gram-Jaccard ≥ 0.5 partner in the prior corpus
+    (doc_id % 3 == 0) — candidates via the NEW×PRIOR-only LSH band join,
+    verify exact (``minhash_incremental_dedup``). The fuzzy complement of
+    ``bloom_dedup``'s exact-text tier, over the same corpus split. Planted
+    dups sit at J ≥ 0.9 where 32-band/4-row recall is ≈ 1 − 10⁻¹⁵, so the
+    all-pairs SQL oracle is exact."""
+    import pyarrow as pa
+
+    from ..stages.dedup import minhash_incremental_dedup
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def part(equal: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            hit = (ids % BLOOM_OLD_MOD) == 0
+            return batch.filter(pa.array(hit if equal else ~hit))
+
+        return f
+
+    old = docs.map_batches(part(True), batch_format="pyarrow")
+    new = docs.map_batches(part(False), batch_format="pyarrow")
+    return minhash_incremental_dedup(new, old, min_jaccard=0.5)
+
+
 def q_video_frames(sf_dir: str):
     """End-to-end VIDEO pipeline over real self-decoded AVI containers:
     each doc id is rendered into a deterministic uncompressed-DIB AVI (6
@@ -4250,6 +4279,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "repetition_filter": q_repetition_filter,
     "simhash_pairs": q_simhash_pairs,
     "bloom_dedup": q_bloom_dedup,
+    "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "rag_chunks": q_rag_chunks,
     "freq_spectrum": q_freq_spectrum,
     "dup_ngram_spans": q_dup_ngram_spans,
@@ -5549,6 +5579,34 @@ SELECT doc_id FROM documents n
 WHERE doc_id % 3 <> 0
   AND (text IS NULL OR text NOT IN
        (SELECT text FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL))
+ORDER BY doc_id
+""",
+    "dedup_incremental_minhash": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents WHERE trim(text, {_WS}) <> ''
+), grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+  FROM toks
+), sets AS (
+  SELECT DISTINCT doc_id, g FROM grams
+), counts AS (
+  SELECT doc_id, count(*) AS c FROM sets GROUP BY 1
+), inter AS (
+  SELECT n.doc_id AS a, p.doc_id AS b, count(*) AS inter
+  FROM sets n JOIN sets p ON n.g = p.g
+  WHERE n.doc_id % 3 <> 0 AND p.doc_id % 3 = 0
+  GROUP BY 1, 2
+), dup_new AS (
+  SELECT DISTINCT a FROM inter
+  JOIN counts ca ON ca.doc_id = a
+  JOIN counts cb ON cb.doc_id = b
+  WHERE inter * 2 >= (ca.c + cb.c - inter)
+)
+SELECT doc_id FROM documents
+WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT a FROM dup_new)
 ORDER BY doc_id
 """,
     "simhash_pairs": f"""

@@ -313,6 +313,154 @@ def minhash_lsh_pairs(
     return cand.map_batches(verify, batch_format="pyarrow").sort(["a", "b"])
 
 
+def minhash_incremental_dedup(
+    new_ds,
+    prior_ds,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+):
+    """Keeper ids of the NEW corpus after removing docs that NEAR-duplicate
+    (exact word-shingle Jaccard ≥ ``min_jaccard``) any doc of the PRIOR
+    corpus — the cross-dump fuzzy-dedup step real crawl pipelines run per
+    snapshot (each new dump deduped against everything already kept), the
+    near-dup complement of :func:`bloom_incremental_dedup`'s exact-match
+    tier. Within-corpus duplicates are deliberately NOT touched — that is
+    the full-corpus :func:`minhash_lsh_pairs` → :func:`dup_clusters` job.
+
+    Scale shape: one :class:`MinHashBandStage` pass per corpus (the prior
+    corpus's band rows are exactly what a production run would PERSIST and
+    re-load per dump instead of recomputing); the union'd band shuffle
+    carries (band_key, id, origin-bit) only; each coarse hash bucket
+    generates NEW×PRIOR pairs only (a within-corpus pair never
+    materializes, so a prior corpus full of internal dups costs nothing
+    here); candidate texts fetch by broadcast semi-join from each corpus
+    and verify with exact Jaccard, identical to the full-corpus path.
+    Returns a Dataset of keeper new-corpus ids (id_col), sorted.
+
+    Ids must be integer-typed and the two corpora's id spaces may overlap
+    freely (origin is carried separately, never encoded into the id)."""
+    import ray
+    import ray.data
+
+    from ray.data.aggregate import Count
+
+    from .aggregate import bucket_by_key
+
+    for name, ds in (("new_ds", new_ds), ("prior_ds", prior_ds)):
+        schema = ds.schema()
+        id_type = dict(zip(schema.names, schema.types)).get(id_col)
+        if id_type is not None and not pa.types.is_integer(id_type):
+            raise TypeError(
+                "minhash_incremental_dedup: %s id column %r must be "
+                "integer-typed (got %s)" % (name, id_col, id_type)
+            )
+
+    stage = MinHashBandStage(num_perm, bands, shingle_k, text_col, id_col)
+
+    def tag(origin: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "origin", pa.array(np.full(batch.num_rows, origin, np.int8))
+            )
+
+        return fn
+
+    banded = (
+        new_ds.map_batches(stage, batch_format="pyarrow")
+        .map_batches(tag(1), batch_format="pyarrow")
+        .union(
+            prior_ds.map_batches(stage, batch_format="pyarrow").map_batches(
+                tag(0), batch_format="pyarrow"
+            )
+        )
+    )
+
+    def cross_pairs_in_coarse_bucket(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.drop_duplicates(["band_key", id_col, "origin"])
+        new = b[b["origin"] == 1][["band_key", id_col]]
+        prior = b[b["origin"] == 0][["band_key", id_col]]
+        m = new.merge(prior, on="band_key", suffixes=("_n", "_p"))
+        return pd.DataFrame(
+            {
+                "a": m[id_col + "_n"].astype("int64").to_numpy(),
+                "b": m[id_col + "_p"].astype("int64").to_numpy(),
+            }
+        ).drop_duplicates()
+
+    bucketed = bucket_by_key(banded, "band_key", num_buckets)
+    cand = (
+        bucketed.groupby("_bucket")
+        .map_groups(cross_pairs_in_coarse_bucket, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    # candidate ids per side: provably-small driver pull (ids only), same
+    # bound as minhash_lsh_pairs (near-dups + LSH false positives)
+    new_ids: set = set()
+    prior_ids: set = set()
+    for batch in cand.iter_batches(batch_format="pyarrow"):
+        new_ids.update(batch["a"].to_pylist())
+        prior_ids.update(batch["b"].to_pylist())
+
+    if not new_ids:
+        return new_ds.select_columns([id_col]).sort(id_col)
+
+    def fetch(ds, wanted_ids):
+        ids_ref = ray.put(pa.array(sorted(wanted_ids), type=pa.int64()))
+
+        def semi_join(batch: pa.Table) -> pa.Table:
+            keep = pc.is_in(
+                pc.cast(batch[id_col], pa.int64()), value_set=ray.get(ids_ref)
+            )
+            return batch.filter(keep).select([id_col, text_col])
+
+        docs = ds.map_batches(semi_join, batch_format="pyarrow").to_pandas()
+        return dict(zip((int(v) for v in docs[id_col]), docs[text_col]))
+
+    texts_ref = ray.put((fetch(new_ds, new_ids), fetch(prior_ds, prior_ids)))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        new_texts, prior_texts = ray.get(texts_ref)
+        dup = []
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            ta, tb = new_texts.get(int(a)), prior_texts.get(int(b))
+            if ta is None or tb is None:
+                continue
+            inter, union = exact_jaccard(ta, tb, shingle_k)
+            if union and inter / union >= min_jaccard:
+                dup.append(int(a))
+        return pa.table({"dup_id": pa.array(sorted(set(dup)), type=pa.int64())})
+
+    dup_new = set()
+    for batch in (
+        cand.map_batches(verify, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ):
+        dup_new.update(batch["dup_id"].to_pylist())
+    drop_ref = ray.put(pa.array(sorted(dup_new), type=pa.int64()))
+
+    def keep_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.is_in(pc.cast(batch[id_col], pa.int64()), value_set=ray.get(drop_ref))
+        )
+        return batch.filter(keep)
+
+    return (
+        new_ds.select_columns([id_col])
+        .map_batches(keep_filter, batch_format="pyarrow")
+        .sort(id_col)
+    )
+
+
 # -- Bloom-filter incremental dedup ----------------------------------------
 
 

@@ -1250,6 +1250,66 @@ def test_bloom_incremental_dedup_exact_under_fps(ray_session, verify):
     assert list(out["doc_id"]) == expect
 
 
+def test_minhash_incremental_dedup_planted(ray_session):
+    """Cross-corpus near-dup semantics: a new doc near-duplicating a PRIOR
+    doc (J≥0.9 word 3-gram) drops; internal new-new duplicates are KEPT
+    (in-corpus dedup is the full-corpus op's job); fresh docs, short docs
+    and null-text docs are kept; and a brute-force exact-Jaccard reference
+    agrees on the planted set."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.functions.sketches import exact_jaccard
+    from logstash_filter_geoip_ray.stages.dedup import minhash_incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank %d"
+    prior_texts = [base % i for i in range(40)]
+    new_rows = [
+        (100, base % 7),                       # exact copy of prior -> drop
+        (101, (base % 13) + " extra"),         # near-dup of prior -> drop
+        (102, "completely different content about distributed dataflow engines"),
+        (103, "completely different content about distributed dataflow engines"),
+        (104, "tiny doc"),                     # short-doc (single-shingle) path
+        (105, None),                           # null text kept
+    ]
+    prior = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                  "text": pa.array(prior_texts, type=pa.string())})
+    )
+    new = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([r[0] for r in new_rows], type=pa.int64()),
+                  "text": pa.array([r[1] for r in new_rows], type=pa.string())})
+    )
+    kept = list(
+        minhash_incremental_dedup(new, prior, min_jaccard=0.5).to_pandas()["doc_id"]
+    )
+    # brute-force reference over the same threshold
+    expect = []
+    for nid, ntext in new_rows:
+        dup = False
+        if ntext:
+            for ptext in prior_texts:
+                inter, union = exact_jaccard(ntext, ptext, 3)
+                if union and inter / union >= 0.5:
+                    dup = True
+                    break
+        if not dup:
+            expect.append(nid)
+    assert kept == expect
+    assert 100 not in kept and 101 not in kept      # planted cross dups drop
+    assert {102, 103, 104, 105} <= set(kept)        # internal dups + fresh kept
+
+    # no candidates at all -> every new id returns
+    fresh = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([7, 8], type=pa.int64()),
+                  "text": pa.array(["alpha beta gamma delta", "nine ten eleven"],
+                                   type=pa.string())})
+    )
+    kept2 = list(
+        minhash_incremental_dedup(fresh, prior, min_jaccard=0.5).to_pandas()["doc_id"]
+    )
+    assert kept2 == [7, 8]
+
+
 def test_shared_paragraphs_planted(ray_session):
     """A paragraph pasted into two docs must be flagged in both; unique
     paragraphs must not."""

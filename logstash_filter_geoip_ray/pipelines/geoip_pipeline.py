@@ -237,6 +237,16 @@ def _probe_write_marker(path: str) -> bool:
     return True
 
 
+#: per-worker-process (task_id → next call sequence) for deterministic
+#: staged-file names. A RETRIED map task keeps its Ray task id and replays
+#: its batches in the same order in a fresh worker (counter resets), so the
+#: retry OVERWRITES the failed attempt's files instead of duplicating rows —
+#: the same idempotency contract Ray Data's own file datasink provides via
+#: deterministic per-task names (verified: task_id is stable across
+#: max_retries re-executions; see BASELINE.md round-4 session-2).
+_FANOUT_TASK_SEQ: dict = {}
+
+
 def _hive_fanout_ipc(staging: str, key_cols: Sequence[str]):
     """Phase-1 fan-out map fn for :func:`write_routed_bucketed` with
     ``staging_format='ipc'``: split each block into per-sink runs (one sort +
@@ -244,9 +254,12 @@ def _hive_fanout_ipc(staging: str, key_cols: Sequence[str]):
     under the hive dir for its sink. IPC encode is ~memcpy, so phase 1 costs
     a fraction of a parquet encode — the data is parquet-encoded exactly ONCE
     (in the phase-2 compaction) instead of twice. Emits one (sink, rows) row
-    per run so the consuming count() is tiny."""
-    import uuid
+    per run so the consuming count() is tiny.
 
+    File names are DETERMINISTIC per (task, call, run) and published via
+    tmp + atomic rename: a task retry overwrites its own partial output
+    (never duplicates it), and a crash mid-write leaves only ``*.tmp``
+    strays the compaction glob ignores."""
     key_cols = list(key_cols)
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -275,6 +288,14 @@ def _hive_fanout_ipc(staging: str, key_cols: Sequence[str]):
         starts = np.concatenate(([0], np.flatnonzero(change) + 1, [n]))
         payload_schema = tbl.drop_columns(key_cols).schema
         opts = pa.ipc.IpcWriteOptions(compression="lz4")
+        import ray
+
+        try:
+            tid = ray.get_runtime_context().get_task_id() or "driver"
+        except Exception:
+            tid = "driver"
+        seq = _FANOUT_TASK_SEQ.get(tid, 0)
+        _FANOUT_TASK_SEQ[tid] = seq + 1
         sinks, counts = [], []
         for i in range(len(starts) - 1):
             s, e = int(starts[i]), int(starts[i + 1])
@@ -289,11 +310,14 @@ def _hive_fanout_ipc(staging: str, key_cols: Sequence[str]):
             d = os.path.join(staging, rel)
             os.makedirs(d, exist_ok=True)
             run = tbl.slice(s, e - s).drop_columns(key_cols)
-            path = os.path.join(d, "part-%s.arrow" % uuid.uuid4().hex)
-            with pa.OSFile(path, "wb") as f, pa.ipc.new_stream(
+            path = os.path.join(
+                d, "part-%s-%05d-%03d.arrow" % (tid[:24], seq, i)
+            )
+            with pa.OSFile(path + ".tmp", "wb") as f, pa.ipc.new_stream(
                 f, payload_schema, options=opts
             ) as w:
                 w.write_table(run)
+            os.replace(path + ".tmp", path)
             sinks.append(rel)
             counts.append(e - s)
         return pa.table(

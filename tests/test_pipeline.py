@@ -282,6 +282,40 @@ def test_sink_counts_checkpointed_matches_oracle(ray_session, tmp_path):
     assert {m: os.path.getmtime(m) for m in manifests} == mtimes
 
 
+def test_ipc_fanout_retry_idempotent(tmp_path):
+    """A retried map task (same task id, fresh worker, same batch replay)
+    must OVERWRITE its failed attempt's staged files, not add a second copy
+    — otherwise the compaction duplicates rows. Simulated by re-running the
+    fan-out fn on the same batch after clearing the per-worker sequence
+    (what a fresh worker process sees)."""
+    import glob
+
+    import pyarrow as pa
+
+    from logstash_filter_geoip_ray.pipelines import geoip_pipeline as gp
+
+    batch = pa.table(
+        {"country": ["US", "US", "DE"], "tool": ["a", "b", "b"], "v": [1, 2, 3]}
+    )
+    fn = gp._hive_fanout_ipc(str(tmp_path), ["country", "tool"])
+    gp._FANOUT_TASK_SEQ.clear()
+    fn(batch)
+    files1 = sorted(glob.glob(str(tmp_path) + "/**/*.arrow", recursive=True))
+    gp._FANOUT_TASK_SEQ.clear()  # retry = fresh worker: counter resets
+    fn(batch)
+    files2 = sorted(glob.glob(str(tmp_path) + "/**/*.arrow", recursive=True))
+    assert files1 == files2  # identical names -> overwrite, no duplicates
+    assert len(files1) == 3  # one run file per (country, tool) sink
+    # rows survive exactly once
+    total = 0
+    for p in files2:
+        with pa.OSFile(p, "rb") as f:
+            total += pa.ipc.open_stream(f).read_all().num_rows
+    assert total == 3
+    # no tmp strays after clean publishes
+    assert not glob.glob(str(tmp_path) + "/**/*.tmp", recursive=True)
+
+
 def test_bucketed_routed_write_staging_formats_equal(ray_session, tmp_path):
     """The lz4-IPC staging path (default) and the parquet staging path must
     produce byte-equal logical output: same sink layout, same schema (key

@@ -741,6 +741,58 @@ def q_dedup_incremental_minhash(sf_dir: str):
     return minhash_incremental_dedup(new, old, min_jaccard=0.5)
 
 
+def q_dedup_incremental_minhash_indexed(sf_dir: str):
+    """The same cross-dump near-dup dedup THROUGH the persisted LSH index:
+    the prior corpus's band rows are built once into a content-keyed
+    parquet index (``state/minhash_index.py`` — the per-dump artifact a
+    production run re-loads instead of recomputing) and the new crawl
+    dedups against the LOADED index. Must reproduce the recompute-path
+    oracle exactly — one oracle, two prior-side plans."""
+    import hashlib
+    import os as _os
+
+    import pyarrow as pa
+
+    from ..state.minhash_index import build_minhash_index, load_minhash_index
+    from ..stages.dedup import minhash_incremental_dedup
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def part(equal: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            hit = (ids % BLOOM_OLD_MOD) == 0
+            return batch.filter(pa.array(hit if equal else ~hit))
+
+        return f
+
+    old = docs.map_batches(part(True), batch_format="pyarrow")
+    new = docs.map_batches(part(False), batch_format="pyarrow")
+
+    # index dir keyed by input identity + the modules that shape band rows
+    # (same convention as sink_counts_checkpointed): a regenerated table or
+    # a kernel change invalidates the cached index instead of silently
+    # serving stale band rows
+    from ..stages import dedup as _dedup_mod
+    from ..state import minhash_index as _idx_mod
+
+    h = hashlib.md5()
+    p = _os.path.join(sf_dir, "documents.parquet")
+    st = _os.stat(p)
+    h.update(("%s:%d:%d" % (p, st.st_size, st.st_mtime_ns)).encode())
+    for mod in (_dedup_mod, _idx_mod):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    index_dir = "/tmp/graft_minhash_index/%s" % h.hexdigest()[:16]
+    if not _os.path.exists(_os.path.join(index_dir, "_meta.json")):
+        build_minhash_index(old, index_dir)
+    return minhash_incremental_dedup(
+        new, old, min_jaccard=0.5, prior_banded=load_minhash_index(index_dir)
+    )
+
+
 def q_video_frames(sf_dir: str):
     """End-to-end VIDEO pipeline over real self-decoded AVI containers:
     each doc id is rendered into a deterministic uncompressed-DIB AVI (6
@@ -4280,6 +4332,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "simhash_pairs": q_simhash_pairs,
     "bloom_dedup": q_bloom_dedup,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
+    "dedup_incremental_minhash_indexed": q_dedup_incremental_minhash_indexed,
     "rag_chunks": q_rag_chunks,
     "freq_spectrum": q_freq_spectrum,
     "dup_ngram_spans": q_dup_ngram_spans,
@@ -6376,6 +6429,10 @@ WITH eraw AS (
     return head + "".join(rounds) + f"\nSELECT node, pr FROM r{iters} ORDER BY node"
 
 
+# indexed prior-side plan must reproduce the recompute-path answer exactly
+DATA_ORACLES["dedup_incremental_minhash_indexed"] = DATA_ORACLES[
+    "dedup_incremental_minhash"
+]
 DATA_ORACLES["pagerank_nodes"] = _pagerank_oracle_sql(PAGERANK_ITERS)
 
 

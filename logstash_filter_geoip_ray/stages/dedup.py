@@ -323,6 +323,7 @@ def minhash_incremental_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 64,
+    prior_banded=None,
 ):
     """Keeper ids of the NEW corpus after removing docs that NEAR-duplicate
     (exact word-shingle Jaccard ≥ ``min_jaccard``) any doc of the PRIOR
@@ -343,7 +344,14 @@ def minhash_incremental_dedup(
     Returns a Dataset of keeper new-corpus ids (id_col), sorted.
 
     Ids must be integer-typed and the two corpora's id spaces may overlap
-    freely (origin is carried separately, never encoded into the id)."""
+    freely (origin is carried separately, never encoded into the id).
+
+    ``prior_banded``: a pre-computed (band_key, id) dataset for the prior
+    corpus — pass :func:`..state.minhash_index.load_minhash_index` output
+    to skip the prior-side band pass entirely (the per-dump production
+    shape; the index's band parameters MUST match ``num_perm``/``bands``/
+    ``shingle_k``, which the loader enforces). ``prior_ds`` is still needed
+    for the candidate TEXT fetch in the verify step."""
     import ray
     import ray.data
 
@@ -370,14 +378,17 @@ def minhash_incremental_dedup(
 
         return fn
 
+    if prior_banded is None:
+        prior_banded = prior_ds.map_batches(stage, batch_format="pyarrow")
+    else:
+        # a persisted index may carry its hive bucket column; the join
+        # re-buckets below, so keep only the band rows
+        if "_bucket" in prior_banded.schema().names:
+            prior_banded = prior_banded.select_columns(["band_key", id_col])
     banded = (
         new_ds.map_batches(stage, batch_format="pyarrow")
         .map_batches(tag(1), batch_format="pyarrow")
-        .union(
-            prior_ds.map_batches(stage, batch_format="pyarrow").map_batches(
-                tag(0), batch_format="pyarrow"
-            )
-        )
+        .union(prior_banded.map_batches(tag(0), batch_format="pyarrow"))
     )
 
     def cross_pairs_in_coarse_bucket(block: pd.DataFrame) -> pd.DataFrame:

@@ -1310,6 +1310,71 @@ def test_minhash_incremental_dedup_planted(ray_session):
     assert kept2 == [7, 8]
 
 
+def test_minhash_index_persist_append_and_param_guard(ray_session, tmp_path):
+    """The persisted LSH index must (a) reproduce the recompute-path keeper
+    set exactly, (b) absorb appended dumps — a dump-2 doc near-duplicating a
+    dump-1 keeper drops once dump 1 is appended, and (c) refuse to load
+    under different band parameters."""
+    import pytest
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.dedup import minhash_incremental_dedup
+    from logstash_filter_geoip_ray.state.minhash_index import (
+        append_minhash_index,
+        build_minhash_index,
+        load_minhash_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank %d"
+
+    def corpus(ids_texts):
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([i for i, _ in ids_texts], type=pa.int64()),
+                      "text": pa.array([t for _, t in ids_texts], type=pa.string())})
+        )
+
+    prior = corpus([(i, base % i) for i in range(30)])
+    dump1 = corpus([
+        (100, base % 7),                                  # dup of prior -> drop
+        (101, "fresh dump-one doc about streaming dataflow engines and backpressure"),
+    ])
+    dump2 = corpus([
+        (200, "fresh dump-one doc about streaming dataflow engines and backpressure"),
+        (201, "another genuinely new document mentioning arrow record batches"),
+    ])
+
+    idx = str(tmp_path / "mh_index")
+    build_minhash_index(prior, idx)
+
+    # (a) indexed plan == recompute plan
+    direct = list(minhash_incremental_dedup(dump1, prior).to_pandas()["doc_id"])
+    indexed = list(
+        minhash_incremental_dedup(
+            dump1, prior, prior_banded=load_minhash_index(idx)
+        ).to_pandas()["doc_id"]
+    )
+    assert direct == indexed == [101]
+
+    # (b) append dump-1 keepers; dump-2's copy of doc 101 now drops, and the
+    # verify side needs the GROWN corpus for text fetch
+    kept1 = dump1.filter(lambda r: r["doc_id"] in (101,))
+    append_minhash_index(kept1, idx)
+    grown = prior.union(kept1)
+    kept2 = list(
+        minhash_incremental_dedup(
+            dump2, grown, prior_banded=load_minhash_index(idx)
+        ).to_pandas()["doc_id"]
+    )
+    assert kept2 == [201]
+
+    # (c) parameter guard: different band geometry must refuse to load
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        load_minhash_index(idx, bands=16)
+    # and appending to a non-index dir refuses too
+    with pytest.raises(FileNotFoundError):
+        append_minhash_index(kept1, str(tmp_path / "not_an_index"))
+
+
 def test_shared_paragraphs_planted(ray_session):
     """A paragraph pasted into two docs must be flagged in both; unique
     paragraphs must not."""

@@ -302,6 +302,15 @@ def _hive_fanout_ipc(staging: str, key_cols: Sequence[str]):
             parts = []
             for c in key_cols:
                 v = tbl[c][s].as_py()
+                if v is not None and ("/" in str(v) or "=" in str(v)):
+                    # a separator in the key value would silently nest dirs /
+                    # corrupt the sink→dir mapping; routing keys are expected
+                    # to be sanitized upstream (country codes, tool names)
+                    raise ValueError(
+                        "write_routed_bucketed: key value %r in column %r "
+                        "contains '/' or '=' — sanitize routing keys upstream"
+                        % (v, c)
+                    )
                 # hive convention for null partition values (pyarrow parity)
                 parts.append(
                     "%s=%s" % (c, "__HIVE_DEFAULT_PARTITION__" if v is None else v)

@@ -316,6 +316,20 @@ def test_ipc_fanout_retry_idempotent(tmp_path):
     assert not glob.glob(str(tmp_path) + "/**/*.tmp", recursive=True)
 
 
+def test_ipc_fanout_rejects_separator_in_key(tmp_path):
+    """A '/' or '=' in a routing-key value would silently nest staging dirs
+    and corrupt the sink→dir mapping — must raise loudly instead."""
+    import pyarrow as pa
+    import pytest
+
+    from logstash_filter_geoip_ray.pipelines import geoip_pipeline as gp
+
+    fn = gp._hive_fanout_ipc(str(tmp_path), ["country", "tool"])
+    bad = pa.table({"country": ["U/S"], "tool": ["a"], "v": [1]})
+    with pytest.raises(ValueError, match="sanitize routing keys"):
+        fn(bad)
+
+
 def test_bucketed_routed_write_staging_formats_equal(ray_session, tmp_path):
     """The lz4-IPC staging path (default) and the parquet staging path must
     produce byte-equal logical output: same sink layout, same schema (key

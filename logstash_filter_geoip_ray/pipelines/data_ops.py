@@ -1130,6 +1130,63 @@ def q_dedup_filtered_docs_minhash(sf_dir: str):
     )
 
 
+def q_corpus_refresh(sf_dir: str):
+    """End-to-end NEW-DUMP INGESTION — the composite a corpus refresh runs
+    per crawl: the new dump (doc_id % 3 != 0) survives (1) exact-text dedup
+    vs the prior corpus (Bloom prefilter + exact verify), (2) near-dup
+    dedup vs the prior corpus (MinHash LSH + exact-Jaccard verify) and
+    (3) the Gopher-style repetition quality gate, emitting keeper ids with
+    their quality stats. Composed as the INTERSECTION of the three tiers'
+    keeper sets (each per-doc independent, so intersection ≡ sequential
+    application — an exact dup is also a J=1 near-dup) via two bucketed
+    hash joins: every tier is its own scale-shaped pipeline and the join
+    exchange carries ids + three ints only."""
+    import pyarrow as pa
+
+    from ..stages.dedup import bloom_incremental_dedup, minhash_incremental_dedup
+    from ..stages.joins import hash_join
+    from ..stages.textops import quality_filter
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def part(equal: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            hit = (ids % BLOOM_OLD_MOD) == 0
+            return batch.filter(pa.array(hit if equal else ~hit))
+
+        return f
+
+    old = docs.map_batches(part(True), batch_format="pyarrow")
+    new = docs.map_batches(part(False), batch_format="pyarrow")
+
+    kept_exact = bloom_incremental_dedup(new, old)
+    kept_near = minhash_incremental_dedup(new, old, min_jaccard=0.5)
+
+    def strip_sort_key(name):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.select(["doc_id"]).rename_columns([name])
+
+        return f
+
+    qual = quality_filter(new)  # (doc_id, token_total, dup_milli, top_milli)
+    j = hash_join(
+        qual,
+        kept_exact.map_batches(strip_sort_key("_ke"), batch_format="pyarrow"),
+        "doc_id",
+        "_ke",
+    ).drop_columns(["_ke"])
+    j = hash_join(
+        j,
+        kept_near.map_batches(strip_sort_key("_kn"), batch_format="pyarrow"),
+        "doc_id",
+        "_kn",
+    ).drop_columns(["_kn"])
+    return j.sort("doc_id")
+
+
 def q_approx_distinct_users(sf_dir: str):
     """Mergeable-sketch aggregation: HLL approx COUNT(DISTINCT user_id) per
     event_type. Approximate by design → rows-only driver check; the ±error
@@ -4333,6 +4390,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "bloom_dedup": q_bloom_dedup,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "dedup_incremental_minhash_indexed": q_dedup_incremental_minhash_indexed,
+    "corpus_refresh": q_corpus_refresh,
     "rag_chunks": q_rag_chunks,
     "freq_spectrum": q_freq_spectrum,
     "dup_ngram_spans": q_dup_ngram_spans,
@@ -6429,6 +6487,51 @@ WITH eraw AS (
     return head + "".join(rounds) + f"\nSELECT node, pr FROM r{iters} ORDER BY node"
 
 
+# composite new-dump ingestion: exact-dedup AND near-dup AND quality tiers
+DATA_ORACLES["corpus_refresh"] = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents WHERE trim(text, {_WS}) <> ''
+), grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+  FROM toks
+), sets AS (
+  SELECT DISTINCT doc_id, g FROM grams
+), counts AS (
+  SELECT doc_id, count(*) AS c FROM sets GROUP BY 1
+), inter AS (
+  SELECT n.doc_id AS a, p.doc_id AS b, count(*) AS inter
+  FROM sets n JOIN sets p ON n.g = p.g
+  WHERE n.doc_id % 3 <> 0 AND p.doc_id % 3 = 0
+  GROUP BY 1, 2
+), dup_new AS (
+  SELECT DISTINCT a FROM inter
+  JOIN counts ca ON ca.doc_id = a
+  JOIN counts cb ON cb.doc_id = b
+  WHERE inter * 2 >= (ca.c + cb.c - inter)
+), words AS (
+  SELECT doc_id, lower(unnest({_TOKENS})) AS w
+  FROM documents WHERE trim(text, {_WS}) <> ''
+), wf AS (
+  SELECT doc_id, w, count(*) AS c FROM words WHERE w <> '' GROUP BY 1, 2
+), qual AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS token_total,
+         CAST(1000 - (1000 * count(*)) // sum(c) AS BIGINT) AS dup_milli,
+         CAST((1000 * max(c)) // sum(c) AS BIGINT) AS top_milli
+  FROM wf GROUP BY 1
+)
+SELECT d.doc_id, q.token_total, q.dup_milli, q.top_milli
+FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+WHERE d.doc_id % 3 <> 0
+  AND d.doc_id NOT IN (SELECT a FROM dup_new)
+  AND (d.text IS NULL OR d.text NOT IN
+       (SELECT text FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL))
+  AND q.token_total >= 20 AND q.dup_milli <= 500 AND q.top_milli <= 150
+ORDER BY d.doc_id
+"""
 # indexed prior-side plan must reproduce the recompute-path answer exactly
 DATA_ORACLES["dedup_incremental_minhash_indexed"] = DATA_ORACLES[
     "dedup_incremental_minhash"

@@ -1356,6 +1356,35 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(_emb(sf_dir, ["vec_id", "embedding"]), ANN_QUERY_IDS, k=ANN_K)
 
 
+def q_ann_ivf_indexed(sf_dir: str):
+    """The same IVF search THROUGH the persisted cell-partitioned index
+    (``state/ann_index.py``): the codebook and per-cell vector partitions
+    are built once into a content-keyed /tmp index; search reads ONLY the
+    probed cells' directories — the scan itself shrinks by
+    ~n_probe/n_clusters, the directory-pruning win a recomputing IVF can
+    never have. Must equal the recompute-path ``ann_ivf`` rows exactly
+    (same codebook sample rule + seed); rows-only driver check like
+    ann_ivf, exact-equality pinned in tests."""
+    import hashlib
+    import os as _os
+
+    from ..state.ann_index import build_ivf_index, ivf_index_topk
+    from ..state import ann_index as _ann_mod
+    from ..stages import similarity as _sim_mod
+
+    h = hashlib.md5()
+    p = _os.path.join(sf_dir, "embeddings.parquet")
+    st = _os.stat(p)
+    h.update(("%s:%d:%d" % (p, st.st_size, st.st_mtime_ns)).encode())
+    for mod in (_ann_mod, _sim_mod):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    index_dir = "/tmp/graft_ivf_index/%s" % h.hexdigest()[:16]
+    if not _os.path.exists(_os.path.join(index_dir, "_meta.json")):
+        build_ivf_index(_emb(sf_dir, ["vec_id", "embedding"]), index_dir)
+    return ivf_index_topk(index_dir, ANN_QUERY_IDS, k=ANN_K)
+
+
 def q_ann_filtered(sf_dir: str):
     """Metadata-filtered exact vector search (the RAG-stack shape): cosine
     top-k per query over ONLY the corpus rows with label in (0, 1, 2) —
@@ -4434,6 +4463,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_indexed": q_ann_ivf_indexed,
     "ann_filtered": q_ann_filtered,
     "customers_per_region": q_customers_per_region,
     "orders_per_nation": q_orders_per_nation,

@@ -252,9 +252,13 @@ def ivf_topk(
         mod = pc.subtract(
             ids64, pc.multiply(pc.divide(ids64, train_sample_mod), train_sample_mod)
         )
-        return b.filter(pc.equal(mod, 0)).select([vec_col])
+        return b.filter(pc.equal(mod, 0)).select([id_col, vec_col])
 
     sample = ds.map_batches(sample_batch, batch_format="pyarrow").to_pandas()
+    # sort the bounded sample by id before training: Ray Data does not
+    # preserve block order, and k-means init is row-order-sensitive — without
+    # this the codebook (and thus the probed set) varies run to run
+    sample = sample.sort_values(id_col)
     train = _normalized(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
     centroids = _kmeans(train, n_clusters)
 

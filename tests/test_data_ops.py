@@ -233,6 +233,44 @@ def test_ann_lsh_recall(ray_session):
     assert (approx.groupby("query_id")["rank"].min() == 1).all()
 
 
+def test_ivf_index_matches_recompute(ray_session, tmp_path):
+    """The persisted cell-partitioned IVF index must return EXACTLY the
+    recompute-path ivf_topk rows under identical parameters (same sample
+    rule + k-means seed → same codebook → same probed set), and the probe
+    must read only the accepted cells' files (directory pruning)."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.similarity import ivf_topk
+    from logstash_filter_geoip_ray.state.ann_index import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"), idx, n_clusters=8
+    )
+    indexed = ivf_index_topk(idx, ANN_QUERY_IDS, k=10, n_probe=2).to_pandas()
+    recompute = ivf_topk(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"),
+        ANN_QUERY_IDS, k=10, n_clusters=8, n_probe=2,
+    ).to_pandas()
+    key = ["query_id", "rank"]
+    assert indexed.sort_values(key).reset_index(drop=True).equals(
+        recompute.sort_values(key).reset_index(drop=True)
+    )
+    # the index holds every corpus vector, split across cell dirs
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(idx + "/cell=*/*.parquet")
+    )
+    assert total == ray.data.read_parquet(f"{SF}/embeddings.parquet").count()
+
+
 def test_ann_ivf_recall(ray_session):
     """IVF top-k (spherical k-means codebook, n_probe cells) must recover
     most of the exact top-k, and more probes must not lower recall."""

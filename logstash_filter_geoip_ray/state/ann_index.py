@@ -115,6 +115,43 @@ def build_ivf_index(
     return index_dir
 
 
+def append_ivf_index(ds, index_dir: str) -> str:
+    """Append a new dump's vectors: assign with the EXISTING codebook (the
+    codebook is the index's identity — retraining would silently shift every
+    cell boundary) and write more ``cell=N`` files. Column names and the
+    vector dimension come from the meta; a dimension mismatch fails inside
+    the assign kernel loudly (matmul shape error) rather than corrupting
+    cells."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..stages.similarity import list_column_to_matrix
+
+    meta = _load_meta(index_dir)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cent_tbl = pq.read_table(os.path.join(index_dir, CENTROIDS))
+    order = np.argsort(cent_tbl["cell"].to_numpy())
+    centroids = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in cent_tbl["centroid"].to_pylist()]
+    )[order]
+    cents_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        mat = list_column_to_matrix(batch[vec_col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cells = np.argmax((mat / norms[:, None]) @ cents.T, axis=1)
+        return batch.select([id_col, vec_col]).append_column(
+            "cell", pa.array(cells.astype(np.int64))
+        )
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    return index_dir
+
+
 def _load_meta(index_dir: str) -> dict:
     path = os.path.join(index_dir, INDEX_META)
     if not os.path.exists(path):

@@ -271,6 +271,47 @@ def test_ivf_index_matches_recompute(ray_session, tmp_path):
     assert total == ray.data.read_parquet(f"{SF}/embeddings.parquet").count()
 
 
+def test_ivf_index_append(ray_session, tmp_path):
+    """Appending a dump re-uses the EXISTING codebook: appended vectors land
+    in their nearest cells, become searchable, and an identical vector to a
+    query id's own embedding ranks first among its new neighbors."""
+    import glob
+
+    import ray.data
+
+    from logstash_filter_geoip_ray.state.ann_index import (
+        append_ivf_index,
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    idx = str(tmp_path / "ivf_a")
+    build_ivf_index(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet"), idx, n_clusters=8
+    )
+    before = len(glob.glob(idx + "/cell=*/*.parquet"))
+    # append exact copies of two existing vectors under fresh ids
+    src = ray.data.read_parquet(f"{SF}/embeddings.parquet").to_pandas()
+    dup = src[src.vec_id.isin(list(ANN_QUERY_IDS)[:2])].copy()
+    dup["vec_id"] = dup["vec_id"] + 1_000_000
+    dup_tbl = pa.table(
+        {
+            "vec_id": pa.array(dup["vec_id"].tolist(), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in dup["embedding"]],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    append_ivf_index(ray.data.from_arrow(dup_tbl), idx)
+    assert len(glob.glob(idx + "/cell=*/*.parquet")) > before
+    out = ivf_index_topk(idx, list(ANN_QUERY_IDS)[:2], k=3, n_probe=2).to_pandas()
+    for q in list(ANN_QUERY_IDS)[:2]:
+        # the appended exact copy (cosine 1.0) must appear at rank 1
+        top = out[(out.query_id == q) & (out["rank"] == 1)]["neighbor_id"].iloc[0]
+        assert top == q + 1_000_000
+
+
 def test_ann_ivf_recall(ray_session):
     """IVF top-k (spherical k-means codebook, n_probe cells) must recover
     most of the exact top-k, and more probes must not lower recall."""

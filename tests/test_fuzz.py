@@ -688,3 +688,60 @@ def test_fuzz_ppjoin_vs_naive(ray_session, token_lists, thresh):
             if union and inter * den >= union * num:
                 want.append((a, b, inter, union))
     assert got == sorted(want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    keys=st.lists(
+        st.tuples(
+            st.sampled_from(["US", "DE", "JP", "_miss", None]),
+            st.sampled_from(["a", "b", "cc"]),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_fuzz_ipc_fanout_run_boundaries(tmp_path_factory, keys):
+    """Property: the fan-out's vectorized run-boundary split (sort + adjacent
+    inequality with null-edge handling) lands every row in exactly the sink
+    a pandas groupby reference assigns it, including null keys."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    from logstash_filter_geoip_ray.pipelines import geoip_pipeline as gp
+
+    staging = str(tmp_path_factory.mktemp("fanout"))
+    batch = pa.table(
+        {
+            "country": pa.array([k[0] for k in keys], type=pa.string()),
+            "tool": pa.array([k[1] for k in keys], type=pa.string()),
+            "v": pa.array(range(len(keys)), type=pa.int64()),
+        }
+    )
+    gp._FANOUT_TASK_SEQ.clear()
+    out = gp._hive_fanout_ipc(staging, ["country", "tool"])(batch)
+    # reference: pandas groupby with dropna=False
+    import pandas as pd
+
+    ref = (
+        batch.to_pandas().groupby(["country", "tool"], dropna=False)["v"]
+        .apply(lambda s: sorted(s))
+        .to_dict()
+    )
+    got = {}
+    for f in glob.glob(staging + "/country=*/tool=*/*.arrow"):
+        rel = os.path.relpath(f, staging)
+        c = rel.split("country=")[1].split("/")[0]
+        t = rel.split("tool=")[1].split("/")[0]
+        c = None if c == "__HIVE_DEFAULT_PARTITION__" else c
+        with pa.OSFile(f, "rb") as fh:
+            vs = pa.ipc.open_stream(fh).read_all()["v"].to_pylist()
+        key = (c, t)
+        got[key] = sorted(got.get(key, []) + vs)
+    ref = {(None if (isinstance(k[0], float) or k[0] is None) else k[0], k[1]): v
+           for k, v in ref.items()}
+    assert got == ref
+    # emitted run counts cover every row exactly once
+    assert sum(out["rows"].to_pylist()) == len(keys)

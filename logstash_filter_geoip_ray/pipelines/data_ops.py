@@ -615,6 +615,106 @@ def q_dup_ngram_spans(sf_dir: str):
     return duplicated_window_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+#: char-window length for the EXACTSUBSTR queries — long enough to be
+#: discriminative on the templated corpus (≈8 words), short enough that
+#: planted shared passages exceed it
+_DUP_SPAN_WINDOW = 40
+
+
+def q_dup_spans(sf_dir: str):
+    """EXACTSUBSTR (Lee et al. 2021) duplicated spans: maximal char spans
+    covered by length-40 windows occurring >= 2 times in the corpus —
+    1-based inclusive (doc_id, span_start, span_end, span_chars)."""
+    from ..stages.dedup import duplicated_spans
+
+    return duplicated_spans(
+        _docs(sf_dir, ["doc_id", "text"]), window=_DUP_SPAN_WINDOW
+    )
+
+
+def q_substring_dup_docs(sf_dir: str):
+    """Doc-level rollup of the EXACTSUBSTR spans — the 'drop documents that
+    are mostly duplicated text' curation gate: per doc with >= 1 duplicated
+    span, its span count, duplicated char total and integer permille of
+    n_chars.  The span set is bounded by the dedup premise (same cap as
+    duplicated_spans), so the n_chars attach is a broadcast probe of the
+    documents scan, not a shuffle join."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.dedup import duplicated_spans
+
+    spans = duplicated_spans(
+        _docs(sf_dir, ["doc_id", "text"]), window=_DUP_SPAN_WINDOW
+    )
+    import pandas as pd
+
+    if isinstance(spans, pd.DataFrame):
+        # no duplicated windows at all → typed empty rollup
+        return pd.DataFrame(
+            {
+                c: pd.Series([], dtype="int64")
+                for c in ("doc_id", "n_chars", "dup_chars", "n_spans", "dup_permille")
+            }
+        )
+    per_doc = spans.groupby("doc_id").aggregate(
+        Sum("span_chars", alias_name="dup_chars"),
+        Count(alias_name="n_spans"),
+    )
+    tbl = pa.concat_tables(
+        [t for t in ray.get(per_doc.to_arrow_refs()) if t.num_rows]
+        or [
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "dup_chars": pa.array([], type=pa.int64()),
+                    "n_spans": pa.array([], type=pa.int64()),
+                }
+            )
+        ]
+    )
+    order = pc.sort_indices(tbl["doc_id"])
+    dup_ids = pc.take(tbl["doc_id"], order).to_numpy(zero_copy_only=False)
+    dup_chars = pc.take(tbl["dup_chars"], order).to_numpy(zero_copy_only=False)
+    n_spans = pc.take(
+        pc.cast(tbl["n_spans"], pa.int64()), order
+    ).to_numpy(zero_copy_only=False)
+    ref = ray.put((dup_ids, dup_chars, n_spans))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        ids_np, chars_np, spans_np = ray.get(ref)
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        n_chars = pc.cast(batch["n_chars"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if not len(ids_np):
+            ids = ids[:0]
+            n_chars = n_chars[:0]
+        idx = np.searchsorted(ids_np, ids)
+        idx_c = np.clip(idx, 0, max(len(ids_np) - 1, 0))
+        match = ids_np[idx_c] == ids if len(ids) else np.zeros(0, dtype=bool)
+        d = chars_np[idx_c[match]]
+        s = spans_np[idx_c[match]]
+        nc = n_chars[match]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[match]),
+                "n_chars": pa.array(nc),
+                "dup_chars": pa.array(d),
+                "n_spans": pa.array(s),
+                "dup_permille": pa.array(1000 * d // nc),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(attach, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def q_shared_paragraphs(sf_dir: str):
     """Dolma-style paragraph-dedup signal: per doc, distinct non-empty
     paragraphs appearing in >= 2 docs (integer milli fraction)."""
@@ -4423,6 +4523,8 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "rag_chunks": q_rag_chunks,
     "freq_spectrum": q_freq_spectrum,
     "dup_ngram_spans": q_dup_ngram_spans,
+    "dup_spans": q_dup_spans,
+    "substring_dup_docs": q_substring_dup_docs,
     "shared_paragraphs": q_shared_paragraphs,
     "dedup_paragraphs": q_dedup_paragraphs,
     "url_dedup_spectrum": q_url_dedup_spectrum,
@@ -5690,6 +5792,66 @@ FROM c GROUP BY 1
 UNION ALL
 SELECT -1, CAST(count(*) AS BIGINT) FROM n WHERE u IS NULL HAVING count(*) > 0
 ORDER BY dups
+""",
+    "dup_spans": f"""
+WITH wins AS (
+  SELECT doc_id, CAST(t.pos AS BIGINT) AS pos,
+         substr(text, CAST(t.pos AS INTEGER), {_DUP_SPAN_WINDOW}) AS w
+  FROM documents,
+       LATERAL UNNEST(range(1, length(text) - {_DUP_SPAN_WINDOW} + 2)) AS t(pos)
+), dup AS (
+  SELECT w FROM wins GROUP BY w HAVING count(*) >= 2
+), marked AS (
+  SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup)
+), lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM marked
+), grouped AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {_DUP_SPAN_WINDOW}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM lagged
+)
+SELECT doc_id,
+       min(pos) AS span_start,
+       max(pos) + {_DUP_SPAN_WINDOW - 1} AS span_end,
+       max(pos) + {_DUP_SPAN_WINDOW} - min(pos) AS span_chars
+FROM grouped GROUP BY doc_id, grp ORDER BY doc_id, span_start
+""",
+    "substring_dup_docs": f"""
+WITH wins AS (
+  SELECT doc_id, CAST(t.pos AS BIGINT) AS pos,
+         substr(text, CAST(t.pos AS INTEGER), {_DUP_SPAN_WINDOW}) AS w
+  FROM documents,
+       LATERAL UNNEST(range(1, length(text) - {_DUP_SPAN_WINDOW} + 2)) AS t(pos)
+), dup AS (
+  SELECT w FROM wins GROUP BY w HAVING count(*) >= 2
+), marked AS (
+  SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup)
+), lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM marked
+), grouped AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {_DUP_SPAN_WINDOW}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM lagged
+), spans AS (
+  SELECT doc_id,
+         max(pos) + {_DUP_SPAN_WINDOW} - min(pos) AS span_chars
+  FROM grouped GROUP BY doc_id, grp
+)
+SELECT d.doc_id,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(sum(s.span_chars) AS BIGINT) AS dup_chars,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST((1000 * sum(s.span_chars)) // d.n_chars AS BIGINT) AS dup_permille
+FROM spans s JOIN documents d USING (doc_id)
+GROUP BY d.doc_id, d.n_chars ORDER BY d.doc_id
 """,
     "shared_paragraphs": """
 WITH p AS (

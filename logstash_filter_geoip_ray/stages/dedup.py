@@ -1773,3 +1773,289 @@ def prefix_filter_jaccard_pairs(
     return cand.map_batches(
         _VerifyPairs, batch_format="pyarrow", concurrency=(1, 8)
     ).sort(["a", "b"])
+
+
+# -- exact substring (duplicated-span) dedup ----------------------------------
+#
+# The Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+# Better", arXiv:2107.06499) EXACTSUBSTR operator, re-expressed Ray-Data-first:
+# instead of a corpus-wide suffix array (a single shared index no Dataset
+# stage can hold), duplicated regions are found as runs of duplicated
+# fixed-length character windows — every length-L window that occurs >= 2
+# times in the corpus is duplicated text, and maximal runs of duplicated
+# windows are exactly the duplicated spans of length >= L.
+#
+# Scale shape (two corpus scans + bounded exchanges):
+#   scan 1  per-batch partial (window-hash, count) -> groupby(hash).sum
+#           -> hashes with count >= 2.  Shuffle volume = DISTINCT window
+#           hashes after per-batch combining, never raw windows.
+#   driver  the dup-hash set is pulled once and broadcast (ray.put) — the
+#           duplicated-window vocabulary, small relative to the corpus by
+#           the dedup premise; a raising cap (max_dup_windows) guards the
+#           premise instead of assuming it.
+#   scan 2  np.isin probe per batch -> candidate (id, pos, window-text)
+#           rows for duplicated windows ONLY; a bucketed groupby on the
+#           window TEXT re-counts exactly (hash collisions cannot create
+#           false spans, same exact-verify discipline as the MinHash path).
+#   spans   per-doc maximal-span merge, bucketed by doc id — one vectorized
+#           pandas islands pass per bucket, no per-doc Python loop.
+
+#: odd multiplier (FNV-1a 64-bit prime) — the rolling polynomial hash base;
+#: odd => the Horner step is a bijection on Z/2^64 so chars never cancel
+_WIN_HASH_BASE = np.uint64(0x100000001B3)
+
+
+def _char_window_hashes(
+    text: pa.Array, window: int
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """All length-``window`` CHARACTER windows of every row as uint64
+    polynomial hashes, with row index and 1-based char position.
+
+    Char-exact (UTF-32 codepoints, one uint32 per char), so positions and
+    window boundaries match SQL ``substr``/``length`` semantics for any
+    input, not just ASCII.  Fully vectorized: one Arrow ``binary_join``
+    flattens the batch, one ``str.encode`` yields the codepoint array, and
+    the hash is ``window`` Horner multiply-add passes over it — no per-row
+    work.  Returns ``(hashes, row_idx, pos)``; rows shorter than ``window``
+    (and null rows) contribute no windows.
+    """
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if pa.types.is_null(text.type):
+        text = text.cast(pa.string())
+    filled = pc.fill_null(text, "")
+    empty = (
+        np.array([], dtype=np.uint64),
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64),
+    )
+    n_rows = len(filled)
+    if n_rows == 0:
+        return empty
+    lengths = pc.utf8_length(filled).to_numpy(zero_copy_only=False).astype(np.int64)
+    # one C-level join of the whole batch into a single string, then one
+    # encode to the flat uint32 codepoint array
+    wrapper = pa.ListArray.from_arrays(
+        pa.array([0, n_rows], type=pa.int32()), filled
+    )
+    big = pc.binary_join(wrapper, "")[0].as_py()
+    flat = np.frombuffer(big.encode("utf-32-le"), dtype="<u4").astype(np.uint64)
+    n = len(flat)
+    if n < window:
+        return empty
+    m = n - window + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for j in range(window):
+        acc *= _WIN_HASH_BASE
+        acc += flat[j : j + m]
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+    starts_row = row_of[:m]
+    valid = starts_row == row_of[window - 1 :]
+    f = np.flatnonzero(valid)
+    ridx = starts_row[f]
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    pos = f - offsets[ridx] + 1
+    return acc[f], ridx, pos
+
+
+def duplicated_window_hash_set(
+    ds,
+    window: int = 40,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_dup_windows: int = 5_000_000,
+) -> np.ndarray:
+    """Scan 1: uint64 hashes of every length-``window`` char window whose
+    total corpus occurrence count is >= ``min_count`` (same-doc repeats
+    count, per EXACTSUBSTR semantics).  Per-batch ``np.unique`` partials
+    keep the exchange at distinct-hash volume; the result is pulled to the
+    driver ONCE for broadcast.  ``max_dup_windows`` raises loudly if the
+    duplicated vocabulary outgrows the broadcast premise (the alternative
+    at that point is a bucketed semi-join of the (hash, id, pos) explosion
+    — noted here, deliberately not the default: it ships one row per
+    corpus char)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h, _, _ = _char_window_hashes(batch[text_col], window)
+        if not len(h):
+            return pa.table(
+                {
+                    "_h": pa.array([], type=pa.int64()),
+                    "_c": pa.array([], type=pa.int64()),
+                }
+            )
+        uh, counts = np.unique(h, return_counts=True)
+        # int64 bit-view: Ray's sort-based groupby and Arrow interop are
+        # exercised on int64 keys everywhere else in this repo
+        return pa.table(
+            {
+                "_h": pa.array(uh.view(np.int64)),
+                "_c": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_h")
+        .aggregate(Sum("_c", alias_name="_c"))
+    )
+
+    def keep_dups(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch["_c"], min_count)
+        ).select(["_h"])
+
+    dup = agg.map_batches(keep_dups, batch_format="pyarrow")
+    tables = ray.get(dup.to_arrow_refs())
+    parts = [t["_h"].combine_chunks() for t in tables if t.num_rows]
+    if not parts:
+        return np.array([], dtype=np.uint64)
+    out = pa.concat_arrays(
+        [p if isinstance(p, pa.Array) else p.combine_chunks() for p in parts]
+    ).to_numpy(zero_copy_only=False)
+    if len(out) > max_dup_windows:
+        raise ValueError(
+            "duplicated_window_hash_set: %d duplicated windows (> "
+            "max_dup_windows=%d) — the duplicated vocabulary no longer fits "
+            "the broadcast premise; raise the cap explicitly or switch to a "
+            "bucketed (hash, id, pos) semi-join" % (len(out), max_dup_windows)
+        )
+    return out.view(np.uint64)
+
+
+def duplicated_spans(
+    ds,
+    window: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    max_dup_windows: int = 5_000_000,
+    num_buckets: int = 16,
+):
+    """Maximal duplicated char spans per document:
+    ``(doc_id, span_start, span_end, span_chars)``, 1-based inclusive
+    positions, sorted by (doc_id, span_start).
+
+    A char position is duplicated iff some length-``window`` window covering
+    it occurs >= ``min_count`` times in the whole corpus; runs of duplicated
+    window START positions with gaps <= ``window`` merge into one span
+    (gap <= window means the covered char ranges touch or overlap, so the
+    merged span is contiguous duplicated text).  Oracle: the LATERAL
+    range-explode + HAVING count >= 2 + lag-islands SQL registered as
+    ``dup_spans``.  ``ds`` must carry (id_col, text_col) only — prune
+    upstream."""
+    import ray
+
+    dup_hashes = duplicated_window_hash_set(
+        ds, window, text_col, min_count, max_dup_windows
+    )
+    if not len(dup_hashes):
+        # typed empty result — Ray drops the schema on a 0-row to_pandas,
+        # so the no-dup case returns a pandas DataFrame directly (queries
+        # may return Dataset OR DataFrame; same contract as kcore_nodes)
+        return pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "span_start": pd.Series([], dtype="int64"),
+                "span_end": pd.Series([], dtype="int64"),
+                "span_chars": pd.Series([], dtype="int64"),
+            }
+        )
+    dup_ref = ray.put(np.sort(dup_hashes))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        dup_set = ray.get(dup_ref)
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h, ridx, pos = _char_window_hashes(text, window)
+        out_empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "w": pa.array([], type=pa.string()),
+            }
+        )
+        if not len(h):
+            return out_empty
+        hit = np.isin(h, dup_set, assume_unique=False)
+        if not hit.any():
+            return out_empty
+        ridx = ridx[hit]
+        pos = pos[hit]
+        # exact window text for candidates only (collision guard): gather
+        # the codepoint rows from a per-row uint32 view and reinterpret each
+        # L-codepoint row as ONE numpy unicode scalar — vectorized, no loop
+        ids = pc.cast(batch[id_col], pa.int64())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        texts = pc.fill_null(text, "")
+        # encode each candidate ROW once even when it holds many candidate
+        # windows (np.unique), then gather every window's codepoint slab and
+        # reinterpret each L-codepoint row as ONE numpy unicode scalar —
+        # vectorized, no per-candidate loop
+        urows, inv = np.unique(ridx, return_inverse=True)
+        cand_rows = pc.take(texts, pa.array(urows))
+        wrapper = pa.ListArray.from_arrays(
+            pa.array([0, len(cand_rows)], type=pa.int32()), cand_rows
+        )
+        big = pc.binary_join(wrapper, "")[0].as_py()
+        cp = np.frombuffer(big.encode("utf-32-le"), dtype="<u4")
+        lens = pc.utf8_length(cand_rows).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        row_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        gather = (row_starts[inv] + pos - 1)[:, None] + np.arange(window)[None, :]
+        wins = np.ascontiguousarray(cp[gather]).view("<U%d" % window).ravel()
+        return pa.table(
+            {
+                id_col: pc.take(ids, pa.array(ridx)),
+                "pos": pa.array(pos),
+                "w": pa.array(wins),
+            }
+        )
+
+    cand = ds.map_batches(probe, batch_format="pyarrow")
+
+    # exact re-count on the window TEXT: bucketing by w co-locates every
+    # occurrence of a window, so the per-bucket count is the global count
+    from .aggregate import bucket_by_key
+
+    def verify(block: pd.DataFrame) -> pd.DataFrame:
+        c = block.groupby("w")["w"].transform("size")
+        keep = block.loc[c >= min_count, [id_col, "pos"]]
+        return keep
+
+    verified = bucket_by_key(cand, "w", num_buckets).groupby("_bucket").map_groups(
+        verify, batch_format="pandas"
+    )
+
+    # per-doc maximal-span merge (islands): bucket by doc id, ONE vectorized
+    # pandas pass per bucket
+    def spans(block: pd.DataFrame) -> pd.DataFrame:
+        b = block.sort_values([id_col, "pos"], kind="mergesort")
+        new = b[id_col].ne(b[id_col].shift()) | (
+            b["pos"] - b["pos"].shift() > window
+        )
+        grp = new.cumsum()
+        g = b.groupby(grp, sort=True)
+        out = pd.DataFrame(
+            {
+                id_col: g[id_col].first().astype("int64"),
+                "span_start": g["pos"].min().astype("int64"),
+                "span_end": (g["pos"].max() + window - 1).astype("int64"),
+            }
+        )
+        out["span_chars"] = (
+            out["span_end"] - out["span_start"] + 1
+        ).astype("int64")
+        return out.reset_index(drop=True)
+
+    merged = (
+        bucket_by_key(verified, id_col, num_buckets)
+        .groupby("_bucket")
+        .map_groups(spans, batch_format="pandas")
+    )
+    return merged.sort([id_col, "span_start"])

@@ -1786,19 +1786,25 @@ def prefix_filter_jaccard_pairs(
 # windows are exactly the duplicated spans of length >= L.
 #
 # Scale shape (two corpus scans + bounded exchanges):
-#   scan 1  per-batch partial (window-hash, count) -> groupby(hash).sum
-#           -> hashes with count >= 2.  Shuffle volume = DISTINCT window
-#           hashes after per-batch combining, never raw windows.
-#   driver  the dup-hash set is pulled once and broadcast (ray.put) — the
-#           duplicated-window vocabulary, small relative to the corpus by
-#           the dedup premise; a raising cap (max_dup_windows) guards the
-#           premise instead of assuming it.
-#   scan 2  np.isin probe per batch -> candidate (id, pos, window-text)
-#           rows for duplicated windows ONLY; a bucketed groupby on the
-#           window TEXT re-counts exactly (hash collisions cannot create
-#           false spans, same exact-verify discipline as the MinHash path).
+#   scan 1  per-batch seen/seen-twice BITMAP partials over the window
+#           hashes (k probe bits each, Bloom-style), OR-tree-combined with
+#           the saturating rule  twice' = t_a | t_b | (s_a & s_b) — an
+#           associative reduce, so NO all-to-all at all on the hash side
+#           (a groupby over the near-corpus-sized distinct-hash set was
+#           measured 55x the map cost — see BASELINE.md round-4 entry).
+#           False positives only ever ADD candidates; they cannot drop one.
+#   scan 2  bitmap probe per batch -> candidate (id, pos, window-text)
+#           rows for probably-duplicated windows; a bucketed groupby on the
+#           window TEXT re-counts exactly, killing both sketch false
+#           positives and hash collisions (same exact-verify discipline as
+#           the MinHash path) — the end result is EXACT for any sketch
+#           size; sizing only tunes the wasted verify volume.
 #   spans   per-doc maximal-span merge, bucketed by doc id — one vectorized
 #           pandas islands pass per bucket, no per-doc Python loop.
+#
+# An exact-scan-1 variant (duplicated_window_hash_set: per-batch distinct
+# counts -> groupby(hash).sum -> capped driver pull) is kept for audit; the
+# sketch path is the default and returns identical spans (pinned by test).
 
 #: odd multiplier (FNV-1a 64-bit prime) — the rolling polynomial hash base;
 #: odd => the Horner step is a bijection on Z/2^64 so chars never cancel
@@ -1925,6 +1931,124 @@ def duplicated_window_hash_set(
     return out.view(np.uint64)
 
 
+#: second probe-bit mixer (splitmix64 golden-ratio increment) — gives the
+#: sketch an independent bit position per window hash
+_SKETCH_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _sketch_positions(h: np.ndarray, mask: np.uint64, k: int) -> list:
+    """k probe-bit indices per hash: the hash itself and successive
+    golden-ratio remixes (top-bits via the wraparound product)."""
+    out = [h & mask]
+    g = h
+    for _ in range(k - 1):
+        g = g * _SKETCH_MIX
+        out.append((g >> np.uint64(17)) & mask)
+    return out
+
+
+def _set_bits(words: np.ndarray, idx: np.ndarray) -> None:
+    np.bitwise_or.at(
+        words, (idx >> np.uint64(6)).astype(np.int64),
+        np.uint64(1) << (idx & np.uint64(63)),
+    )
+
+
+def _test_bits(words: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    return (
+        (words[(idx >> np.uint64(6)).astype(np.int64)] >> (idx & np.uint64(63)))
+        & np.uint64(1)
+    ).astype(bool)
+
+
+def duplicated_window_sketch(
+    ds,
+    window: int = 40,
+    text_col: str = "text",
+    min_count: int = 2,
+    sketch_bits: int = 1 << 28,
+    sketch_hashes: int = 2,
+) -> "Optional[np.ndarray]":
+    """Scan 1 (sketch path): a saturating seen/seen-twice bitmap pair over
+    every length-``window`` char window hash.  Per batch each hash sets
+    ``sketch_hashes`` bits in `seen` (and in `twice` when its within-batch
+    count >= min_count); partials combine ASSOCIATIVELY —
+    ``twice' = t_a | t_b | (s_a & s_b)`` — via a bundled OR tree (the
+    :func:`bloom_incremental_dedup` reduce shape), so the hash side never
+    shuffles.  Returns the final `twice` bitmap (None when no bit is set):
+    a window is a DUP CANDIDATE iff all its probe bits are set.  Candidates
+    are a superset of the true duplicated windows for ANY sizing — the
+    window-text recount in :func:`duplicated_spans` makes the end result
+    exact; ``sketch_bits`` only tunes wasted verify volume (false-positive
+    rate ≈ (k·n/m)^k for n distinct windows — the 2^28 default holds ~3.4e7
+    windows at <7% FP; size m ≈ 8n and mind that partial volume is
+    blocks × m/4 bytes)."""
+    if sketch_bits & (sketch_bits - 1):
+        raise ValueError("duplicated_window_sketch: sketch_bits must be a power of 2")
+    mask = np.uint64(sketch_bits - 1)
+    n_words = sketch_bits // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h, _, _ = _char_window_hashes(batch[text_col], window)
+        seen = np.zeros(n_words, dtype=np.uint64)
+        twice = np.zeros(n_words, dtype=np.uint64)
+        if len(h):
+            uh, counts = np.unique(h, return_counts=True)
+            rep = uh[counts >= min_count]
+            for idx in _sketch_positions(uh, mask, sketch_hashes):
+                _set_bits(seen, idx)
+            if len(rep):
+                for idx in _sketch_positions(rep, mask, sketch_hashes):
+                    _set_bits(twice, idx)
+        return pa.table(
+            {
+                "seen": pa.array([seen.tobytes()], type=pa.binary()),
+                "twice": pa.array([twice.tobytes()], type=pa.binary()),
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        seen_acc = None
+        twice_acc = None
+        for sb, tb in zip(batch["seen"].to_pylist(), batch["twice"].to_pylist()):
+            s = np.frombuffer(sb, dtype=np.uint64)
+            t = np.frombuffer(tb, dtype=np.uint64)
+            if seen_acc is None:
+                seen_acc, twice_acc = s.copy(), t.copy()
+            else:
+                twice_acc |= t | (seen_acc & s)
+                seen_acc |= s
+        if seen_acc is None:
+            seen_acc = np.zeros(n_words, dtype=np.uint64)
+            twice_acc = np.zeros(n_words, dtype=np.uint64)
+        return pa.table(
+            {
+                "seen": pa.array([seen_acc.tobytes()], type=pa.binary()),
+                "twice": pa.array([twice_acc.tobytes()], type=pa.binary()),
+            }
+        )
+
+    # batch_size=None → one partial pair per BLOCK (the default 1024-row
+    # batches would emit a bitmap pair per ~1k docs: partial volume is
+    # partials × sketch_bits/4 bytes, so fewer partials is the point)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    # two-level OR tree: level 1 folds bundles of 8 pairs IN PARALLEL
+    # (a single bundled task was measured serializing the whole
+    # blocks × bitmap volume through one worker), level 2 folds the
+    # survivors; num_cpus=0.9 blocks fusion with the partial map
+    combined = (
+        partials.map_batches(
+            combine, batch_format="pyarrow", batch_size=8, num_cpus=0.9
+        )
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    )
+    twice = np.frombuffer(
+        combined.to_pandas()["twice"].iloc[0], dtype=np.uint64
+    ).copy()
+    return twice if twice.any() else None
+
+
 def duplicated_spans(
     ds,
     window: int = 40,
@@ -1933,6 +2057,9 @@ def duplicated_spans(
     min_count: int = 2,
     max_dup_windows: int = 5_000_000,
     num_buckets: int = 16,
+    method: str = "sketch",
+    sketch_bits: int = 1 << 28,
+    sketch_hashes: int = 2,
 ):
     """Maximal duplicated char spans per document:
     ``(doc_id, span_start, span_end, span_chars)``, 1-based inclusive
@@ -1945,13 +2072,28 @@ def duplicated_spans(
     merged span is contiguous duplicated text).  Oracle: the LATERAL
     range-explode + HAVING count >= 2 + lag-islands SQL registered as
     ``dup_spans``.  ``ds`` must carry (id_col, text_col) only — prune
-    upstream."""
+    upstream.
+
+    ``method="sketch"`` (default) finds dup-candidate windows with the
+    shuffle-free saturating bitmap (:func:`duplicated_window_sketch`);
+    ``method="exact"`` uses the audit-path distinct-hash aggregate
+    (:func:`duplicated_window_hash_set`, driver-capped by
+    ``max_dup_windows``).  Both return IDENTICAL spans — the window-text
+    recount below is the exactness guarantee either way."""
     import ray
 
-    dup_hashes = duplicated_window_hash_set(
-        ds, window, text_col, min_count, max_dup_windows
-    )
-    if not len(dup_hashes):
+    if method not in ("sketch", "exact"):
+        raise ValueError("duplicated_spans: method must be 'sketch' or 'exact'")
+    if method == "exact":
+        dup_hashes = duplicated_window_hash_set(
+            ds, window, text_col, min_count, max_dup_windows
+        )
+        broadcast = np.sort(dup_hashes) if len(dup_hashes) else None
+    else:
+        broadcast = duplicated_window_sketch(
+            ds, window, text_col, min_count, sketch_bits, sketch_hashes
+        )
+    if broadcast is None:
         # typed empty result — Ray drops the schema on a 0-row to_pandas,
         # so the no-dup case returns a pandas DataFrame directly (queries
         # may return Dataset OR DataFrame; same contract as kcore_nodes)
@@ -1963,7 +2105,8 @@ def duplicated_spans(
                 "span_chars": pd.Series([], dtype="int64"),
             }
         )
-    dup_ref = ray.put(np.sort(dup_hashes))
+    dup_ref = ray.put(broadcast)
+    sk_mask = np.uint64(sketch_bits - 1)
 
     def probe(batch: pa.Table) -> pa.Table:
         dup_set = ray.get(dup_ref)
@@ -1980,7 +2123,12 @@ def duplicated_spans(
         )
         if not len(h):
             return out_empty
-        hit = np.isin(h, dup_set, assume_unique=False)
+        if method == "exact":
+            hit = np.isin(h, dup_set, assume_unique=False)
+        else:
+            hit = np.ones(len(h), dtype=bool)
+            for idx in _sketch_positions(h, sk_mask, sketch_hashes):
+                hit &= _test_bits(dup_set, idx)
         if not hit.any():
             return out_empty
         ridx = ridx[hit]

@@ -4527,4 +4527,23 @@ def test_duplicated_spans_no_dups_and_cap(ray_session):
     assert list(got.columns) == ["doc_id", "span_start", "span_end", "span_chars"]
     dup = {0: "ABCDEFGH" * 4, 1: "ABCDEFGH" * 4}
     with pytest.raises(ValueError, match="max_dup_windows"):
-        _run_dup_spans(dup, 8, max_dup_windows=3)
+        _run_dup_spans(dup, 8, max_dup_windows=3, method="exact")
+
+
+def test_duplicated_spans_sketch_equals_exact(ray_session):
+    """The default sketch path and the audit exact path return IDENTICAL
+    spans — even with a deliberately TINY sketch (1024 bits → dense false
+    positives), because the window-text recount is the exactness layer."""
+    rng = np.random.default_rng(11)
+    texts = {}
+    passage = "shared-duplicated-passage-0123456789"
+    for d in range(30):
+        n = int(rng.integers(5, 25))
+        body = "".join(rng.choice(list("abcdefgh"), n))
+        texts[d] = (passage + body) if d % 3 == 0 else body
+    exact = _run_dup_spans(texts, 12, method="exact")
+    sketch = _run_dup_spans(texts, 12)  # default method
+    tiny = _run_dup_spans(texts, 12, sketch_bits=1024, sketch_hashes=2)
+    pd.testing.assert_frame_equal(sketch, exact)
+    pd.testing.assert_frame_equal(tiny, exact)
+    assert set(sketch.doc_id) >= {0, 3, 6}  # planted passage docs found

@@ -715,6 +715,19 @@ def q_substring_dup_docs(sf_dir: str):
     )
 
 
+def q_substring_dedup_cleaned(sf_dir: str):
+    """The EXACTSUBSTR dedup ACTION: every duplicated span cut from every
+    document (all occurrences, symmetric variant); per doc the kept char
+    count and the md5 of the cleaned text — the md5 pins the full cleaned
+    string against the oracle's string_agg gap reconstruction without
+    hashing megabytes of text through the compare."""
+    from ..stages.dedup import remove_duplicated_spans
+
+    return remove_duplicated_spans(
+        _docs(sf_dir, ["doc_id", "text"]), window=_DUP_SPAN_WINDOW
+    )
+
+
 def q_shared_paragraphs(sf_dir: str):
     """Dolma-style paragraph-dedup signal: per doc, distinct non-empty
     paragraphs appearing in >= 2 docs (integer milli fraction)."""
@@ -4525,6 +4538,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "dup_ngram_spans": q_dup_ngram_spans,
     "dup_spans": q_dup_spans,
     "substring_dup_docs": q_substring_dup_docs,
+    "substring_dedup_cleaned": q_substring_dedup_cleaned,
     "shared_paragraphs": q_shared_paragraphs,
     "dedup_paragraphs": q_dedup_paragraphs,
     "url_dedup_spectrum": q_url_dedup_spectrum,
@@ -5793,66 +5807,8 @@ UNION ALL
 SELECT -1, CAST(count(*) AS BIGINT) FROM n WHERE u IS NULL HAVING count(*) > 0
 ORDER BY dups
 """,
-    "dup_spans": f"""
-WITH wins AS (
-  SELECT doc_id, CAST(t.pos AS BIGINT) AS pos,
-         substr(text, CAST(t.pos AS INTEGER), {_DUP_SPAN_WINDOW}) AS w
-  FROM documents,
-       LATERAL UNNEST(range(1, length(text) - {_DUP_SPAN_WINDOW} + 2)) AS t(pos)
-), dup AS (
-  SELECT w FROM wins GROUP BY w HAVING count(*) >= 2
-), marked AS (
-  SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup)
-), lagged AS (
-  SELECT doc_id, pos,
-         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-  FROM marked
-), grouped AS (
-  SELECT doc_id, pos,
-         SUM(CASE WHEN prev IS NULL OR pos - prev > {_DUP_SPAN_WINDOW}
-                  THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM lagged
-)
-SELECT doc_id,
-       min(pos) AS span_start,
-       max(pos) + {_DUP_SPAN_WINDOW - 1} AS span_end,
-       max(pos) + {_DUP_SPAN_WINDOW} - min(pos) AS span_chars
-FROM grouped GROUP BY doc_id, grp ORDER BY doc_id, span_start
-""",
-    "substring_dup_docs": f"""
-WITH wins AS (
-  SELECT doc_id, CAST(t.pos AS BIGINT) AS pos,
-         substr(text, CAST(t.pos AS INTEGER), {_DUP_SPAN_WINDOW}) AS w
-  FROM documents,
-       LATERAL UNNEST(range(1, length(text) - {_DUP_SPAN_WINDOW} + 2)) AS t(pos)
-), dup AS (
-  SELECT w FROM wins GROUP BY w HAVING count(*) >= 2
-), marked AS (
-  SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup)
-), lagged AS (
-  SELECT doc_id, pos,
-         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-  FROM marked
-), grouped AS (
-  SELECT doc_id, pos,
-         SUM(CASE WHEN prev IS NULL OR pos - prev > {_DUP_SPAN_WINDOW}
-                  THEN 1 ELSE 0 END)
-           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-  FROM lagged
-), spans AS (
-  SELECT doc_id,
-         max(pos) + {_DUP_SPAN_WINDOW} - min(pos) AS span_chars
-  FROM grouped GROUP BY doc_id, grp
-)
-SELECT d.doc_id,
-       CAST(d.n_chars AS BIGINT) AS n_chars,
-       CAST(sum(s.span_chars) AS BIGINT) AS dup_chars,
-       CAST(count(*) AS BIGINT) AS n_spans,
-       CAST((1000 * sum(s.span_chars)) // d.n_chars AS BIGINT) AS dup_permille
-FROM spans s JOIN documents d USING (doc_id)
-GROUP BY d.doc_id, d.n_chars ORDER BY d.doc_id
-""",
+    # dup_spans / substring_dup_docs / substring_dedup_cleaned are assigned
+    # below DATA_ORACLES from the shared _dup_span_cte scaffolding
     "shared_paragraphs": """
 WITH p AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS para
@@ -6680,6 +6636,90 @@ WITH eraw AS (
 
 
 # composite new-dump ingestion: exact-dedup AND near-dup AND quality tiers
+def _dup_span_cte(L: int) -> str:
+    """Shared EXACTSUBSTR oracle scaffolding (through the ``spans`` CTE):
+    LATERAL range explode of every length-L char window, HAVING count >= 2
+    over the window text, lag-islands merge with gap <= L."""
+    return f"""
+WITH wins AS (
+  SELECT doc_id, CAST(t.pos AS BIGINT) AS pos,
+         substr(text, CAST(t.pos AS INTEGER), {L}) AS w
+  FROM documents,
+       LATERAL UNNEST(range(1, length(text) - {L} + 2)) AS t(pos)
+), dup AS (
+  SELECT w FROM wins GROUP BY w HAVING count(*) >= 2
+), marked AS (
+  SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup)
+), lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM marked
+), grouped AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {L} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM lagged
+), spans AS (
+  SELECT doc_id,
+         min(pos) AS span_start,
+         max(pos) + {L - 1} AS span_end,
+         max(pos) + {L} - min(pos) AS span_chars
+  FROM grouped GROUP BY doc_id, grp
+)"""
+
+
+DATA_ORACLES["dup_spans"] = (
+    _dup_span_cte(_DUP_SPAN_WINDOW)
+    + """
+SELECT doc_id, span_start, span_end, span_chars
+FROM spans ORDER BY doc_id, span_start
+"""
+)
+
+DATA_ORACLES["substring_dup_docs"] = (
+    _dup_span_cte(_DUP_SPAN_WINDOW)
+    + """
+SELECT d.doc_id,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(sum(s.span_chars) AS BIGINT) AS dup_chars,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST((1000 * sum(s.span_chars)) // d.n_chars AS BIGINT) AS dup_permille
+FROM spans s JOIN documents d USING (doc_id)
+GROUP BY d.doc_id, d.n_chars ORDER BY d.doc_id
+"""
+)
+
+DATA_ORACLES["substring_dedup_cleaned"] = (
+    _dup_span_cte(_DUP_SPAN_WINDOW)
+    + """
+, gaps AS (
+  SELECT doc_id,
+         COALESCE(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start),
+                  0) + 1 AS gs,
+         span_start - 1 AS ge
+  FROM spans
+  UNION ALL
+  SELECT doc_id, max(span_end) + 1 AS gs, NULL AS ge FROM spans GROUP BY doc_id
+), cleaned AS (
+  SELECT d.doc_id,
+         coalesce(string_agg(substr(d.text, CAST(g.gs AS INTEGER),
+                                    CAST(COALESCE(g.ge, length(d.text))
+                                         - g.gs + 1 AS INTEGER)), ''
+                             ORDER BY g.gs)
+                    FILTER (WHERE COALESCE(g.ge, length(d.text)) >= g.gs),
+                  '') AS ct
+  FROM documents d JOIN gaps g USING (doc_id) GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(length(ct) AS BIGINT) AS kept_chars, md5(ct) AS cleaned_md5
+FROM cleaned
+UNION ALL
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS kept_chars,
+       md5(d.text) AS cleaned_md5
+FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM cleaned)
+ORDER BY doc_id
+"""
+)
+
 DATA_ORACLES["corpus_refresh"] = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKENS} AS t FROM documents WHERE trim(text, {_WS}) <> ''

@@ -2207,3 +2207,137 @@ def duplicated_spans(
         .map_groups(spans, batch_format="pandas")
     )
     return merged.sort([id_col, "span_start"])
+
+
+def remove_duplicated_spans(
+    ds,
+    window: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    max_spans: int = 5_000_000,
+    **span_kwargs,
+):
+    """The EXACTSUBSTR dedup ACTION: cut every duplicated span (per
+    :func:`duplicated_spans`, all occurrences — the symmetric variant) out
+    of every document and emit ``(doc_id, kept_chars, cleaned_md5)`` per
+    doc, null-text docs passing through with null stats (SQL semantics).
+
+    Scale shape: the span set is bounded by the dedup premise and ships
+    ONCE via ``ray.put`` (``max_spans`` raises if the premise breaks); the
+    corpus then streams through one vectorized cut pass — covered chars are
+    masked with an interval-diff cumsum over the batch's flat codepoint
+    array (no per-span or per-doc loop; the only per-row work is the final
+    C-level slice reassembly of cleaned strings, the inverse of the
+    kernel's ``binary_join`` flatten).  Unaffected rows (the overwhelming
+    majority) take a pure-Arrow passthrough."""
+    import ray
+
+    from ..functions.textstats import md5_fingerprints
+
+    spans = duplicated_spans(
+        ds,
+        window=window,
+        text_col=text_col,
+        id_col=id_col,
+        min_count=min_count,
+        **span_kwargs,
+    )
+    if isinstance(spans, pd.DataFrame):  # no duplicated windows at all
+        span_ids = np.array([], dtype=np.int64)
+        span_s = np.array([], dtype=np.int64)
+        span_e = np.array([], dtype=np.int64)
+    else:
+        tbls = [t for t in ray.get(spans.to_arrow_refs()) if t.num_rows]
+        if tbls:
+            t = pa.concat_tables(tbls)
+            if t.num_rows > max_spans:
+                raise ValueError(
+                    "remove_duplicated_spans: %d spans (> max_spans=%d) — "
+                    "the duplicated-span set outgrew the broadcast premise"
+                    % (t.num_rows, max_spans)
+                )
+            # duplicated_spans output is already (doc_id, span_start)-sorted
+            span_ids = t[id_col].to_numpy(zero_copy_only=False)
+            span_s = t["span_start"].to_numpy(zero_copy_only=False)
+            span_e = t["span_end"].to_numpy(zero_copy_only=False)
+        else:
+            span_ids = np.array([], dtype=np.int64)
+            span_s = np.array([], dtype=np.int64)
+            span_e = np.array([], dtype=np.int64)
+    span_ref = ray.put((span_ids, span_s, span_e))
+
+    def clean(batch: pa.Table) -> pa.Table:
+        s_ids, s_s, s_e = ray.get(span_ref)
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if pa.types.is_null(text.type):
+            text = text.cast(pa.string())
+        ids = pc.cast(batch[id_col], pa.int64())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        # passthrough stats for every row (null-safe), then overwrite the
+        # affected rows' values
+        kept = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype("float64")
+        md5s = md5_fingerprints(text).to_pylist()
+
+        lo = np.searchsorted(s_ids, ids_np, side="left")
+        hi = np.searchsorted(s_ids, ids_np, side="right")
+        affected = np.flatnonzero(hi > lo)
+        if len(affected):
+            atext = pc.take(text, pa.array(affected))
+            lens = pc.utf8_length(atext).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            wrapper = pa.ListArray.from_arrays(
+                pa.array([0, len(atext)], type=pa.int32()), atext
+            )
+            big = pc.binary_join(wrapper, "")[0].as_py()
+            cp = np.frombuffer(big.encode("utf-32-le"), dtype="<u4")
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            # interval-diff coverage mask over the affected flat array —
+            # every span of every affected row in ONE gather (ranges from
+            # (lo, hi) offsets, no per-doc loop)
+            counts = (hi[affected] - lo[affected]).astype(np.int64)
+            cum = np.concatenate([[0], np.cumsum(counts)])
+            total = int(cum[-1])
+            rep_k = np.repeat(np.arange(len(affected)), counts)
+            span_idx = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(cum[:-1], counts)
+                + np.repeat(lo[affected], counts)
+            )
+            diff = np.zeros(offs[-1] + 1, dtype=np.int64)
+            np.add.at(diff, offs[rep_k] + s_s[span_idx] - 1, 1)
+            np.add.at(diff, offs[rep_k] + s_e[span_idx], -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            keep_mask = ~covered
+            kept_cp = cp[keep_mask]
+            row_of = np.repeat(np.arange(len(affected)), lens)
+            kept_lens = np.bincount(
+                row_of[keep_mask], minlength=len(affected)
+            ).astype(np.int64)
+            big_clean = kept_cp.tobytes().decode("utf-32-le")
+            koffs = np.concatenate([[0], np.cumsum(kept_lens)])
+            cleaned = [
+                big_clean[koffs[k] : koffs[k + 1]] for k in range(len(affected))
+            ]
+            cmd5 = md5_fingerprints(pa.array(cleaned, type=pa.string())).to_pylist()
+            for k, r in enumerate(affected):
+                kept[r] = kept_lens[k]
+                md5s[r] = cmd5[k]
+        kept_arr = pa.array(
+            [None if md5s[i] is None else int(kept[i]) for i in range(len(md5s))],
+            type=pa.int64(),
+        )
+        return pa.table(
+            {
+                id_col: ids,
+                "kept_chars": kept_arr,
+                "cleaned_md5": pa.array(md5s, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow").sort(id_col)

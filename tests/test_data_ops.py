@@ -97,7 +97,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "scd2_intervals", "state_at_cutoff", "cluster_canonicals",
      "value_drift_bins", "dedup_ratio_report",
      "resampled_series", "cdc_merged_state", "bfs_levels",
-     "event_pairs_within", "dup_spans", "substring_dup_docs"],
+     "event_pairs_within", "dup_spans", "substring_dup_docs",
+     "substring_dedup_cleaned"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     res = DATA_QUERIES[name](SF)
@@ -4547,3 +4548,39 @@ def test_duplicated_spans_sketch_equals_exact(ray_session):
     pd.testing.assert_frame_equal(sketch, exact)
     pd.testing.assert_frame_equal(tiny, exact)
     assert set(sketch.doc_id) >= {0, 3, 6}  # planted passage docs found
+
+
+def test_remove_duplicated_spans_semantics(ray_session):
+    """Cut semantics: fully-duplicated doc → empty string, partial cut
+    reassembles head+tail, unaffected and null-text docs pass through."""
+    import hashlib
+
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.dedup import remove_duplicated_spans
+
+    dup = "0123456789abcdefghij"  # 20 chars, window 10
+    texts = {
+        0: dup,                       # fully covered → ''
+        1: "HEAD-" + dup + "-TAIL",   # middle cut → 'HEAD--TAIL'
+        2: "completely unrelated uniq text!!",  # untouched
+        3: None,                      # null → null stats
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts, key=lambda d: d), type=pa.int64()),
+            "text": pa.array([texts[d] for d in sorted(texts)]),
+        }
+    )
+    out = (
+        remove_duplicated_spans(ray.data.from_arrow(tbl), window=10)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out.loc[0, "kept_chars"] == 0 and out.loc[0, "cleaned_md5"] == md5("")
+    assert out.loc[1, "kept_chars"] == 10
+    assert out.loc[1, "cleaned_md5"] == md5("HEAD--TAIL")
+    assert out.loc[2, "kept_chars"] == len(texts[2])
+    assert out.loc[2, "cleaned_md5"] == md5(texts[2])
+    assert pd.isna(out.loc[3, "kept_chars"]) and out.loc[3, "cleaned_md5"] is None

@@ -728,6 +728,53 @@ def q_substring_dedup_cleaned(sf_dir: str):
     )
 
 
+def q_dup_spans_incremental(sf_dir: str):
+    """Cross-dump EXACTSUBSTR THROUGH the persisted window sketch: the
+    PRIOR corpus (doc_id % BLOOM_OLD_MOD == 0) is sketched once into a
+    content-keyed bitmap pair (``state/substring_sketch.py``) and the NEW
+    dump's duplicated spans against (prior ∪ new) come from the loaded
+    sketch — no prior text pass.  Must reproduce the full-corpus oracle
+    restricted to new ids exactly (sketch FPs are ~occupancy² per window —
+    zero at this corpus/sketch ratio, and deterministic either way)."""
+    import hashlib
+    import os as _os
+
+    from ..stages.dedup import duplicated_spans_incremental
+    from ..state.substring_sketch import SKETCH_META, build_substring_sketch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def part(equal: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            import numpy as np  # noqa: F401
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            hit = (ids % BLOOM_OLD_MOD) == 0
+            return batch.filter(pa.array(hit if equal else ~hit))
+
+        return f
+
+    prior = docs.map_batches(part(True), batch_format="pyarrow")
+    new = docs.map_batches(part(False), batch_format="pyarrow")
+
+    # sketch dir keyed by input identity + the module that shapes bitmaps
+    # (same convention as the minhash index query)
+    from ..stages import dedup as _dedup_mod
+    from ..state import substring_sketch as _sk_mod
+
+    h = hashlib.md5()
+    p = _os.path.join(sf_dir, "documents.parquet")
+    st = _os.stat(p)
+    h.update(("%s:%d:%d" % (p, st.st_size, st.st_mtime_ns)).encode())
+    for mod in (_dedup_mod, _sk_mod):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    sketch_dir = "/tmp/graft_substring_sketch/%s" % h.hexdigest()[:16]
+    if not _os.path.exists(_os.path.join(sketch_dir, SKETCH_META)):
+        build_substring_sketch(prior, sketch_dir, window=_DUP_SPAN_WINDOW)
+    return duplicated_spans_incremental(new, sketch_dir)
+
+
 def q_shared_paragraphs(sf_dir: str):
     """Dolma-style paragraph-dedup signal: per doc, distinct non-empty
     paragraphs appearing in >= 2 docs (integer milli fraction)."""
@@ -4539,6 +4586,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "dup_spans": q_dup_spans,
     "substring_dup_docs": q_substring_dup_docs,
     "substring_dedup_cleaned": q_substring_dedup_cleaned,
+    "dup_spans_incremental": q_dup_spans_incremental,
     "shared_paragraphs": q_shared_paragraphs,
     "dedup_paragraphs": q_dedup_paragraphs,
     "url_dedup_spectrum": q_url_dedup_spectrum,
@@ -6717,6 +6765,15 @@ SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS kept_chars,
        md5(d.text) AS cleaned_md5
 FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM cleaned)
 ORDER BY doc_id
+"""
+)
+
+DATA_ORACLES["dup_spans_incremental"] = (
+    _dup_span_cte(_DUP_SPAN_WINDOW)
+    + f"""
+SELECT doc_id, span_start, span_end, span_chars
+FROM spans WHERE doc_id % {BLOOM_OLD_MOD} <> 0
+ORDER BY doc_id, span_start
 """
 )
 

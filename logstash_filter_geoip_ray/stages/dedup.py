@@ -1961,28 +1961,29 @@ def _test_bits(words: np.ndarray, idx: np.ndarray) -> np.ndarray:
     ).astype(bool)
 
 
-def duplicated_window_sketch(
+def window_sketch_pair(
     ds,
     window: int = 40,
     text_col: str = "text",
     min_count: int = 2,
     sketch_bits: int = 1 << 28,
     sketch_hashes: int = 2,
-) -> "Optional[np.ndarray]":
+) -> "tuple[np.ndarray, np.ndarray]":
     """Scan 1 (sketch path): a saturating seen/seen-twice bitmap pair over
     every length-``window`` char window hash.  Per batch each hash sets
     ``sketch_hashes`` bits in `seen` (and in `twice` when its within-batch
     count >= min_count); partials combine ASSOCIATIVELY —
     ``twice' = t_a | t_b | (s_a & s_b)`` — via a bundled OR tree (the
     :func:`bloom_incremental_dedup` reduce shape), so the hash side never
-    shuffles.  Returns the final `twice` bitmap (None when no bit is set):
-    a window is a DUP CANDIDATE iff all its probe bits are set.  Candidates
+    shuffles.  Returns the final ``(seen, twice)`` bitmap pair: a window is
+    a DUP CANDIDATE iff all its probe bits are set in `twice`.  Candidates
     are a superset of the true duplicated windows for ANY sizing — the
     window-text recount in :func:`duplicated_spans` makes the end result
     exact; ``sketch_bits`` only tunes wasted verify volume (false-positive
     rate ≈ (k·n/m)^k for n distinct windows — the 2^28 default holds ~3.4e7
     windows at <7% FP; size m ≈ 8n and mind that partial volume is
-    blocks × m/4 bytes)."""
+    blocks × m/4 bytes).  The pair is the mergeable cross-dump artifact
+    persisted by ``state/substring_sketch.py``."""
     if sketch_bits & (sketch_bits - 1):
         raise ValueError("duplicated_window_sketch: sketch_bits must be a power of 2")
     mask = np.uint64(sketch_bits - 1)
@@ -2043,9 +2044,26 @@ def duplicated_window_sketch(
         .repartition(1)
         .map_batches(combine, batch_format="pyarrow", batch_size=None)
     )
-    twice = np.frombuffer(
-        combined.to_pandas()["twice"].iloc[0], dtype=np.uint64
-    ).copy()
+    row = combined.to_pandas()
+    seen = np.frombuffer(row["seen"].iloc[0], dtype=np.uint64).copy()
+    twice = np.frombuffer(row["twice"].iloc[0], dtype=np.uint64).copy()
+    return seen, twice
+
+
+def duplicated_window_sketch(
+    ds,
+    window: int = 40,
+    text_col: str = "text",
+    min_count: int = 2,
+    sketch_bits: int = 1 << 28,
+    sketch_hashes: int = 2,
+) -> "Optional[np.ndarray]":
+    """The `twice` bitmap of :func:`window_sketch_pair` (None when no bit
+    is set) — the single-corpus candidate filter ``duplicated_spans``
+    broadcasts."""
+    _, twice = window_sketch_pair(
+        ds, window, text_col, min_count, sketch_bits, sketch_hashes
+    )
     return twice if twice.any() else None
 
 
@@ -2133,30 +2151,10 @@ def duplicated_spans(
             return out_empty
         ridx = ridx[hit]
         pos = pos[hit]
-        # exact window text for candidates only (collision guard): gather
-        # the codepoint rows from a per-row uint32 view and reinterpret each
-        # L-codepoint row as ONE numpy unicode scalar — vectorized, no loop
         ids = pc.cast(batch[id_col], pa.int64())
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        texts = pc.fill_null(text, "")
-        # encode each candidate ROW once even when it holds many candidate
-        # windows (np.unique), then gather every window's codepoint slab and
-        # reinterpret each L-codepoint row as ONE numpy unicode scalar —
-        # vectorized, no per-candidate loop
-        urows, inv = np.unique(ridx, return_inverse=True)
-        cand_rows = pc.take(texts, pa.array(urows))
-        wrapper = pa.ListArray.from_arrays(
-            pa.array([0, len(cand_rows)], type=pa.int32()), cand_rows
-        )
-        big = pc.binary_join(wrapper, "")[0].as_py()
-        cp = np.frombuffer(big.encode("utf-32-le"), dtype="<u4")
-        lens = pc.utf8_length(cand_rows).to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        row_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
-        gather = (row_starts[inv] + pos - 1)[:, None] + np.arange(window)[None, :]
-        wins = np.ascontiguousarray(cp[gather]).view("<U%d" % window).ravel()
+        wins = _window_texts(text, ridx, pos, window)
         return pa.table(
             {
                 id_col: pc.take(ids, pa.array(ridx)),
@@ -2179,9 +2177,36 @@ def duplicated_spans(
     verified = bucket_by_key(cand, "w", num_buckets).groupby("_bucket").map_groups(
         verify, batch_format="pandas"
     )
+    return _island_spans(verified, id_col, window, num_buckets)
 
-    # per-doc maximal-span merge (islands): bucket by doc id, ONE vectorized
-    # pandas pass per bucket
+
+def _window_texts(
+    text: pa.Array, ridx: np.ndarray, pos: np.ndarray, window: int
+) -> np.ndarray:
+    """Exact window text for candidate (row, pos) pairs — the collision
+    guard.  Encodes each candidate ROW once even when it holds many
+    candidate windows (np.unique), gathers every window's codepoint slab
+    and reinterprets each L-codepoint row as ONE numpy unicode scalar —
+    vectorized, no per-candidate loop."""
+    texts = pc.fill_null(text, "")
+    urows, inv = np.unique(ridx, return_inverse=True)
+    cand_rows = pc.take(texts, pa.array(urows))
+    wrapper = pa.ListArray.from_arrays(
+        pa.array([0, len(cand_rows)], type=pa.int32()), cand_rows
+    )
+    big = pc.binary_join(wrapper, "")[0].as_py()
+    cp = np.frombuffer(big.encode("utf-32-le"), dtype="<u4")
+    lens = pc.utf8_length(cand_rows).to_numpy(zero_copy_only=False).astype(np.int64)
+    row_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    gather = (row_starts[inv] + pos - 1)[:, None] + np.arange(window)[None, :]
+    return np.ascontiguousarray(cp[gather]).view("<U%d" % window).ravel()
+
+
+def _island_spans(verified, id_col: str, window: int, num_buckets: int):
+    """Per-doc maximal-span merge (islands) over verified duplicated window
+    positions: bucket by doc id, ONE vectorized pandas pass per bucket."""
+    from .aggregate import bucket_by_key
+
     def spans(block: pd.DataFrame) -> pd.DataFrame:
         b = block.sort_values([id_col, "pos"], kind="mergesort")
         new = b[id_col].ne(b[id_col].shift()) | (
@@ -2341,3 +2366,110 @@ def remove_duplicated_spans(
         )
 
     return ds.map_batches(clean, batch_format="pyarrow").sort(id_col)
+
+
+def duplicated_spans_incremental(
+    new_ds,
+    sketch_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 16,
+):
+    """Duplicated spans of a NEW dump against (prior corpus ∪ new dump),
+    with the prior corpus represented ENTIRELY by its persisted sketch
+    (``state/substring_sketch.py``) — NO prior text pass at all.  Window /
+    sketch parameters come from the sketch meta (the caller cannot
+    desynchronize them).
+
+    Exactness contract (documented trade, the incremental analog of
+    64-bit-hash dedup equality): WITHIN-NEW duplication stays exact (the
+    window-text recount); CROSS-DUMP duplication is witnessed by the prior
+    ``seen`` bitmap at sketch precision — false positives ≈ occupancy^k
+    per window (size ``sketch_bits``/``sketch_hashes`` accordingly; an FP
+    manifests as a single window-length span), false negatives impossible.
+    The full-corpus :func:`duplicated_spans` over prior ∪ new restricted to
+    new ids is the exact reference (equality pinned by test at test sizes).
+    """
+    import ray
+
+    from ..state.substring_sketch import (
+        load_substring_sketch,
+        merge_sketch_pairs,
+        sketch_meta,
+    )
+
+    meta = sketch_meta(sketch_dir)
+    window = meta["window"]
+    sketch_bits = meta["sketch_bits"]
+    sketch_hashes = meta["sketch_hashes"]
+    min_count = meta["min_count"]
+    prior = load_substring_sketch(sketch_dir)
+    new_pair = window_sketch_pair(
+        new_ds, window, text_col, min_count, sketch_bits, sketch_hashes
+    )
+    _, twice_m = merge_sketch_pairs(prior, new_pair)
+    if not twice_m.any():
+        return pd.DataFrame(
+            {
+                id_col: pd.Series([], dtype="int64"),
+                "span_start": pd.Series([], dtype="int64"),
+                "span_end": pd.Series([], dtype="int64"),
+                "span_chars": pd.Series([], dtype="int64"),
+            }
+        )
+    ref = ray.put((twice_m, prior[0]))
+    sk_mask = np.uint64(sketch_bits - 1)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        twice, prior_seen = ray.get(ref)
+        text = batch[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h, ridx, pos = _char_window_hashes(text, window)
+        out_empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "w": pa.array([], type=pa.string()),
+                "prior": pa.array([], type=pa.bool_()),
+            }
+        )
+        if not len(h):
+            return out_empty
+        positions = _sketch_positions(h, sk_mask, sketch_hashes)
+        hit = np.ones(len(h), dtype=bool)
+        for idx in positions:
+            hit &= _test_bits(twice, idx)
+        if not hit.any():
+            return out_empty
+        prior_flag = np.ones(len(h), dtype=bool)
+        for idx in positions:
+            prior_flag &= _test_bits(prior_seen, idx)
+        ridx_h = ridx[hit]
+        pos_h = pos[hit]
+        ids = pc.cast(batch[id_col], pa.int64())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        wins = _window_texts(text, ridx_h, pos_h, window)
+        return pa.table(
+            {
+                id_col: pc.take(ids, pa.array(ridx_h)),
+                "pos": pa.array(pos_h),
+                "w": pa.array(wins),
+                "prior": pa.array(prior_flag[hit]),
+            }
+        )
+
+    cand = new_ds.map_batches(probe, batch_format="pyarrow")
+
+    from .aggregate import bucket_by_key
+
+    def verify(block: pd.DataFrame) -> pd.DataFrame:
+        c = block.groupby("w")["w"].transform("size")
+        keep = block.loc[(c >= min_count) | block["prior"], [id_col, "pos"]]
+        return keep
+
+    verified = bucket_by_key(cand, "w", num_buckets).groupby("_bucket").map_groups(
+        verify, batch_format="pandas"
+    )
+    return _island_spans(verified, id_col, window, num_buckets)

@@ -98,7 +98,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "value_drift_bins", "dedup_ratio_report",
      "resampled_series", "cdc_merged_state", "bfs_levels",
      "event_pairs_within", "dup_spans", "substring_dup_docs",
-     "substring_dedup_cleaned"],
+     "substring_dedup_cleaned", "dup_spans_incremental"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     res = DATA_QUERIES[name](SF)
@@ -4584,3 +4584,82 @@ def test_remove_duplicated_spans_semantics(ray_session):
     assert out.loc[2, "kept_chars"] == len(texts[2])
     assert out.loc[2, "cleaned_md5"] == md5(texts[2])
     assert pd.isna(out.loc[3, "kept_chars"]) and out.loc[3, "cleaned_md5"] is None
+
+
+def test_substring_sketch_incremental(ray_session, tmp_path):
+    """Cross-dump EXACTSUBSTR through the persisted sketch: spans of the
+    NEW dump against (prior ∪ new) from the loaded bitmaps must equal the
+    full-corpus reference restricted to new ids; appending dumps must equal
+    sketching their union (associativity of the saturating merge)."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.dedup import (
+        duplicated_spans,
+        duplicated_spans_incremental,
+    )
+    from logstash_filter_geoip_ray.state.substring_sketch import (
+        append_substring_sketch,
+        build_substring_sketch,
+        load_substring_sketch,
+    )
+
+    rng = np.random.default_rng(3)
+    P_cross = "cross-dump-shared-passage-ABCDEFGHIJ"   # in prior AND new
+    P_new = "within-new-duplicated-passage-0123456789"  # twice in new only
+    P_prior = "prior-only-duplicated-passage-xyzxyzxyz"  # twice in prior only
+
+    def fill(n):
+        return "".join(rng.choice(list("qwertyuiopasdf"), n))
+
+    prior_texts = {
+        0: fill(30) + P_cross + fill(30),
+        1: fill(25) + P_prior + fill(20),
+        2: fill(22) + P_prior + fill(28),
+        3: fill(60),
+    }
+    new_texts = {
+        10: fill(20) + P_cross + fill(25),   # cross-dump dup → span
+        11: fill(30) + P_new + fill(15),     # within-new dup → span
+        12: P_new + fill(40),                # within-new dup → span
+        13: fill(70),                        # clean
+    }
+
+    def to_ds(texts):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(sorted(texts), type=pa.int64()),
+                    "text": pa.array([texts[d] for d in sorted(texts)]),
+                }
+            )
+        )
+
+    W = 12
+    sdir = str(tmp_path / "sketch")
+    build_substring_sketch(to_ds(prior_texts), sdir, window=W)
+    got = duplicated_spans_incremental(to_ds(new_texts), sdir)
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got).reset_index(
+        drop=True
+    )
+
+    union = dict(prior_texts)
+    union.update(new_texts)
+    ref = duplicated_spans(to_ds(union), window=W)
+    ref = ref.to_pandas() if hasattr(ref, "to_pandas") else ref
+    ref = ref[ref.doc_id >= 10].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), ref.astype("int64"))
+    assert set(got.doc_id) == {10, 11, 12}  # cross + within-new, never 13
+
+    # append associativity: sketch(A) + append(B) == sketch(A ∪ B)
+    half_a = {d: prior_texts[d] for d in (0, 1)}
+    half_b = {d: prior_texts[d] for d in (2, 3)}
+    sdir2 = str(tmp_path / "sketch2")
+    build_substring_sketch(to_ds(half_a), sdir2, window=W)
+    append_substring_sketch(to_ds(half_b), sdir2)
+    s1, t1 = load_substring_sketch(sdir)
+    s2, t2 = load_substring_sketch(sdir2)
+    assert (s1 == s2).all() and (t1 == t2).all()
+
+    # parameter pinning: mismatched window raises
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        load_substring_sketch(sdir, window=W + 1)

@@ -1516,6 +1516,23 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(_emb(sf_dir, ["vec_id", "embedding"]), ANN_QUERY_IDS, k=ANN_K)
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ADC search (compressed-domain ANN): per-subspace
+    codebooks trained on the deterministic bounded sample, every corpus
+    vector scored as n_subspaces table lookups — the 32x-compression path
+    that lets a 100 TB embedding corpus serve from RAM.  Rows-only (lossy
+    by design); recall + exact local-reference equality pinned in tests."""
+    from ..stages.similarity import pq_topk
+
+    return pq_topk(
+        _emb(sf_dir, ["vec_id", "embedding"]),
+        ANN_QUERY_IDS,
+        k=ANN_K,
+        n_subspaces=16,
+        n_codes=64,
+    )
+
+
 def q_ann_ivf_indexed(sf_dir: str):
     """The same IVF search THROUGH the persisted cell-partitioned index
     (``state/ann_index.py``): the codebook and per-cell vector partitions
@@ -4627,6 +4644,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "ann_filtered": q_ann_filtered,
     "customers_per_region": q_customers_per_region,

@@ -4663,3 +4663,87 @@ def test_substring_sketch_incremental(ray_session, tmp_path):
     # parameter pinning: mismatched window raises
     with pytest.raises(ValueError, match="parameter mismatch"):
         load_substring_sketch(sdir, window=W + 1)
+
+
+def test_ann_pq_recall_and_reference(ray_session):
+    """Product-quantization ADC search: recall@10 against exact brute force
+    must clear a floor and improve with more subspaces/codes, and the
+    distributed pipeline must equal a local numpy PQ reference EXACTLY for
+    fixed codebooks."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.similarity import (
+        _collect_queries,
+        _normalized,
+        brute_force_topk,
+        pq_topk,
+        pq_train,
+    )
+
+    ds = lambda: ray.data.read_parquet(f"{SF}/embeddings.parquet")  # noqa: E731
+    exact = brute_force_topk(ds(), ANN_QUERY_IDS, k=10).to_pandas()
+
+    def recall(m, nc):
+        ap = pq_topk(ds(), ANN_QUERY_IDS, k=10, n_subspaces=m, n_codes=nc).to_pandas()
+        rs = []
+        for q in ANN_QUERY_IDS:
+            e = set(exact[exact.query_id == q].neighbor_id)
+            rs.append(len(e & set(ap[ap.query_id == q].neighbor_id)) / len(e))
+        return float(np.mean(rs))
+
+    r_small, r_big = recall(4, 16), recall(16, 64)
+    assert r_big >= 0.5
+    assert r_big > r_small  # finer quantization → better recall
+
+    # distributed == local numpy reference, exactly, for FIXED codebooks
+    cb = pq_train(ds(), n_subspaces=8, n_codes=16)
+    got = pq_topk(ds(), ANN_QUERY_IDS, k=10, codebooks=cb).to_pandas()
+
+    import duckdb
+
+    full = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    ids = full.vec_id.to_numpy()
+    mat = _normalized(np.stack(full.embedding.to_numpy()).astype(np.float64))
+    m, nc, sub = cb.shape
+    codes = np.empty((len(mat), m), dtype=np.int64)
+    for s in range(m):
+        x = mat[:, s * sub : (s + 1) * sub]
+        d2 = -2.0 * (x @ cb[s].T) + (cb[s] * cb[s]).sum(1)[None, :]
+        codes[:, s] = np.argmin(d2, axis=1)
+    qids, qmat = _collect_queries(ds(), ANN_QUERY_IDS, "vec_id", "embedding")
+    rows = []
+    for qi, q in enumerate(qids):
+        t = qmat[qi].reshape(m, sub)
+        sims = np.zeros(len(mat))
+        for s in range(m):
+            sims += (t[s] @ cb[s].T)[codes[:, s]]
+        mask = ids != q
+        order = np.lexsort((ids[mask], -sims[mask]))[:10]
+        for r, j in enumerate(order, 1):
+            rows.append((int(q), int(ids[mask][j]), r))
+    want = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        want.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+
+def test_pq_encode_schema_and_determinism(ray_session):
+    """pq_encode: fixed-size uint8 list schema, values < n_codes, identical
+    codes across independent runs (deterministic sample + seeded kmeans)."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.similarity import pq_encode, pq_train
+
+    ds = lambda: ray.data.read_parquet(f"{SF}/embeddings.parquet")  # noqa: E731
+    cb1 = pq_train(ds(), n_subspaces=8, n_codes=16)
+    cb2 = pq_train(ds(), n_subspaces=8, n_codes=16)
+    np.testing.assert_array_equal(cb1, cb2)
+    enc = pq_encode(ds(), cb1).to_pandas().sort_values("vec_id")
+    codes = np.stack(enc.codes.to_numpy())
+    assert codes.shape[1] == 8 and codes.dtype == np.uint8
+    assert codes.max() < 16
+    enc2 = pq_encode(ds(), cb1).to_pandas().sort_values("vec_id")
+    np.testing.assert_array_equal(codes, np.stack(enc2.codes.to_numpy()))

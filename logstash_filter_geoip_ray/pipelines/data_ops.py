@@ -1562,6 +1562,39 @@ def q_ann_ivf_indexed(sf_dir: str):
     return ivf_index_topk(index_dir, ANN_QUERY_IDS, k=ANN_K)
 
 
+def q_ann_ivfpq_indexed(sf_dir: str):
+    """Compressed-domain search THROUGH the persisted IVF-PQ index: the
+    coarse quantizer prunes at the directory level AND each probed cell
+    holds only uint8 residual codes (~64x smaller reads than the raw-vector
+    IVF index) — the FAISS-style serving shape for a 100 TB embedding
+    corpus.  Rows-only (doubly lossy by design); recall + determinism
+    pinned in tests."""
+    import hashlib
+    import os as _os
+
+    from ..state import ann_index as _ann_mod
+    from ..state.ann_index import build_ivfpq_index, ivfpq_index_topk
+    from ..stages import similarity as _sim_mod
+
+    h = hashlib.md5()
+    p = _os.path.join(sf_dir, "embeddings.parquet")
+    st = _os.stat(p)
+    h.update(("%s:%d:%d" % (p, st.st_size, st.st_mtime_ns)).encode())
+    for mod in (_ann_mod, _sim_mod):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    index_dir = "/tmp/graft_ivfpq_index/%s" % h.hexdigest()[:16]
+    if not _os.path.exists(_os.path.join(index_dir, "_meta.json")):
+        build_ivfpq_index(
+            _emb(sf_dir, ["vec_id", "embedding"]), index_dir,
+            n_clusters=8, n_subspaces=16, n_codes=64,
+        )
+    return ivfpq_index_topk(
+        index_dir, _emb(sf_dir, ["vec_id", "embedding"]),
+        ANN_QUERY_IDS, k=ANN_K, n_probe=4,
+    )
+
+
 def q_ann_filtered(sf_dir: str):
     """Metadata-filtered exact vector search (the RAG-stack shape): cosine
     top-k per query over ONLY the corpus rows with label in (0, 1, 2) —
@@ -4645,6 +4678,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
+    "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "ann_filtered": q_ann_filtered,
     "customers_per_region": q_customers_per_region,

@@ -4747,3 +4747,52 @@ def test_pq_encode_schema_and_determinism(ray_session):
     assert codes.max() < 16
     enc2 = pq_encode(ds(), cb1).to_pandas().sort_values("vec_id")
     np.testing.assert_array_equal(codes, np.stack(enc2.codes.to_numpy()))
+
+
+def test_ivfpq_index_recall_and_determinism(ray_session, tmp_path):
+    """Persisted IVF-PQ: recall@10 floor against exact brute force at
+    full-probe (coarse pruning off → pure PQ loss), deterministic rebuild
+    (identical rows), non-IVF-PQ dir rejected, and more probes never lower
+    recall."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.state.ann_index import (
+        build_ivf_index,
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+    from logstash_filter_geoip_ray.stages.similarity import brute_force_topk
+
+    ds = lambda: ray.data.read_parquet(f"{SF}/embeddings.parquet")  # noqa: E731
+    exact = brute_force_topk(ds(), ANN_QUERY_IDS, k=10).to_pandas()
+
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(ds(), idx, n_clusters=8, n_subspaces=16, n_codes=64)
+
+    def recall(n_probe):
+        ap = ivfpq_index_topk(idx, ds(), ANN_QUERY_IDS, k=10, n_probe=n_probe)
+        ap = ap.to_pandas()
+        rs = []
+        for q in ANN_QUERY_IDS:
+            e = set(exact[exact.query_id == q].neighbor_id)
+            rs.append(len(e & set(ap[ap.query_id == q].neighbor_id)) / len(e))
+        return float(np.mean(rs))
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 >= 0.5  # full probe: only PQ loss remains
+    assert r8 >= r2   # more cells probed can only help
+
+    # deterministic rebuild → identical result rows
+    idx2 = str(tmp_path / "ivfpq2")
+    build_ivfpq_index(ds(), idx2, n_clusters=8, n_subspaces=16, n_codes=64)
+    a = ivfpq_index_topk(idx, ds(), ANN_QUERY_IDS, k=10, n_probe=4).to_pandas()
+    b = ivfpq_index_topk(idx2, ds(), ANN_QUERY_IDS, k=10, n_probe=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+    # a raw-vector IVF index dir must be rejected loudly
+    raw = str(tmp_path / "ivf_raw")
+    build_ivf_index(ds(), raw, n_clusters=4)
+    with pytest.raises(ValueError, match="not an IVF-PQ index"):
+        ivfpq_index_topk(raw, ds(), ANN_QUERY_IDS, k=10)

@@ -1991,41 +1991,103 @@ def window_sketch_pair(
     mask = np.uint64(sketch_bits - 1)
     n_words = sketch_bits // 64
 
-    def partial(batch: pa.Table) -> pa.Table:
-        h, _, _ = _char_window_hashes(batch[text_col], window)
+    # Partials ship SPARSE (sorted distinct uint32 bit indices) whenever
+    # that is smaller than the dense bitmap, else dense.  A block holds
+    # block-chars × k candidate bits, so at fleet block sizes sparse wins
+    # ~10×: partial volume stopped scaling with sketch_bits and became
+    # proportional to the block's own window count (measured: the dense
+    # 64 MiB-per-block partials made a 1M-doc run 9.4× a 200k-doc run —
+    # 20 GB of bitmaps through the OR tree — see BASELINE.md).  The first
+    # combine level densifies, so the tree above it is unchanged.
+    def _encode_pair(seen_idx: np.ndarray, twice_idx: np.ndarray) -> pa.Table:
+        # sparse only when it's a DECISIVE (4x) win: dense partials cost
+        # plain ORs downstream while sparse ones cost an O(n log n) sort at
+        # the all-sparse combine — measured: always-sparse made the final
+        # 40-partial combine sort 400M indices and LOST to the dense ORs it
+        # replaced at the 2^28 default
+        sparse_bytes = 4 * (len(seen_idx) + len(twice_idx))
+        if sparse_bytes * 4 < 2 * n_words * 8:
+            return pa.table(
+                {
+                    "fmt": pa.array(["sparse"]),
+                    "seen": pa.array([seen_idx.astype("<u4").tobytes()], type=pa.binary()),
+                    "twice": pa.array([twice_idx.astype("<u4").tobytes()], type=pa.binary()),
+                }
+            )
         seen = np.zeros(n_words, dtype=np.uint64)
         twice = np.zeros(n_words, dtype=np.uint64)
-        if len(h):
-            uh, counts = np.unique(h, return_counts=True)
-            rep = uh[counts >= min_count]
-            for idx in _sketch_positions(uh, mask, sketch_hashes):
-                _set_bits(seen, idx)
-            if len(rep):
-                for idx in _sketch_positions(rep, mask, sketch_hashes):
-                    _set_bits(twice, idx)
+        _set_bits(seen, seen_idx.astype(np.uint64))
+        _set_bits(twice, twice_idx.astype(np.uint64))
         return pa.table(
             {
+                "fmt": pa.array(["dense"]),
                 "seen": pa.array([seen.tobytes()], type=pa.binary()),
                 "twice": pa.array([twice.tobytes()], type=pa.binary()),
             }
         )
 
+    def partial(batch: pa.Table) -> pa.Table:
+        h, _, _ = _char_window_hashes(batch[text_col], window)
+        if not len(h):
+            return _encode_pair(
+                np.array([], dtype=np.uint32), np.array([], dtype=np.uint32)
+            )
+        uh, counts = np.unique(h, return_counts=True)
+        rep = uh[counts >= min_count]
+        seen_idx = np.unique(
+            np.concatenate(_sketch_positions(uh, mask, sketch_hashes))
+        ).astype(np.uint32)
+        twice_idx = (
+            np.unique(np.concatenate(_sketch_positions(rep, mask, sketch_hashes)))
+            .astype(np.uint32)
+            if len(rep)
+            else np.array([], dtype=np.uint32)
+        )
+        return _encode_pair(seen_idx, twice_idx)
+
     def combine(batch: pa.Table) -> pa.Table:
-        seen_acc = None
-        twice_acc = None
-        for sb, tb in zip(batch["seen"].to_pylist(), batch["twice"].to_pylist()):
-            s = np.frombuffer(sb, dtype=np.uint64)
-            t = np.frombuffer(tb, dtype=np.uint64)
-            if seen_acc is None:
-                seen_acc, twice_acc = s.copy(), t.copy()
+        fmts = batch["fmt"].to_pylist()
+        seens = batch["seen"].to_pylist()
+        twices = batch["twice"].to_pylist()
+        if all(f == "sparse" for f in fmts):
+            # pure sparse-domain saturating union: a bit in >= 2 partials is
+            # union-twice (each partial's indices are distinct within
+            # itself, so cross-partial multiplicity IS the seen_a & seen_b
+            # rule); output re-encodes size-adaptively, so a big-sketch
+            # level-1 task never materializes the dense bitmap at all
+            seen_cat = (
+                np.concatenate([np.frombuffer(s, dtype="<u4") for s in seens])
+                if seens
+                else np.array([], dtype="<u4")
+            )
+            twice_cat = (
+                np.concatenate([np.frombuffer(t, dtype="<u4") for t in twices])
+                if twices
+                else np.array([], dtype="<u4")
+            )
+            useen, counts = np.unique(seen_cat, return_counts=True)
+            twice_idx = np.unique(np.concatenate([useen[counts >= 2], twice_cat]))
+            return _encode_pair(useen.astype(np.uint32), twice_idx.astype(np.uint32))
+        seen_acc = np.zeros(n_words, dtype=np.uint64)
+        twice_acc = np.zeros(n_words, dtype=np.uint64)
+        for fmt, sb, tb in zip(fmts, seens, twices):
+            if fmt == "sparse":
+                sidx = np.frombuffer(sb, dtype="<u4").astype(np.uint64)
+                tidx = np.frombuffer(tb, dtype="<u4").astype(np.uint64)
+                # bits seen by BOTH this partial and the accumulator are
+                # union-twice (the saturating rule, sparse form)
+                dup = sidx[_test_bits(seen_acc, sidx)]
+                _set_bits(twice_acc, dup)
+                _set_bits(twice_acc, tidx)
+                _set_bits(seen_acc, sidx)
             else:
+                s = np.frombuffer(sb, dtype=np.uint64)
+                t = np.frombuffer(tb, dtype=np.uint64)
                 twice_acc |= t | (seen_acc & s)
                 seen_acc |= s
-        if seen_acc is None:
-            seen_acc = np.zeros(n_words, dtype=np.uint64)
-            twice_acc = np.zeros(n_words, dtype=np.uint64)
         return pa.table(
             {
+                "fmt": pa.array(["dense"]),
                 "seen": pa.array([seen_acc.tobytes()], type=pa.binary()),
                 "twice": pa.array([twice_acc.tobytes()], type=pa.binary()),
             }
@@ -2047,6 +2109,12 @@ def window_sketch_pair(
         .map_batches(combine, batch_format="pyarrow", batch_size=None)
     )
     row = combined.to_pandas()
+    if row["fmt"].iloc[0] == "sparse":  # tiny corpus: final pair stayed sparse
+        seen = np.zeros(n_words, dtype=np.uint64)
+        twice = np.zeros(n_words, dtype=np.uint64)
+        _set_bits(seen, np.frombuffer(row["seen"].iloc[0], dtype="<u4").astype(np.uint64))
+        _set_bits(twice, np.frombuffer(row["twice"].iloc[0], dtype="<u4").astype(np.uint64))
+        return seen, twice
     seen = np.frombuffer(row["seen"].iloc[0], dtype=np.uint64).copy()
     twice = np.frombuffer(row["twice"].iloc[0], dtype=np.uint64).copy()
     return seen, twice

@@ -2352,7 +2352,13 @@ def remove_duplicated_spans(
                     "the duplicated-span set outgrew the broadcast premise"
                     % (t.num_rows, max_spans)
                 )
-            # duplicated_spans output is already (doc_id, span_start)-sorted
+            # re-sort driver-side: the probe's searchsorted needs globally
+            # sorted ids, and to_arrow_refs block order after a Dataset.sort
+            # is an implementation detail this must not depend on
+            order = pc.sort_indices(
+                t, sort_keys=[(id_col, "ascending"), ("span_start", "ascending")]
+            )
+            t = t.take(order)
             span_ids = t[id_col].to_numpy(zero_copy_only=False)
             span_s = t["span_start"].to_numpy(zero_copy_only=False)
             span_e = t["span_end"].to_numpy(zero_copy_only=False)

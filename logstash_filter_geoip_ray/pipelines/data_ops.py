@@ -1613,6 +1613,19 @@ def q_ann_filtered(sf_dir: str):
     return brute_force_topk(emb, ANN_QUERY_IDS, k=ANN_K, corpus_ds=corpus)
 
 
+def q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining: per query vector, the top-k most
+    similar corpus rows with a DIFFERENT label — the highest-similarity
+    wrong-class examples an embedding trainer wants as negatives.  A
+    per-query validity mask (each query excludes a different subset), not
+    a scan predicate — the shape ann_filtered cannot express."""
+    from ..stages.similarity import hard_negative_topk
+
+    return hard_negative_topk(
+        _emb(sf_dir, ["vec_id", "embedding", "label"]), ANN_QUERY_IDS, k=ANN_K
+    )
+
+
 def q_customers_per_region(sf_dir: str):
     """Broadcast dimension join: customer ⨝ nation ⨝ region (both dims tiny,
     shipped once) → customer counts per region name."""
@@ -4681,6 +4694,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "ann_ivfpq_indexed": q_ann_ivfpq_indexed,
     "ann_ivf_indexed": q_ann_ivf_indexed,
     "ann_filtered": q_ann_filtered,
+    "hard_negatives": q_hard_negatives,
     "customers_per_region": q_customers_per_region,
     "orders_per_nation": q_orders_per_nation,
     "pagerank_nodes": q_pagerank_nodes,
@@ -6574,6 +6588,23 @@ WITH q AS (
   SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          list_cosine_similarity(q.embedding, e.embedding) AS sim
   FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM sims
+) WHERE rn <= {ANN_K}
+ORDER BY query_id, rank
+""",
+    "hard_negatives": f"""
+WITH q AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  WHERE vec_id IN ({", ".join(str(i) for i in ANN_QUERY_IDS)})
+), sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS sim
+  FROM q JOIN embeddings e
+    ON e.vec_id <> q.vec_id AND e.label <> q.label
 )
 SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
   SELECT query_id, neighbor_id,

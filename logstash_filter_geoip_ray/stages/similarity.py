@@ -59,13 +59,19 @@ def _batch_matrix(batch: pa.Table, id_col: str, vec_col: str):
     return bids, bmat
 
 
-def _select_topk(ref_ids, sims, bids, k) -> pa.Table:
+def _select_topk(ref_ids, sims, bids, k, valid=None) -> pa.Table:
     """Per-query partial top-k with the same tie order (sim desc, id asc) the
-    final merge and the SQL oracle use — boundary ties never drop here."""
+    final merge and the SQL oracle use — boundary ties never drop here.
+    ``valid`` (optional (n_q, n_batch) bool) excludes candidates per query
+    beyond the always-applied self-exclusion (e.g. same-label rows in
+    hard-negative mining) — exclusion by masking, never by -inf sentinels
+    that could leak into a sparse final top-k."""
     out_q, out_n, out_s = [], [], []
     for qi in range(len(ref_ids)):
         row = sims[qi]
         mask = bids != ref_ids[qi]
+        if valid is not None:
+            mask &= valid[qi]
         cand_ids, cand_sims = bids[mask], row[mask]
         if len(cand_ids) > k:
             order = np.lexsort((cand_ids, -cand_sims))[:k]
@@ -664,6 +670,60 @@ def pq_topk(
         for s in range(cb.shape[0]):
             sims += tabs[:, s, :][:, codes[:, s]]
         return _select_topk(ref_ids, sims, bids, k)
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+    return _finalize(partials, k)
+
+
+def hard_negative_topk(
+    ds,
+    query_ids: Sequence[int],
+    k: int = 10,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Contrastive hard-negative mining: per query, the exact cosine top-k
+    among rows with a DIFFERENT label — the highest-similarity wrong-class
+    examples a contrastive/embedding trainer wants as negatives.  Same
+    shape as :func:`brute_force_topk` (query matrix + labels broadcast
+    once, one matmul per batch, partial top-k merge) with a per-query
+    label-validity mask instead of a global corpus filter (each query
+    excludes a DIFFERENT corpus subset, so a scan-level predicate like
+    ann_filtered's cannot express it).  Integer-only output → exact
+    DuckDB oracle."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    qset = list(query_ids)
+    qtbl = (
+        ds.map_batches(
+            lambda b: b.filter(
+                pc.is_in(
+                    pc.cast(b[id_col], pa.int64()),
+                    value_set=pa.array(qset, type=pa.int64()),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index(id_col)
+        .loc[qset]
+    )
+    qmat = _normalized(np.stack(qtbl[vec_col].to_numpy()).astype(np.float64))
+    qlabels = qtbl[label_col].to_numpy()
+    qids = np.asarray(qset)
+    ref = ray.put((qids, qmat, qlabels))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ref_ids, ref_mat, ref_labels = ray.get(ref)
+        bids, bmat = _batch_matrix(batch, id_col, vec_col)
+        if bids is None:
+            return _empty_partial()
+        blabels = np.asarray(batch[label_col])
+        valid = ref_labels[:, None] != blabels[None, :]
+        return _select_topk(ref_ids, ref_mat @ bmat.T, bids, k, valid=valid)
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
     return _finalize(partials, k)

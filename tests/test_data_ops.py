@@ -98,7 +98,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "value_drift_bins", "dedup_ratio_report",
      "resampled_series", "cdc_merged_state", "bfs_levels",
      "event_pairs_within", "dup_spans", "substring_dup_docs",
-     "substring_dedup_cleaned", "dup_spans_incremental"],
+     "substring_dedup_cleaned", "dup_spans_incremental",
+     "hard_negatives"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     res = DATA_QUERIES[name](SF)
@@ -4796,3 +4797,22 @@ def test_ivfpq_index_recall_and_determinism(ray_session, tmp_path):
     build_ivf_index(ds(), raw, n_clusters=4)
     with pytest.raises(ValueError, match="not an IVF-PQ index"):
         ivfpq_index_topk(raw, ds(), ANN_QUERY_IDS, k=10)
+
+
+def test_hard_negatives_labels_differ(ray_session):
+    """Every mined hard negative must carry a label different from its
+    query's, and per query the result is exactly the top-k of the
+    label-excluded exact similarity ranking."""
+    import duckdb
+
+    from logstash_filter_geoip_ray.pipelines.data_ops import ANN_K, DATA_QUERIES
+
+    out = DATA_QUERIES["hard_negatives"](SF)
+    out = (out.to_pandas() if hasattr(out, "to_pandas") else out)
+    lab = duckdb.sql(
+        f"SELECT vec_id, label FROM '{SF}/embeddings.parquet'"
+    ).df().set_index("vec_id")["label"]
+    assert len(out) == len(ANN_QUERY_IDS) * ANN_K
+    qlab = out.query_id.map(lab)
+    nlab = out.neighbor_id.map(lab)
+    assert (qlab != nlab).all()

@@ -1744,6 +1744,19 @@ def q_top_docs_per_lang(sf_dir: str):
     )
 
 
+def q_coreset_select(sf_dir: str):
+    """Cluster-stratified representative subset (coreset): KMeans the
+    embedding corpus, keep each cluster's 16 members nearest its centroid
+    — the semantic-diversity curation sample.  Integer-exact (bit-identical
+    under any batching); iterative KMeans has no SQL oracle → rows-only,
+    distributed ≡ local-reference equality pinned in tests."""
+    from ..stages.clustering import coreset_select
+
+    return coreset_select(
+        _emb(sf_dir, ["vec_id", "embedding"]), k=8, per_cluster=16
+    )
+
+
 def q_embedding_clusters(sf_dir: str):
     """Distributed integer-milli KMeans over the embeddings table (full
     corpus, streaming re-read per Lloyd round, centroids broadcast) →
@@ -4700,6 +4713,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "pagerank_nodes": q_pagerank_nodes,
     "top_docs_per_lang": q_top_docs_per_lang,
     "embedding_clusters": q_embedding_clusters,
+    "coreset_select": q_coreset_select,
     "top_users": q_top_users,
     "distinct_event_types": q_distinct_event_types,
     "sample_events": q_sample_events,

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -374,3 +375,84 @@ def quantize_embeddings(
         )
 
     return ds.map_batches(quant, batch_format="pyarrow").sort([id_col, "dim"])
+
+
+def coreset_select(
+    ds,
+    k: int = 8,
+    per_cluster: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: Optional[np.ndarray] = None,
+):
+    """Cluster-stratified representative subset (coreset) selection — the
+    semantic-diversity curation step: KMeans the corpus, then keep each
+    cluster's ``per_cluster`` members NEAREST its centroid (integer-milli
+    squared distance, ties → id asc).  Returns ``(id, cluster, rank)``
+    sorted by (cluster, rank).
+
+    Scale shape: centroids come from the existing streaming
+    :func:`kmeans_fit` (broadcast per round, corpus never shuffles); the
+    selection is a two-stage partial top-n — each batch emits at most
+    k × per_cluster candidate rows, the final per-cluster merge sees only
+    batches × per_cluster rows.  Everything integer-exact, so the result
+    is bit-identical under any batching (pinned against a local numpy
+    reference in tests).  Rows-only driver check (iterative KMeans has no
+    SQL oracle)."""
+    import ray
+
+    if centroids is None:
+        centroids = kmeans_fit(ds, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    cent_ref = ray.put(centroids)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "cluster": pa.array([], type=pa.int64()),
+                "_d2": pa.array([], type=pa.int64()),
+            }
+        )
+        mat = _milli_matrix(batch, vec_col)
+        if mat is None:
+            return empty
+        assign = _assign(mat, cents)
+        diff = mat - cents[assign]
+        d2 = (diff * diff).sum(axis=1)
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+        # within-batch per-cluster top-n: one lexsort + stable segment head
+        order = np.lexsort((ids, d2, assign))
+        a_s, d_s, i_s = assign[order], d2[order], ids[order]
+        seg_start = np.r_[True, a_s[1:] != a_s[:-1]]
+        seg_id = np.cumsum(seg_start) - 1
+        seg_first = np.flatnonzero(seg_start)
+        rank_in_seg = np.arange(len(a_s)) - seg_first[seg_id]
+        keep = rank_in_seg < per_cluster
+        return pa.table(
+            {
+                id_col: pa.array(i_s[keep]),
+                "cluster": pa.array(a_s[keep].astype(np.int64)),
+                "_d2": pa.array(d_s[keep].astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        top = group.sort_values(["_d2", id_col]).head(per_cluster)
+        top = top.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                id_col: top[id_col].astype("int64"),
+                "cluster": top["cluster"].astype("int64"),
+                "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            }
+        )
+
+    return (
+        partials.groupby("cluster")
+        .map_groups(merge, batch_format="pandas")
+        .sort(["cluster", "rank"])
+    )

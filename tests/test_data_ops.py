@@ -4816,3 +4816,49 @@ def test_hard_negatives_labels_differ(ray_session):
     qlab = out.query_id.map(lab)
     nlab = out.neighbor_id.map(lab)
     assert (qlab != nlab).all()
+
+
+def test_coreset_select_matches_local_reference(ray_session):
+    """Distributed coreset selection ≡ a local numpy replay with the same
+    centroids, exactly — plus the structural contract (per-cluster cap,
+    nearest-first ranks)."""
+    import duckdb
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.clustering import (
+        KMEANS_MILLI,
+        coreset_select,
+        kmeans_fit,
+    )
+
+    ds = lambda: ray.data.read_parquet(f"{SF}/embeddings.parquet")  # noqa: E731
+    cents = kmeans_fit(ds(), k=8, iters=5)
+    got = coreset_select(ds(), k=8, per_cluster=16, centroids=cents).to_pandas()
+
+    full = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    ids = full.vec_id.to_numpy()
+    mat = np.floor(
+        np.stack(full.embedding.to_numpy()).astype(np.float64) * KMEANS_MILLI
+    ).astype(np.int64)
+    d2_all = (
+        (mat * mat).sum(1)[:, None]
+        - 2 * (mat @ cents.T)
+        + (cents * cents).sum(1)[None, :]
+    )
+    assign = np.argmin(d2_all, axis=1)
+    rows = []
+    for c in range(8):
+        members = np.flatnonzero(assign == c)
+        d2 = d2_all[members, c]
+        order = np.lexsort((ids[members], d2))[:16]
+        for r, j in enumerate(order, 1):
+            rows.append((int(ids[members][j]), c, r))
+    want = pd.DataFrame(rows, columns=["vec_id", "cluster", "rank"]).sort_values(
+        ["cluster", "rank"]
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+    assert (got.groupby("cluster").size() <= 16).all()

@@ -1167,6 +1167,15 @@ def q_jaccard_pairs(sf_dir: str):
     return jaccard_pairs_by_block(_docs(sf_dir), min_ratio=JACCARD_TAU)
 
 
+def q_containment_pairs(sf_dir: str):
+    """Asymmetric Broder containment |A∩B|/min(|A|,|B|) >= 0.8 within each
+    source block — the quote/subset near-dup detector symmetric Jaccard
+    misses (a short doc fully embedded in a long one)."""
+    from ..stages.dedup import containment_pairs_by_block
+
+    return containment_pairs_by_block(_docs(sf_dir))
+
+
 def q_ngram_jaccard(sf_dir: str):
     from ..stages.dedup import ngram_jaccard_pairs_by_block
 
@@ -4686,6 +4695,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "lm_scores": q_lm_scores,
     "packed_chunks": q_packed_chunks,
     "jaccard_pairs": q_jaccard_pairs,
+    "containment_pairs": q_containment_pairs,
     "ppjoin_pairs": q_ppjoin_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "dup_clusters": q_dup_clusters,
@@ -6413,6 +6423,28 @@ FROM inter
 JOIN counts ca ON ca.doc_id = a
 JOIN counts cb ON cb.doc_id = b
 WHERE inter >= {JACCARD_TAU} * (ca.c + cb.c - inter)
+ORDER BY a, b
+""",
+    "containment_pairs": f"""
+WITH sets AS (
+  SELECT DISTINCT doc_id, source, lower(unnest({_TOKENS})) AS w
+  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) <> ''
+), counts AS (
+  SELECT doc_id, count(*) AS c FROM sets GROUP BY 1
+), inter AS (
+  SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
+  FROM sets s1 JOIN sets s2
+    ON s1.source = s2.source AND s1.w = s2.w AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(ca.c AS BIGINT) AS size_a,
+       CAST(cb.c AS BIGINT) AS size_b
+FROM inter
+JOIN counts ca ON ca.doc_id = a
+JOIN counts cb ON cb.doc_id = b
+WHERE inter * 10 >= least(ca.c, cb.c) * 8
 ORDER BY a, b
 """,
     "ngram_jaccard": f"""

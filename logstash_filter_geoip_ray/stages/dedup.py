@@ -2574,3 +2574,77 @@ def duplicated_spans_incremental(
         verify, batch_format="pandas"
     )
     return _island_spans(verified, id_col, window, num_buckets)
+
+
+def containment_pairs_by_block(
+    ds,
+    block_col: str = "source",
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_block_tokens: int = 5_000_000,
+):
+    """Asymmetric Broder CONTAINMENT |A∩B| / min(|A|, |B|) for every doc
+    pair sharing ``block_col``: rows (a, b, inter, size_a, size_b) with
+    ``inter * threshold_den >= min(size) * threshold_num``, a < b — the
+    quote/subset detector symmetric Jaccard misses (a short doc fully
+    embedded in a long one has low Jaccard but containment 1.0).  Pure
+    integer threshold → exact DuckDB oracle.
+
+    Unlike the O(n²)-loop Jaccard validator beside it, the block kernel is
+    fully vectorized: distinct (doc, token) explode → one self-merge on
+    token → pair groupby — C pandas throughout, so the guard caps exploded
+    TOKEN rows, not docs."""
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "inter": pd.Series([], dtype="int64"),
+                "size_a": pd.Series([], dtype="int64"),
+                "size_b": pd.Series([], dtype="int64"),
+            }
+        )
+        rows = group[[id_col, text_col]].dropna(subset=[text_col])
+        if not len(rows):
+            return empty
+        ex = rows.assign(w=rows[text_col].str.lower().str.split()).explode("w")
+        ex = ex[ex.w.notna()][[id_col, "w"]].drop_duplicates()
+        _check_block_cap(
+            len(ex),
+            group[block_col].iloc[0] if len(group) else None,
+            max_block_tokens,
+            "containment_pairs_by_block",
+        )
+        if not len(ex):
+            return empty
+        sizes = ex.groupby(id_col).size()
+        m = ex.merge(ex, on="w", suffixes=("_x", "_y"))
+        ax, ay = id_col + "_x", id_col + "_y"
+        m = m[m[ax] < m[ay]]
+        if not len(m):
+            return empty
+        inter = m.groupby([ax, ay]).size().reset_index(name="inter")
+        inter["size_a"] = inter[ax].map(sizes)
+        inter["size_b"] = inter[ay].map(sizes)
+        smaller = inter[["size_a", "size_b"]].min(axis=1)
+        keep = inter["inter"] * threshold_den >= smaller * threshold_num
+        out = inter[keep]
+        return pd.DataFrame(
+            {
+                "a": out[ax].astype("int64").to_numpy(),
+                "b": out[ay].astype("int64").to_numpy(),
+                "inter": out["inter"].astype("int64").to_numpy(),
+                "size_a": out["size_a"].astype("int64").to_numpy(),
+                "size_b": out["size_b"].astype("int64").to_numpy(),
+            }
+        )
+
+    return (
+        ds.select_columns([block_col, id_col, text_col])
+        .groupby(block_col)
+        .map_groups(pairs, batch_format="pandas")
+        .sort(["a", "b"])
+    )

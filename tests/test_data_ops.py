@@ -99,7 +99,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
      "resampled_series", "cdc_merged_state", "bfs_levels",
      "event_pairs_within", "dup_spans", "substring_dup_docs",
      "substring_dedup_cleaned", "dup_spans_incremental",
-     "hard_negatives"],
+     "hard_negatives", "containment_pairs"],
 )
 def test_oracle_match(ray_session, oracle_con, name):
     res = DATA_QUERIES[name](SF)
@@ -4862,3 +4862,34 @@ def test_coreset_select_matches_local_reference(ray_session):
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
     assert (got.groupby("cluster").size() <= 16).all()
+
+
+def test_containment_catches_subset_jaccard_misses(ray_session):
+    """A short doc fully embedded in a long one: containment fires at 1.0
+    while the Jaccard filter at the same nominal bar stays silent."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.dedup import (
+        containment_pairs_by_block,
+        jaccard_pairs_by_block,
+    )
+
+    quote = "alpha beta gamma delta"
+    host = quote + " " + " ".join("w%d" % i for i in range(40))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "source": ["s", "s", "s"],
+            "text": [quote, host, "totally unrelated content here"],
+        }
+    )
+    cont = containment_pairs_by_block(
+        ray.data.from_arrow(tbl), threshold_num=8, threshold_den=10
+    ).to_pandas()
+    jac = jaccard_pairs_by_block(
+        ray.data.from_arrow(tbl), min_ratio=0.8
+    ).to_pandas()
+    assert [(r.a, r.b) for r in cont.itertuples()] == [(1, 2)]
+    row = cont.iloc[0]
+    assert row.inter == row.size_a == 4 and row.size_b == 44
+    assert len(jac) == 0  # symmetric Jaccard misses the embedded quote

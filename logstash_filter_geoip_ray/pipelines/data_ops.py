@@ -733,9 +733,11 @@ def q_dup_spans_incremental(sf_dir: str):
     PRIOR corpus (doc_id % BLOOM_OLD_MOD == 0) is sketched once into a
     content-keyed bitmap pair (``state/substring_sketch.py``) and the NEW
     dump's duplicated spans against (prior ∪ new) come from the loaded
-    sketch — no prior text pass.  Must reproduce the full-corpus oracle
-    restricted to new ids exactly (sketch FPs are ~occupancy² per window —
-    zero at this corpus/sketch ratio, and deterministic either way)."""
+    sketch — no prior text pass.  The oracle replays the kernel's keep rule
+    exactly — within-new recount OR prior-witnessed run >= min_run — so
+    equality is corpus-independent: the documented window+min_run-1
+    cross-dump detection floor is encoded in the SQL, not assumed absent
+    from the data (round-5 advice item)."""
     import hashlib
     import os as _os
 
@@ -6897,13 +6899,74 @@ ORDER BY doc_id
 """
 )
 
-DATA_ORACLES["dup_spans_incremental"] = (
-    _dup_span_cte(_DUP_SPAN_WINDOW)
-    + f"""
+# The incremental oracle replays the kernel's EXACT keep rule rather than
+# restricting the full-corpus span set: a NEW-doc window position is kept iff
+# its window text occurs >= 2 times among NEW docs (within-new recount), OR it
+# occurs in the PRIOR dump AND sits inside a run of >= min_run (5) consecutive
+# prior-witnessed positions — the FP-hardening rule of
+# duplicated_spans_incremental (stages/dedup.py), whose documented trade is a
+# window + min_run - 1 (44-char) cross-dump detection floor.  Encoding the
+# floor here makes oracle equality corpus-INDEPENDENT: a regenerated corpus
+# containing a 40-43-char cross-dump-only duplicate no longer fails the gate.
+def _dup_spans_incremental_oracle_sql(L: int, mod: int, min_run: int) -> str:
+    return f"""
+WITH wins AS (
+  SELECT doc_id, CAST(t.pos AS BIGINT) AS pos,
+         substr(text, CAST(t.pos AS INTEGER), {L}) AS w
+  FROM documents,
+       LATERAL UNNEST(range(1, length(text) - {L} + 2)) AS t(pos)
+), new_wins AS (
+  SELECT * FROM wins WHERE doc_id % {mod} <> 0
+), new_dup AS (
+  SELECT w FROM new_wins GROUP BY w HAVING count(*) >= 2
+), prior_w AS (
+  SELECT DISTINCT w FROM wins WHERE doc_id % {mod} = 0
+), flagged AS (
+  SELECT doc_id, pos,
+         (w IN (SELECT w FROM new_dup)) AS ndup,
+         (w IN (SELECT w FROM prior_w)) AS pwit
+  FROM new_wins
+), lag_flag AS (
+  SELECT doc_id, pos, ndup, pwit,
+         COALESCE(lag(pwit) OVER (PARTITION BY doc_id ORDER BY pos),
+                  FALSE) AS prev_pwit
+  FROM flagged
+), runs AS (
+  SELECT doc_id, pos, ndup, pwit,
+         SUM(CASE WHEN pwit AND NOT prev_pwit THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS prun
+  FROM lag_flag
+), runlen AS (
+  SELECT doc_id, pos, ndup, pwit,
+         count(*) FILTER (WHERE pwit)
+           OVER (PARTITION BY doc_id, prun) AS plen
+  FROM runs
+), marked AS (
+  SELECT doc_id, pos FROM runlen
+  WHERE ndup OR (pwit AND plen >= {min_run})
+), lagged AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM marked
+), grouped AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {L} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM lagged
+), spans AS (
+  SELECT doc_id,
+         min(pos) AS span_start,
+         max(pos) + {L - 1} AS span_end,
+         max(pos) + {L} - min(pos) AS span_chars
+  FROM grouped GROUP BY doc_id, grp
+)
 SELECT doc_id, span_start, span_end, span_chars
-FROM spans WHERE doc_id % {BLOOM_OLD_MOD} <> 0
-ORDER BY doc_id, span_start
+FROM spans ORDER BY doc_id, span_start
 """
+
+
+DATA_ORACLES["dup_spans_incremental"] = _dup_spans_incremental_oracle_sql(
+    _DUP_SPAN_WINDOW, BLOOM_OLD_MOD, 5
 )
 
 DATA_ORACLES["corpus_refresh"] = f"""

@@ -1963,6 +1963,74 @@ def _test_bits(words: np.ndarray, idx: np.ndarray) -> np.ndarray:
     ).astype(bool)
 
 
+def _encode_pair_local(
+    seen_idx: np.ndarray, twice_idx: np.ndarray, nw: int
+) -> "tuple[str, bytes, bytes]":
+    """Size-adaptive (fmt, seen, twice) encode at a given word width ``nw``.
+    Sparse only when it's a DECISIVE (4x) win: dense partials cost plain ORs
+    downstream while sparse ones cost an O(n log n) sort at the all-sparse
+    combine — measured: always-sparse made the final 40-partial combine sort
+    400M indices and LOST to the dense ORs it replaced at the 2^28 default.
+    Index arrays must be sorted-distinct uint32 (np.unique upstream)."""
+    sparse_bytes = 4 * (len(seen_idx) + len(twice_idx))
+    if sparse_bytes * 4 < 2 * nw * 8:
+        return (
+            "sparse",
+            seen_idx.astype("<u4").tobytes(),
+            twice_idx.astype("<u4").tobytes(),
+        )
+    seen = np.zeros(nw, dtype=np.uint64)
+    twice = np.zeros(nw, dtype=np.uint64)
+    _set_bits(seen, seen_idx.astype(np.uint64))
+    _set_bits(twice, twice_idx.astype(np.uint64))
+    return "dense", seen.tobytes(), twice.tobytes()
+
+
+def _merge_pair_rows(
+    fmts: list, seens: list, twices: list, nw: int
+) -> "tuple[str, bytes, bytes]":
+    """Saturating associative merge of (fmt, seen, twice) rows at word width
+    ``nw`` — the shared kernel of the full-width OR tree AND the per-shard
+    reducers (where ``nw`` is the shard's slice width and sparse indices are
+    shard-local).  All-sparse inputs merge in the sparse domain: a bit in
+    >= 2 partials is union-twice (each partial's indices are distinct within
+    itself, so cross-partial multiplicity IS the seen_a & seen_b rule)."""
+    if all(f == "sparse" for f in fmts):
+        seen_cat = (
+            np.concatenate([np.frombuffer(s, dtype="<u4") for s in seens])
+            if seens
+            else np.array([], dtype="<u4")
+        )
+        twice_cat = (
+            np.concatenate([np.frombuffer(t, dtype="<u4") for t in twices])
+            if twices
+            else np.array([], dtype="<u4")
+        )
+        useen, counts = np.unique(seen_cat, return_counts=True)
+        twice_idx = np.unique(np.concatenate([useen[counts >= 2], twice_cat]))
+        return _encode_pair_local(
+            useen.astype(np.uint32), twice_idx.astype(np.uint32), nw
+        )
+    seen_acc = np.zeros(nw, dtype=np.uint64)
+    twice_acc = np.zeros(nw, dtype=np.uint64)
+    for fmt, sb, tb in zip(fmts, seens, twices):
+        if fmt == "sparse":
+            sidx = np.frombuffer(sb, dtype="<u4").astype(np.uint64)
+            tidx = np.frombuffer(tb, dtype="<u4").astype(np.uint64)
+            # bits seen by BOTH this partial and the accumulator are
+            # union-twice (the saturating rule, sparse form)
+            dup = sidx[_test_bits(seen_acc, sidx)]
+            _set_bits(twice_acc, dup)
+            _set_bits(twice_acc, tidx)
+            _set_bits(seen_acc, sidx)
+        else:
+            s = np.frombuffer(sb, dtype=np.uint64)
+            t = np.frombuffer(tb, dtype=np.uint64)
+            twice_acc |= t | (seen_acc & s)
+            seen_acc |= s
+    return "dense", seen_acc.tobytes(), twice_acc.tobytes()
+
+
 def window_sketch_pair(
     ds,
     window: int = 40,
@@ -1970,6 +2038,7 @@ def window_sketch_pair(
     min_count: int = 2,
     sketch_bits: int = 1 << 28,
     sketch_hashes: int = 2,
+    reduce_shards: "int | None" = None,
 ) -> "tuple[np.ndarray, np.ndarray]":
     """Scan 1 (sketch path): a saturating seen/seen-twice bitmap pair over
     every length-``window`` char window hash.  Per batch each hash sets
@@ -1999,97 +2068,45 @@ def window_sketch_pair(
     # 64 MiB-per-block partials made a 1M-doc run 9.4× a 200k-doc run —
     # 20 GB of bitmaps through the OR tree — see BASELINE.md).  The first
     # combine level densifies, so the tree above it is unchanged.
-    def _encode_pair(seen_idx: np.ndarray, twice_idx: np.ndarray) -> pa.Table:
-        # sparse only when it's a DECISIVE (4x) win: dense partials cost
-        # plain ORs downstream while sparse ones cost an O(n log n) sort at
-        # the all-sparse combine — measured: always-sparse made the final
-        # 40-partial combine sort 400M indices and LOST to the dense ORs it
-        # replaced at the 2^28 default
-        sparse_bytes = 4 * (len(seen_idx) + len(twice_idx))
-        if sparse_bytes * 4 < 2 * n_words * 8:
-            return pa.table(
-                {
-                    "fmt": pa.array(["sparse"]),
-                    "seen": pa.array([seen_idx.astype("<u4").tobytes()], type=pa.binary()),
-                    "twice": pa.array([twice_idx.astype("<u4").tobytes()], type=pa.binary()),
-                }
-            )
-        seen = np.zeros(n_words, dtype=np.uint64)
-        twice = np.zeros(n_words, dtype=np.uint64)
-        _set_bits(seen, seen_idx.astype(np.uint64))
-        _set_bits(twice, twice_idx.astype(np.uint64))
-        return pa.table(
-            {
-                "fmt": pa.array(["dense"]),
-                "seen": pa.array([seen.tobytes()], type=pa.binary()),
-                "twice": pa.array([twice.tobytes()], type=pa.binary()),
-            }
-        )
-
     def partial(batch: pa.Table) -> pa.Table:
         h, _, _ = _char_window_hashes(batch[text_col], window)
         if not len(h):
-            return _encode_pair(
-                np.array([], dtype=np.uint32), np.array([], dtype=np.uint32)
+            fmt, sb, tb = _encode_pair_local(
+                np.array([], dtype=np.uint32), np.array([], dtype=np.uint32), n_words
             )
-        uh, counts = np.unique(h, return_counts=True)
-        rep = uh[counts >= min_count]
-        seen_idx = np.unique(
-            np.concatenate(_sketch_positions(uh, mask, sketch_hashes))
-        ).astype(np.uint32)
-        twice_idx = (
-            np.unique(np.concatenate(_sketch_positions(rep, mask, sketch_hashes)))
-            .astype(np.uint32)
-            if len(rep)
-            else np.array([], dtype=np.uint32)
-        )
-        return _encode_pair(seen_idx, twice_idx)
-
-    def combine(batch: pa.Table) -> pa.Table:
-        fmts = batch["fmt"].to_pylist()
-        seens = batch["seen"].to_pylist()
-        twices = batch["twice"].to_pylist()
-        if all(f == "sparse" for f in fmts):
-            # pure sparse-domain saturating union: a bit in >= 2 partials is
-            # union-twice (each partial's indices are distinct within
-            # itself, so cross-partial multiplicity IS the seen_a & seen_b
-            # rule); output re-encodes size-adaptively, so a big-sketch
-            # level-1 task never materializes the dense bitmap at all
-            seen_cat = (
-                np.concatenate([np.frombuffer(s, dtype="<u4") for s in seens])
-                if seens
-                else np.array([], dtype="<u4")
+        else:
+            uh, counts = np.unique(h, return_counts=True)
+            rep = uh[counts >= min_count]
+            seen_idx = np.unique(
+                np.concatenate(_sketch_positions(uh, mask, sketch_hashes))
+            ).astype(np.uint32)
+            twice_idx = (
+                np.unique(np.concatenate(_sketch_positions(rep, mask, sketch_hashes)))
+                .astype(np.uint32)
+                if len(rep)
+                else np.array([], dtype=np.uint32)
             )
-            twice_cat = (
-                np.concatenate([np.frombuffer(t, dtype="<u4") for t in twices])
-                if twices
-                else np.array([], dtype="<u4")
-            )
-            useen, counts = np.unique(seen_cat, return_counts=True)
-            twice_idx = np.unique(np.concatenate([useen[counts >= 2], twice_cat]))
-            return _encode_pair(useen.astype(np.uint32), twice_idx.astype(np.uint32))
-        seen_acc = np.zeros(n_words, dtype=np.uint64)
-        twice_acc = np.zeros(n_words, dtype=np.uint64)
-        for fmt, sb, tb in zip(fmts, seens, twices):
-            if fmt == "sparse":
-                sidx = np.frombuffer(sb, dtype="<u4").astype(np.uint64)
-                tidx = np.frombuffer(tb, dtype="<u4").astype(np.uint64)
-                # bits seen by BOTH this partial and the accumulator are
-                # union-twice (the saturating rule, sparse form)
-                dup = sidx[_test_bits(seen_acc, sidx)]
-                _set_bits(twice_acc, dup)
-                _set_bits(twice_acc, tidx)
-                _set_bits(seen_acc, sidx)
-            else:
-                s = np.frombuffer(sb, dtype=np.uint64)
-                t = np.frombuffer(tb, dtype=np.uint64)
-                twice_acc |= t | (seen_acc & s)
-                seen_acc |= s
+            fmt, sb, tb = _encode_pair_local(seen_idx, twice_idx, n_words)
         return pa.table(
             {
-                "fmt": pa.array(["dense"]),
-                "seen": pa.array([seen_acc.tobytes()], type=pa.binary()),
-                "twice": pa.array([twice_acc.tobytes()], type=pa.binary()),
+                "fmt": pa.array([fmt]),
+                "seen": pa.array([sb], type=pa.binary()),
+                "twice": pa.array([tb], type=pa.binary()),
+            }
+        )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        fmt, sb, tb = _merge_pair_rows(
+            batch["fmt"].to_pylist(),
+            batch["seen"].to_pylist(),
+            batch["twice"].to_pylist(),
+            n_words,
+        )
+        return pa.table(
+            {
+                "fmt": pa.array([fmt]),
+                "seen": pa.array([sb], type=pa.binary()),
+                "twice": pa.array([tb], type=pa.binary()),
             }
         )
 
@@ -2097,26 +2114,124 @@ def window_sketch_pair(
     # batches would emit a bitmap pair per ~1k docs: partial volume is
     # partials × sketch_bits/4 bytes, so fewer partials is the point)
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    # two-level OR tree: level 1 folds bundles of 8 pairs IN PARALLEL
-    # (a single bundled task was measured serializing the whole
-    # blocks × bitmap volume through one worker), level 2 folds the
-    # survivors; num_cpus=0.9 blocks fusion with the partial map
-    combined = (
-        partials.map_batches(
-            combine, batch_format="pyarrow", batch_size=8, num_cpus=0.9
-        )
-        .repartition(1)
-        .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    # level 1 of the OR tree folds bundles of 8 pairs IN PARALLEL (a single
+    # bundled task was measured serializing the whole blocks × bitmap volume
+    # through one worker); num_cpus=0.9 blocks fusion with the partial map
+    level1 = partials.map_batches(
+        combine, batch_format="pyarrow", batch_size=8, num_cpus=0.9
     )
-    row = combined.to_pandas()
-    if row["fmt"].iloc[0] == "sparse":  # tiny corpus: final pair stayed sparse
+
+    # Final reduce: range-partition the BIT SPACE across K reducers so no
+    # single task ever holds (or sorts) a full-width pair.  At 2^31 bits the
+    # old single level-2 task OR-ed 2 × 256 MiB bitmaps (or sorted ~400M
+    # sparse indices); sharded, each of the K reducers owns a contiguous
+    # 1/K slice of the words — the saturating algebra applies independently
+    # per slice because the slices are bit-disjoint.  Sparse level-1 outputs
+    # are searchsorted-split at the shard boundaries (indices are sorted-
+    # distinct by construction), so the per-shard sparse union also sorts
+    # only its slice's indices.  Auto K: one shard per 2^26 bits (8 MiB of
+    # words), capped at 64 — tiny sketches keep the single-task path.
+    if reduce_shards is None:
+        n_shards = max(1, min(64, sketch_bits >> 26, n_words))
+    else:
+        n_shards = max(1, min(int(reduce_shards), n_words))
+    if n_shards == 1:
+        row = (
+            level1.repartition(1)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
         seen = np.zeros(n_words, dtype=np.uint64)
         twice = np.zeros(n_words, dtype=np.uint64)
-        _set_bits(seen, np.frombuffer(row["seen"].iloc[0], dtype="<u4").astype(np.uint64))
-        _set_bits(twice, np.frombuffer(row["twice"].iloc[0], dtype="<u4").astype(np.uint64))
+        if row["fmt"].iloc[0] == "sparse":  # tiny corpus: stayed sparse
+            _set_bits(seen, np.frombuffer(row["seen"].iloc[0], dtype="<u4").astype(np.uint64))
+            _set_bits(twice, np.frombuffer(row["twice"].iloc[0], dtype="<u4").astype(np.uint64))
+            return seen, twice
+        seen[:] = np.frombuffer(row["seen"].iloc[0], dtype=np.uint64)
+        twice[:] = np.frombuffer(row["twice"].iloc[0], dtype=np.uint64)
         return seen, twice
-    seen = np.frombuffer(row["seen"].iloc[0], dtype=np.uint64).copy()
-    twice = np.frombuffer(row["twice"].iloc[0], dtype=np.uint64).copy()
+
+    shard_words = n_words // n_shards
+    shard_bits = shard_words * 64
+
+    def shard_split(batch: pa.Table) -> pa.Table:
+        shards, fmts_o, seens_o, twices_o = [], [], [], []
+        for fmt, sb, tb in zip(
+            batch["fmt"].to_pylist(),
+            batch["seen"].to_pylist(),
+            batch["twice"].to_pylist(),
+        ):
+            if fmt == "sparse":
+                sidx = np.frombuffer(sb, dtype="<u4")
+                tidx = np.frombuffer(tb, dtype="<u4")
+                edges = np.arange(0, n_shards + 1, dtype=np.int64) * shard_bits
+                s_cut = np.searchsorted(sidx.astype(np.int64), edges)
+                t_cut = np.searchsorted(tidx.astype(np.int64), edges)
+                for k in range(n_shards):
+                    s_k = sidx[s_cut[k] : s_cut[k + 1]]
+                    t_k = tidx[t_cut[k] : t_cut[k + 1]]
+                    if not len(s_k) and not len(t_k):
+                        continue  # empty slice is the merge identity
+                    off = np.uint32(k * shard_bits)
+                    shards.append(k)
+                    fmts_o.append("sparse")
+                    seens_o.append((s_k - off).tobytes())
+                    twices_o.append((t_k - off).tobytes())
+            else:
+                s = np.frombuffer(sb, dtype=np.uint64)
+                t = np.frombuffer(tb, dtype=np.uint64)
+                for k in range(n_shards):
+                    lo, hi = k * shard_words, (k + 1) * shard_words
+                    s_k, t_k = s[lo:hi], t[lo:hi]
+                    if not s_k.any() and not t_k.any():
+                        continue
+                    shards.append(k)
+                    fmts_o.append("dense")
+                    seens_o.append(s_k.tobytes())
+                    twices_o.append(t_k.tobytes())
+        return pa.table(
+            {
+                "shard": pa.array(shards, type=pa.int32()),
+                "fmt": pa.array(fmts_o, type=pa.string()),
+                "seen": pa.array(seens_o, type=pa.binary()),
+                "twice": pa.array(twices_o, type=pa.binary()),
+            }
+        )
+
+    def combine_shard(block: pa.Table) -> pa.Table:
+        fmt, sb, tb = _merge_pair_rows(
+            block["fmt"].to_pylist(),
+            block["seen"].to_pylist(),
+            block["twice"].to_pylist(),
+            shard_words,
+        )
+        return pa.table(
+            {
+                "shard": pa.array([block["shard"][0].as_py()], type=pa.int32()),
+                "fmt": pa.array([fmt]),
+                "seen": pa.array([sb], type=pa.binary()),
+                "twice": pa.array([tb], type=pa.binary()),
+            }
+        )
+
+    per_shard = (
+        level1.map_batches(shard_split, batch_format="pyarrow", num_cpus=0.9)
+        .groupby("shard")
+        .map_groups(combine_shard, batch_format="pyarrow")
+    )
+    rows = per_shard.to_pandas()
+    seen = np.zeros(n_words, dtype=np.uint64)
+    twice = np.zeros(n_words, dtype=np.uint64)
+    for _, r in rows.iterrows():
+        k = int(r["shard"])
+        lo = k * shard_words
+        if r["fmt"] == "dense":
+            seen[lo : lo + shard_words] = np.frombuffer(r["seen"], dtype=np.uint64)
+            twice[lo : lo + shard_words] = np.frombuffer(r["twice"], dtype=np.uint64)
+        else:
+            off = np.uint64(k * shard_bits)
+            _set_bits(seen, np.frombuffer(r["seen"], dtype="<u4").astype(np.uint64) + off)
+            _set_bits(twice, np.frombuffer(r["twice"], dtype="<u4").astype(np.uint64) + off)
     return seen, twice
 
 
@@ -2127,12 +2242,14 @@ def duplicated_window_sketch(
     min_count: int = 2,
     sketch_bits: int = 1 << 28,
     sketch_hashes: int = 2,
+    reduce_shards: "int | None" = None,
 ) -> "Optional[np.ndarray]":
     """The `twice` bitmap of :func:`window_sketch_pair` (None when no bit
     is set) — the single-corpus candidate filter ``duplicated_spans``
     broadcasts."""
     _, twice = window_sketch_pair(
-        ds, window, text_col, min_count, sketch_bits, sketch_hashes
+        ds, window, text_col, min_count, sketch_bits, sketch_hashes,
+        reduce_shards=reduce_shards,
     )
     return twice if twice.any() else None
 
@@ -2148,6 +2265,7 @@ def duplicated_spans(
     method: str = "sketch",
     sketch_bits: int = 1 << 28,
     sketch_hashes: int = 2,
+    reduce_shards: "int | None" = None,
 ):
     """Maximal duplicated char spans per document:
     ``(doc_id, span_start, span_end, span_chars)``, 1-based inclusive
@@ -2179,7 +2297,8 @@ def duplicated_spans(
         broadcast = np.sort(dup_hashes) if len(dup_hashes) else None
     else:
         broadcast = duplicated_window_sketch(
-            ds, window, text_col, min_count, sketch_bits, sketch_hashes
+            ds, window, text_col, min_count, sketch_bits, sketch_hashes,
+            reduce_shards=reduce_shards,
         )
     if broadcast is None:
         # typed empty result — Ray drops the schema on a 0-row to_pandas,

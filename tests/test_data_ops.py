@@ -4587,6 +4587,39 @@ def test_remove_duplicated_spans_semantics(ray_session):
     assert pd.isna(out.loc[3, "kept_chars"]) and out.loc[3, "cleaned_md5"] is None
 
 
+def test_window_sketch_sharded_reduce_equals_single(ray_session):
+    """The bit-space-sharded final sketch reduction (round-5: no single task
+    holds a full-width bitmap) must produce the EXACT (seen, twice) pair of
+    the single-task OR tree, for shard counts that exercise sparse splits,
+    dense splits, and empty shards."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.dedup import window_sketch_pair
+
+    rng = np.random.default_rng(11)
+    passage = "the shared duplicated passage that repeats across many docs!"
+    docs = []
+    for i in range(3000):
+        t = "".join(rng.choice(list("abcdefgh "), size=100))
+        if i % 9 == 0:
+            t = t[:25] + passage + t[25:]
+        docs.append(t)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                  "text": pa.array(docs)})
+    ).repartition(12)
+
+    for bits in (1 << 18, 1 << 21):
+        ref = window_sketch_pair(ds, window=40, sketch_bits=bits, reduce_shards=1)
+        for k in (2, 4, 16):
+            got = window_sketch_pair(
+                ds, window=40, sketch_bits=bits, reduce_shards=k
+            )
+            assert (ref[0] == got[0]).all(), (bits, k)
+            assert (ref[1] == got[1]).all(), (bits, k)
+    assert ref[1].any()  # the planted passage actually set twice-bits
+
+
 def test_substring_sketch_incremental(ray_session, tmp_path):
     """Cross-dump EXACTSUBSTR through the persisted sketch: spans of the
     NEW dump against (prior ∪ new) from the loaded bitmaps must equal the
@@ -4664,6 +4697,26 @@ def test_substring_sketch_incremental(ray_session, tmp_path):
     # parameter pinning: mismatched window raises
     with pytest.raises(ValueError, match="parameter mismatch"):
         load_substring_sketch(sdir, window=W + 1)
+
+    # FP-hardening detection floor, pinned: a CROSS-DUMP-only match shorter
+    # than window + min_run - 1 chars (16 at W=12, min_run=5) must NOT be
+    # reported — its witnessed run is min_run-1 long — while one exactly at
+    # the floor must (run of exactly min_run).  This is the documented
+    # ExactSubstr minimum-match trade of duplicated_spans_incremental.
+    below = "ABCDEFGHJKLMNOP"  # 15 chars = floor-1 → 4 witnessed positions
+    at_floor = "RSTUVWXYZ0123456"  # 16 chars = floor → 5 witnessed positions
+    assert len(below) == W + 5 - 2 and len(at_floor) == W + 5 - 1
+    prior_f = {0: fill(30) + below + fill(9) + at_floor + fill(30)}
+    new_f = {10: fill(20) + below + fill(11) + at_floor + fill(25)}
+    sdir3 = str(tmp_path / "sketch3")
+    build_substring_sketch(to_ds(prior_f), sdir3, window=W)
+    got_f = duplicated_spans_incremental(to_ds(new_f), sdir3)
+    got_f = got_f.to_pandas() if hasattr(got_f, "to_pandas") else got_f
+    assert len(got_f) == 1  # only the at-floor passage, never the sub-floor
+    s0 = int(got_f.span_start.iloc[0])
+    e0 = int(got_f.span_end.iloc[0])
+    start_at = new_f[10].index(at_floor)  # 0-based
+    assert (s0, e0) == (start_at + 1, start_at + len(at_floor))
 
 
 def test_ann_pq_recall_and_reference(ray_session):

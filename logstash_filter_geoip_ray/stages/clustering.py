@@ -179,6 +179,50 @@ def kmeans_fit(
     return centroids
 
 
+def kmeans_fit_local(
+    tbl: pa.Table,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Driver-local bit-exact replica of :func:`kmeans_fit` (no Ray) — used
+    to generate the SemDeDup oracle's centroid literals and by the parity
+    test that pins distributed == local.  Valid because the distributed fit
+    is integer-exact for ANY batching: same farthest-point init (global
+    min-id seed; then max-d2, tie → min id), same int64 Lloyd algebra, same
+    ``sum // count`` update, so both paths compute the identical matrix."""
+    from .similarity import list_column_to_matrix
+
+    ids_arr = pc.cast(tbl[id_col], pa.int64())
+    if isinstance(ids_arr, pa.ChunkedArray):
+        ids_arr = ids_arr.combine_chunks()
+    ids = np.asarray(ids_arr)
+    mat = np.floor(
+        list_column_to_matrix(tbl[vec_col]) * KMEANS_MILLI
+    ).astype(np.int64)
+
+    seeds = [mat[int(np.argmin(ids))]]
+    for _ in range(k - 1):
+        cents = np.stack(seeds)
+        vv = np.sum(mat * mat, axis=1)
+        cc = np.sum(cents * cents, axis=1)
+        d2 = np.min(vv[:, None] - 2 * (mat @ cents.T) + cc[None, :], axis=1)
+        best = int(np.lexsort((ids, -d2))[0])  # max d2, tie → min id
+        seeds.append(mat[best])
+    centroids = np.stack(seeds)
+
+    for _ in range(iters):
+        assign = _assign(mat, centroids)
+        new = centroids.copy()
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                new[c] = members.sum(axis=0, dtype=np.int64) // len(members)
+        centroids = new
+    return centroids
+
+
 def kmeans_assign(
     ds,
     centroids: np.ndarray,

@@ -1387,6 +1387,91 @@ def embedding_dup_pairs_broadcast(
     return ds.map_batches(batch_pairs, batch_format="pyarrow").sort(["a", "b"])
 
 
+def semdedup_clustered_pairs(
+    ds,
+    centroids: np.ndarray,
+    min_cosine: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_rows: int = 200_000,
+):
+    """SemDeDup's corpus-scale pair path: kmeans cluster partitioning →
+    exact cosine pairs WITHIN each cluster only.  Output (a, b) int64 pairs,
+    a < b, restricted to same-cluster pairs — the deliberate SemDeDup
+    approximation (Abbas et al. 2023: semantic dedup searches within
+    k-means clusters, never across), which turns the all-pairs O(n²) into
+    Σ cluster_size² ≪ n² when k is sized so clusters stay small.
+
+    One map pass attaches the integer-exact cluster id (same `_assign`
+    algebra as :func:`clustering.kmeans_fit`, so an oracle built from the
+    same centroid literals reproduces the partition bit-for-bit), one
+    ``groupby(cluster)`` co-locates each cluster, one numpy matmul scores
+    it.  Shuffle volume = 1× corpus (vs num_blocks× for the exact grid).
+    ``max_cluster_rows`` is the skew guard: a cluster too big for one
+    task's matmul raises loudly — resize k upstream rather than silently
+    degrade.  The exact block-grid (:func:`embedding_dup_pairs`) remains
+    the exactness cross-check; tests pin that this path equals the grid
+    path filtered to within-cluster pairs."""
+    import ray
+
+    cent_ref = ray.put(np.ascontiguousarray(centroids, dtype=np.int64))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        from .clustering import _assign, _milli_matrix
+
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    vec_col: pa.array([], type=batch[vec_col].type),
+                }
+            )
+        cents = ray.get(cent_ref)
+        mat = _milli_matrix(batch, vec_col)
+        return pa.table(
+            {
+                "cluster": pa.array(_assign(mat, cents).astype(np.int64)),
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                vec_col: batch[vec_col].combine_chunks()
+                if isinstance(batch[vec_col], pa.ChunkedArray)
+                else batch[vec_col],
+            }
+        )
+
+    def cluster_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        _check_block_cap(
+            len(group),
+            int(group["cluster"].iloc[0]) if len(group) else None,
+            max_cluster_rows,
+            "semdedup_clustered_pairs",
+        )
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64")})
+        if len(group) < 2:
+            return empty
+        ids = group[id_col].to_numpy()
+        mat = np.stack(group[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        sims = matn @ matn.T
+        ra, rb = np.nonzero(sims >= min_cosine)
+        a, b = ids[ra], ids[rb]
+        keep = a < b
+        return pd.DataFrame({"a": a[keep].astype("int64"),
+                             "b": b[keep].astype("int64")})
+
+    withc = ds.select_columns([id_col, vec_col]).map_batches(
+        attach, batch_format="pyarrow"
+    )
+    return (
+        withc.groupby("cluster")
+        .map_groups(cluster_pairs, batch_format="pandas")
+        .sort(["a", "b"])
+    )
+
+
 def edit_distance_pairs(
     ds,
     block_cols=("lang", "source"),

@@ -162,6 +162,31 @@ def _load_meta(index_dir: str) -> dict:
         return json.load(f)
 
 
+def _nearest_nonempty_files(index_dir: str, qcent: np.ndarray, n_probe: int):
+    """Fallback probe set when every nearest-cell directory is empty: the
+    union of each query's ``n_probe`` nearest cells AMONG the cells that
+    actually hold vectors.  Deterministic (same argsort tie rule as the
+    primary probe).  Raises only when the index has no populated cell at
+    all — the corrupt/absent-index case."""
+    avail = []
+    for d in glob.glob(os.path.join(index_dir, "cell=*")):
+        if glob.glob(os.path.join(d, "*.parquet")):
+            avail.append(int(os.path.basename(d).split("=", 1)[1]))
+    if not avail:
+        raise FileNotFoundError(
+            "ann_index: no populated cell partitions under %r" % index_dir
+        )
+    avail = np.array(sorted(avail))
+    order = np.argsort(-qcent[:, avail], axis=1)[:, :n_probe]
+    accept = sorted({int(avail[c]) for row in order for c in row})
+    files = []
+    for c in accept:
+        files.extend(
+            sorted(glob.glob(os.path.join(index_dir, "cell=%d" % c, "*.parquet")))
+        )
+    return files
+
+
 def ivf_index_topk(
     index_dir: str,
     query_ids: Sequence[int],
@@ -228,6 +253,12 @@ def ivf_index_topk(
     for c in accept:
         probe_files.extend(
             sorted(glob.glob(os.path.join(index_dir, "cell=%d" % c, "*.parquet")))
+        )
+    if not probe_files:
+        # all probed cells empty (skewed corpus, small cells): extend to the
+        # nearest non-empty cells — same rule as ivfpq_index_topk
+        probe_files = _nearest_nonempty_files(
+            index_dir, qmat @ centroids.T, n_probe
         )
     ref = ray.put((qids, qmat))
 
@@ -449,7 +480,11 @@ def ivfpq_index_topk(
             sorted(glob.glob(os.path.join(index_dir, "cell=%d" % c, "*.parquet")))
         )
     if not probe_files:
-        raise FileNotFoundError("ann_index: no cell partitions under %r" % index_dir)
+        # every probed cell is an EMPTY partition — a legal state for a
+        # skewed corpus with small cells (round-5 advice item).  Extend
+        # probing to the nearest NON-EMPTY cells instead of erroring;
+        # FileNotFoundError is reserved for "the index has no cells at all".
+        probe_files = _nearest_nonempty_files(index_dir, qcent, n_probe)
     ref = ray.put((qids, tables, qcent))
 
     def partial_topk(batch: pa.Table) -> pa.Table:

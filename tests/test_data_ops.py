@@ -4852,6 +4852,57 @@ def test_ivfpq_index_recall_and_determinism(ray_session, tmp_path):
         ivfpq_index_topk(raw, ds(), ANN_QUERY_IDS, k=10)
 
 
+def test_ivfpq_empty_probed_cells_fall_back(ray_session, tmp_path):
+    """All-probed-cells-empty is a LEGAL state for a skewed corpus with
+    small cells (round-5 advice item): search must extend probing to the
+    nearest NON-EMPTY cells and return k results, not raise
+    FileNotFoundError — which stays reserved for an index with no populated
+    cells at all."""
+    import glob as _glob
+    import os as _os
+
+    import ray.data
+
+    from logstash_filter_geoip_ray.state.ann_index import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    ds = lambda: ray.data.read_parquet(f"{SF}/embeddings.parquet")  # noqa: E731
+    idx = str(tmp_path / "ivfpq_skew")
+    build_ivfpq_index(ds(), idx, n_clusters=8, n_subspaces=16, n_codes=64)
+
+    # simulate the skewed state: empty EVERY cell a 1-probe search of the
+    # first query would touch, leaving the rest populated
+    full = ivfpq_index_topk(idx, ds(), ANN_QUERY_IDS[:1], k=5, n_probe=1)
+    full_rows = full.to_pandas()
+    assert len(full_rows) == 5
+    cell_dirs = sorted(_glob.glob(_os.path.join(idx, "cell=*")))
+    assert len(cell_dirs) > 2
+    # the n_probe=1 results all come from query 0's nearest cell — empty
+    # exactly the cell(s) holding them, so the next 1-probe search hits
+    # only empty partitions
+    top_ids = set(full_rows.neighbor_id)
+    emptied = 0
+    for d in cell_dirs:
+        rows = ray.data.read_parquet(_glob.glob(_os.path.join(d, "*.parquet")))
+        if set(rows.to_pandas()["vec_id"]) & top_ids:
+            for f in _glob.glob(_os.path.join(d, "*.parquet")):
+                _os.remove(f)
+            emptied += 1
+    assert emptied == 1  # one nearest cell held all n_probe=1 results
+    got = ivfpq_index_topk(idx, ds(), ANN_QUERY_IDS[:1], k=5, n_probe=1)
+    got_rows = got.to_pandas()
+    assert len(got_rows) == 5  # fell back to non-empty cells, no raise
+
+    # truly empty index (every cell) → FileNotFoundError
+    for d in cell_dirs:
+        for f in _glob.glob(_os.path.join(d, "*.parquet")):
+            _os.remove(f)
+    with pytest.raises(FileNotFoundError, match="no populated cell"):
+        ivfpq_index_topk(idx, ds(), ANN_QUERY_IDS[:1], k=5, n_probe=1)
+
+
 def test_hard_negatives_labels_differ(ray_session):
     """Every mined hard negative must carry a label different from its
     query's, and per query the result is exactly the top-k of the

@@ -827,3 +827,145 @@ def test_rotation_window_policy():
     never = [n for n in real_sql if n not in checked and n not in window[:2]]
     if len(never) >= 48:
         assert all(n in never or n in window[:2] for n in window)
+
+
+def test_resumable_bucketed_write_sigkill_resume(ray_session, tmp_path):
+    """Round-5 verdict item #4: SIGKILL mid-phase-1 → resume skips the
+    committed shards, reruns only the rest, and compacts to BYTE-IDENTICAL
+    sink files vs an uninterrupted run (deterministic per-shard staged part
+    names + atomic manifests)."""
+    import glob
+    import hashlib
+    import os
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        write_routed_bucketed_resumable,
+    )
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+
+    input_dir = transcripts_path(SF, rows=200_000)  # 4 shards
+    out_a = str(tmp_path / "uninterrupted")
+    out_b = str(tmp_path / "interrupted")
+
+    _, files_a, s_a = write_routed_bucketed_resumable(input_dir, out_a)
+    assert s_a["shards_processed"] == 4 and s_a["rows"] == 200_000
+
+    # interrupted run in a subprocess: serial shards (num_cpus=1) slowed so
+    # the kill lands after >=1 but <4 manifests are committed
+    script = tmp_path / "killme.py"
+    script.write_text(textwrap.dedent("""
+        import sys, time
+        import ray
+        ray.init(address="local", num_cpus=1, include_dashboard=False,
+                 logging_level="ERROR")
+        from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+            _default_routed_shard_fn, default_config,
+            write_routed_bucketed_resumable,
+        )
+        cfg = default_config()
+        inner = _default_routed_shard_fn(cfg)
+        def slow(p):
+            t = inner(p)
+            time.sleep(2.0)
+            return t
+        write_routed_bucketed_resumable(sys.argv[1], sys.argv[2],
+                                        config=cfg, shard_fn=slow)
+    """))
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    proc = subprocess.Popen(
+        [sys.executable, str(script), input_dir, out_b],
+        env=env, start_new_session=True,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    man_glob = os.path.join(out_b, "_staging", "_manifests", "*.json")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        n = len(glob.glob(man_glob))
+        if 1 <= n < 4:
+            break
+        if proc.poll() is not None:
+            raise AssertionError("subprocess finished before the kill")
+        time.sleep(0.05)
+    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    proc.wait()
+    n_committed = len(glob.glob(man_glob))
+    assert 1 <= n_committed < 4  # died mid-phase-1
+
+    # resume in this process: committed shards are SKIPPED
+    _, files_b, s_b = write_routed_bucketed_resumable(input_dir, out_b)
+    assert s_b["shards_skipped"] == n_committed
+    assert s_b["shards_processed"] == 4 - n_committed
+    assert s_b["rows"] == 200_000
+
+    # byte-identical sinks vs the uninterrupted run
+    def digest_tree(root):
+        out = {}
+        for f in sorted(glob.glob(root + "/**/*.parquet", recursive=True)):
+            with open(f, "rb") as fh:
+                out[os.path.relpath(f, root)] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    da, db = digest_tree(out_a), digest_tree(out_b)
+    assert da and da == db
+    assert files_a == files_b == len(da)
+
+
+def test_bucketed_routed_write_hot_sink_salted(ray_session, tmp_path):
+    """Round-5 verdict item #5: a planted 50%-hot sink is auto-salted — its
+    phase-2 compaction runs as K parallel part files — while every other
+    sink stays single-file, and per-sink row totals are unchanged."""
+    import glob
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        write_routed_bucketed,
+    )
+
+    n = 20_000
+    rng = np.random.default_rng(3)
+    hot = rng.random(n) < 0.5
+    countries = np.where(hot, "US", rng.choice(["DE", "FR", "JP", "BR"], n))
+    tools = np.where(hot, "grep", rng.choice(["bash", "edit"], n))
+    tbl = pa.table(
+        {
+            "country": pa.array(countries.tolist()),
+            "tool": pa.array(tools.tolist()),
+            "conv_id": pa.array([f"c{i}" for i in range(n)]),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(16)
+    out = str(tmp_path / "hot")
+    threshold = 2_000
+    _, files = write_routed_bucketed(
+        ds, out, num_buckets=4, hot_sink_rows=threshold
+    )
+
+    expected = {}
+    for c, t in zip(countries.tolist(), tools.tolist()):
+        expected[(c, t)] = expected.get((c, t), 0) + 1
+    got, hot_parts = {}, None
+    for d in glob.glob(out + "/country=*/tool=*"):
+        c = d.split("country=")[1].split("/")[0]
+        t = d.split("tool=")[1]
+        parts = glob.glob(d + "/*.parquet")
+        rows = sum(pq.read_table(p).num_rows for p in parts)
+        got[(c, t)] = rows
+        if (c, t) == ("US", "grep"):
+            hot_parts = len(parts)
+        else:
+            assert len(parts) == 1, (c, t, parts)  # cold sinks single-file
+    assert got == expected  # row totals unchanged by salting
+    k_want = min(16, math.ceil(expected[("US", "grep")] / threshold))
+    assert hot_parts == k_want  # hot sink split into K parallel parts
+    assert files == len(got) - 1 + hot_parts

@@ -2788,6 +2788,7 @@ def containment_pairs_by_block(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_block_tokens: int = 5_000_000,
+    max_merge_rows: int = 50_000_000,
 ):
     """Asymmetric Broder CONTAINMENT |A∩B| / min(|A|, |B|) for every doc
     pair sharing ``block_col``: rows (a, b, inter, size_a, size_b) with
@@ -2798,8 +2799,15 @@ def containment_pairs_by_block(
 
     Unlike the O(n²)-loop Jaccard validator beside it, the block kernel is
     fully vectorized: distinct (doc, token) explode → one self-merge on
-    token → pair groupby — C pandas throughout, so the guard caps exploded
-    TOKEN rows, not docs."""
+    token → pair groupby — C pandas throughout, so ``max_block_tokens``
+    caps exploded TOKEN rows.  That alone does not bound the merge: the
+    self-merge materializes Σ df(w)² rows, so ONE high-document-frequency
+    token (a stopword every doc in the block shares) explodes it
+    quadratically in docs while staying far under the token cap (round-5
+    advice item).  ``max_merge_rows`` therefore also caps the PREDICTED
+    merge size — computed exactly from the per-token doc frequencies before
+    merging — raising the same loud ValueError instead of OOM-ing the
+    task."""
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -2824,6 +2832,14 @@ def containment_pairs_by_block(
         )
         if not len(ex):
             return empty
+        df = ex.groupby("w").size()
+        predicted = int((df.astype("int64") ** 2).sum())
+        _check_block_cap(
+            predicted,
+            group[block_col].iloc[0] if len(group) else None,
+            max_merge_rows,
+            "containment_pairs_by_block (predicted Σ df(w)² merge rows)",
+        )
         sizes = ex.groupby(id_col).size()
         m = ex.merge(ex, on="w", suffixes=("_x", "_y"))
         ax, ay = id_col + "_x", id_col + "_y"

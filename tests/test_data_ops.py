@@ -4997,3 +4997,33 @@ def test_containment_catches_subset_jaccard_misses(ray_session):
     row = cont.iloc[0]
     assert row.inter == row.size_a == 4 and row.size_b == 44
     assert len(jac) == 0  # symmetric Jaccard misses the embedded quote
+
+
+def test_containment_merge_size_guard(ray_session):
+    """One high-document-frequency token shared by EVERY doc in the block
+    explodes the token self-merge quadratically in docs while staying far
+    under max_block_tokens — the predicted Σ df(w)² cap must raise loudly
+    (round-5 advice item), and generous caps must leave results unchanged."""
+    import ray.data
+
+    from logstash_filter_geoip_ray.stages.dedup import (
+        containment_pairs_by_block,
+    )
+
+    n = 200  # docs, each sharing one stopword: Σ df² >= n² = 40,000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "source": ["s"] * n,
+            "text": ["the unique%d token%d" % (i, i) for i in range(n)],
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError, match="df\\(w\\)"):
+        containment_pairs_by_block(
+            ds, max_block_tokens=5_000_000, max_merge_rows=n * n - 1
+        ).to_pandas()
+    # a generous cap passes and the result is the honest all-pairs answer
+    # for the shared-stopword block: inter=1 pairs filtered by threshold
+    ok = containment_pairs_by_block(ds, max_merge_rows=10 * n * n).to_pandas()
+    assert len(ok) == 0  # 1/3 containment < 8/10 threshold for every pair

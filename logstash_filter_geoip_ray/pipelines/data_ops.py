@@ -1600,6 +1600,8 @@ def q_ann_ivf_indexed(sf_dir: str):
     never have. Must equal the recompute-path ``ann_ivf`` rows exactly
     (same codebook sample rule + seed); rows-only driver check like
     ann_ivf, exact-equality pinned in tests."""
+    from ..state.ann_index import ivf_index_topk
+
     return ivf_index_topk(_ivf_index_dir(sf_dir), ANN_QUERY_IDS, k=ANN_K)
 
 

@@ -55,24 +55,106 @@ def _assign(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return np.argmin(scores, axis=1)
 
 
+def _sample_mask(ids: np.ndarray, sample_milli: int) -> np.ndarray:
+    """Deterministic per-id hash sample (splitmix64 finalizer): a pure
+    function of the id alone, so the sampled set is identical for ANY
+    batching / blocking / cluster size — the property the bit-stable
+    kmeans contract needs."""
+    h = ids.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = h + np.uint64(0x9E3779B97F4A7C15)
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+    return (h % np.uint64(1000)) < np.uint64(sample_milli)
+
+
+def _farthest_point_seeds(ids: np.ndarray, mat: np.ndarray, k: int) -> np.ndarray:
+    """Local farthest-point init over (ids, milli-matrix): seed 1 is the
+    vector of the smallest id; each next seed maximizes the squared
+    distance to its nearest chosen seed (ties → lowest id).  The SAME
+    algebra the distributed init replays pass-by-pass."""
+    seeds = [mat[int(np.argmin(ids))]]
+    for _ in range(k - 1):
+        cents = np.stack(seeds)
+        vv = np.sum(mat * mat, axis=1)
+        cc = np.sum(cents * cents, axis=1)
+        d2 = np.min(vv[:, None] - 2 * (mat @ cents.T) + cc[None, :], axis=1)
+        best = int(np.lexsort((ids, -d2))[0])  # max d2, tie → min id
+        seeds.append(mat[best])
+    return np.stack(seeds)
+
+
 def kmeans_fit(
     ds,
     k: int = 8,
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    init: str = "farthest",
+    sample_milli: int = 100,
 ) -> np.ndarray:
     """Fit ``k`` integer-milli centroids with ``iters`` Lloyd rounds.
 
-    Init: deterministic farthest-point traversal (no RNG) — seed 1 is the
-    vector of the smallest id; each next seed is the point maximizing the
-    squared distance to its nearest chosen seed (ties → lowest id). Each
-    init round is one streaming pass emitting a single per-batch argmax
-    row, so only batches×1 rows reach the driver; k-1 rounds total.
-    Unlike smallest-k-ids init this cannot drop two seeds into one dense
-    blob. Empty clusters keep their previous centroid. Returns the
-    ``(k, dim)`` int64 centroid matrix."""
+    ``init="farthest"`` (default): deterministic farthest-point traversal
+    (no RNG) — seed 1 is the vector of the smallest id; each next seed is
+    the point maximizing the squared distance to its nearest chosen seed
+    (ties → lowest id). Each init round is one streaming pass emitting a
+    single per-batch argmax row, so only batches×1 rows reach the driver —
+    but there are k-1 rounds, i.e. k-1 FULL CORPUS PASSES: exact, and fine
+    for small k, but the wrong shape at k=1024 on 100 TB.
+
+    ``init="sample"`` (the scale path): ONE streaming pass collects the
+    deterministic hash sample (``splitmix64(id) % 1000 < sample_milli`` —
+    a pure function of the id, so the sample is identical for any
+    blocking), and the same farthest-point traversal runs LOCALLY on the
+    sample. Init cost drops from k-1 passes to 1 pass + a driver-side
+    numpy loop over ~sample_milli/1000 of the corpus; pick ``sample_milli``
+    so the sample fits the driver (e.g. 1000·target_rows/corpus_rows).
+    Lloyd iterations are identical in both modes, and both stay bit-stable
+    under any batching (``kmeans_fit_local`` mirrors both; parity pinned by
+    test).
+
+    Unlike smallest-k-ids init, farthest-point cannot drop two seeds into
+    one dense blob. Empty clusters keep their previous centroid. Returns
+    the ``(k, dim)`` int64 centroid matrix."""
     import ray
+
+    if init not in ("farthest", "sample"):
+        raise ValueError("kmeans_fit: init must be 'farthest' or 'sample'")
+    if init == "sample":
+        def sampled(batch: pa.Table) -> pa.Table:
+            mat = _milli_matrix(batch, vec_col)
+            if mat is None:
+                return pa.table(
+                    {
+                        id_col: pa.array([], type=pa.int64()),
+                        vec_col: pa.array([], type=pa.list_(pa.int64())),
+                    }
+                )
+            ids = pc.cast(batch[id_col], pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            keep = _sample_mask(ids, sample_milli)
+            return pa.table(
+                {
+                    id_col: pa.array(ids[keep], type=pa.int64()),
+                    vec_col: pa.array(
+                        mat[keep].tolist(), type=pa.list_(pa.int64())
+                    ),
+                }
+            )
+
+        samp = ds.map_batches(sampled, batch_format="pyarrow").to_pandas()
+        if len(samp) < k:
+            raise ValueError(
+                "kmeans_fit: hash sample has %d rows < k=%d — raise "
+                "sample_milli (or use init='farthest')" % (len(samp), k)
+            )
+        sids = samp[id_col].to_numpy()
+        smat = np.stack(samp[vec_col].to_numpy()).astype(np.int64)
+        centroids = _farthest_point_seeds(sids, smat, k)
+        return _lloyd(ds, centroids, k, iters, vec_col)
 
     def bottom1(batch: pa.Table) -> pa.Table:
         ids = pc.cast(batch[id_col], pa.int64())
@@ -130,9 +212,16 @@ def kmeans_fit(
         cand = cand.sort_values(["d2", id_col], ascending=[False, True])
         seeds.append(np.asarray(cand[vec_col].iloc[0], dtype=np.int64))
 
-    centroids = np.stack(seeds)
-    dim = centroids.shape[1]
+    return _lloyd(ds, np.stack(seeds), k, iters, vec_col)
 
+
+def _lloyd(ds, centroids: np.ndarray, k: int, iters: int, vec_col: str) -> np.ndarray:
+    """The distributed Lloyd rounds shared by both init modes: centroids
+    broadcast per round, per-batch int64 partial (sum, count) rows, driver
+    folds with ``sum // count`` — bit-stable under any batching."""
+    import ray
+
+    dim = centroids.shape[1]
     for _ in range(iters):
         cent_ref = ray.put(centroids)
 
@@ -185,13 +274,16 @@ def kmeans_fit_local(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    init: str = "farthest",
+    sample_milli: int = 100,
 ) -> np.ndarray:
     """Driver-local bit-exact replica of :func:`kmeans_fit` (no Ray) — used
     to generate the SemDeDup oracle's centroid literals and by the parity
     test that pins distributed == local.  Valid because the distributed fit
-    is integer-exact for ANY batching: same farthest-point init (global
-    min-id seed; then max-d2, tie → min id), same int64 Lloyd algebra, same
-    ``sum // count`` update, so both paths compute the identical matrix."""
+    is integer-exact for ANY batching: same init (farthest-point, or the
+    same deterministic hash sample then farthest-point), same int64 Lloyd
+    algebra, same ``sum // count`` update, so both paths compute the
+    identical matrix."""
     from .similarity import list_column_to_matrix
 
     ids_arr = pc.cast(tbl[id_col], pa.int64())
@@ -202,15 +294,19 @@ def kmeans_fit_local(
         list_column_to_matrix(tbl[vec_col]) * KMEANS_MILLI
     ).astype(np.int64)
 
-    seeds = [mat[int(np.argmin(ids))]]
-    for _ in range(k - 1):
-        cents = np.stack(seeds)
-        vv = np.sum(mat * mat, axis=1)
-        cc = np.sum(cents * cents, axis=1)
-        d2 = np.min(vv[:, None] - 2 * (mat @ cents.T) + cc[None, :], axis=1)
-        best = int(np.lexsort((ids, -d2))[0])  # max d2, tie → min id
-        seeds.append(mat[best])
-    centroids = np.stack(seeds)
+    if init == "sample":
+        keep = _sample_mask(ids, sample_milli)
+        if int(keep.sum()) < k:
+            raise ValueError(
+                "kmeans_fit_local: hash sample has %d rows < k=%d — raise "
+                "sample_milli (or use init='farthest')"
+                % (int(keep.sum()), k)
+            )
+        centroids = _farthest_point_seeds(ids[keep], mat[keep], k)
+    elif init == "farthest":
+        centroids = _farthest_point_seeds(ids, mat, k)
+    else:
+        raise ValueError("kmeans_fit_local: init must be 'farthest' or 'sample'")
 
     for _ in range(iters):
         assign = _assign(mat, centroids)

@@ -191,3 +191,42 @@ def test_semdedup_clustered_pairs_and_keepers(ray_session):
     sizes = assign.value_counts()
     n = len(ids)
     assert (sizes**2).sum() <= n * n / 3
+
+
+def test_kmeans_sample_init_parity_and_quality(ray_session):
+    """init='sample' (the 1-pass scale init): distributed == local replica
+    bit-for-bit under any partitioning; blocked-vs-unblocked invariance
+    holds (the hash sample is a pure function of the id); and the fitted
+    clusters still recover well-separated blobs."""
+    from logstash_filter_geoip_ray.stages.clustering import kmeans_fit_local
+
+    ids, pts = _blobs(seed=19, n_per=80, k=3, dim=10)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in pts], type=pa.list_(pa.float64())
+            ),
+        }
+    )
+    local = kmeans_fit_local(tbl, k=3, iters=4, init="sample", sample_milli=500)
+    for nparts in (1, 7):
+        ds = _ds_of(ids, pts)
+        if nparts > 1:
+            ds = ds.repartition(nparts)
+        dist = kmeans_fit(ds, k=3, iters=4, init="sample", sample_milli=500)
+        np.testing.assert_array_equal(local, dist)
+
+    out = kmeans_assign(_ds_of(ids, pts), local).to_pandas()
+    blob_of_id = {int(ids[i]): i // 80 for i in range(len(ids))}
+    by_blob = {}
+    for _, r in out.iterrows():
+        by_blob.setdefault(blob_of_id[int(r.vec_id)], set()).add(int(r.cluster))
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len({next(iter(s)) for s in by_blob.values()}) == 3
+
+    # a sample too small for k raises loudly instead of degrading
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hash sample"):
+        kmeans_fit_local(tbl, k=100, iters=1, init="sample", sample_milli=10)

@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--grid", action="store_true",
                     help="also run the exact block-grid path for comparison")
+    ap.add_argument("--init", default="farthest",
+                    help="kmeans init: farthest (k-1 passes) or sample (1 pass)")
     args = ap.parse_args()
 
     import pyarrow as pa
@@ -64,7 +66,7 @@ def main() -> None:
     ds = ray.data.from_arrow(tbl).repartition(64).materialize()
 
     t0 = time.perf_counter()
-    cent = kmeans_fit(ds, k=args.k, iters=3)
+    cent = kmeans_fit(ds, k=args.k, iters=3, init=args.init)
     fit_s = time.perf_counter() - t0
 
     assign = kmeans_assign(ds, cent).to_pandas()["cluster"].value_counts()
@@ -76,7 +78,8 @@ def main() -> None:
     clus_s = time.perf_counter() - t0
 
     out = {
-        "n": args.n, "dim": args.dim, "k": args.k, "num_cpus": args.cpus,
+        "n": args.n, "dim": args.dim, "k": args.k, "init": args.init,
+        "num_cpus": args.cpus,
         "fit_sec": round(fit_s, 2), "clustered_pairs_sec": round(clus_s, 2),
         "clustered_pairs": int(n_clustered),
         "sum_cluster_sq": sum_sq, "n_sq": args.n * args.n,

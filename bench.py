@@ -241,6 +241,26 @@ def _run_bench() -> dict:
     queries["routed_write_bucketed"] = round(best, 3)
     queries["routed_write_bucketed_files"] = nfiles
 
+    # resumable bucketed write (round 5): single run — its per-shard tasks +
+    # manifests are the crash-recovery shape, measured here so the overhead
+    # vs the one-shot bucketed write is a recorded number, not a guess
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        write_routed_bucketed_resumable,
+    )
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+
+    subprocess.run(["sync"], check=False)
+    leg_loadavg["routed_write_resumable"] = [round(os.getloadavg()[0], 2)]
+    out_dir3 = "/tmp/bench_routed_r_%d" % os.getpid()
+    t0 = time.perf_counter()
+    _, nfiles_r, _summary = write_routed_bucketed_resumable(
+        transcripts_path(SF_DIR, rows=bench_rows), out_dir3,
+        num_buckets=NUM_CPUS,
+    )
+    queries["routed_write_resumable"] = round(time.perf_counter() - t0, 3)
+    queries["routed_write_resumable_files"] = nfiles_r
+    subprocess.run(["rm", "-rf", out_dir3], check=False)
+
     ray.shutdown()
 
     # bracket the run: host speed on this shared VM moves minute-to-minute,

@@ -969,3 +969,50 @@ def test_bucketed_routed_write_hot_sink_salted(ray_session, tmp_path):
     k_want = min(16, math.ceil(expected[("US", "grep")] / threshold))
     assert hot_parts == k_want  # hot sink split into K parallel parts
     assert files == len(got) - 1 + hot_parts
+
+
+def test_resumable_bucketed_write_counts_match_aggregate(ray_session, tmp_path):
+    """The resumable write's per-sink file row counts must equal the flagship
+    sink_counts aggregate over the same input — the two phase-1 transform
+    chains (Dataset pipeline vs per-shard task) cannot be allowed to drift;
+    with hot_sink_rows set, splitting must not change any total."""
+    import glob
+    import math
+
+    import pyarrow.parquet as pq
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        write_routed_bucketed_resumable,
+    )
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+
+    rows = 200_000
+    input_dir = transcripts_path(SF, rows=rows)
+    out = str(tmp_path / "resumable_counts")
+    threshold = 5_000
+    _, files, summary = write_routed_bucketed_resumable(
+        input_dir, out, hot_sink_rows=threshold
+    )
+    assert summary["rows"] == rows
+
+    expected = {
+        (r["country"], r["tool"]): r["n"]
+        for _, r in sink_counts(
+            build_enriched(SF, rows=rows)
+        ).to_pandas().iterrows()
+    }
+    got, n_files = {}, 0
+    for d in glob.glob(out + "/country=*/tool=*"):
+        c = d.split("country=")[1].split("/")[0]
+        t = d.split("tool=")[1]
+        parts = glob.glob(d + "/*.parquet")
+        n_files += len(parts)
+        got[(c, t)] = sum(pq.read_table(p).num_rows for p in parts)
+        want_parts = (
+            min(4, math.ceil(expected[(c, t)] / threshold))  # 4 shards max
+            if expected[(c, t)] > threshold
+            else 1
+        )
+        assert len(parts) == want_parts, (c, t, len(parts), want_parts)
+    assert got == expected
+    assert files == n_files

@@ -2124,6 +2124,7 @@ def window_sketch_pair(
     sketch_bits: int = 1 << 28,
     sketch_hashes: int = 2,
     reduce_shards: "int | None" = None,
+    stage_walls: "dict | None" = None,
 ) -> "tuple[np.ndarray, np.ndarray]":
     """Scan 1 (sketch path): a saturating seen/seen-twice bitmap pair over
     every length-``window`` char window hash.  Per batch each hash sets
@@ -2198,13 +2199,24 @@ def window_sketch_pair(
     # batch_size=None → one partial pair per BLOCK (the default 1024-row
     # batches would emit a bitmap pair per ~1k docs: partial volume is
     # partials × sketch_bits/4 bytes, so fewer partials is the point)
+    import time as _time
+
+    _t0 = _time.perf_counter()
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    if stage_walls is not None:  # telemetry mode: wall per stage (adds
+        partials = partials.materialize()  # materialize barriers — NOT the
+        stage_walls["partials"] = _time.perf_counter() - _t0  # default path)
+        _t0 = _time.perf_counter()
     # level 1 of the OR tree folds bundles of 8 pairs IN PARALLEL (a single
     # bundled task was measured serializing the whole blocks × bitmap volume
     # through one worker); num_cpus=0.9 blocks fusion with the partial map
     level1 = partials.map_batches(
         combine, batch_format="pyarrow", batch_size=8, num_cpus=0.9
     )
+    if stage_walls is not None:
+        level1 = level1.materialize()
+        stage_walls["level1"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
 
     # Final reduce: range-partition the BIT SPACE across K reducers so no
     # single task ever holds (or sorts) a full-width pair.  At 2^31 bits the
@@ -2226,6 +2238,8 @@ def window_sketch_pair(
             .map_batches(combine, batch_format="pyarrow", batch_size=None)
             .to_pandas()
         )
+        if stage_walls is not None:
+            stage_walls["final"] = _time.perf_counter() - _t0
         seen = np.zeros(n_words, dtype=np.uint64)
         twice = np.zeros(n_words, dtype=np.uint64)
         if row["fmt"].iloc[0] == "sparse":  # tiny corpus: stayed sparse
@@ -2305,6 +2319,8 @@ def window_sketch_pair(
         .map_groups(combine_shard, batch_format="pyarrow")
     )
     rows = per_shard.to_pandas()
+    if stage_walls is not None:
+        stage_walls["final"] = _time.perf_counter() - _t0
     seen = np.zeros(n_words, dtype=np.uint64)
     twice = np.zeros(n_words, dtype=np.uint64)
     for _, r in rows.iterrows():

@@ -53,6 +53,9 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=None,
                     help="reduce_shards override (1 = old single-task reduce)")
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--stages", action="store_true",
+                    help="measure per-stage walls of window_sketch_pair only "
+                         "(partials / level-1 / final reduce)")
     args = ap.parse_args()
 
     import ray
@@ -74,6 +77,23 @@ def main() -> None:
         [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
     ).repartition(max(32, args.docs // 25_000))
     ds = ds.materialize()  # keep input build out of the measured window
+
+    if args.stages:
+        from logstash_filter_geoip_ray.stages.dedup import window_sketch_pair
+
+        walls: dict = {}
+        window_sketch_pair(
+            ds, window=40, sketch_bits=1 << args.bits,
+            reduce_shards=args.shards, stage_walls=walls,
+        )
+        print(json.dumps({
+            "docs": args.docs, "sketch_bits_log2": args.bits,
+            "reduce_shards": args.shards if args.shards is not None else "auto",
+            "stage_walls_sec": {k: round(v, 3) for k, v in walls.items()},
+            "final_le_level1": walls["final"] <= walls["level1"],
+        }))
+        ray.shutdown()
+        return
 
     t0 = time.perf_counter()
     spans = duplicated_spans(

@@ -505,9 +505,18 @@ def _compact_sinks(
         if not parts:
             continue
         n_splits = 1
-        if hot_sink_rows is not None and per_sink_rows is not None:
+        if hot_sink_rows is not None:
             rel = os.path.relpath(d, staging)
-            rows = int(per_sink_rows.get(rel, 0))
+            if per_sink_rows is not None:
+                rows = int(per_sink_rows.get(rel, 0))
+            elif staging_format == "parquet":
+                # no phase-1 partial counts on the parquet staging path:
+                # footer metadata gives exact per-part rows for free
+                import pyarrow.parquet as _pq
+
+                rows = sum(_pq.ParquetFile(p).metadata.num_rows for p in parts)
+            else:
+                rows = 0  # unknown → no split
             if rows > hot_sink_rows:
                 n_splits = min(len(parts), math.ceil(rows / hot_sink_rows))
         if n_splits == 1:

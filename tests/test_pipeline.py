@@ -1016,3 +1016,41 @@ def test_resumable_bucketed_write_counts_match_aggregate(ray_session, tmp_path):
         assert len(parts) == want_parts, (c, t, len(parts), want_parts)
     assert got == expected
     assert files == n_files
+
+
+def test_hot_sink_salting_parquet_staging(ray_session, tmp_path):
+    """hot_sink_rows on the parquet staging path: per-sink rows come from
+    footer metadata (no phase-1 partial counts there) — the hot sink still
+    splits and totals still match."""
+    import glob
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        write_routed_bucketed,
+    )
+
+    n = 8_000
+    rng = np.random.default_rng(5)
+    hot = rng.random(n) < 0.5
+    tbl = pa.table(
+        {
+            "country": pa.array(np.where(hot, "US", "DE").tolist()),
+            "tool": pa.array(["bash"] * n),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    out = str(tmp_path / "hotpq")
+    _, files = write_routed_bucketed(
+        ray.data.from_arrow(tbl).repartition(8), out,
+        staging_format="parquet", hot_sink_rows=1_500,
+    )
+    got = {}
+    for d in glob.glob(out + "/country=*/tool=*"):
+        c = d.split("country=")[1].split("/")[0]
+        parts = glob.glob(d + "/*.parquet")
+        got[c] = (len(parts), sum(pq.read_table(p).num_rows for p in parts))
+    assert got["US"][1] + got["DE"][1] == n
+    assert got["US"][0] > 1  # hot sink split
+    assert got["DE"][0] > 1 or got["DE"][1] <= 4_500  # DE may also exceed

@@ -603,12 +603,28 @@ def write_routed_bucketed_resumable(
 
     from ..state.checkpoint import ENGINE_VERSION, _shard_stem, config_hash
 
+    import ray
+
     key_cols = list(key_cols)
     config = config or default_config()
     chash = config_hash(config, extra="routed_bucketed:%s" % ",".join(key_cols))
     staging = os.path.join(out_dir, "_staging")
     man_dir = os.path.join(staging, "_manifests")
     os.makedirs(man_dir, exist_ok=True)
+
+    # same shared-storage capability probe as the one-shot write: resume
+    # depends on the driver seeing worker-written manifests, so fail in
+    # milliseconds on a node-local path instead of after a whole phase 1
+    probe_marker = os.path.join(staging, "_shared_fs_probe")
+    ray.get(ray.remote(_probe_write_marker).remote(probe_marker))
+    if not os.path.exists(probe_marker):
+        raise RuntimeError(
+            "write_routed_bucketed_resumable: staging dir %r is not visible "
+            "to the driver after a worker wrote to it — out_dir must be on "
+            "shared storage reachable by every worker and the driver"
+            % staging
+        )
+    os.remove(probe_marker)
 
     inputs = sorted(_glob.glob(os.path.join(input_dir, "*.parquet")))
     if not inputs:
@@ -630,10 +646,32 @@ def write_routed_bucketed_resumable(
     fn = shard_fn or _default_routed_shard_fn(config)
 
     def shard_task(batch: pa.Table) -> pa.Table:
+        import glob as _g
+
         paths = batch["path"].to_pylist()
         assert len(paths) == 1, "one shard path per task, got %s" % paths
         input_path = paths[0]
         stem = _shard_stem(input_path)
+        # an UNCOMMITTED shard may have staged parts from a crashed attempt
+        # under a DIFFERENT config (chash changed): those names may not be
+        # in this attempt's output set, so overwriting alone cannot clear
+        # them — remove every staged part carrying EXACTLY this shard's stem
+        # first (regex, not a glob: a bare 'part-<stem>-*' glob would also
+        # match another shard whose stem this one prefixes)
+        import re as _re
+
+        pat = _re.compile(r"^part-%s-\d+\.arrow$" % _re.escape(stem))
+        for d in _g.glob(
+            os.path.join(staging, *("%s=*" % c for c in key_cols))
+        ):
+            if not os.path.isdir(d):
+                continue
+            for fname in os.listdir(d):
+                if pat.match(fname):
+                    try:
+                        os.remove(os.path.join(d, fname))
+                    except OSError:
+                        pass
         tbl = fn(input_path)
         idx = pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in key_cols])
         tbl = tbl.take(idx)

@@ -1054,3 +1054,47 @@ def test_hot_sink_salting_parquet_staging(ray_session, tmp_path):
     assert got["US"][1] + got["DE"][1] == n
     assert got["US"][0] > 1  # hot sink split
     assert got["DE"][0] > 1 or got["DE"][1] <= 4_500  # DE may also exceed
+
+
+def test_resumable_write_clears_stale_parts_before_rerun(ray_session, tmp_path):
+    """A shard that crashed under a PRIOR config can leave staged parts whose
+    names the new attempt never writes (different routing) — the rerun must
+    remove every part carrying its stem before staging, or compaction would
+    ingest the stale file. Planted: a garbage .arrow with shard-0's stem in
+    a real sink dir, no manifests → full rerun must clear it (compaction
+    would otherwise crash on the garbage bytes) and totals must hold."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from logstash_filter_geoip_ray.pipelines.geoip_pipeline import (
+        write_routed_bucketed_resumable,
+    )
+    from logstash_filter_geoip_ray.sources.transcripts import transcripts_path
+
+    rows = 200_000
+    input_dir = transcripts_path(SF, rows=rows)
+    out = str(tmp_path / "cfgchange")
+    _, _, s1 = write_routed_bucketed_resumable(input_dir, out)
+    sink_dirs = sorted(glob.glob(out + "/country=*/tool=*"))
+    assert sink_dirs
+
+    inputs = sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+    stem0 = os.path.splitext(os.path.basename(inputs[0]))[0]
+    staging = os.path.join(out, "_staging")
+    real_sink_rel = os.path.relpath(sink_dirs[0], out)
+    stale_dir = os.path.join(staging, real_sink_rel)
+    os.makedirs(stale_dir, exist_ok=True)
+    stale = os.path.join(stale_dir, "part-%s-00042.arrow" % stem0)
+    with open(stale, "wb") as f:
+        f.write(b"not-an-ipc-stream")  # compaction would crash on this
+    os.makedirs(os.path.join(staging, "_manifests"), exist_ok=True)
+
+    _, files, s2 = write_routed_bucketed_resumable(input_dir, out)
+    assert s2["shards_processed"] == 4  # no manifests survived → full rerun
+    total = sum(
+        pq.read_table(f).num_rows
+        for f in glob.glob(out + "/**/*.parquet", recursive=True)
+    )
+    assert total == rows

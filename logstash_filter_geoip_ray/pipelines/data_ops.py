@@ -1477,6 +1477,7 @@ def _artifact_cache_dir(sf_dir, table, prefix, mods, params=()):
 #: oracle's local centroid replica — same constants, no drift possible)
 SEMDEDUP_K = 8
 SEMDEDUP_ITERS = 4
+SEMDEDUP_SAMPLE_MILLI = 200  # init="sample" hash-sample rate (per-mille)
 
 
 def q_dedup_semantic_clustered(sf_dir: str):
@@ -1499,6 +1500,34 @@ def q_dedup_semantic_clustered(sf_dir: str):
 
     emb = _emb(sf_dir, ["vec_id", "embedding"])
     centroids = kmeans_fit(emb, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS)
+    pairs = semdedup_clustered_pairs(emb, centroids, min_cosine=EMB_DUP_TAU)
+    clusters = dup_clusters(pairs)
+    return (
+        filter_non_keepers(_emb(sf_dir, ["vec_id"]), clusters, id_col="vec_id")
+        .select_columns(["vec_id"])
+        .sort("vec_id")
+    )
+
+
+def q_dedup_semantic_clustered_sampled(sf_dir: str):
+    """The same SemDeDup scale route under the 1-PASS kmeans init
+    (``init="sample"``: deterministic splitmix64(id) hash sample, then
+    farthest-point locally — k−1 corpus passes become 1).  A different init
+    means different centroids, so this gets its OWN oracle whose centroid
+    literals come from the local replica under the identical sample rule —
+    proving the scale init end-to-end, not just in unit tests."""
+    from ..stages.clustering import kmeans_fit
+    from ..stages.dedup import (
+        dup_clusters,
+        filter_non_keepers,
+        semdedup_clustered_pairs,
+    )
+
+    emb = _emb(sf_dir, ["vec_id", "embedding"])
+    centroids = kmeans_fit(
+        emb, k=SEMDEDUP_K, iters=SEMDEDUP_ITERS,
+        init="sample", sample_milli=SEMDEDUP_SAMPLE_MILLI,
+    )
     pairs = semdedup_clustered_pairs(emb, centroids, min_cosine=EMB_DUP_TAU)
     clusters = dup_clusters(pairs)
     return (
@@ -4782,6 +4811,7 @@ DATA_QUERIES: Dict[str, Callable[[str], Any]] = {
     "pca_components": q_pca_components,
     "dedup_filtered_embeddings": q_dedup_filtered_embeddings,
     "dedup_semantic_clustered": q_dedup_semantic_clustered,
+    "dedup_semantic_clustered_sampled": q_dedup_semantic_clustered_sampled,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -7095,7 +7125,7 @@ DATA_ORACLES["ann_ivf_indexed_fullprobe"] = DATA_ORACLES["ann_topk"]
 DATA_ORACLES["pagerank_nodes"] = _pagerank_oracle_sql(PAGERANK_ITERS)
 
 
-def _semdedup_oracle_sql() -> "str | None":
+def _semdedup_oracle_sql(init: str = "farthest") -> "str | None":
     """dedup_semantic_clustered oracle: the kmeans partition is reproduced
     in SQL from centroid literals computed by the LOCAL bit-exact replica
     (``kmeans_fit_local`` — same int64 milli algebra as the distributed
@@ -7118,6 +7148,8 @@ def _semdedup_oracle_sql() -> "str | None":
         _pq.read_table(p, columns=["vec_id", "embedding"]),
         k=SEMDEDUP_K,
         iters=SEMDEDUP_ITERS,
+        init=init,
+        sample_milli=SEMDEDUP_SAMPLE_MILLI,
     )
     vals = ", ".join(
         "(%d, %d, %d)" % (c, d + 1, int(cents[c, d]))
@@ -7170,6 +7202,9 @@ ORDER BY v.vec_id
 _sem_sql = _semdedup_oracle_sql()
 if _sem_sql is not None:
     DATA_ORACLES["dedup_semantic_clustered"] = _sem_sql
+_sem_sql_sampled = _semdedup_oracle_sql(init="sample")
+if _sem_sql_sampled is not None:
+    DATA_ORACLES["dedup_semantic_clustered_sampled"] = _sem_sql_sampled
 
 
 def _model_scores_oracle_sql() -> str:

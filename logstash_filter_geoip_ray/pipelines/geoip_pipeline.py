@@ -686,7 +686,13 @@ def write_routed_bucketed_resumable(
                 neq = pc.fill_null(pc.not_equal(a, b), False)
                 null_edge = pc.xor(pc.is_null(a), pc.is_null(b))
                 change |= pc.or_(neq, null_edge).to_numpy(zero_copy_only=False)
-        starts = np.concatenate(([0], np.flatnonzero(change) + 1, [n]))
+        # an EMPTY shard commits an empty-file-list manifest (skipped on
+        # resume) instead of indexing row 0 of a 0-row table
+        starts = (
+            np.concatenate(([0], np.flatnonzero(change) + 1, [n]))
+            if n
+            else np.array([0], dtype=np.int64)
+        )
         payload_schema = tbl.drop_columns(key_cols).schema
         opts = pa.ipc.IpcWriteOptions(compression="lz4")
         files, sinks, rows = [], [], []

@@ -2231,7 +2231,12 @@ def window_sketch_pair(
     if reduce_shards is None:
         n_shards = max(1, min(64, sketch_bits >> 26, n_words))
     else:
+        # coerce to a DIVISOR of n_words (word-aligned equal slices): a
+        # non-divisor K would truncate shard_words = n_words // K and the
+        # tail bit range would belong to no shard — silent data loss
         n_shards = max(1, min(int(reduce_shards), n_words))
+        while n_words % n_shards:
+            n_shards -= 1
     if n_shards == 1:
         row = (
             level1.repartition(1)

@@ -4611,7 +4611,9 @@ def test_window_sketch_sharded_reduce_equals_single(ray_session):
 
     for bits in (1 << 18, 1 << 21):
         ref = window_sketch_pair(ds, window=40, sketch_bits=bits, reduce_shards=1)
-        for k in (2, 4, 16):
+        # 3 is NOT a divisor of n_words: must coerce to a word-aligned
+        # divisor instead of silently dropping the tail bit range
+        for k in (2, 3, 4, 16):
             got = window_sketch_pair(
                 ds, window=40, sketch_bits=bits, reduce_shards=k
             )
